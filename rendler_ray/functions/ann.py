@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one numpy matmul against it (never
+re-shipped per batch); per-batch partial top-k bounds the final reduce
+to ``num_batches × k`` rows per query.
+
+Scale path: LSH-bucketed search (random-hyperplane signatures → bucket
+groupby → search within probed buckets only) — the same shape as an IVF
+index with hash-assigned lists; recall is tunable via bits/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def batch_to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+class CosineTopK:
+    """``map_batches`` actor stage: partial top-k per query per batch.
+
+    The query matrix ref is resolved ONCE per actor in ``__init__``.
+    Emits (query_id, vec_id, score) candidate rows; a small final
+    groupby-per-query reduce picks the global top-k.
+    """
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        q = ray.get(queries_ref)  # dict: query_id -> vector
+        self.qids = np.array(sorted(q))
+        self.qmat = _normalize(np.array([q[i] for i in self.qids], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = _normalize(batch_to_matrix(batch, self.col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = self.qmat @ m.T                       # (Q, B)
+        k = min(self.k, scores.shape[1])
+        # partial top-k per query within this batch
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            sel = part[qi]
+            out_q.extend([int(self.qids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(scores[qi, sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def topk_reduce(k: int, scale: int = 6):
+    """Per-query final reduce: scores go fixed-point (score_e6 int64 =
+    round(score·10^6)) and ranking uses (score_e6 desc, vec_id asc) —
+    integers compare exactly against the DuckDB oracle, where float
+    rounding can differ by 1 ulp."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score_e6"] = (g["score"] * (10 ** scale)).round().astype(np.int64)
+        g = g.sort_values(["score_e6", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["score"])
+
+    return fn
+
+
+def brute_force_topk(ds, queries: dict[int, np.ndarray], k: int,
+                     concurrency=(1, 4), batch_size: int = 4096):
+    """Full pipeline: broadcast queries → partial per-batch top-k →
+    per-query global top-k. Returns (query_id, vec_id, score, rank)."""
+    qref = ray.put(queries)
+    cands = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return cands.groupby("query_id").map_groups(
+        topk_reduce(k), batch_format="pandas"
+    )
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: adds a ``bucket`` column (int signature).
+    Vectors in the same bucket are near-duplicate candidates; for ANN,
+    probe the query's bucket (+ optional neighbor buckets)."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 5,
+                 col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.col = col
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        m = _normalize(batch_to_matrix(batch, self.col))
+        return batch.append_column("bucket", pa.array(self.signature(m), pa.int64()))
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
+                             dim: int = 64, id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs via LSH bucketing:
+    bucket groupby (the only shuffle) → exact cosine within buckets →
+    (a, b, score) pairs with a < b. Approximate: pairs split across
+    buckets are missed (recall grows with fewer bits / multiple tables).
+    """
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"dim": dim, "bits": bits},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                {"a": np.int64, "b": np.int64, "score": np.float64}
+            )
+        m = _normalize(np.stack(g["embedding"].map(np.asarray)).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        s = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        keep = s[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "score": np.round(s[iu, ju][keep], 6)})
+
+    return bucketed.groupby("bucket").map_groups(within, batch_format="pandas")

@@ -1,0 +1,107 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container ships no image/audio libraries, so the DECODE step is
+stubbed (deterministic fake, or ``NotImplementedError`` in strict mode)
+— but the Ray-side plumbing is real and tested: media spans explode out
+of the interleaved docs table into a media table, flow through
+actor-pool ``map_batches`` stages in small batches (binary payloads ⇒
+small ``batch_size``), and land in a typed feature schema.
+
+Real deployments swap ``_decode_stub`` for PIL/ffmpeg in the actor's
+``__init__``-loaded toolchain; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rendler_ray.functions.canon import stable_hash64
+
+
+def explode_media_spans(batch: pa.Table) -> pa.Table:
+    """Docs batch → one row per media span:
+    (doc_id, media_ref, kind, span_offset)."""
+    spans = batch["spans"].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    doc_ids = batch["doc_id"].take(parents)
+    t = pa.table(
+        {
+            "doc_id": doc_ids,
+            "media_ref": flat.field("media_ref"),
+            "kind": flat.field("kind"),
+            "span_offset": flat.field("offset"),
+        }
+    )
+    return t.filter(pc.not_equal(t["kind"], "text"))
+
+
+def fake_media_bytes(media_ref: str) -> bytes:
+    """Deterministic stand-in blob for a media_ref (no real store here).
+    64–319 pseudo-random bytes seeded by the ref hash."""
+    h = int(stable_hash64([media_ref])[0])
+    rng = np.random.default_rng(h & 0x7FFFFFFF)
+    return rng.integers(0, 256, 64 + h % 256, dtype=np.uint8).tobytes()
+
+
+class MediaDecoder:
+    """Actor-pool stage: media rows → decoded metadata + feature vector.
+
+    ``strict=True`` raises NotImplementedError (the honest no-decoder
+    mode); default mode produces a deterministic fake decode so the
+    plumbing (schema, batching, actor lifecycle) is fully exercised.
+    """
+
+    def __init__(self, strict: bool = False, feat_dim: int = 8):
+        # Real impl: import PIL / torchvision / ffmpeg here, once per actor.
+        self.strict = strict
+        self.feat_dim = feat_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "no image/audio decoder available in this environment; "
+                "swap in a real decoder in MediaDecoder.__init__"
+            )
+        refs = batch["media_ref"].to_pylist()
+        blobs = [fake_media_bytes(r) for r in refs]
+        sizes = np.array([len(b) for b in blobs], dtype=np.int64)
+        h = stable_hash64(refs)
+        widths = (h % np.uint64(1920)).astype(np.int64) + 16
+        heights = ((h >> np.uint64(17)) % np.uint64(1080)).astype(np.int64) + 16
+        feats = np.stack(
+            [np.frombuffer(b[: self.feat_dim], dtype=np.uint8).astype(np.float32)
+             / 255.0 for b in blobs]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "blob": pa.array(blobs, pa.large_binary()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_pipeline(docs_ds, strict: bool = False, concurrency=(1, 4),
+                   batch_size: int = 256):
+    """docs → explode media spans → actor-pool decode. Small batch_size:
+    binary payloads make wide rows (SURVEY.md §7.4 wide-rows note)."""
+    media = docs_ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+token counting, quality scoring, language ID, fingerprints, MinHash /
+SimHash signatures. All operate vectorized over Arrow/pandas batches of
+the driver ``documents`` table (doc_id, text, lang, source, n_chars).
+
+Tokenization is deliberately ``text.split(' ')`` — byte-compatible with
+DuckDB's ``string_split(text, ' ')`` so every deterministic op here has
+an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rendler_ray.functions.canon import stable_hash64
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# ---------------------------------------------------------------- tokens
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    s = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
+    n = s.str.split(" ").str.len().to_numpy(np.int64)
+    return batch.append_column("n_tokens", pa.array(n, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """length / stopword / distinct-token quality features (SQL-exact)."""
+    texts = batch[col].to_numpy(zero_copy_only=False)
+    toks = pd.Series(texts, dtype=object).str.split(" ")
+    n_tokens = toks.str.len().to_numpy(np.int64)
+    n_uniq = toks.map(lambda t: len(set(t))).to_numpy(np.int64)
+    stop = set(STOPWORDS)
+    n_stop = toks.map(lambda t: sum(1 for w in t if w in stop)).to_numpy(np.int64)
+    out = batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+    out = out.append_column("n_uniq_tokens", pa.array(n_uniq, pa.int64()))
+    out = out.append_column("n_stopwords", pa.array(n_stop, pa.int64()))
+    out = out.append_column(
+        "stopword_ratio", pa.array(n_stop / n_tokens, pa.float64())
+    )
+    out = out.append_column(
+        "uniq_ratio", pa.array(n_uniq / n_tokens, pa.float64())
+    )
+    return out
+
+
+# ------------------------------------------------------------ fingerprints
+
+
+def md5_fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    texts = batch[col].to_numpy(zero_copy_only=False)
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def rolling_hash_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    token windows, keep the ``keep`` smallest window hashes (public
+    winnowing scheme, Schleimer et al. SIGMOD'03)."""
+    toks = text.split(" ")
+    if len(toks) < window:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return h[:16]
+    hs = stable_hash64(np.array(toks, dtype=object))
+    win = np.lib.stride_tricks.sliding_window_view(hs, window)
+    wh = win.astype(np.uint64).sum(axis=1)  # commutative combine is fine here
+    smallest = np.sort(wh)[:keep]
+    return "-".join(f"{int(x):016x}" for x in smallest)
+
+
+def simhash64_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """64-bit SimHash over whitespace tokens (Charikar'02)."""
+    texts = batch[col].to_numpy(zero_copy_only=False)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        hs = stable_hash64(np.array(toks, dtype=object))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(hs)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+
+
+# --------------------------------------------------------------- MinHash
+
+
+class MinHasher:
+    """k-permutation MinHash over word n-gram shingles.
+
+    Stateful setup (permutation coefficients) happens once per actor —
+    this is a ``map_batches`` callable-class stage. Signatures are
+    emitted banded for LSH: one row per (doc, band) with a band hash,
+    ready for the ``groupby(band_id, band_hash)`` bucketing shuffle.
+    """
+
+    MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 128, shingle: int = 3, bands: int = 16,
+                 seed: int = 7, id_col: str = "doc_id", text_col: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, self.MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, self.MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        toks = text.split(" ")
+        k = self.shingle
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return np.unique(stable_hash64(np.array(grams, dtype=object)))
+
+    def signature(self, text: str) -> np.ndarray:
+        # multiply-shift hash family in wrapping uint64 arithmetic —
+        # deterministic, vectorized, and well-mixed for MinHash use
+        x = self.shingle_hashes(text)
+        vals = x[:, None] * self.a[None, :] + self.b[None, :]
+        vals ^= vals >> np.uint64(29)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        out_id, out_band, out_hash = [], [], []
+        for did, t in zip(ids, texts):
+            sig = self.signature(t)
+            for b in range(self.bands):
+                seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bh = hashlib.md5(seg.tobytes() + bytes([b])).hexdigest()[:16]
+                out_id.append(did)
+                out_band.append(b)
+                out_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+            }
+        )
+
+
+def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
+    def grams(t: str) -> set:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    inter = len(ga & gb)
+    union = len(ga | gb)
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------- lang id
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Marker-word language heuristic. The driver's synthetic documents
+    use an English-ish vocabulary for every ``lang`` label, so this is a
+    feature op (best-guess + score), not a recoverer of the label."""
+    texts = batch[col].to_numpy(zero_copy_only=False)
+    langs, scores = [], []
+    for t in texts:
+        toks = t.split(" ")
+        n = max(1, len(toks))
+        best, best_s = "und", 0.0
+        for lang, markers in _LANG_MARKERS.items():
+            m = set(markers)
+            s = sum(1 for w in toks if w in m) / n
+            if s > best_s:
+                best, best_s = lang, s
+        langs.append(best)
+        scores.append(best_s)
+    return batch.append_column(
+        "lang_pred", pa.array(langs, pa.string())
+    ).append_column("lang_score", pa.array(scores, pa.float64()))

@@ -1,0 +1,389 @@
+"""The crawl: RENDLER's async scheduler loop (SURVEY.md §3.1) rebuilt as
+deterministic, resumable BFS rounds over Ray Datasets (§3.4).
+
+Per round:
+
+    frontier(url, canon_url, host, depth, seq)
+      → robots filter + per-host budget gate     (politeness; off in
+                                                  conformance mode)
+      → map_batches(Fetcher actors)              closed-world web shards
+      → map_batches(Renderer actors)             renders table
+      → map_batches(extract_edges)               edges table (page order)
+      → candidates = resolved links, depth-gated
+      → groupby(canon_url) → first discoverer    (the ONLY per-round
+                                                  all-to-all shuffle)
+      → map_batches(SeenFilter)                  sharded seen actors
+      → sort(order_key) + dense seq              next frontier
+      → checkpoint round outputs + manifest      (atomic rename)
+
+Determinism: the reference's queue order is "seed, then links in
+discovery order" (FIFO). ``seq`` — assigned densely in (depth, src_seq,
+ord) order, first-discoverer-wins — reproduces exactly that order for
+any fixed seed list + politeness budget, independent of batch/actor
+scheduling. Conformance is asserted against ``refsim`` in tests.
+
+Scale posture: the frontier is never collected to the driver; per-round
+state crossing the loop is a materialized Dataset (object store, spills)
+plus O(#shards) actor state. Edges/renders/fetch stream to partitioned
+parquet per round, so a killed run resumes at the last completed round
+(seen set rebuilt from frontier snapshots — every seen URL is by
+construction a frontier row of some round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rendler_ray.functions.canon import canonicalize, host_of
+from rendler_ray.schema import (
+    EDGES_SCHEMA,
+    FETCH_SCHEMA,
+    FRONTIER_SCHEMA,
+    RENDERS_SCHEMA,
+)
+from rendler_ray.stages.extract import extract_edges
+from rendler_ray.stages.fetch import Fetcher, make_web_shards
+from rendler_ray.stages.render import Renderer
+from rendler_ray.state.politeness import RobotsFilter, budget_gate, build_policies
+from rendler_ray.state.seen import SeenFilter, make_seen_shards, seen_check_and_add
+from rendler_ray.util import with_row_seq
+
+# order_key = src_seq * 2^21 + ord: total order of discovery within a
+# round. seq < 2^40 even at the 10^10 design point, ord capped at 2^21-1.
+_ORD_BITS = 21
+_ORD_CAP = (1 << _ORD_BITS) - 1
+
+
+@dataclass
+class CrawlConfig:
+    docs_path: str
+    seeds: list[str]
+    max_depth: int | None = None
+    max_pages: int | None = None
+    canonicalize: bool = False          # False = reference conformance mode
+    num_seen_shards: int = 4
+    num_web_shards: int = 4
+    seen_mode: str = "exact"            # "exact" | "cuckoo"
+    seen_capacity_per_shard: int = 1 << 20
+    host_budget_per_round: int | None = None   # politeness off when None
+    robots: dict[str, str] | None = None       # host -> robots.txt text
+    politeness_window_ms: int = 60_000
+    out_dir: str | None = None          # enables checkpointing when set
+    fetch_concurrency: int | tuple = (1, 4)
+    render_concurrency: int | tuple = (1, 4)
+    batch_size: int = 4096
+    max_rounds: int = 1000
+
+
+@dataclass
+class CrawlResult:
+    fetched: "ray.data.Dataset"         # url, host, depth, seq, status, spans
+    edges: "ray.data.Dataset"           # src, dst, ord, src_seq, depth
+    renders: "ray.data.Dataset"         # doc_id, media_ref, image, rendered_round
+    frontier_log: "ray.data.Dataset"    # every frontier row ever created
+    pages_fetched: int = 0
+    rounds: int = 0
+    seen_count: int = 0
+    deferred_rounds: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _frontier_from_urls(urls: list[str], depths: list[int], seqs: list[int],
+                        canon: bool) -> pa.Table:
+    canon_urls = [canonicalize(u) if canon else u for u in urls]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canon_url": pa.array(canon_urls, pa.string()),
+            "host": pa.array([host_of(u) for u in canon_urls], pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "seq": pa.array(seqs, pa.int64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _seed_frontier(cfg: CrawlConfig) -> pa.Table:
+    seen: set[str] = set()
+    urls: list[str] = []
+    for u in cfg.seeds:
+        key = canonicalize(u) if cfg.canonicalize else u
+        if key not in seen:
+            seen.add(key)
+            urls.append(u)
+    return _frontier_from_urls(urls, [0] * len(urls), list(range(len(urls))),
+                               cfg.canonicalize)
+
+
+def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table:
+    """Edges batch → candidate frontier rows (url, canon_url, host, depth,
+    order_key)."""
+    import pyarrow.compute as pc
+
+    if max_depth is not None:
+        batch = batch.filter(pc.less_equal(batch["depth"], max_depth - 1))
+    dsts = batch["dst"].to_pylist()
+    canon_urls = [canonicalize(u) for u in dsts] if canon else dsts
+    src_seq = batch["src_seq"].to_numpy(zero_copy_only=False)
+    ords = np.minimum(batch["ord"].to_numpy(zero_copy_only=False), _ORD_CAP)
+    order_key = (src_seq.astype(np.int64) << _ORD_BITS) | ords.astype(np.int64)
+    return pa.table(
+        {
+            "url": pa.array(dsts, pa.string()),
+            "canon_url": pa.array(canon_urls, pa.string()),
+            "host": pa.array([host_of(u) for u in canon_urls], pa.string()),
+            "depth": pa.array(
+                (batch["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int32)
+            ),
+            "order_key": pa.array(order_key, pa.int64()),
+        }
+    )
+
+
+def _first_discoverer(g, **_):
+    """Per canon_url group: keep the row with the smallest order_key —
+    the reference's 'first link wins the queue slot' semantics."""
+    i = int(g["order_key"].idxmin())
+    return g.loc[[i]]
+
+
+def _write_round(ds, path: str) -> None:
+    """Write-then-rename. A pre-existing target/tmp is stale output from a
+    crashed or re-executed attempt at this round (the manifest is only
+    advanced after all round writes land) — safe to clear."""
+    import shutil
+
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    if not os.path.exists(tmp):
+        os.makedirs(tmp)  # empty dataset: write_parquet emits nothing
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _read_round(path: str, schema: pa.Schema) -> "ray.data.Dataset":
+    """Read a round output dir; an empty marker dir (zero-row round)
+    becomes an empty dataset with the right schema."""
+    import glob
+
+    if os.path.isdir(path) and not glob.glob(os.path.join(path, "*.parquet")):
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.read_parquet(path)
+
+
+def _read_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, m: dict) -> None:
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+
+
+def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
+    """Run the crawl to fixpoint / budget. ``resume=True`` with an
+    ``out_dir`` continues from the last completed round's checkpoint."""
+    seen_shards = make_seen_shards(cfg.num_seen_shards, cfg.seen_mode,
+                                   cfg.seen_capacity_per_shard)
+    web_shards = make_web_shards(cfg.docs_path, cfg.num_web_shards)
+    policies = build_policies(cfg.robots, cfg.politeness_window_ms,
+                              cfg.host_budget_per_round)
+    policies_ref = ray.put(policies)
+    politeness_on = bool(policies) or cfg.host_budget_per_round is not None
+
+    manifest = _read_manifest(cfg.out_dir) if (resume and cfg.out_dir) else None
+    if manifest:
+        r0 = manifest["round"] + 1
+        total_seq = manifest["total_seq"]
+        pages_fetched = manifest["pages_fetched"]
+        # Rebuild the seen set: every seen URL is a frontier row of some
+        # completed round (seeds included) — replay the snapshots.
+        for rr in range(r0):
+            fp = os.path.join(cfg.out_dir, f"round={rr}", "frontier.parquet")
+            snap = _read_round(fp, FRONTIER_SCHEMA)
+            for b in snap.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                seen_check_and_add(seen_shards, b["canon_url"].to_pylist())
+        fnext = os.path.join(cfg.out_dir, f"round={r0}", "frontier.parquet")
+        frontier = (_read_round(fnext, FRONTIER_SCHEMA).materialize()
+                    if os.path.exists(fnext) else None)
+
+        def _rounds(name: str, schema: pa.Schema) -> list:
+            return [
+                _read_round(os.path.join(cfg.out_dir, f"round={rr}", name), schema)
+                for rr in range(r0)
+            ]
+
+        per_round_fetched = _rounds("fetch.parquet", FETCH_SCHEMA)
+        per_round_edges = _rounds("edges.parquet", EDGES_SCHEMA)
+        per_round_renders = _rounds("renders.parquet", RENDERS_SCHEMA)
+        per_round_frontier = _rounds("frontier.parquet", FRONTIER_SCHEMA)
+    else:
+        seed_tbl = _seed_frontier(cfg)
+        seen_check_and_add(seen_shards, seed_tbl["canon_url"].to_pylist())
+        frontier = ray.data.from_arrow(seed_tbl).materialize()
+        total_seq = seed_tbl.num_rows
+        pages_fetched = 0
+        r0 = 0
+        per_round_fetched, per_round_edges = [], []
+        per_round_renders, per_round_frontier = [], []
+
+    deferred_rounds = 0
+    r = r0
+    while frontier is not None and r < cfg.max_rounds:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        # Log/checkpoint the FULL frontier before any budget truncation:
+        # a discovered-but-never-fetched URL is still in the reference's
+        # seen set (queued ⇒ seen), and resume rebuilds the seen set from
+        # these snapshots.
+        if cfg.out_dir:
+            rdir = os.path.join(cfg.out_dir, f"round={r}")
+            os.makedirs(rdir, exist_ok=True)
+            _write_round(frontier, os.path.join(rdir, "frontier.parquet"))
+        per_round_frontier.append(frontier)
+
+        if cfg.max_pages is not None:
+            remaining = cfg.max_pages - pages_fetched
+            if remaining <= 0:
+                break
+            if remaining < n_frontier:
+                import pyarrow.compute as pc
+
+                thr = frontier.sort("seq").limit(remaining).max("seq")
+                frontier = frontier.map_batches(
+                    lambda t, v=thr: t.filter(pc.less_equal(t["seq"], v)),
+                    batch_format="pyarrow",
+                ).materialize()
+
+        admitted, deferred = frontier, None
+        if politeness_on:
+            admitted = admitted.map_batches(
+                RobotsFilter, fn_constructor_args=(policies_ref,),
+                batch_format="pyarrow", concurrency=2, num_cpus=0.25,
+            )
+            admitted, deferred = budget_gate(
+                admitted, policies, cfg.host_budget_per_round
+            )
+            if deferred is not None:
+                deferred = deferred.materialize()
+                deferred_rounds += 1 if deferred.count() else 0
+
+        fetched = admitted.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={"shards": web_shards},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=0.5,
+        ).materialize()
+        pages_fetched += fetched.count()
+        per_round_fetched.append(fetched)
+
+        renders = fetched.map_batches(
+            Renderer,
+            fn_constructor_kwargs={"round_no": r},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.render_concurrency,
+            num_cpus=0.5,
+        ).materialize()
+        per_round_renders.append(renders)
+
+        edges = fetched.map_batches(
+            extract_edges, batch_format="pyarrow", batch_size=cfg.batch_size
+        ).materialize()
+        per_round_edges.append(edges)
+
+        if cfg.out_dir:
+            _write_round(fetched, os.path.join(rdir, "fetch.parquet"))
+            _write_round(renders, os.path.join(rdir, "renders.parquet"))
+            _write_round(edges, os.path.join(rdir, "edges.parquet"))
+
+        candidates = edges.map_batches(
+            _candidates,
+            fn_kwargs={"canon": cfg.canonicalize, "max_depth": cfg.max_depth},
+            batch_format="pyarrow",
+        )
+        firsts = candidates.groupby("canon_url").map_groups(
+            _first_discoverer, batch_format="pandas"
+        )
+        unseen = firsts.map_batches(
+            SeenFilter,
+            fn_constructor_kwargs={"shards": seen_shards,
+                                   "url_column": "canon_url"},
+            batch_format="pyarrow",
+            concurrency=2,
+            num_cpus=0.25,
+        ).materialize()
+
+        n_new = unseen.count()
+        if n_new:
+            numbered = with_row_seq(unseen, ["order_key"], start=total_seq)
+            total_seq += n_new
+            next_frontier = numbered.select_columns(
+                ["url", "canon_url", "host", "depth", "seq"]
+            )
+            if deferred is not None and deferred.count():
+                next_frontier = next_frontier.union(deferred)
+            next_frontier = next_frontier.materialize()
+        else:
+            next_frontier = (
+                deferred if deferred is not None and deferred.count() else None
+            )
+
+        if cfg.out_dir:
+            _write_manifest(cfg.out_dir, {
+                "round": r, "total_seq": total_seq,
+                "pages_fetched": pages_fetched,
+                "config": {"seeds": cfg.seeds, "max_depth": cfg.max_depth,
+                           "max_pages": cfg.max_pages,
+                           "canonicalize": cfg.canonicalize},
+                "per_round_pages": [d.count() for d in per_round_fetched],
+            })
+            if next_frontier is not None:
+                ndir = os.path.join(cfg.out_dir, f"round={r + 1}")
+                os.makedirs(ndir, exist_ok=True)
+                _write_round(next_frontier,
+                             os.path.join(ndir, "frontier.parquet"))
+
+        frontier = next_frontier
+        r += 1
+
+    seen_count = sum(ray.get([s.count.remote() for s in seen_shards]))
+
+    def _union(lst, empty_schema_src):
+        lst = [d for d in lst if d is not None and d.count() > 0]
+        if not lst:
+            return ray.data.from_arrow(empty_schema_src.empty_table())
+        out = lst[0]
+        for d in lst[1:]:
+            out = out.union(d)
+        return out
+
+    return CrawlResult(
+        fetched=_union(per_round_fetched, FETCH_SCHEMA),
+        edges=_union(per_round_edges, EDGES_SCHEMA),
+        renders=_union(per_round_renders, RENDERS_SCHEMA),
+        frontier_log=_union(per_round_frontier, FRONTIER_SCHEMA),
+        pages_fetched=pages_fetched,
+        rounds=r - r0,
+        seen_count=seen_count,
+        deferred_rounds=deferred_rounds,
+    )

@@ -1,0 +1,80 @@
+"""Dot-graph export: the reference's shutdown artifact
+(``python/export_dot.py::dot``; SURVEY.md §2.1 S5).
+
+Reference semantics: one Graphviz node per RENDERED url (the node label
+is the render thumbnail), one edge per crawl edge whose BOTH endpoints
+are rendered (node labels need images — SURVEY.md §2.4 J1), duplicate
+(src, dst) pairs collapsed (§2.5 A1 set semantics). The writer here is
+byte-stable: nodes and edges are emitted in sorted order, so a fixed
+crawl produces a golden-comparable file.
+
+The endpoint filter is a semi-join of edges against the rendered-node
+set. After a bounded crawl the rendered set is the small side, so it is
+broadcast (``ray.put`` once, read per batch) rather than shuffled; at
+unbounded scale swap in ``edges.join(renders.select_columns(["doc_id"]))``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def dot_from_tables(edges: pa.Table, renders: pa.Table) -> str:
+    rendered: dict[str, str] = {}
+    for did, ref in zip(renders["doc_id"].to_pylist(),
+                        renders["media_ref"].to_pylist()):
+        rendered.setdefault(did, ref)
+    pairs = set()
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        if s in rendered and d in rendered:
+            pairs.add((s, d))
+    lines = ["digraph G {", "  node [shape=box];"]
+    for url in sorted(rendered):
+        lines.append(f"  {_quote(url)} [label={_quote(url)} image={_quote(rendered[url])}];")
+    for s, d in sorted(pairs):
+        lines.append(f"  {_quote(s)} -> {_quote(d)};")
+    lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
+def export_dot(edges_ds: "ray.data.Dataset", renders_ds: "ray.data.Dataset",
+               path: str | None = None) -> str:
+    """Distributed prep, driver-side emit (the dot file itself is a small
+    artifact). Broadcast semi-join: rendered set shipped once."""
+    node_tbl = pa.concat_tables(
+        renders_ds.select_columns(["doc_id", "media_ref"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    ) if renders_ds.count() else pa.table({"doc_id": pa.array([], pa.string()),
+                                           "media_ref": pa.array([], pa.string())})
+    rendered_ref = ray.put(set(node_tbl["doc_id"].to_pylist()))
+
+    def keep_rendered(t: pa.Table) -> pa.Table:
+        rset = ray.get(rendered_ref)
+        src_ok = pa.array([u in rset for u in t["src"].to_pylist()])
+        dst_ok = pa.array([u in rset for u in t["dst"].to_pylist()])
+        return t.select(["src", "dst"]).filter(pc.and_(src_ok, dst_ok))
+
+    edge_parts = list(
+        edges_ds.map_batches(keep_rendered, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    edge_tbl = (pa.concat_tables(edge_parts, promote_options="default")
+                if edge_parts else pa.table({"src": pa.array([], pa.string()),
+                                             "dst": pa.array([], pa.string())}))
+    out = dot_from_tables(edge_tbl, node_tbl)
+    if path:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(out)
+        import os
+
+        os.replace(tmp, path)
+    return out

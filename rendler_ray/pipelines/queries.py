@@ -1,0 +1,645 @@
+"""The ``queries()`` / ``oracle_sql()`` registry: every operator shape
+from SURVEY.md §2 exercised over the driver testdata tables, plus the
+training-data ops (dedup / similarity / text analysis / multimodal) and
+the crawl pipelines themselves.
+
+Each entry is a callable ``fn(sf_dir) -> Dataset | pyarrow.Table``;
+ORACLES holds the DuckDB-equivalent SQL where the op is SQL-expressible
+(same column NAMES and, for floats, the same explicit rounding — sums of
+doubles are order-dependent in the last ulps, so both sides round).
+
+Never calls ray.init/shutdown (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from rendler_ray.functions import ann as F_ann
+from rendler_ray.functions import media as F_media
+from rendler_ray.functions import text as F_text
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _fixed_point(ds, cols: dict[str, int]):
+    """Convert float columns to fixed-point int64 (value * 10^scale,
+    rounded). Float sums are order-dependent in the last ulps AND
+    Arrow/DuckDB round() can land on 1-ulp-different doubles, so float
+    outputs can never be hash-compared — integers can. Oracle SQL uses
+    CAST(round(x * 10^scale) AS BIGINT) to match."""
+    def fn(t: pa.Table) -> pa.Table:
+        for c, scale in cols.items():
+            v = pc.round(pc.multiply(t[c], float(10 ** scale)),
+                         options=pc.RoundOptions(
+                             ndigits=0, round_mode="half_towards_infinity"))
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.cast(v, pa.int64()))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _synth_docs_for(sf_dir: str) -> str:
+    """Deterministic synthetic interleaved docs sized to the scale factor
+    (the crawl's closed world; cached under /tmp)."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = {"0.001": 200, "0.01": 2000, "0.1": 20000}.get(sf, 2000)
+    return docs_parquet(f"/tmp/rendler_ray_web/docs_{n}.parquet",
+                        n_docs=n, n_hosts=max(8, n // 100), seed=42)
+
+
+# ======================================================== relational ops
+# (SURVEY.md §2 operator shapes over the driver testdata tables)
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """A1/A2-shape grouped aggregate (TPC-H Q1 family): partial per-batch
+    combine happens inside Ray's hash aggregate; rounding makes the
+    double sums oracle-stable."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rev", pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"])))
+
+    out = (ds.map_batches(revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("rev", alias_name="sum_revenue"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="count_order")))
+    out = _fixed_point(out, {"sum_qty": 2, "sum_base_price": 2,
+                             "sum_revenue": 2, "avg_disc": 6})
+    return out.map_batches(lambda t: t.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_price_c",
+         "sum_revenue_c", "avg_disc_e6", "count_order"]),
+        batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT)        AS sum_qty_c,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)   AS sum_base_price_c,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_revenue_c,
+       CAST(round(avg(l_discount) * 1000000) AS BIGINT)    AS avg_disc_e6,
+       count(*)                                            AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_segment(sf_dir: str):
+    """J1-shape hash join (orders ⋈ customer) + grouped aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    out = j.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue_c"),
+        Count(alias_name="n_orders"))
+    return _fixed_point(out, {"revenue_c": 2})
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def semi_join_orders(sf_dir: str):
+    """J2-shape broadcast semi-join: keep orders whose customer has
+    acctbal > 5000. Small side shipped once via ray.put."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    keys = set()
+    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = b.filter(pc.greater(b["c_acctbal"], 5000.0))
+        keys.update(t["c_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+def anti_join_customers(sf_dir: str):
+    """T1/J2-shape anti-join (the seen-set 'drop already-seen' semantics
+    at rest): customers with no high-value (>300k) order. The seen key
+    set is broadcast once (ray.put), membership tested per batch."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    seen = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = b.filter(pc.greater(b["o_totalprice"], 300000.0))
+        seen.update(t["o_custkey"].to_pylist())
+    seen_ref = ray.put(seen)
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = ray.get(seen_ref)
+        mask = pa.array([k not in s for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def top10_orders(sf_dir: str):
+    """O1-shape global sort + limit with deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+TOP10_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def distinct_union_nations(sf_dir: str):
+    """D2-shape union + distinct: nation keys present in customer or
+    supplier."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    # distinct as a grouped aggregate (Dataset.unique collects to the
+    # driver; this stays distributed)
+    return (c.union(s).groupby("nationkey")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["nationkey"]))
+
+
+DISTINCT_UNION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+def extract_tokens(sf_dir: str):
+    """M1-shape ordered extraction: documents.text → (doc_id, token, ord)
+    with page order preserved (1-based ord, matching
+    generate_subscripts)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        out_id = np.repeat(ids, lens)
+        out_tok = np.concatenate([np.array(x, dtype=object) for x in toks])
+        out_ord = np.concatenate([np.arange(1, n + 1) for n in lens])
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string()),
+                         "ord": pa.array(out_ord, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+EXTRACT_TOKENS_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+       generate_subscripts(string_split(text, ' '), 1) AS ord
+FROM documents
+"""
+
+
+def last_event_per_user(sf_dir: str):
+    """A2-shape last-write-wins per key (renderResults[url]=x semantics):
+    latest event per user, tiebreak on event_id."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).tail(1)
+
+    out = ds.groupby("user_id").map_groups(last, batch_format="pandas")
+    return out
+
+
+LAST_EVENT_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def event_type_stats(sf_dir: str):
+    """A3-shape counters: per event_type count / sum / min / max."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="total_value_c"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+    return _fixed_point(out, {"total_value_c": 2})
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS total_value_c,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def hourly_user_windows(sf_dir: str):
+    """Streaming-shape tumbling window (SURVEY.md §2.9): events per
+    (user, hour) — count + rounded sum."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (ds.map_batches(add_hour, batch_format="pyarrow")
+           .groupby(["user_id", "hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value_c")))
+    return _fixed_point(out, {"sum_value_c": 2})
+
+
+HOURLY_WINDOWS_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def top2_orders_per_customer(sf_dir: str):
+    """Top-k per group (grouped sort + head)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(2)
+
+    return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
+TOP2_PER_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) <= 2
+"""
+
+
+# ==================================================== training-data ops
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup: content hash → keep the smallest doc_id per distinct
+    text (hash-partitioned groupby; D1-shape at rest)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(F_text.md5_fingerprint_batch,
+                            batch_format="pyarrow")
+    return hashed.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def token_count_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.token_count_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.quality_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_uniq_tokens", "n_stopwords",
+         "stopword_ratio", "uniq_ratio"])
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN {F_text.STOPWORDS!r})) AS n_stopwords,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN {F_text.STOPWORDS!r}))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       len(list_distinct(string_split(text, ' ')))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+FROM documents
+"""
+
+
+def doc_fingerprint_md5(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.md5_fingerprint_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def lang_id_docs(sf_dir: str):
+    """Language-ID heuristic (rows-only: marker-set scoring isn't
+    SQL-hash-stable)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.lang_id_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred", "lang_score"])
+
+
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash per document (deterministic; not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.simhash64_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"])
+
+
+def minhash_dup_groups(sf_dir: str):
+    """MinHash+LSH near-dup candidates: shingle → minhash → band →
+    bucket groupby → groups of size ≥ 2 (doc_id, group_key)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    banded = ds.map_batches(
+        F_text.MinHasher, fn_constructor_kwargs={"num_perm": 64, "bands": 8},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return g.head(0)[["doc_id", "band_id", "band_hash"]]
+        return g[["doc_id", "band_id", "band_hash"]]
+
+    out = banded.groupby(["band_id", "band_hash"]).map_groups(
+        groups, batch_format="pandas")
+    # distinct doc_ids having ≥1 near-dup candidate
+    return (out.groupby("doc_id").aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_id"]))
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """Near-dup verification: LSH candidate pairs → exact 3-gram Jaccard
+    ≥ 0.5 → (a, b, jaccard)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    texts_ref = None
+    banded = ds.map_batches(
+        F_text.MinHasher, fn_constructor_kwargs={"num_perm": 64, "bands": 8},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    # collect candidate pairs per bucket (small), verify with exact
+    # jaccard against a broadcast id→text map (documents table is the
+    # small side at test scale; at 100 TB this becomes a join).
+    id_text = {}
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        id_text.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    texts_ref = ray.put(id_text)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        texts = ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = F_text.jaccard_ngrams(texts[ids[i]], texts[ids[j]])
+                if jac >= 0.5:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(round(jac, 6))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
+                             "b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    # a pair can surface from several bands: dedup with a grouped min
+    return (banded.groupby(["band_id", "band_hash"])
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Min("jaccard", alias_name="jaccard")))
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 8 fixed query vectors (vec_id 0–7):
+    broadcast query matrix → per-batch matmul partial top-k → per-query
+    reduce. Scores rounded to 6 so the SQL oracle agrees exactly."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qtbl["vec_id"].to_pylist(),
+                               qtbl["embedding"].to_pylist())}
+    out = F_ann.brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id", "score_e6", "rank"])
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 8),
+scores AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, score_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_e6 DESC, vec_id ASC) AS rank
+FROM scores
+QUALIFY rank <= 10
+"""
+
+
+def embedding_near_dup_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (score ≥ 0.3) over the vec_id < 1000
+    subset — bounded all-pairs so DuckDB can oracle it."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 1000)),
+        batch_format="pyarrow")
+
+    def allpairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = F_ann._normalize(
+            np.stack(g["embedding"].map(np.asarray)).astype(np.float64))
+        ids = g["vec_id"].to_numpy()
+        s = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        se6 = np.round(s[iu, ju] * 1e6).astype(np.int64)
+        keep = se6 >= 300000
+        return pd.DataFrame({
+            "a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
+            "b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
+            "score_e6": se6[keep]})
+
+    return ds.map_batches(lambda t: t.append_column("g", pa.array([0] * t.num_rows)),
+                          batch_format="pyarrow").groupby("g").map_groups(
+        allpairs, batch_format="pandas")
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 1000 AND b.vec_id < 1000
+  AND CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) >= 300000
+"""
+
+
+def embedding_near_dup_lsh(sf_dir: str):
+    """Scale path: LSH-bucketed near-dup pairs (approximate; rows-only)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return F_ann.embedding_near_dup_pairs(ds, threshold=0.3, bits=8)
+
+
+# ============================================== crawl + multimodal ops
+
+
+def crawl_fetch(sf_dir: str):
+    """The flagship crawl (conformance mode) over the scale-matched
+    synthetic web; returns the fetch table (no spans — hashable cols)."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                      "status"])
+
+
+def crawl_edges(sf_dir: str):
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return res.edges
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: explode media spans from the interleaved docs
+    → actor-pool decode (deterministic stub) → typed features."""
+    docs = rd.read_parquet(_synth_docs_for(sf_dir))
+    out = F_media.media_pipeline(docs)
+    return out.select_columns(["doc_id", "media_ref", "kind", "n_bytes",
+                               "width", "height"])
+
+
+def render_interleaved(sf_dir: str):
+    """Render every doc's span sequence (S3-shape) and report the image
+    size — exercises the span-sequence canonical serialization."""
+    from rendler_ray.stages.render import Renderer
+
+    docs = rd.read_parquet(_synth_docs_for(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("status", pa.array([200] * t.num_rows,
+                                                  pa.int32())).rename_columns(
+            ["url", "spans", "status"])
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow")
+    out = prepped.map_batches(Renderer, fn_constructor_kwargs={"round_no": 0},
+                              batch_format="pyarrow", concurrency=(1, 4),
+                              num_cpus=1)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "media_ref": t["media_ref"],
+                         "image_bytes": pc.binary_length(t["image"])})
+
+    return out.map_batches(sizes, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "revenue_by_segment": revenue_by_segment,
+    "semi_join_orders": semi_join_orders,
+    "anti_join_customers": anti_join_customers,
+    "top10_orders": top10_orders,
+    "distinct_union_nations": distinct_union_nations,
+    "extract_tokens": extract_tokens,
+    "last_event_per_user": last_event_per_user,
+    "event_type_stats": event_type_stats,
+    "hourly_user_windows": hourly_user_windows,
+    "top2_orders_per_customer": top2_orders_per_customer,
+    "dedup_exact_docs": dedup_exact_docs,
+    "token_count_docs": token_count_docs,
+    "quality_scores": quality_scores,
+    "doc_fingerprint_md5": doc_fingerprint_md5,
+    "lang_id_docs": lang_id_docs,
+    "simhash_docs": simhash_docs,
+    "minhash_dup_groups": minhash_dup_groups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ann_topk": ann_topk,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "crawl_fetch": crawl_fetch,
+    "crawl_edges": crawl_edges,
+    "media_features": media_features,
+    "render_interleaved": render_interleaved,
+}
+
+ORACLES = {
+    "q1_lineitem_agg": Q1_SQL,
+    "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
+    "semi_join_orders": SEMI_JOIN_SQL,
+    "anti_join_customers": ANTI_JOIN_SQL,
+    "top10_orders": TOP10_SQL,
+    "distinct_union_nations": DISTINCT_UNION_SQL,
+    "extract_tokens": EXTRACT_TOKENS_SQL,
+    "last_event_per_user": LAST_EVENT_SQL,
+    "event_type_stats": EVENT_TYPE_STATS_SQL,
+    "hourly_user_windows": HOURLY_WINDOWS_SQL,
+    "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "token_count_docs": TOKEN_COUNT_SQL,
+    "quality_scores": QUALITY_SQL,
+    "doc_fingerprint_md5": FINGERPRINT_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "embedding_near_dup_exact": EMB_NEAR_DUP_SQL,
+}

@@ -1,0 +1,162 @@
+"""Deterministic seeded synthetic web: a closed world of interleaved docs.
+
+The reference crawled the live web (``python/crawl_executor.py`` does a
+raw ``urlopen``; SURVEY.md §2.1 S2). This sandbox is offline, so the
+"web" is a seeded power-law site graph materialized as the interleaved
+``docs`` table from BASELINE.json's ``input_hint``:
+
+    doc_id: string            (also the page URL, e.g. "s://h003/p00007")
+    spans:  list<struct<kind, text, media_ref, offset>>
+
+Text spans embed outlinks as URL tokens — absolute ("s://h012/p00345")
+or host-relative ("/p00345") — mixed with filler words; image spans
+carry a ``media_ref`` blob key. Host sizes are Zipf-distributed to
+exercise skew handling; a fraction of links dangle (404 targets).
+
+Everything is a pure function of the parameters + seed: the same call
+always produces byte-identical tables (tests, bench, and the oracle
+simulator all rely on this).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rendler_ray.schema import DOCS_SCHEMA
+
+_WORDS = (
+    "the quick crawl render frame fetch page host link graph queue deque "
+    "span text image batch arrow block shard actor round depth frontier "
+    "seed filter bucket token robot delay merge sort scan hash join"
+).split()
+
+
+def page_url(host: int, page: int) -> str:
+    return f"s://h{host:03d}/p{page:05d}"
+
+
+def host_name(host: int) -> str:
+    return f"h{host:03d}"
+
+
+def zipf_sizes(n_docs: int, n_hosts: int, alpha: float = 1.1) -> np.ndarray:
+    """Allocate n_docs pages across n_hosts with a Zipf size profile."""
+    w = 1.0 / np.arange(1, n_hosts + 1) ** alpha
+    sizes = np.maximum(1, np.floor(n_docs * w / w.sum()).astype(np.int64))
+    # fix rounding so the total is exact
+    diff = n_docs - int(sizes.sum())
+    sizes[0] += diff
+    if sizes[0] < 1:
+        raise ValueError("n_docs too small for n_hosts")
+    return sizes
+
+
+def generate_docs(
+    n_docs: int = 1000,
+    n_hosts: int = 20,
+    mean_links: float = 6.0,
+    p_intra: float = 0.6,
+    p_relative: float = 0.5,
+    p_dangle: float = 0.05,
+    mean_images: float = 0.8,
+    seed: int = 42,
+) -> pa.Table:
+    """Build the docs table. Deterministic in all parameters."""
+    rng = np.random.default_rng(seed)
+    sizes = zipf_sizes(n_docs, n_hosts)
+    host_of_doc = np.repeat(np.arange(n_hosts), sizes)
+    page_of_doc = np.concatenate([np.arange(s) for s in sizes])
+
+    n_links = rng.poisson(mean_links, n_docs)
+    total_links = int(n_links.sum())
+    # vectorized link-target draws
+    is_intra = rng.random(total_links) < p_intra
+    is_rel = rng.random(total_links) < p_relative
+    dangle = rng.random(total_links) < p_dangle
+    cross_host = rng.choice(n_hosts, size=total_links, p=sizes / sizes.sum())
+    tgt_frac = rng.random(total_links)
+    link_src = np.repeat(np.arange(n_docs), n_links)
+
+    tgt_host = np.where(is_intra, host_of_doc[link_src], cross_host)
+    tgt_size = sizes[tgt_host]
+    tgt_page = (tgt_frac * tgt_size).astype(np.int64)
+    # dangling links point past the host's last page (guaranteed 404)
+    tgt_page = np.where(dangle, tgt_size + (tgt_frac * 50).astype(np.int64), tgt_page)
+
+    n_imgs = np.minimum(rng.poisson(mean_images, n_docs), 3)
+    n_text_spans = 1 + rng.integers(0, 3, n_docs)
+    word_picks = rng.integers(0, len(_WORDS), n_docs * 8 + 8)
+
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    li = 0
+    wi = 0
+    for d in range(n_docs):
+        h = int(host_of_doc[d])
+        doc_ids.append(page_url(h, int(page_of_doc[d])))
+        k = int(n_links[d])
+        tokens: list[str] = []
+        for j in range(k):
+            th, tp = int(tgt_host[li + j]), int(tgt_page[li + j])
+            if th == h and is_rel[li + j]:
+                tokens.append(f"/p{tp:05d}")
+            else:
+                tokens.append(page_url(th, tp))
+        li += k
+
+        nts = int(n_text_spans[d])
+        # distribute link tokens across text spans, preserving order
+        cut = np.linspace(0, k, nts + 1).astype(int)
+        spans: list[dict] = []
+        off = 0
+        for t in range(nts):
+            words = [_WORDS[word_picks[(wi + j) % len(word_picks)]] for j in range(3)]
+            wi += 3
+            body = " ".join(words[:2] + tokens[cut[t] : cut[t + 1]] + words[2:])
+            spans.append({"kind": "text", "text": body, "media_ref": "", "offset": off})
+            off += 1
+            if t < int(n_imgs[d]):
+                spans.append(
+                    {
+                        "kind": "image",
+                        "text": "",
+                        "media_ref": f"blob://h{h:03d}/p{int(page_of_doc[d]):05d}/m{t}",
+                        "offset": off,
+                    }
+                )
+                off += 1
+        spans_col.append(spans)
+
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA
+    )
+
+
+def docs_parquet(
+    path: str,
+    n_docs: int = 1000,
+    n_hosts: int = 20,
+    seed: int = 42,
+    **kw,
+) -> str:
+    """Write (or reuse) a cached parquet of the synthetic docs table.
+
+    At real scale the docs/frontier tables live hash-partitioned on
+    shared storage; one file per generator call is the sandbox stand-in.
+    """
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tbl = generate_docs(n_docs=n_docs, n_hosts=n_hosts, seed=seed, **kw)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def default_seeds(n: int = 1) -> list[str]:
+    """Reference parity: RENDLER takes one seed URL (SURVEY.md §2.1 S1)."""
+    return [page_url(0, i) for i in range(n)]

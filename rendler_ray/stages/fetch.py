@@ -1,0 +1,123 @@
+"""Fetch stage: the Ray-Data-native replacement for RENDLER's CrawlExecutor
+HTTP GET (``python/crawl_executor.py::launchTask``, SURVEY.md §2.1 S2).
+
+The sandbox web is closed-world: page content lives in the interleaved
+``docs`` table. The web is sharded across ``WebShard`` actors by stable
+URL hash — each shard holds 1/N of the corpus in memory with an exact
+index, mirroring how a real fetch fleet would partition connection state
+by host shard. The ``Fetcher`` is a ``map_batches`` callable-CLASS
+(actor pool): it holds the shard handles (resolved once per actor in
+``__init__``) and per batch does one bulk lookup RPC per shard —
+assembly is pure Arrow ``take``/``filter``/``concat`` (no Python-object
+round-trip of the span payloads).
+
+A miss is a 404: status recorded, empty span list, no render, no links —
+matching the reference's TASK_FAILED path (fetch errors just logged,
+URL dropped; SURVEY.md §4.1 retries row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from rendler_ray.functions.canon import url_hash_shard
+from rendler_ray.schema import SPAN_STRUCT
+
+
+@ray.remote
+class WebShard:
+    """Holds the shard of the closed-world docs table with
+    ``stable_hash64(doc_id) % num_shards == shard_id``.
+
+    At real scale the docs table is hash-partitioned on storage and each
+    shard reads only its own partition files; reading the single sandbox
+    file and filtering is the small-scale stand-in.
+    """
+
+    def __init__(self, docs_path: str, shard_id: int, num_shards: int):
+        tbl = pq.read_table(docs_path, columns=["doc_id", "spans"])
+        sh = url_hash_shard(tbl["doc_id"], num_shards)
+        self.tbl = tbl.filter(pa.array(sh == shard_id)).combine_chunks()
+        self.index = {u: i for i, u in enumerate(self.tbl["doc_id"].to_pylist())}
+
+    def get_many(self, urls: list[str]) -> tuple[np.ndarray, pa.Array]:
+        """(found-mask aligned to input, spans rows for the found urls in
+        input order)."""
+        idx = np.fromiter(
+            (self.index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
+        )
+        mask = idx >= 0
+        spans = self.tbl["spans"].take(pa.array(idx[mask]))
+        return mask, spans.combine_chunks()
+
+    def num_docs(self) -> int:
+        return self.tbl.num_rows
+
+
+def make_web_shards(docs_path: str, num_shards: int) -> list:
+    return [
+        WebShard.options(num_cpus=0.1).remote(docs_path, i, num_shards)
+        for i in range(num_shards)
+    ]
+
+
+class Fetcher:
+    """``map_batches`` actor-pool stage: frontier batch → fetch batch.
+
+    Input columns: url, canon_url, host, depth, seq.
+    Output adds:   status (200|404), spans.
+    Output row order is NOT the input order (rows regroup by web shard);
+    the ``seq`` column carries crawl order, so no stage depends on
+    physical row order.
+    """
+
+    def __init__(self, shards: list):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _with_fetch_columns(batch, pa.array([], pa.int32()),
+                                       pa.array([], pa.list_(SPAN_STRUCT)))
+        urls = batch["url"].to_pylist()
+        sh = url_hash_shard(urls, len(self.shards))
+        futs = []
+        for k in np.unique(sh):
+            sel = np.flatnonzero(sh == k)
+            futs.append(
+                (sel, self.shards[int(k)].get_many.remote([urls[i] for i in sel]))
+            )
+        parts: list[pa.Table] = []
+        for sel, f in futs:
+            mask, spans = ray.get(f)
+            sub = batch.take(pa.array(sel))
+            found = sub.filter(pa.array(mask))
+            parts.append(
+                _with_fetch_columns(
+                    found, pa.array(np.full(found.num_rows, 200, np.int32)), spans
+                )
+            )
+            missing = sub.filter(pa.array(~mask))
+            if missing.num_rows:
+                empty_spans = pa.array(
+                    [[]] * missing.num_rows, type=pa.list_(SPAN_STRUCT)
+                )
+                parts.append(
+                    _with_fetch_columns(
+                        missing,
+                        pa.array(np.full(missing.num_rows, 404, np.int32)),
+                        empty_spans,
+                    )
+                )
+        return pa.concat_tables(parts, promote_options="default")
+
+
+def _with_fetch_columns(t: pa.Table, status: pa.Array, spans) -> pa.Table:
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    return t.append_column("status", status).append_column(
+        "spans", pa.chunked_array([spans], type=pa.list_(SPAN_STRUCT))
+    )

@@ -1,0 +1,174 @@
+"""Per-host politeness: robots.txt verdicts + per-round fetch budgets.
+
+The reference has NO politeness — it hammers hosts as fast as offers
+arrive (SURVEY.md §4.1 "skew: unhandled"). BASELINE.json's north_rule
+mandates robots.txt awareness and crawl-delay budgets, so this module
+adds them as an explicitly OFF-in-conformance-mode gate (SURVEY.md §2.3
+T2, §2.5 A4).
+
+Model: a crawl round represents one politeness window. A host's budget
+for the window is ``window_ms / crawl_delay_ms`` (its token-bucket refill
+over the round), and URLs over budget are DEFERRED — they stay in the
+frontier, keeping their original discovery ``seq``, and are admitted in
+later rounds in seq order. This per-host cap is also the skew rebalance:
+a hub host with 10^6 frontier URLs trickles through bounded windows
+instead of flooding one partition.
+
+The budget is enforced with a deterministic two-phase threshold
+computation instead of mutable token-bucket actors so results are
+reproducible under retries and independent of batch arrival order:
+  1. per-batch partial top-B per host (vectorized pandas) — only
+     candidate winners survive, bounding the shuffle;
+  2. ``groupby(host)`` over the partials → the B-th smallest seq per
+     host (the admission threshold);
+  3. broadcast thresholds (``ray.put``) and filter the frontier.
+At 10^8+ distinct hosts step 3 becomes a hash join on host instead of a
+broadcast dict; the sandbox uses the broadcast path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+@dataclass
+class HostPolicy:
+    disallow: list[str] = field(default_factory=list)  # path prefixes
+    allow_all: bool = True
+    budget_per_round: int | None = None  # None = unlimited
+
+
+def parse_robots(robots_txt: str, window_ms: int = 60_000,
+                 default_delay_ms: int | None = None) -> HostPolicy:
+    """Minimal robots.txt subset: ``User-agent: *`` sections with
+    ``Disallow:`` path prefixes and ``Crawl-delay:`` seconds."""
+    pol = HostPolicy()
+    applies = False
+    delay_ms = default_delay_ms
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif applies and key == "disallow":
+            if val == "/":
+                pol.allow_all = False
+            elif val:
+                pol.disallow.append(val)
+        elif applies and key == "crawl-delay":
+            try:
+                delay_ms = int(float(val) * 1000)
+            except ValueError:
+                pass
+    if delay_ms:
+        pol.budget_per_round = max(1, window_ms // delay_ms)
+    return pol
+
+
+def build_policies(robots: dict[str, str] | None, window_ms: int = 60_000,
+                   default_budget: int | None = None) -> dict[str, HostPolicy]:
+    out: dict[str, HostPolicy] = {}
+    for host, txt in (robots or {}).items():
+        out[host] = parse_robots(txt, window_ms=window_ms)
+        if out[host].budget_per_round is None:
+            out[host].budget_per_round = default_budget
+    return out
+
+
+def path_allowed(url: str, pol: HostPolicy) -> bool:
+    if not pol.allow_all:
+        return False
+    if not pol.disallow:
+        return True
+    i = url.find("://")
+    path = "/"
+    if i >= 0:
+        j = url.find("/", i + 3)
+        if j >= 0:
+            path = url[j:]
+    return not any(path.startswith(p) for p in pol.disallow)
+
+
+class RobotsFilter:
+    """``map_batches`` callable: drop robots-disallowed frontier rows.
+    Policies arrive as a broadcast ``ray.put`` ref, fetched once per
+    actor/worker, not re-shipped per batch."""
+
+    def __init__(self, policies_ref):
+        self.policies: dict[str, HostPolicy] = ray.get(policies_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.policies or batch.num_rows == 0:
+            return batch
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for i, (h, u) in enumerate(zip(hosts, urls)):
+            pol = self.policies.get(h)
+            if pol is not None and not path_allowed(u, pol):
+                keep[i] = False
+        return batch.filter(pa.array(keep))
+
+
+def budget_gate(frontier, policies: dict[str, HostPolicy],
+                default_budget: int | None):
+    """Split a frontier dataset into (admitted, deferred) by per-host
+    budgets. Returns (frontier, None) when no host is budget-limited."""
+    budgets = {h: p.budget_per_round for h, p in policies.items()
+               if p.budget_per_round is not None}
+    if default_budget is None and not budgets:
+        return frontier, None
+    b_max = max([default_budget or 0, *budgets.values()]) or 1
+
+    def partial_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values("seq").groupby("host", sort=False).head(b_max)
+            [["host", "seq"]]
+        )
+
+    def threshold(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        b = budgets.get(host, default_budget)
+        # candidates ≥ min(b, total_rows_for_host): fewer than b candidates
+        # proves the host is under budget; exactly b means the b-th
+        # smallest candidate IS the global b-th smallest (each of the b
+        # smallest rows survives its batch partial).
+        if b is None or len(g) < b:
+            thr = np.iinfo(np.int64).max
+        else:
+            thr = int(np.partition(g["seq"].to_numpy(), b - 1)[b - 1])
+        return pd.DataFrame({"host": [host], "thr": [thr]})
+
+    thr_ds = (
+        frontier.map_batches(partial_top, batch_format="pandas")
+        .groupby("host")
+        .map_groups(threshold, batch_format="pandas")
+    )
+    thr_map = {r["host"]: r["thr"] for r in thr_ds.take_all()}
+    thr_ref = ray.put(thr_map)
+
+    def _split(admit: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            tm = ray.get(thr_ref)
+            hosts = batch["host"].to_numpy(zero_copy_only=False)
+            seqs = batch["seq"].to_numpy(zero_copy_only=False)
+            imax = np.iinfo(np.int64).max
+            thr = np.fromiter((tm.get(h, imax) for h in hosts),
+                              dtype=np.int64, count=len(hosts))
+            mask = seqs <= thr
+            return batch.filter(pa.array(mask if admit else ~mask))
+        return fn
+
+    return (
+        frontier.map_batches(_split(True), batch_format="pyarrow"),
+        frontier.map_batches(_split(False), batch_format="pyarrow"),
+    )

@@ -1,0 +1,93 @@
+"""Conformance: the Ray pipeline must reproduce the reference state
+machine (refsim) exactly — fetch order, seen set, edge set, renders."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+from rendler_ray.refsim import simulate
+from rendler_ray.sources.synthweb import default_seeds
+from rendler_ray.util import table_from_ds
+
+
+def _run(small_docs, **kw):
+    cfg = CrawlConfig(
+        docs_path=small_docs,
+        seeds=kw.pop("seeds", default_seeds(1)),
+        num_seen_shards=2,
+        num_web_shards=2,
+        fetch_concurrency=(1, 2),
+        render_concurrency=(1, 2),
+        **kw,
+    )
+    return crawl(cfg)
+
+
+def _assert_conformance(res, sim):
+    fetched = table_from_ds(res.fetched)
+    order = [
+        u for _, u in sorted(
+            zip(fetched["seq"].to_pylist(), fetched["url"].to_pylist())
+        )
+    ]
+    assert order == sim.order, "crawl (fetch) order mismatch"
+
+    frontier = table_from_ds(res.frontier_log)
+    assert set(frontier["url"].to_pylist()) == sim.seen, "URL-seen set mismatch"
+    assert res.seen_count == len(sim.seen)
+
+    edges = table_from_ds(res.edges)
+    got = sorted(
+        zip(edges["src"].to_pylist(), edges["dst"].to_pylist(),
+            edges["ord"].to_pylist())
+    )
+    assert got == sorted(sim.edges), "edge list mismatch"
+
+    renders = table_from_ds(res.renders)
+    assert set(renders["doc_id"].to_pylist()) == set(sim.rendered)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_crawl_conformance(small_docs):
+    res = _run(small_docs)
+    sim = simulate(pq.read_table(small_docs), default_seeds(1))
+    _assert_conformance(res, sim)
+    assert res.pages_fetched == len(sim.order)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_depth_conformance(small_docs):
+    res = _run(small_docs, max_depth=2)
+    sim = simulate(pq.read_table(small_docs), default_seeds(1), max_depth=2)
+    _assert_conformance(res, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_pages_conformance(small_docs):
+    res = _run(small_docs, max_pages=17)
+    sim = simulate(pq.read_table(small_docs), default_seeds(1), max_pages=17)
+    _assert_conformance(res, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multi_seed_conformance(small_docs):
+    seeds = default_seeds(3)
+    res = _run(small_docs, seeds=seeds)
+    sim = simulate(pq.read_table(small_docs), seeds)
+    _assert_conformance(res, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_sequence_invariant(small_docs):
+    """The driver's per-row invariant: (kind, text, media_ref, order) per
+    doc_id must survive the pipeline (BASELINE.json input_hint)."""
+    res = _run(small_docs, max_pages=40)
+    fetched = table_from_ds(res.fetched)
+    src = {r["doc_id"]: r["spans"] for r in pq.read_table(small_docs).to_pylist()}
+    n_checked = 0
+    for row in fetched.to_pylist():
+        if row["status"] != 200:
+            continue
+        assert row["spans"] == src[row["url"]], f"span corruption for {row['url']}"
+        n_checked += 1
+    assert n_checked > 0

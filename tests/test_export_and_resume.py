@@ -1,0 +1,95 @@
+"""Dot-export golden stability + checkpoint/resume equivalence
+(SURVEY.md §5.2 items 4 and 5)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+from rendler_ray.pipelines.export import dot_from_tables, export_dot
+from rendler_ray.refsim import simulate
+from rendler_ray.sources.synthweb import default_seeds
+from rendler_ray.util import table_from_ds
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dot_export_byte_stable_and_filtered(small_docs, tmp_path):
+    cfg = CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                      max_depth=2, num_seen_shards=2, num_web_shards=2)
+    res = crawl(cfg)
+    out1 = export_dot(res.edges, res.renders, str(tmp_path / "r.dot"))
+    out2 = export_dot(res.edges, res.renders)
+    assert out1 == out2, "dot output must be byte-stable"
+    assert out1.startswith("digraph G {")
+    assert (tmp_path / "r.dot").read_text() == out1
+
+    # J1 semantics: every edge endpoint is a rendered node
+    rendered = {r["doc_id"] for r in table_from_ds(res.renders).to_pylist()}
+    for line in out1.splitlines():
+        if "->" in line:
+            src, dst = line.strip().rstrip(";").split(" -> ")
+            assert src.strip('"') in rendered and dst.strip('"') in rendered
+
+    # matches refsim edge/render sets
+    sim = simulate(pq.read_table(small_docs), default_seeds(1), max_depth=2)
+    sim_pairs = {(s, d) for s, d, _ in sim.edges
+                 if s in set(sim.rendered) and d in set(sim.rendered)}
+    got_pairs = {
+        tuple(x.strip('"') for x in ln.strip().rstrip(";").split(" -> "))
+        for ln in out1.splitlines() if "->" in ln
+    }
+    assert got_pairs == sim_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_equivalence(small_docs, tmp_path):
+    """Kill after round 1, resume, final outputs identical to an
+    uninterrupted run."""
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=3,
+                num_seen_shards=2, num_web_shards=2)
+    full = crawl(CrawlConfig(**base, out_dir=full_dir))
+
+    # simulate a crash: run only 2 rounds, then resume
+    crawl(CrawlConfig(**base, out_dir=part_dir, max_rounds=2))
+    resumed = crawl(CrawlConfig(**base, out_dir=part_dir), resume=True)
+
+    def key(res):
+        f = table_from_ds(res.fetched)
+        return sorted(zip(f["seq"].to_pylist(), f["url"].to_pylist(),
+                          f["status"].to_pylist()))
+
+    assert key(resumed) == key(full)
+    assert resumed.seen_count == full.seen_count
+
+    e_full = sorted(map(tuple, table_from_ds(full.edges).to_pylist()))
+    e_res = sorted(map(tuple, table_from_ds(resumed.edges).to_pylist()))
+    assert e_res == e_full
+
+    # dot artifacts byte-identical
+    assert export_dot(resumed.edges, resumed.renders) == export_dot(
+        full.edges, full.renders)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_manifest_written_atomically(small_docs, tmp_path):
+    out = str(tmp_path / "ck")
+    crawl(CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                      max_depth=1, num_seen_shards=2, num_web_shards=2,
+                      out_dir=out))
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    assert os.path.exists(os.path.join(out, "round=0", "frontier.parquet"))
+    assert not any(p.endswith(".tmp") for p in os.listdir(out))
+
+
+def test_dot_from_tables_escaping():
+    import pyarrow as pa
+
+    edges = pa.table({"src": ['u"1'], "dst": ["u2"]})
+    renders = pa.table({"doc_id": ['u"1', "u2"], "media_ref": ["m1", "m2"]})
+    out = dot_from_tables(edges, renders)
+    assert '"u\\"1"' in out

@@ -1,0 +1,114 @@
+"""Unit tests for the text / ann / media batch kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rendler_ray.functions import text as T
+
+
+def _docs_batch():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the cat sat on the mat", "the cat sat on the mat",
+                 "completely different words here now"],
+    })
+
+
+def test_token_and_quality():
+    out = T.token_count_batch(_docs_batch())
+    assert out["n_tokens"].to_pylist() == [6, 6, 5]
+    q = T.quality_batch(_docs_batch())
+    assert q["n_stopwords"].to_pylist()[0] == 2  # 'the' twice
+    assert q["n_uniq_tokens"].to_pylist()[0] == 5
+    r = q["stopword_ratio"].to_pylist()[0]
+    assert abs(r - 2 / 6) < 1e-12
+
+
+def test_md5_and_simhash_dup_detection():
+    out = T.md5_fingerprint_batch(_docs_batch())
+    fps = out["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+    sh = T.simhash64_batch(_docs_batch())["simhash"].to_pylist()
+    assert sh[0] == sh[1]
+    assert bin(sh[0] ^ sh[2]).count("1") > 4  # far apart
+
+
+def test_simhash_near_vs_far():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "entirely unrelated content about databases and query engines"
+    t = pa.table({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    sh = T.simhash64_batch(t)["simhash"].to_pylist()
+    near = bin(sh[0] ^ sh[1]).count("1")
+    far = bin(sh[0] ^ sh[2]).count("1")
+    assert near < far
+
+
+def test_minhash_similar_docs_share_bands():
+    mh = T.MinHasher(num_perm=64, bands=16)
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d e f g h i j k l m n o p",
+            "a b c d e f g h i j k l m n o q",   # 1 token differs
+            "z y x w v u t s r q p o n m l k",   # reversed-ish
+        ],
+    })
+    out = mh(t)
+    by_doc = {}
+    for r in out.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).add((r["band_id"], r["band_hash"]))
+    assert len(by_doc[1] & by_doc[2]) > 0, "near-dups must share a band"
+    assert len(by_doc[1] & by_doc[3]) == 0
+
+
+def test_jaccard():
+    assert T.jaccard_ngrams("a b c d", "a b c d") == 1.0
+    assert T.jaccard_ngrams("a b c d", "x y z w") == 0.0
+
+
+def test_rolling_fingerprint_deterministic():
+    t = "one two three four five six seven eight nine ten eleven twelve"
+    assert T.rolling_hash_fingerprint(t) == T.rolling_hash_fingerprint(t)
+    # robust to a small append (that's the point of winnowing)...
+    assert isinstance(T.rolling_hash_fingerprint(t + " x"), str)
+    # ...but different content fingerprints differently
+    u = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    assert T.rolling_hash_fingerprint(t) != T.rolling_hash_fingerprint(u)
+
+
+def test_lang_id():
+    t = pa.table({"doc_id": [1, 2], "text": ["the cat and the dog of it",
+                                             "el que de la y el que"]})
+    out = T.lang_id_batch(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+def test_ann_normalize_and_topk_math():
+    from rendler_ray.functions.ann import _normalize
+
+    m = np.array([[3.0, 4.0], [0.0, 0.0]])
+    n = _normalize(m)
+    assert abs(np.linalg.norm(n[0]) - 1.0) < 1e-12
+    assert not np.isnan(n).any()
+
+
+def test_media_explode_and_decode():
+    from rendler_ray.functions.media import MediaDecoder, explode_media_spans
+    from rendler_ray.sources.synthweb import generate_docs
+
+    docs = generate_docs(n_docs=50, n_hosts=4, seed=42)
+    media = explode_media_spans(docs)
+    assert media.num_rows > 0
+    assert set(media["kind"].to_pylist()) == {"image"}
+    dec = MediaDecoder()
+    out = dec(media)
+    assert out.num_rows == media.num_rows
+    assert (np.array(out["n_bytes"].to_pylist()) >= 64).all()
+    # deterministic
+    out2 = MediaDecoder()(media)
+    assert out["blob"].to_pylist() == out2["blob"].to_pylist()
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(strict=True)(media)
