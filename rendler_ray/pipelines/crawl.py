@@ -178,7 +178,9 @@ def _read_round(path: str, schema: pa.Schema) -> "ray.data.Dataset":
 
     if os.path.isdir(path) and not glob.glob(os.path.join(path, "*.parquet")):
         return ray.data.from_arrow(schema.empty_table())
-    return ray.data.read_parquet(path)
+    # partitioning=None: the checkpoint layout's round=N path component must
+    # NOT be hive-inferred into a column.
+    return ray.data.read_parquet(path, partitioning=None)
 
 
 def _read_manifest(out_dir: str) -> dict | None:
@@ -213,9 +215,13 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         total_seq = manifest["total_seq"]
         pages_fetched = manifest["pages_fetched"]
         # Rebuild the seen set: every seen URL is a frontier row of some
-        # completed round (seeds included) — replay the snapshots.
-        for rr in range(r0):
+        # round (seeds included) — replay the snapshots. Includes round r0
+        # itself: its frontier was discovered (and marked seen) at the end
+        # of round r0-1, before the crash point.
+        for rr in range(r0 + 1):
             fp = os.path.join(cfg.out_dir, f"round={rr}", "frontier.parquet")
+            if not os.path.exists(fp):
+                continue
             snap = _read_round(fp, FRONTIER_SCHEMA)
             for b in snap.iter_batches(batch_size=65536, batch_format="pyarrow"):
                 seen_check_and_add(seen_shards, b["canon_url"].to_pylist())
