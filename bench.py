@@ -1,0 +1,151 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Default mode prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {"pages_per_s": ..., "frontier_urls_per_s": ...}}
+
+--scaling runs the headline crawl twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (BASELINE.json: >=0.8 target from
+N to 4N).
+
+--crawl-only (internal): run just the crawl and print its stats JSON
+(used by --scaling subprocesses so each gets a fresh Ray session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# The headline suite: crawl (the flagship) + one of each heavy operator
+# family (shuffle agg, hash join, window, near-dup, ANN, multimodal).
+BENCH_QUERIES = [
+    "q1_lineitem_agg",
+    "revenue_by_segment",
+    "hourly_user_windows",
+    "last_event_per_user",
+    "extract_tokens",
+    "dedup_exact_docs",
+    "quality_scores",
+    "simhash_docs",
+    "minhash_dup_groups",
+    "ann_topk",
+    "embedding_near_dup_lsh",
+    "media_features",
+    "render_interleaved",
+]
+
+
+def _consume(res) -> int:
+    """Drive a lazy result to completion; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()
+
+
+def run_crawl(sf_dir: str) -> dict:
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.pipelines.queries import _synth_docs_for
+    from rendler_ray.sources.synthweb import default_seeds
+
+    docs = _synth_docs_for(sf_dir)  # built before timing starts
+    t0 = time.time()
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(4),
+                            max_depth=6, num_seen_shards=8, num_web_shards=8,
+                            fetch_concurrency=(2, 8),
+                            render_concurrency=(2, 8)))
+    n_renders = res.renders.count()
+    frontier_rows = res.frontier_log.count()
+    wall = time.time() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "pages_fetched": res.pages_fetched,
+        "pages_rendered": n_renders,
+        "frontier_rows": frontier_rows,
+        "rounds": res.rounds,
+        "seen": res.seen_count,
+        "pages_per_s": round((res.pages_fetched + n_renders) / wall, 2),
+        "frontier_urls_per_s": round(frontier_rows / wall, 2),
+    }
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+
+    if "--crawl-only" in sys.argv:
+        stats = run_crawl(SF_DIR)
+        stats["num_cpus"] = NUM_CPUS
+        print(json.dumps(stats))
+        ray.shutdown()
+        return
+
+    from rendler_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    crawl_stats = run_crawl(SF_DIR)
+    times["crawl"] = crawl_stats["wall_s"]
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(QUERIES[name](SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline pipelines wall time (crawl + operator suite)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl_stats,
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same crawl, two fresh Ray sessions at 8 and 32 cpus."""
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        out[n] = json.loads(line)
+    t8, t32 = out[8]["pages_per_s"], out[32]["pages_per_s"]
+    eff = round((t32 / t8) / 4.0, 3) if t8 else None
+    print(json.dumps({
+        "metric": "crawl throughput scaling, 8 vs 32 cpus (N vs 4N)",
+        "sf": SF_DIR,
+        "runs": out,
+        "speedup": round(t32 / t8, 3) if t8 else None,
+        "scaling_efficiency": eff,
+        "unit": "pages/s",
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

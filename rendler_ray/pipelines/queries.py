@@ -285,17 +285,22 @@ def hourly_user_windows(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
     def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+        # int64 epoch-seconds, not a timestamp: pandas datetime64 unit
+        # differences (us vs ns) break value-hash comparison.
+        floored = pc.floor_temporal(t["ts"], unit="hour")
+        secs = pc.divide(pc.cast(floored, pa.int64()), 1_000_000)
+        return t.append_column("hour_epoch", secs)
 
     out = (ds.map_batches(add_hour, batch_format="pyarrow")
-           .groupby(["user_id", "hour"])
+           .groupby(["user_id", "hour_epoch"])
            .aggregate(Count(alias_name="n_events"),
                       Sum("value", alias_name="sum_value_c")))
     return _fixed_point(out, {"sum_value_c": 2})
 
 
 HOURLY_WINDOWS_SQL = """
-SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
