@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,6 +60,23 @@ from rendler_ray.util import with_row_seq
 # round. seq < 2^40 even at the 10^10 design point, ord capped at 2^21-1.
 _ORD_BITS = 21
 _ORD_CAP = (1 << _ORD_BITS) - 1
+
+_TIMING = bool(os.environ.get("RENDLER_CRAWL_TIMING"))
+
+
+class _T:
+    """Env-gated per-stage wall-clock trace (RENDLER_CRAWL_TIMING=1)."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+
+    def __exit__(self, *exc):
+        if _TIMING:
+            print(f"[crawl-timing] {self.label}: "
+                  f"{time.monotonic() - self.t0:.2f}s", flush=True)
 
 
 @dataclass
@@ -123,8 +141,17 @@ def _seed_frontier(cfg: CrawlConfig) -> pa.Table:
 
 
 def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table:
-    """Edges batch → candidate frontier rows (url, canon_url, host, depth,
-    order_key)."""
+    """Edges batch → candidate rows (canon_url, pack).
+
+    ``pack`` = f"{order_key:016x}|{depth:08x}|{url}" — a fixed-width-hex
+    sortable encoding whose lexicographic MIN equals the numeric min of
+    order_key (order_key is unique per edge). This lets first-discoverer
+    dedup run as a native vectorized ``aggregate(Min)`` instead of a
+    Python-per-group ``map_groups`` (which was 50x slower on
+    hundreds of thousands of single-row groups). A local combiner here
+    (min pack per canon_url within the batch) bounds the shuffle volume
+    to unique-URLs-per-batch before the all-to-all.
+    """
     import pyarrow.compute as pc
 
     if max_depth is not None:
@@ -134,24 +161,36 @@ def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table
     src_seq = batch["src_seq"].to_numpy(zero_copy_only=False)
     ords = np.minimum(batch["ord"].to_numpy(zero_copy_only=False), _ORD_CAP)
     order_key = (src_seq.astype(np.int64) << _ORD_BITS) | ords.astype(np.int64)
-    return pa.table(
-        {
-            "url": pa.array(dsts, pa.string()),
-            "canon_url": pa.array(canon_urls, pa.string()),
-            "host": pa.array([host_of(u) for u in canon_urls], pa.string()),
-            "depth": pa.array(
-                (batch["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int32)
-            ),
-            "order_key": pa.array(order_key, pa.int64()),
-        }
-    )
+    depth = (batch["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "canon_url": canon_urls,
+        "pack": [f"{k:016x}|{d:08x}|{u}"
+                 for k, d, u in zip(order_key, depth, dsts)],
+    })
+    # local combiner: one candidate per canon_url per batch
+    df = df.sort_values("pack", kind="stable").drop_duplicates(
+        "canon_url", keep="first")
+    return pa.table({"canon_url": pa.array(df["canon_url"].tolist(), pa.string()),
+                     "pack": pa.array(df["pack"].tolist(), pa.string())})
 
 
-def _first_discoverer(g, **_):
-    """Per canon_url group: keep the row with the smallest order_key —
-    the reference's 'first link wins the queue slot' semantics."""
-    i = int(g["order_key"].idxmin())
-    return g.loc[[i]]
+def _unpack_candidates(batch: pa.Table) -> pa.Table:
+    """(canon_url, pack) → (url, canon_url, host, depth, order_key)."""
+    packs = batch["pack"].to_pylist()
+    order_key = np.fromiter((int(p[:16], 16) for p in packs),
+                            dtype=np.int64, count=len(packs))
+    depth = np.fromiter((int(p[17:25], 16) for p in packs),
+                        dtype=np.int32, count=len(packs))
+    urls = [p[26:] for p in packs]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "canon_url": batch["canon_url"],
+        "host": pa.array([host_of(u) for u in urls], pa.string()),
+        "depth": pa.array(depth, pa.int32()),
+        "order_key": pa.array(order_key, pa.int64()),
+    })
 
 
 def _write_round(ds, path: str) -> None:
@@ -291,30 +330,33 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 deferred = deferred.materialize()
                 deferred_rounds += 1 if deferred.count() else 0
 
-        fetched = admitted.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={"shards": web_shards},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=0.5,
-        ).materialize()
+        with _T(f"r{r} fetch"):
+            fetched = admitted.map_batches(
+                Fetcher,
+                fn_constructor_kwargs={"shards": web_shards},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=0.5,
+            ).materialize()
         pages_fetched += fetched.count()
         per_round_fetched.append(fetched)
 
-        renders = fetched.map_batches(
-            Renderer,
-            fn_constructor_kwargs={"round_no": r},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.render_concurrency,
-            num_cpus=0.5,
-        ).materialize()
+        with _T(f"r{r} render"):
+            renders = fetched.map_batches(
+                Renderer,
+                fn_constructor_kwargs={"round_no": r},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.render_concurrency,
+                num_cpus=0.5,
+            ).materialize()
         per_round_renders.append(renders)
 
-        edges = fetched.map_batches(
-            extract_edges, batch_format="pyarrow", batch_size=cfg.batch_size
-        ).materialize()
+        with _T(f"r{r} extract"):
+            edges = fetched.map_batches(
+                extract_edges, batch_format="pyarrow", batch_size=cfg.batch_size
+            ).materialize()
         per_round_edges.append(edges)
 
         if cfg.out_dir:
@@ -322,33 +364,37 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_round(renders, os.path.join(rdir, "renders.parquet"))
             _write_round(edges, os.path.join(rdir, "edges.parquet"))
 
-        candidates = edges.map_batches(
-            _candidates,
-            fn_kwargs={"canon": cfg.canonicalize, "max_depth": cfg.max_depth},
-            batch_format="pyarrow",
-        )
-        firsts = candidates.groupby("canon_url").map_groups(
-            _first_discoverer, batch_format="pandas"
-        )
-        unseen = firsts.map_batches(
-            SeenFilter,
-            fn_constructor_kwargs={"shards": seen_shards,
-                                   "url_column": "canon_url"},
-            batch_format="pyarrow",
-            concurrency=2,
-            num_cpus=0.25,
-        ).materialize()
+        with _T(f"r{r} dedup+seen"):
+            candidates = edges.map_batches(
+                _candidates,
+                fn_kwargs={"canon": cfg.canonicalize, "max_depth": cfg.max_depth},
+                batch_format="pyarrow",
+            )
+            from ray.data.aggregate import Min
+
+            firsts = (candidates.groupby("canon_url")
+                      .aggregate(Min("pack", alias_name="pack"))
+                      .map_batches(_unpack_candidates, batch_format="pyarrow"))
+            unseen = firsts.map_batches(
+                SeenFilter,
+                fn_constructor_kwargs={"shards": seen_shards,
+                                       "url_column": "canon_url"},
+                batch_format="pyarrow",
+                concurrency=2,
+                num_cpus=0.25,
+            ).materialize()
 
         n_new = unseen.count()
         if n_new:
-            numbered = with_row_seq(unseen, ["order_key"], start=total_seq)
-            total_seq += n_new
-            next_frontier = numbered.select_columns(
-                ["url", "canon_url", "host", "depth", "seq"]
-            )
-            if deferred is not None and deferred.count():
-                next_frontier = next_frontier.union(deferred)
-            next_frontier = next_frontier.materialize()
+            with _T(f"r{r} seq+frontier"):
+                numbered = with_row_seq(unseen, ["order_key"], start=total_seq)
+                total_seq += n_new
+                next_frontier = numbered.select_columns(
+                    ["url", "canon_url", "host", "depth", "seq"]
+                )
+                if deferred is not None and deferred.count():
+                    next_frontier = next_frontier.union(deferred)
+                next_frontier = next_frontier.materialize()
         else:
             next_frontier = (
                 deferred if deferred is not None and deferred.count() else None
