@@ -60,19 +60,34 @@ def _consume(res) -> int:
     return res.count()
 
 
-def run_crawl(sf_dir: str) -> dict:
+def run_crawl(sf_dir: str, big: bool = False) -> dict:
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.pipelines.queries import _synth_docs_for
-    from rendler_ray.sources.synthweb import default_seeds
+    from rendler_ray.sources.synthweb import default_seeds, docs_parquet
 
-    docs = _synth_docs_for(sf_dir)  # built before timing starts
+    from rendler_ray.stages.fetch import make_web_blobs
+
+    if big:
+        # scaling-run web: large enough that parallel fetch/render/extract
+        # work dominates the fixed per-round cost. Identical job at every
+        # cluster size (shard counts fixed), only parallelism differs.
+        # realistic page weight: ~20 links and ~1-2 KB text per page
+        docs = docs_parquet("/tmp/rendler_ray_web/docs_scaling_1m5_heavy.parquet",
+                            n_docs=1_500_000, n_hosts=5000, seed=7,
+                            mean_links=20.0, words_per_span=120)
+    else:
+        docs = _synth_docs_for(sf_dir)  # built before timing starts
+    # the closed-world web corpus is the simulated INTERNET, not crawler
+    # state: build it (and its plasma shards) outside the timed section
+    web = make_web_blobs(docs, 16 if big else 8)
     t0 = time.time()
     res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(4),
-                            max_depth=6, num_seen_shards=8, num_web_shards=8,
-                            fetch_concurrency=(2, 8),
-                            render_concurrency=(2, 8)))
-    n_renders = res.renders.count()
-    frontier_rows = res.frontier_log.count()
+                            max_depth=7 if big else 6,
+                            num_seen_shards=16 if big else 8,
+                            num_web_shards=16 if big else 8,
+                            web=web))
+    n_renders = res.stats["pages_rendered"]
+    frontier_rows = res.stats["frontier_rows"]
     wall = time.time() - t0
     return {
         "wall_s": round(wall, 3),
@@ -94,7 +109,7 @@ def main() -> None:
                  include_dashboard=False, logging_level="ERROR")
 
     if "--crawl-only" in sys.argv:
-        stats = run_crawl(SF_DIR)
+        stats = run_crawl(SF_DIR, big="--big" in sys.argv)
         stats["num_cpus"] = NUM_CPUS
         print(json.dumps(stats))
         ray.shutdown()
@@ -128,7 +143,8 @@ def scaling() -> None:
     for n in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            [sys.executable, os.path.abspath(__file__), "--crawl-only",
+             "--big"],
             env=env, capture_output=True, text=True, timeout=3600)
         line = proc.stdout.strip().splitlines()[-1]
         out[n] = json.loads(line)

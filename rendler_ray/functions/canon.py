@@ -79,12 +79,28 @@ def host_of(url: str) -> str:
     return authority.lower()
 
 
+_HOST_RE = r"^[^:/?#]+://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def hosts_np(urls: np.ndarray) -> np.ndarray:
+    """Vectorized host extraction (C-regex via pandas) over an object
+    ndarray of URL strings; agrees with ``host_of`` for well-formed
+    URLs (no-scheme / empty-authority rows fall back to the scalar)."""
+    import pandas as pd
+
+    s = pd.Series(urls, dtype=object)
+    out = s.str.extract(_HOST_RE, expand=False).str.lower()
+    miss = out.isna()
+    if miss.any():
+        out[miss] = [host_of(u) if isinstance(u, str) else ""
+                     for u in s[miss]]
+    return out.to_numpy(dtype=object)
+
+
 def hosts_array(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized host extraction over an Arrow string array."""
-    out = np.empty(len(urls), dtype=object)
-    for i, u in enumerate(urls.to_pylist()):
-        out[i] = host_of(u) if u is not None else ""
-    return pa.array(out, type=pa.string())
+    return pa.array(hosts_np(urls.to_numpy(zero_copy_only=False)),
+                    type=pa.string())
 
 
 def canonicalize_array(urls: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -50,10 +50,25 @@ from rendler_ray.schema import (
     RENDERS_SCHEMA,
 )
 from rendler_ray.stages.extract import extract_edges
-from rendler_ray.stages.fetch import Fetcher, make_web_shards
-from rendler_ray.stages.render import Renderer
-from rendler_ray.state.politeness import RobotsFilter, budget_gate, build_policies
-from rendler_ray.state.seen import SeenFilter, make_seen_shards, seen_check_and_add
+from rendler_ray.stages.fetch import (
+    Fetcher,
+    fetch_batch,
+    make_web_blobs,
+    make_web_shards,
+)
+from rendler_ray.stages.render import Renderer, render_batch
+from rendler_ray.state.politeness import (
+    RobotsFilter,
+    budget_gate,
+    build_policies,
+    robots_filter_batch,
+)
+from rendler_ray.state.seen import (
+    SeenFilter,
+    make_seen_shards,
+    seen_check_and_add,
+    seen_filter_batch,
+)
 from rendler_ray.util import with_row_seq
 
 # order_key = src_seq * 2^21 + ord: total order of discovery within a
@@ -96,6 +111,15 @@ class CrawlConfig:
     out_dir: str | None = None          # enables checkpointing when set
     fetch_concurrency: int | tuple = (1, 4)
     render_concurrency: int | tuple = (1, 4)
+    # "tasks": stateless router stages run on warm task workers (the
+    # crawl-wide state lives in persistent WebShard/SeenShard actors) —
+    # no per-round actor-pool spin-up. "actors": per-worker-stateful
+    # stage form (real HTTP sessions / browser engines).
+    stage_mode: str = "tasks"
+    # prebuilt closed-world web (make_web_blobs / make_web_shards) —
+    # lets benchmarks keep web-corpus setup (the "internet", not the
+    # crawler) out of the timed section
+    web: list | None = None
     batch_size: int = 4096
     max_rounds: int = 1000
 
@@ -140,30 +164,78 @@ def _seed_frontier(cfg: CrawlConfig) -> pa.Table:
                                cfg.canonicalize)
 
 
-def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table:
-    """Edges batch → candidate rows (canon_url, pack).
-
-    ``pack`` = f"{order_key:016x}|{depth:08x}|{url}" — a fixed-width-hex
-    sortable encoding whose lexicographic MIN equals the numeric min of
-    order_key (order_key is unique per edge). This lets first-discoverer
-    dedup run as a native vectorized ``aggregate(Min)`` instead of a
-    Python-per-group ``map_groups`` (which was 50x slower on
-    hundreds of thousands of single-row groups). A local combiner here
-    (min pack per canon_url within the batch) bounds the shuffle volume
-    to unique-URLs-per-batch before the all-to-all.
-    """
+def _edge_keys(batch: pa.Table, max_depth: int | None):
+    """Shared prologue: depth-gate the edges batch, compute order_key and
+    candidate depth as numpy arrays."""
     import pyarrow.compute as pc
 
     if max_depth is not None:
         batch = batch.filter(pc.less_equal(batch["depth"], max_depth - 1))
-    dsts = batch["dst"].to_pylist()
-    canon_urls = [canonicalize(u) for u in dsts] if canon else dsts
     src_seq = batch["src_seq"].to_numpy(zero_copy_only=False)
     ords = np.minimum(batch["ord"].to_numpy(zero_copy_only=False), _ORD_CAP)
     order_key = (src_seq.astype(np.int64) << _ORD_BITS) | ords.astype(np.int64)
-    depth = (batch["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int64)
+    depth = (batch["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int32)
+    return batch, order_key, depth
+
+
+def _candidates_fast(batch: pa.Table, max_depth: int | None) -> pa.Table:
+    """Edges batch → (canon_url, order_key, depth), fully vectorized —
+    the conformance-mode path (no canonicalization, no politeness).
+
+    First-discoverer dedup then runs as native ``aggregate(Min(order_key),
+    Min(depth))``. Correct because without deferral every round's frontier
+    is single-depth (pure BFS), so all duplicates of a URL inside a round
+    share one depth and Min(depth) IS the winner's depth. A local pandas
+    groupby-min combiner bounds the shuffle to unique URLs per batch.
+    """
     import pandas as pd
 
+    batch, order_key, depth = _edge_keys(batch, max_depth)
+    df = pd.DataFrame({
+        "canon_url": batch["dst"].to_numpy(zero_copy_only=False),
+        "order_key": order_key,
+        "depth": depth,
+    })
+    g = df.groupby("canon_url", sort=False, as_index=False).min()
+    return pa.table({
+        "canon_url": pa.array(g["canon_url"].to_numpy(dtype=object), pa.string()),
+        "order_key": pa.array(g["order_key"].to_numpy(np.int64), pa.int64()),
+        "depth": pa.array(g["depth"].to_numpy(np.int32), pa.int32()),
+    })
+
+
+def _finish_winners_fast(batch: pa.Table) -> pa.Table:
+    """Drained winners (canon_url, key, depth) → frontier-candidate rows;
+    url = canon_url in conformance mode, host vectorized."""
+    from rendler_ray.functions.canon import hosts_np
+
+    import pyarrow.compute as pc
+
+    urls = batch["canon_url"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "url": batch["canon_url"],
+        "canon_url": batch["canon_url"],
+        "host": pa.array(hosts_np(urls), pa.string()),
+        "depth": pc.cast(batch["depth"], pa.int32()),
+        "order_key": pc.cast(batch["key"], pa.int64()),
+    })
+
+
+def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table:
+    """Edges batch → candidate rows (canon_url, pack) — the general path
+    (canonicalize mode and/or politeness deferral, where a round can mix
+    depths and the winner's (url, depth) must travel WITH its order_key).
+
+    ``pack`` = f"{order_key:016x}|{depth:08x}|{url}" — a fixed-width-hex
+    sortable encoding whose lexicographic MIN equals the numeric min of
+    order_key (order_key is unique per edge), so first-discoverer dedup
+    still runs as a native ``aggregate(Min)``.
+    """
+    import pandas as pd
+
+    batch, order_key, depth = _edge_keys(batch, max_depth)
+    dsts = batch["dst"].to_pylist()
+    canon_urls = [canonicalize(u) for u in dsts] if canon else dsts
     df = pd.DataFrame({
         "canon_url": canon_urls,
         "pack": [f"{k:016x}|{d:08x}|{u}"
@@ -176,9 +248,10 @@ def _candidates(batch: pa.Table, canon: bool, max_depth: int | None) -> pa.Table
                      "pack": pa.array(df["pack"].tolist(), pa.string())})
 
 
-def _unpack_candidates(batch: pa.Table) -> pa.Table:
-    """(canon_url, pack) → (url, canon_url, host, depth, order_key)."""
-    packs = batch["pack"].to_pylist()
+def _unpack_winners(batch: pa.Table) -> pa.Table:
+    """Drained winners (canon_url, key=pack) → (url, canon_url, host,
+    depth, order_key)."""
+    packs = batch["key"].to_pylist()
     order_key = np.fromiter((int(p[:16], 16) for p in packs),
                             dtype=np.int64, count=len(packs))
     depth = np.fromiter((int(p[17:25], 16) for p in packs),
@@ -191,6 +264,63 @@ def _unpack_candidates(batch: pa.Table) -> pa.Table:
         "depth": pa.array(depth, pa.int32()),
         "order_key": pa.array(order_key, pa.int64()),
     })
+
+
+
+@ray.remote
+def _winner_keys(block: pa.Table):
+    """order_key (or pack) column of a drained winners block — the only
+    data the driver needs to rank a round."""
+    return block["key"].to_numpy(zero_copy_only=False)
+
+
+@ray.remote
+def _finish_with_seq(block: pa.Table, fast: bool, ranks: np.ndarray,
+                     base: int, row0: int, n_rows: int) -> pa.Table:
+    """Slice [row0, row0+n_rows) of a drained winners block → frontier
+    rows with dense seq = base + global rank. Fuses the winners decode
+    and the seq attach into one task (no Dataset sort, no extra map)."""
+    sl = block.slice(row0, n_rows)
+    t = _finish_winners_fast(sl) if fast else _unpack_winners(sl)
+    t = t.drop_columns(["order_key"])
+    seq = pa.array((base + ranks).astype(np.int64), pa.int64())
+    return t.append_column("seq", seq).select(
+        ["url", "canon_url", "host", "depth", "seq"])
+
+
+# Rounds larger than this fall back to the distributed sort path; below
+# it, ranking the (8-byte) keys on the driver is far cheaper than a
+# Ray Data sort (one round ~ 10^8 keys = 800 MB driver RAM at the cap).
+_DRIVER_RANK_MAX = 5_000_000
+
+
+def _number_winners(winner_refs: list, fast: bool, total_seq: int,
+                    n_new: int, target_rows_per_block: int = 4096):
+    """Drained winners (block refs) → next-frontier Dataset with dense
+    contiguous ``seq`` assigned in global (depth, src_seq, ord) order.
+
+    Driver-side rank: pull ONLY the key column of each block (8 B/row),
+    argsort once, ship per-slice rank arrays back into tasks. The blocks
+    themselves never leave the object store."""
+    keys_list = ray.get([_winner_keys.remote(r) for r in winner_refs])
+    sizes = [len(k) for k in keys_list]
+    all_keys = np.concatenate([k for k in keys_list if len(k)]) \
+        if any(sizes) else np.array([], dtype=np.int64)
+    order = np.argsort(all_keys, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    out_refs = []
+    off = 0
+    for ref, sz in zip(winner_refs, sizes):
+        row0 = 0
+        while row0 < sz:
+            k = min(target_rows_per_block, sz - row0)
+            out_refs.append(_finish_with_seq.remote(
+                ref, fast, rank[off + row0: off + row0 + k], total_seq,
+                row0, k))
+            row0 += k
+        off += sz
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def _write_round(ds, path: str) -> None:
@@ -242,7 +372,12 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     ``out_dir`` continues from the last completed round's checkpoint."""
     seen_shards = make_seen_shards(cfg.num_seen_shards, cfg.seen_mode,
                                    cfg.seen_capacity_per_shard)
-    web_shards = make_web_shards(cfg.docs_path, cfg.num_web_shards)
+    if cfg.web is not None:
+        web_shards = cfg.web
+    elif cfg.stage_mode == "actors":
+        web_shards = make_web_shards(cfg.docs_path, cfg.num_web_shards)
+    else:
+        web_shards = make_web_blobs(cfg.docs_path, cfg.num_web_shards)
     policies = build_policies(cfg.robots, cfg.politeness_window_ms,
                               cfg.host_budget_per_round)
     policies_ref = ray.put(policies)
@@ -289,11 +424,14 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         per_round_renders, per_round_frontier = [], []
 
     deferred_rounds = 0
+    pages_rendered = 0
+    frontier_rows_total = 0
     r = r0
     while frontier is not None and r < cfg.max_rounds:
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        frontier_rows_total += n_frontier
         # Log/checkpoint the FULL frontier before any budget truncation:
         # a discovered-but-never-fetched URL is still in the reference's
         # seen set (queued ⇒ seen), and resume rebuilds the seen set from
@@ -319,10 +457,16 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
 
         admitted, deferred = frontier, None
         if politeness_on:
-            admitted = admitted.map_batches(
-                RobotsFilter, fn_constructor_args=(policies_ref,),
-                batch_format="pyarrow", concurrency=2, num_cpus=0.25,
-            )
+            if cfg.stage_mode == "actors":
+                admitted = admitted.map_batches(
+                    RobotsFilter, fn_constructor_args=(policies_ref,),
+                    batch_format="pyarrow", concurrency=2, num_cpus=0.25,
+                )
+            else:
+                admitted = admitted.map_batches(
+                    robots_filter_batch, fn_kwargs={"policies_ref": policies_ref},
+                    batch_format="pyarrow",
+                )
             admitted, deferred = budget_gate(
                 admitted, policies, cfg.host_budget_per_round
             )
@@ -331,26 +475,53 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 deferred_rounds += 1 if deferred.count() else 0
 
         with _T(f"r{r} fetch"):
-            fetched = admitted.map_batches(
-                Fetcher,
-                fn_constructor_kwargs={"shards": web_shards},
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=0.5,
-            ).materialize()
+            if cfg.stage_mode == "actors":
+                fetched = admitted.map_batches(
+                    Fetcher,
+                    fn_constructor_kwargs={"shards": web_shards},
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=0.5,
+                ).materialize()
+            else:
+                # larger batches than the block size: fewer tasks amortize
+                # the per-task shard-gather cost; num_cpus=1 avoids
+                # oversubscribing memory bandwidth on the gather-heavy path
+                fetched = admitted.map_batches(
+                    fetch_batch,
+                    fn_kwargs={"shards": web_shards},
+                    batch_format="pyarrow",
+                    batch_size=max(cfg.batch_size, 16384),
+                    num_cpus=1,
+                ).materialize()
+        if os.environ.get("RENDLER_CRAWL_STATS"):
+            import re as _re
+            s = fetched.stats()
+            m = _re.findall(r"(\d+) tasks executed, (\d+) blocks produced in ([\d.]+)s", s)
+            print(f"[crawl-stats] r{r} fetch ops: {m}", flush=True)
         pages_fetched += fetched.count()
         per_round_fetched.append(fetched)
 
         with _T(f"r{r} render"):
-            renders = fetched.map_batches(
-                Renderer,
-                fn_constructor_kwargs={"round_no": r},
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=cfg.render_concurrency,
-                num_cpus=0.5,
-            ).materialize()
+            if cfg.stage_mode == "actors":
+                renders = fetched.map_batches(
+                    Renderer,
+                    fn_constructor_kwargs={"round_no": r},
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.render_concurrency,
+                    num_cpus=0.5,
+                ).materialize()
+            else:
+                renders = fetched.map_batches(
+                    render_batch,
+                    fn_kwargs={"round_no": r},
+                    batch_format="pyarrow",
+                    batch_size=max(cfg.batch_size, 16384),
+                    num_cpus=1,
+                ).materialize()
+        pages_rendered += renders.count()
         per_round_renders.append(renders)
 
         with _T(f"r{r} extract"):
@@ -365,36 +536,70 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_round(edges, os.path.join(rdir, "edges.parquet"))
 
         with _T(f"r{r} dedup+seen"):
-            candidates = edges.map_batches(
-                _candidates,
-                fn_kwargs={"canon": cfg.canonicalize, "max_depth": cfg.max_depth},
-                batch_format="pyarrow",
-            )
-            from ray.data.aggregate import Min
+            from rendler_ray.state.seen import drain_winners, offer_batch
 
-            firsts = (candidates.groupby("canon_url")
-                      .aggregate(Min("pack", alias_name="pack"))
-                      .map_batches(_unpack_candidates, batch_format="pyarrow"))
-            unseen = firsts.map_batches(
-                SeenFilter,
-                fn_constructor_kwargs={"shards": seen_shards,
-                                       "url_column": "canon_url"},
-                batch_format="pyarrow",
-                concurrency=2,
-                num_cpus=0.25,
-            ).materialize()
-
-        n_new = unseen.count()
+            # First-discoverer dedup + seen check, fused into the sharded
+            # seen actors: candidates hash-route to their shard, each
+            # shard keeps the running min(order_key) per unseen URL
+            # (commutative ⇒ deterministic under any batch order/retry),
+            # and an end-of-round drain admits winners to the seen set.
+            # This replaces a per-round groupby all-to-all with the one
+            # hash partition the seen check already needs.
+            fast = not cfg.canonicalize and not politeness_on
+            if fast:
+                candidates = edges.map_batches(
+                    _candidates_fast,
+                    fn_kwargs={"max_depth": cfg.max_depth},
+                    batch_format="pyarrow",
+                )
+                offer_kwargs = {"shards": seen_shards,
+                                "key_column": "order_key",
+                                "depth_column": "depth"}
+                key_type = "int64"
+            else:
+                candidates = edges.map_batches(
+                    _candidates,
+                    fn_kwargs={"canon": cfg.canonicalize,
+                               "max_depth": cfg.max_depth},
+                    batch_format="pyarrow",
+                )
+                offer_kwargs = {"shards": seen_shards,
+                                "key_column": "pack",
+                                "depth_column": None}
+                key_type = "string"
+            candidates.map_batches(
+                offer_batch, fn_kwargs=offer_kwargs, batch_format="pyarrow",
+            ).materialize()  # barrier: all offers land before the drain
+            n_new = sum(ray.get(
+                [s.pending_count.remote() for s in seen_shards]))
+            winner_refs = (drain_winners(seen_shards, key_type)
+                           if n_new else [])
+            if n_new > _DRIVER_RANK_MAX:
+                unseen = ray.data.from_arrow_refs(winner_refs).map_batches(
+                    _finish_winners_fast if fast else _unpack_winners,
+                    batch_format="pyarrow",
+                )  # lazy: fuses into with_row_seq's sort below
+            else:
+                unseen = None
         if n_new:
             with _T(f"r{r} seq+frontier"):
-                numbered = with_row_seq(unseen, ["order_key"], start=total_seq)
+                if n_new <= _DRIVER_RANK_MAX:
+                    next_frontier = _number_winners(
+                        winner_refs, fast, total_seq, n_new)
+                else:
+                    numbered = with_row_seq(unseen, ["order_key"],
+                                            start=total_seq)
+                    next_frontier = numbered.select_columns(
+                        ["url", "canon_url", "host", "depth", "seq"]
+                    )
                 total_seq += n_new
-                next_frontier = numbered.select_columns(
-                    ["url", "canon_url", "host", "depth", "seq"]
-                )
                 if deferred is not None and deferred.count():
-                    next_frontier = next_frontier.union(deferred)
-                next_frontier = next_frontier.materialize()
+                    next_frontier = next_frontier.union(
+                        deferred).materialize()
+                elif n_new > _DRIVER_RANK_MAX:
+                    next_frontier = next_frontier.materialize()
+                # driver-rank path: blocks are already computed refs —
+                # from_arrow_refs needs no extra materialize
         else:
             next_frontier = (
                 deferred if deferred is not None and deferred.count() else None
@@ -438,4 +643,6 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         rounds=r - r0,
         seen_count=seen_count,
         deferred_rounds=deferred_rounds,
+        stats={"pages_rendered": pages_rendered,
+               "frontier_rows": frontier_rows_total},
     )

@@ -63,6 +63,7 @@ def generate_docs(
     p_relative: float = 0.5,
     p_dangle: float = 0.05,
     mean_images: float = 0.8,
+    words_per_span: int = 3,
     seed: int = 42,
 ) -> pa.Table:
     """Build the docs table. Deterministic in all parameters."""
@@ -114,9 +115,12 @@ def generate_docs(
         spans: list[dict] = []
         off = 0
         for t in range(nts):
-            words = [_WORDS[word_picks[(wi + j) % len(word_picks)]] for j in range(3)]
-            wi += 3
-            body = " ".join(words[:2] + tokens[cut[t] : cut[t + 1]] + words[2:])
+            nw = max(3, words_per_span)
+            words = [_WORDS[word_picks[(wi + j) % len(word_picks)]]
+                     for j in range(nw)]
+            wi += nw
+            body = " ".join(
+                words[: nw - 1] + tokens[cut[t] : cut[t + 1]] + words[nw - 1 :])
             spans.append({"kind": "text", "text": body, "media_ref": "", "offset": off})
             off += 1
             if t < int(n_imgs[d]):

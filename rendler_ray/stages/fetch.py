@@ -82,13 +82,13 @@ class Fetcher:
         if n == 0:
             return _with_fetch_columns(batch, pa.array([], pa.int32()),
                                        pa.array([], pa.list_(SPAN_STRUCT)))
-        urls = batch["url"].to_pylist()
+        urls = batch["url"].to_numpy(zero_copy_only=False)
         sh = url_hash_shard(urls, len(self.shards))
         futs = []
         for k in np.unique(sh):
             sel = np.flatnonzero(sh == k)
             futs.append(
-                (sel, self.shards[int(k)].get_many.remote([urls[i] for i in sel]))
+                (sel, self.shards[int(k)].get_many.remote(urls[sel].tolist()))
             )
         parts: list[pa.Table] = []
         for sel, f in futs:
@@ -113,6 +113,81 @@ class Fetcher:
                     )
                 )
         return pa.concat_tables(parts, promote_options="default")
+
+
+def make_web_blobs(docs_path: str, num_shards: int) -> list:
+    """Plasma-broadcast closed-world web: per hash shard, a
+    (sorted doc_id numpy array, spans table in that order) pair is
+    ``ray.put`` ONCE; every fetch task reads it zero-copy from the local
+    object store. This is the 'broadcast the lookup side once, read in
+    every task' pattern — no actor RPC round-trip, no payload
+    re-serialization, scales with CPU count.
+
+    At real scale the web obviously isn't broadcastable — there the
+    fetch stage is network I/O and this path doesn't exist; the shard
+    layout (hash by url) is the same one the storage partitioning uses.
+    """
+    tbl = pq.read_table(docs_path, columns=["doc_id", "spans"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sh = url_hash_shard(ids, num_shards)
+    refs = []
+    for k in range(num_shards):
+        sub = tbl.filter(pa.array(sh == k)).combine_chunks()
+        ids_k = sub["doc_id"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.argsort(ids_k, kind="stable")
+        refs.append(ray.put((ids_k[order],
+                             sub.take(pa.array(order)).combine_chunks())))
+    return refs
+
+
+# per-worker zero-copy cache of resolved web shards (ObjectRef hex -> blob)
+_WEB_CACHE: dict = {}
+
+
+def _web_shard(ref):
+    key = ref.hex()
+    blob = _WEB_CACHE.get(key)
+    if blob is None:
+        blob = ray.get(ref)
+        _WEB_CACHE[key] = blob
+    return blob
+
+
+def fetch_batch(batch: pa.Table, *, shards: list) -> pa.Table:
+    """Task-pool fetch over plasma web shards (see ``make_web_blobs``):
+    vectorized ``np.searchsorted`` lookup per shard, Arrow ``take`` for
+    the span payloads — no Python per-row work, no actor round-trips."""
+    n = batch.num_rows
+    if n == 0:
+        return _with_fetch_columns(batch, pa.array([], pa.int32()),
+                                   pa.array([], pa.list_(SPAN_STRUCT)))
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    sh = url_hash_shard(urls, len(shards))
+    parts: list[pa.Table] = []
+    for k in np.unique(sh):
+        ids_sorted, spans_tbl = _web_shard(shards[int(k)])
+        sel = np.flatnonzero(sh == k)
+        u = urls[sel].astype(str)
+        pos = np.searchsorted(ids_sorted, u)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        mask = (ids_sorted[pos_c] == u) if len(ids_sorted) else \
+            np.zeros(len(u), dtype=bool)
+        sub = batch.take(pa.array(sel))
+        found = sub.filter(pa.array(mask))
+        if found.num_rows:
+            spans = spans_tbl["spans"].take(
+                pa.array(pos_c[mask])).combine_chunks()
+            parts.append(_with_fetch_columns(
+                found, pa.array(np.full(found.num_rows, 200, np.int32)),
+                spans))
+        missing = sub.filter(pa.array(~mask))
+        if missing.num_rows:
+            empty_spans = pa.array([[]] * missing.num_rows,
+                                   type=pa.list_(SPAN_STRUCT))
+            parts.append(_with_fetch_columns(
+                missing, pa.array(np.full(missing.num_rows, 404, np.int32)),
+                empty_spans))
+    return pa.concat_tables(parts, promote_options="default")
 
 
 def _with_fetch_columns(t: pa.Table, status: pa.Array, spans) -> pa.Table:

@@ -18,6 +18,7 @@ span order shows up as a render diff.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -30,6 +31,13 @@ def render_spans_bytes(spans: list[dict]) -> bytes:
     return b"RENDER\x00" + "\x1e".join(parts).encode("utf-8")
 
 
+def render_batch(batch: pa.Table, *, round_no: int = 0) -> pa.Table:
+    """Task-pool form of :class:`Renderer` — the sandbox renderer is a
+    stateless serialization, so warm task workers beat a per-round actor
+    pool. A real browser-engine deployment uses the class form."""
+    return Renderer(round_no)(batch)
+
+
 class Renderer:
     """Fetch batch (status==200 rows) → renders batch
     (doc_id, media_ref, image, rendered_round)."""
@@ -40,18 +48,31 @@ class Renderer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ok = batch.filter(pc.equal(batch["status"], 200))
-        urls = ok["url"].to_pylist()
-        spans = ok["spans"].to_pylist()
-        images = [render_spans_bytes(sp) for sp in spans]
+        n = ok.num_rows
+        spans = ok["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        # vectorized canonical serialization (byte-identical to
+        # render_spans_bytes): per-span field join, then per-doc list
+        # join, then the RENDER\x00 prefix — all Arrow C++ kernels.
+        flat = spans.flatten()
+        per_span = pc.binary_join_element_wise(
+            flat.field("kind"), flat.field("text"), flat.field("media_ref"),
+            pc.cast(flat.field("offset"), pa.string()), "\x1f")
+        offs = pc.subtract(spans.offsets, spans.offsets[0])  # 0-base slices
+        per_doc = pc.binary_join(
+            pa.ListArray.from_arrays(offs, per_span), "\x1e")
+        images = pc.cast(
+            pc.binary_join_element_wise("RENDER\x00", per_doc, ""),
+            pa.large_binary())
+        media_ref = pc.binary_join_element_wise(
+            "render://", ok["url"].combine_chunks(), ".png", "")
         return pa.table(
             {
-                "doc_id": pa.array(urls, pa.string()),
-                "media_ref": pa.array(
-                    [f"render://{u}.png" for u in urls], pa.string()
-                ),
-                "image": pa.array(images, pa.large_binary()),
+                "doc_id": ok["url"],
+                "media_ref": media_ref,
+                "image": images,
                 "rendered_round": pa.array(
-                    [self.round_no] * len(urls), pa.int32()
-                ),
+                    np.full(n, self.round_no, np.int32)),
             }
         )

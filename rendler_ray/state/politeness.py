@@ -119,6 +119,12 @@ class RobotsFilter:
         return batch.filter(pa.array(keep))
 
 
+def robots_filter_batch(batch: pa.Table, *, policies_ref) -> pa.Table:
+    """Task-pool form of :class:`RobotsFilter` (broadcast ref resolved
+    from local plasma per task — zero-copy, not re-shipped)."""
+    return RobotsFilter(policies_ref)(batch)
+
+
 def budget_gate(frontier, policies: dict[str, HostPolicy],
                 default_budget: int | None):
     """Split a frontier dataset into (admitted, deferred) by per-host

@@ -38,6 +38,8 @@ class SeenShard:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.mode = mode
+        # round-local first-discoverer state: url -> (min key, its depth)
+        self._pending: dict[str, tuple] = {}
         if mode == "exact":
             self._set: set[str] = set()
         elif mode == "cuckoo":
@@ -62,6 +64,56 @@ class SeenShard:
             s = self._set
             return np.fromiter((u in s for u in urls), dtype=bool, count=len(urls))
         return self._filter.contains_many(urls)
+
+    def offer(self, urls: list[str], keys: list, depths=None) -> int:
+        """Round-local first-discoverer offer: for each URL not already
+        seen (prior rounds), keep the running MIN key (+ its depth).
+        Min is commutative/idempotent, so the result is deterministic
+        regardless of batch arrival order or Ray task retries. This fuses
+        the per-round first-discoverer dedup INTO the seen shard —
+        replacing a full groupby shuffle with the same hash routing the
+        seen check already does."""
+        pend = self._pending
+        if self.mode == "exact":
+            s = self._set
+            seen_mask = np.fromiter((u in s for u in urls), dtype=bool,
+                                    count=len(urls))
+        else:
+            seen_mask = self._filter.contains_many(urls)
+        if depths is None:
+            depths = [0] * len(urls)
+        for u, k, d, sm in zip(urls, keys, depths, seen_mask):
+            if sm:
+                continue
+            p = pend.get(u)
+            if p is None or k < p[0]:
+                pend[u] = (k, d)
+        return len(pend)
+
+    def pending_count(self) -> int:
+        return len(self._pending)
+
+    def drain(self, key_type: str = "int64") -> pa.Table:
+        """End of round: mark all pending winners seen and return them as
+        one Arrow block (canon_url, key, depth) — consumed via
+        ``ray.data.from_arrow_refs`` so winners never pass through the
+        driver. ``key_type`` fixes the key column type so empty shards
+        produce schema-compatible blocks."""
+        pend = self._pending
+        self._pending = {}
+        urls = list(pend.keys())
+        if self.mode == "exact":
+            self._set.update(urls)
+        elif urls:
+            self._filter.check_and_add_many(urls)
+        keys = [pend[u][0] for u in urls]
+        depths = [pend[u][1] for u in urls]
+        kt = pa.int64() if key_type == "int64" else pa.string()
+        return pa.table({
+            "canon_url": pa.array(urls, pa.string()),
+            "key": pa.array(keys, kt),
+            "depth": pa.array(depths, pa.int32()),
+        })
 
     def count(self) -> int:
         return len(self._set) if self.mode == "exact" else self._filter.count
@@ -94,15 +146,77 @@ def seen_check_and_add(shards: list, urls: list[str]) -> np.ndarray:
     n = len(urls)
     if n == 0:
         return np.zeros(0, dtype=bool)
+    urls = np.asarray(urls, dtype=object)
     sh = url_hash_shard(urls, len(shards))
     mask = np.zeros(n, dtype=bool)
     futs = []
     for k in np.unique(sh):
         sel = np.flatnonzero(sh == k)
-        futs.append((sel, shards[int(k)].check_and_add.remote([urls[i] for i in sel])))
+        futs.append((sel, shards[int(k)].check_and_add.remote(urls[sel].tolist())))
     for sel, f in futs:
         mask[sel] = ray.get(f)
     return mask
+
+
+def seen_prefilter_batch(batch: pa.Table, *, shards: list,
+                         url_column: str = "url") -> pa.Table:
+    """READ-ONLY seen-set pre-filter (``contains``, no mutation): drops
+    rows whose URL was seen in a PRIOR round before the first-discoverer
+    shuffle, shrinking the all-to-all to genuinely-new URLs. Safe for
+    determinism precisely because it never writes: previously-seen URLs
+    can never win a frontier slot anyway, and same-round duplicates are
+    untouched (still resolved by the Min aggregate + check_and_add)."""
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    urls = batch[url_column].to_numpy(zero_copy_only=False)
+    sh = url_hash_shard(urls, len(shards))
+    mask = np.zeros(n, dtype=bool)
+    futs = []
+    for k in np.unique(sh):
+        sel = np.flatnonzero(sh == k)
+        futs.append((sel, shards[int(k)].contains.remote(urls[sel].tolist())))
+    for sel, f in futs:
+        mask[sel] = ray.get(f)
+    return batch.filter(pa.array(~mask))
+
+
+def offer_batch(batch: pa.Table, *, shards: list, key_column: str,
+                url_column: str = "canon_url",
+                depth_column: str | None = "depth") -> pa.Table:
+    """Route a candidates batch to its seen shards' ``offer`` (the fused
+    first-discoverer + seen check). Returns a 1-row ack so the map stage
+    has output; the real results are drained from the shards at end of
+    round."""
+    n = batch.num_rows
+    if n:
+        urls = batch[url_column].to_numpy(zero_copy_only=False)
+        keys = batch[key_column].to_numpy(zero_copy_only=False)
+        depths = (batch[depth_column].to_numpy(zero_copy_only=False)
+                  if depth_column is not None else None)
+        sh = url_hash_shard(urls, len(shards))
+        futs = []
+        for k in np.unique(sh):
+            sel = np.flatnonzero(sh == k)
+            futs.append(shards[int(k)].offer.remote(
+                urls[sel].tolist(), keys[sel].tolist(),
+                depths[sel].tolist() if depths is not None else None))
+        ray.get(futs)  # barrier: offers land before the stage completes
+    return pa.table({"offered": pa.array([n], pa.int64())})
+
+
+def drain_winners(shards: list, key_type: str = "int64") -> list:
+    """End-of-round drain: one Arrow block ref per shard (the winners).
+    Blocks stay in the object store (``from_arrow_refs``-ready)."""
+    return [s.drain.remote(key_type) for s in shards]
+
+
+def seen_filter_batch(batch: pa.Table, *, shards: list,
+                      url_column: str = "url") -> pa.Table:
+    """Task-pool form of :class:`SeenFilter`: the seen-set state lives in
+    the persistent ``SeenShard`` actors; the batch stage is a stateless
+    router, so task workers avoid per-round actor-pool spin-up."""
+    return SeenFilter(shards, url_column)(batch)
 
 
 class SeenFilter:
