@@ -73,21 +73,33 @@ class SeenShard:
         the per-round first-discoverer dedup INTO the seen shard —
         replacing a full groupby shuffle with the same hash routing the
         seen check already does."""
+        import pandas as pd
+
         pend = self._pending
+        # vectorized local reduce: one (min key, min depth) row per unique
+        # URL in this RPC. Correct because within a round either depth is
+        # uniform (fast mode) or depth rides inside the pack key (general
+        # mode, depths all 0 here) — so min over both columns agrees with
+        # "the min-key row".
+        df = pd.DataFrame({"k": keys, "d": depths if depths is not None
+                           else np.zeros(len(urls), np.int64)},
+                          index=urls)
+        g = df.groupby(level=0, sort=False).min()
+        uu = g.index.to_numpy(dtype=object)
         if self.mode == "exact":
             s = self._set
-            seen_mask = np.fromiter((u in s for u in urls), dtype=bool,
-                                    count=len(urls))
+            unseen = np.fromiter((u not in s for u in uu), dtype=bool,
+                                 count=len(uu))
         else:
-            seen_mask = self._filter.contains_many(urls)
-        if depths is None:
-            depths = [0] * len(urls)
-        for u, k, d, sm in zip(urls, keys, depths, seen_mask):
-            if sm:
-                continue
+            unseen = ~self._filter.contains_many(list(uu))
+        ks = g["k"].to_numpy()
+        ds = g["d"].to_numpy()
+        for i in np.flatnonzero(unseen):
+            u = uu[i]
+            k = ks[i]
             p = pend.get(u)
             if p is None or k < p[0]:
-                pend[u] = (k, d)
+                pend[u] = (k, ds[i])
         return len(pend)
 
     def pending_count(self) -> int:
@@ -133,10 +145,14 @@ class SeenShard:
 
 def make_seen_shards(num_shards: int, mode: str = "exact",
                      capacity_per_shard: int = 1 << 20) -> list:
-    """Spawn the shard actors. ``num_cpus=0.1``: shards are memory-bound
-    lookups; they must not reserve CPUs away from the fetch/render pools."""
+    """Spawn the shard actors. ``num_cpus=0``: shards are memory-bound
+    lookup services — reserving scheduler slots for them starves the
+    fetch/render task pools on small clusters (16 shards at 0.1 cpu ate
+    40% of a 4-cpu node). On a multi-node cluster they spread via the
+    default SPREAD scheduling of actors."""
     return [
-        SeenShard.options(num_cpus=0.1).remote(i, num_shards, mode, capacity_per_shard)
+        SeenShard.options(num_cpus=0).remote(i, num_shards, mode,
+                                             capacity_per_shard)
         for i in range(num_shards)
     ]
 
