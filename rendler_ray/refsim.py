@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-_SIM_LINK = re.compile(r'href="([^"]+)"|(s://h\d{3}/p\d{5})|(/p\d{5})')
+_SIM_LINK = re.compile(r'href="([^"]+)"|(s://h\d+/p\d+)|(/p\d+)')
 
 
 def _sim_extract(spans: list[dict], base_url: str) -> list[str]:

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 # Alternation order matters: the absolute form must win over the bare
 # "/pNNNNN" suffix it contains. NO capture groups: findall returns the
 # full match string, keeping the hot path tuple-free.
-LINK_RE = re.compile(r'href="[^"]+"|\bs://h\d{3}/p\d{5}|/p\d{5}')
+LINK_RE = re.compile(r'href="[^"]+"|\bs://h\d+/p\d+|/p\d+')
 
 EDGE_FIELDS = [
     ("src", pa.string()),
@@ -56,6 +56,35 @@ def _resolve(href: str, host: str) -> str:
     return href
 
 
+# whole-token link forms for the Arrow/RE2 fast path (see extract_edges)
+_TOKEN_LINK_RE = r'^(?:s://h\d+/p\d+|/p\d+|href="[^"]+")$'
+
+
+def _extract_token_fast(ttexts: pa.Array, t_par: np.ndarray,
+                        hosts: np.ndarray):
+    """All-Arrow extraction for token-delimited corpora: split on spaces
+    (C++), whole-token RE2 match (C++), resolve via if_else/join (C++).
+    Byte-identical to the regex path whenever every link occurs as a
+    whitespace-delimited token (true of the synthetic web and of
+    whitespace-tokenized text corpora generally)."""
+    toks = pc.split_pattern(ttexts, " ")
+    ftoks = pc.list_flatten(toks)
+    par2 = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    mlink = pc.match_substring_regex(ftoks, _TOKEN_LINK_RE)
+    sel = np.flatnonzero(mlink.to_numpy(zero_copy_only=False))
+    if len(sel) == 0:
+        return None, None
+    hrefs = ftoks.take(pa.array(sel))
+    rows = t_par[par2[sel]]
+    is_rel = pc.starts_with(hrefs, "/")
+    resolved = pc.if_else(
+        is_rel,
+        pc.binary_join_element_wise(
+            "s://", pa.array(hosts[rows], pa.string()), hrefs, ""),
+        hrefs)
+    return resolved, rows
+
+
 def extract_edges(batch: pa.Table) -> pa.Table:
     """Fetch batch (url, host, depth, seq, status, spans) → edges batch
     (src, dst, ord, src_seq, depth). 404 rows produce no edges."""
@@ -67,10 +96,23 @@ def extract_edges(batch: pa.Table) -> pa.Table:
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-    texts = flat.field("text").to_numpy(zero_copy_only=False)
     tmask = kinds == "text"
     t_par = parents[tmask]
-    found = pd.Series(texts[tmask], dtype=object).str.findall(LINK_RE)
+    ttexts = flat.field("text").filter(pa.array(tmask))
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+
+    # fast path: no generic href="..." form present (those can contain
+    # spaces) ⇒ every link is a whitespace token ⇒ pure Arrow/RE2
+    has_href = bool(pc.any(
+        pc.match_substring(ttexts, 'href="')).as_py() or False)
+    if not has_href:
+        resolved_arr, rows = _extract_token_fast(ttexts, t_par, hosts)
+        if resolved_arr is None:
+            return _EMPTY_EDGES
+        return _assemble_edges(batch, resolved_arr, rows)
+
+    texts = ttexts.to_numpy(zero_copy_only=False)
+    found = pd.Series(texts, dtype=object).str.findall(LINK_RE)
 
     ex = found.explode().dropna()
     total = len(ex)
@@ -86,13 +128,19 @@ def extract_edges(batch: pa.Table) -> pa.Table:
         h = h.str.slice(6, -1).where(is_href, h)
     is_rel = h.str.startswith("/") & ~h.str.contains("://", regex=False)
     if bool(is_rel.any()):
-        hosts = batch["host"].to_numpy(zero_copy_only=False)
         resolved = ("s://" + pd.Series(hosts[rows]) + h).where(is_rel, h)
     else:
         resolved = h
 
-    # ord = position within the page: index minus the start of its group
-    # (rows is sorted, so group starts are the change points)
+    return _assemble_edges(
+        batch, pa.array(resolved.to_numpy(dtype=object), pa.string()), rows)
+
+
+def _assemble_edges(batch: pa.Table, dst: pa.Array,
+                    rows: np.ndarray) -> pa.Table:
+    """Common tail: page-order ``ord`` (index minus group start — rows is
+    sorted) + src columns gathered by row index."""
+    total = len(rows)
     idx = np.arange(total, dtype=np.int64)
     change = np.flatnonzero(np.diff(rows)) + 1
     bounds = np.concatenate(([0], change, [total]))
@@ -105,7 +153,7 @@ def extract_edges(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "src": pa.array(urls[rows], pa.string()),
-            "dst": pa.array(resolved.to_numpy(dtype=object), pa.string()),
+            "dst": pc.cast(dst, pa.string()),
             "ord": pa.array(ords.astype(np.int32)),
             "src_seq": pa.array(seqs[rows].astype(np.int64)),
             "depth": pa.array(depths[rows].astype(np.int32)),
