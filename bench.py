@@ -83,11 +83,14 @@ def run_crawl(sf_dir: str, big: bool = False) -> dict:
     t0 = time.time()
     # big mode: a 10^10-scale crawl starts from a large seed list — 1000
     # seeds amortize early-round latency over real work
+    # big mode runs the FULL training-data pipeline: fetch -> enrich
+    # (quality, lang-id, simhash, minhash-LSH bands) -> render -> extract
     res = crawl(CrawlConfig(docs_path=docs,
                             seeds=default_seeds(1000 if big else 4),
                             max_depth=7 if big else 6,
                             num_seen_shards=16 if big else 8,
                             num_web_shards=16 if big else 8,
+                            enrich=big,
                             web=web))
     n_renders = res.stats["pages_rendered"]
     frontier_rows = res.stats["frontier_rows"]

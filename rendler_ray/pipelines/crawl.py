@@ -49,6 +49,7 @@ from rendler_ray.schema import (
     FRONTIER_SCHEMA,
     RENDERS_SCHEMA,
 )
+from rendler_ray.stages.enrich import enrich_batch
 from rendler_ray.stages.extract import extract_edges
 from rendler_ray.stages.fetch import (
     Fetcher,
@@ -116,6 +117,9 @@ class CrawlConfig:
     # no per-round actor-pool spin-up. "actors": per-worker-stateful
     # stage form (real HTTP sessions / browser engines).
     stage_mode: str = "tasks"
+    # per-page enrichment (quality scores, lang-id, simhash) fused into
+    # the fetch pass — the training-data half of the pipeline
+    enrich: bool = False
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -494,7 +498,14 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     batch_format="pyarrow",
                     batch_size=max(cfg.batch_size, 16384),
                     num_cpus=1,
-                ).materialize()
+                )
+                if cfg.enrich:
+                    # fused into the fetch pass (Ray Data operator fusion)
+                    fetched = fetched.map_batches(
+                        enrich_batch, batch_format="pyarrow",
+                        batch_size=max(cfg.batch_size, 16384), num_cpus=1,
+                    )
+                fetched = fetched.materialize()
         if os.environ.get("RENDLER_CRAWL_STATS"):
             import re as _re
             s = fetched.stats()
