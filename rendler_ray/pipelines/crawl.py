@@ -32,7 +32,6 @@ construction a frontier row of some round).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -327,48 +326,14 @@ def _number_winners(winner_refs: list, fast: bool, total_seq: int,
     return ray.data.from_arrow_refs(out_refs)
 
 
-def _write_round(ds, path: str) -> None:
-    """Write-then-rename. A pre-existing target/tmp is stale output from a
-    crashed or re-executed attempt at this round (the manifest is only
-    advanced after all round writes land) — safe to clear."""
-    import shutil
-
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ds.write_parquet(tmp)
-    if not os.path.exists(tmp):
-        os.makedirs(tmp)  # empty dataset: write_parquet emits nothing
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
-
-
-def _read_round(path: str, schema: pa.Schema) -> "ray.data.Dataset":
-    """Read a round output dir; an empty marker dir (zero-row round)
-    becomes an empty dataset with the right schema."""
-    import glob
-
-    if os.path.isdir(path) and not glob.glob(os.path.join(path, "*.parquet")):
-        return ray.data.from_arrow(schema.empty_table())
-    # partitioning=None: the checkpoint layout's round=N path component must
-    # NOT be hive-inferred into a column.
-    return ray.data.read_parquet(path, partitioning=None)
-
-
-def _read_manifest(out_dir: str) -> dict | None:
-    p = os.path.join(out_dir, "manifest.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _write_manifest(out_dir: str, m: dict) -> None:
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+# checkpoint I/O lives behind the storage seam (parquet now, lance when
+# the wheel exists — rendler_ray/storage.py)
+from rendler_ray.storage import (  # noqa: E402
+    read_manifest as _read_manifest,
+    read_table as _read_round,
+    write_manifest as _write_manifest,
+    write_table as _write_round,
+)
 
 
 def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:

@@ -565,6 +565,54 @@ def crawl_edges(sf_dir: str):
     return res.edges
 
 
+def crawl_enriched(sf_dir: str):
+    """Full training-data crawl: fetch → enrich (quality, lang-id,
+    simhash, minhash-LSH bands) fused in one pass; returns the enriched
+    fetch table (hashable scalar cols only)."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4,
+                            enrich=True))
+    return res.fetched.select_columns(
+        ["url", "depth", "seq", "status", "n_tokens", "n_uniq_tokens",
+         "n_stopwords", "lang_pred", "simhash"])
+
+
+def crawl_polite(sf_dir: str):
+    """Politeness-budgeted crawl (per-host budget + robots): deferred
+    URLs keep their discovery seq and drain in later rounds (T2/A4
+    skew-rebalance shape). Deterministic; rows-only check."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=3,
+                            host_budget_per_round=50,
+                            robots={"h001": "User-agent: *\nDisallow: /\n"}))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                      "status"])
+
+
+def doc_fingerprint_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) —
+    rolling-hash windows, keep-smallest selection. Rows-only."""
+    from rendler_ray.functions.text import rolling_hash_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "winnow_fp": pa.array(
+                [rolling_hash_fingerprint(x)
+                 for x in t["text"].to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: explode media spans from the interleaved docs
     → actor-pool decode (deterministic stub) → typed features."""
@@ -625,6 +673,9 @@ QUERIES = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "crawl_fetch": crawl_fetch,
     "crawl_edges": crawl_edges,
+    "crawl_enriched": crawl_enriched,
+    "crawl_polite": crawl_polite,
+    "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "render_interleaved": render_interleaved,
 }
