@@ -91,3 +91,21 @@ def test_span_sequence_invariant(small_docs):
         assert row["spans"] == src[row["url"]], f"span corruption for {row['url']}"
         n_checked += 1
     assert n_checked > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cuckoo_mode_conformance(small_docs):
+    """The 10^10-scale seen-set path (cuckoo filters) must match the
+    exact path on a corpus far below capacity (FPR ~1e-4)."""
+    res = _run(small_docs, seen_mode="cuckoo", seen_capacity_per_shard=1 << 16)
+    sim = simulate(pq.read_table(small_docs), default_seeds(1))
+    _assert_conformance(res, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_stage_mode_conformance(small_docs):
+    """stage_mode='actors' (Fetcher/Renderer/SeenFilter actor pools over
+    WebShard actors) — same semantics as the task-mode default."""
+    res = _run(small_docs, stage_mode="actors", max_depth=2)
+    sim = simulate(pq.read_table(small_docs), default_seeds(1), max_depth=2)
+    _assert_conformance(res, sim)
