@@ -357,17 +357,32 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         r0 = manifest["round"] + 1
         total_seq = manifest["total_seq"]
         pages_fetched = manifest["pages_fetched"]
-        # Rebuild the seen set: every seen URL is a frontier row of some
-        # round (seeds included) — replay the snapshots. Includes round r0
-        # itself: its frontier was discovered (and marked seen) at the end
-        # of round r0-1, before the crash point.
-        for rr in range(r0 + 1):
-            fp = os.path.join(cfg.out_dir, f"round={rr}", "frontier.parquet")
-            if not os.path.exists(fp):
-                continue
-            snap = _read_round(fp, FRONTIER_SCHEMA)
-            for b in snap.iter_batches(batch_size=65536, batch_format="pyarrow"):
-                seen_check_and_add(seen_shards, b["canon_url"].to_pylist())
+        # Rebuild the seen set. Fast path: per-shard snapshots written at
+        # the last completed round (parallel actor-side restore). Fallback
+        # (older checkpoints / shard-count change): replay the frontier
+        # snapshots — every seen URL is a frontier row of some round,
+        # INCLUDING round r0 itself (discovered and marked seen at the end
+        # of round r0-1, before the crash point).
+        restored = False
+        if (manifest.get("seen_snapshot_round") == manifest["round"]
+                and manifest.get("num_seen_shards") == cfg.num_seen_shards):
+            oks = ray.get([
+                s.load_from.remote(os.path.join(
+                    cfg.out_dir, "seen", f"shard={i}.pkl"))
+                for i, s in enumerate(seen_shards)
+            ])
+            restored = all(oks)
+        if not restored:
+            for rr in range(r0 + 1):
+                fp = os.path.join(cfg.out_dir, f"round={rr}",
+                                  "frontier.parquet")
+                if not os.path.exists(fp):
+                    continue
+                snap = _read_round(fp, FRONTIER_SCHEMA)
+                for b in snap.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow"):
+                    seen_check_and_add(seen_shards,
+                                       b["canon_url"].to_pylist())
         fnext = os.path.join(cfg.out_dir, f"round={r0}", "frontier.parquet")
         frontier = (_read_round(fnext, FRONTIER_SCHEMA).materialize()
                     if os.path.exists(fnext) else None)
@@ -582,9 +597,19 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             )
 
         if cfg.out_dir:
+            # parallel actor-side seen snapshots: resume restores these in
+            # one shot instead of replaying every frontier file (O(shard)
+            # I/O, driver never holds seen state)
+            ray.get([
+                s.save_to.remote(os.path.join(
+                    cfg.out_dir, "seen", f"shard={i}.pkl"))
+                for i, s in enumerate(seen_shards)
+            ])
             _write_manifest(cfg.out_dir, {
                 "round": r, "total_seq": total_seq,
                 "pages_fetched": pages_fetched,
+                "seen_snapshot_round": r,
+                "num_seen_shards": cfg.num_seen_shards,
                 "config": {"seeds": cfg.seeds, "max_depth": cfg.max_depth,
                            "max_pages": cfg.max_pages,
                            "canonicalize": cfg.canonicalize},

@@ -21,6 +21,8 @@ same URL, keeping results deterministic.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -141,6 +143,28 @@ class SeenShard:
             self._set = set(snap["urls"])
         else:
             self._filter.restore(snap)
+
+    def save_to(self, path: str) -> int:
+        """Actor-side snapshot write (atomic rename) — the N shards
+        persist in parallel, the driver never holds seen-set state."""
+        import pickle
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.snapshot(), f, protocol=5)
+        os.replace(tmp, path)
+        return self.count()
+
+    def load_from(self, path: str) -> bool:
+        """Actor-side snapshot restore; False if no snapshot exists."""
+        import pickle
+
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
+        return True
 
 
 def make_seen_shards(num_shards: int, mode: str = "exact",

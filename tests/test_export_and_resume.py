@@ -93,3 +93,22 @@ def test_dot_from_tables_escaping():
     renders = pa.table({"doc_id": ['u"1', "u2"], "media_ref": ["m1", "m2"]})
     out = dot_from_tables(edges, renders)
     assert '"u\\"1"' in out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_fallback_without_seen_snapshots(small_docs, tmp_path):
+    """Deleting the seen/ snapshots forces the frontier-replay rebuild —
+    results must be identical either way."""
+    part_dir = str(tmp_path / "part2")
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=3,
+                num_seen_shards=2, num_web_shards=2)
+    crawl(CrawlConfig(**base, out_dir=part_dir, max_rounds=2))
+    shutil.rmtree(os.path.join(part_dir, "seen"))
+    resumed = crawl(CrawlConfig(**base, out_dir=part_dir), resume=True)
+
+    full = crawl(CrawlConfig(**base))
+    f1 = table_from_ds(resumed.fetched)
+    f2 = table_from_ds(full.fetched)
+    key = lambda t: sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
+    assert key(f1) == key(f2)
+    assert resumed.seen_count == full.seen_count
