@@ -95,11 +95,10 @@ def brute_force_topk(ds, queries: dict[int, np.ndarray], k: int,
     per-query global top-k. Returns (query_id, vec_id, score, rank)."""
     qref = ray.put(queries)
     cands = ds.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        cosine_topk_batch,
+        fn_kwargs={"queries_ref": qref, "k": k},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
     return cands.groupby("query_id").map_groups(
@@ -137,10 +136,9 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
     buckets are missed (recall grows with fewer bits / multiple tables).
     """
     bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "bits": bits},
+        lsh_bucket_batch,
+        fn_kwargs={"dim": dim, "bits": bits},
         batch_format="pyarrow",
-        concurrency=(1, 4),
         num_cpus=1,
     )
 
@@ -159,3 +157,18 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
         return pd.DataFrame({"a": lo, "b": hi, "score": np.round(s[iu, ju][keep], 6)})
 
     return bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
+
+
+def cosine_topk_batch(batch: pa.Table, *, queries_ref, k: int,
+                      id_col: str = "vec_id",
+                      col: str = "embedding") -> pa.Table:
+    """Task-pool form of :class:`CosineTopK` — the query matrix ref
+    resolves from local plasma per task (zero-copy, not re-shipped)."""
+    return CosineTopK(queries_ref, k, id_col, col)(batch)
+
+
+def lsh_bucket_batch(batch: pa.Table, *, dim: int, bits: int = 12,
+                     seed: int = 5, col: str = "embedding") -> pa.Table:
+    """Task-pool form of :class:`LshBucketer` (deterministic planes —
+    cheap to rebuild per task)."""
+    return LshBucketer(dim, bits, seed, col)(batch)

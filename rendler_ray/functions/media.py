@@ -98,10 +98,16 @@ def media_pipeline(docs_ds, strict: bool = False, concurrency=(1, 4),
     binary payloads make wide rows (SURVEY.md §7.4 wide-rows note)."""
     media = docs_ds.map_batches(explode_media_spans, batch_format="pyarrow")
     return media.map_batches(
-        MediaDecoder,
-        fn_constructor_kwargs={"strict": strict},
+        media_decode_batch,
+        fn_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_decode_batch(batch: pa.Table, *, strict: bool = False,
+                       feat_dim: int = 8) -> pa.Table:
+    """Task-pool form of :class:`MediaDecoder` (the sandbox decode stub
+    is stateless; a real decoder deployment uses the actor-pool class)."""
+    return MediaDecoder(strict, feat_dim)(batch)

@@ -196,3 +196,23 @@ def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column(
         "lang_pred", pa.array(langs, pa.string())
     ).append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+# per-worker MinHasher cache for the task-pool form (construction is
+# deterministic, so any worker's instance is identical)
+_MINHASHERS: dict = {}
+
+
+def minhash_bands_rows_batch(batch: pa.Table, *, num_perm: int = 128,
+                             shingle: int = 3, bands: int = 16,
+                             seed: int = 7, id_col: str = "doc_id",
+                             text_col: str = "text") -> pa.Table:
+    """Task-pool form of :class:`MinHasher` (same output): warm task
+    workers skip per-query actor-pool spin-up; the hasher is cached per
+    worker process."""
+    key = (num_perm, shingle, bands, seed, id_col, text_col)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS[key] = MinHasher(num_perm, shingle, bands, seed,
+                                          id_col, text_col)
+    return mh(batch)

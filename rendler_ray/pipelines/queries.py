@@ -412,19 +412,40 @@ def minhash_dup_groups(sf_dir: str):
     bucket groupby → groups of size ≥ 2 (doc_id, group_key)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
-        F_text.MinHasher, fn_constructor_kwargs={"num_perm": 64, "bands": 8},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        F_text.minhash_bands_rows_batch,
+        fn_kwargs={"num_perm": 64, "bands": 8},
+        batch_format="pyarrow", num_cpus=1).materialize()
 
-    def groups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0)[["doc_id", "band_id", "band_hash"]]
-        return g[["doc_id", "band_id", "band_hash"]]
+    # hot buckets (size >= 2) via native count aggregate; the hot set is
+    # tiny relative to the corpus, so it broadcasts (ray.put) and the
+    # candidate filter is a per-batch membership test — no per-group
+    # Python, no second shuffle over the full banded table.
+    hot = _hot_buckets(banded)
+    hot_ref = ray.put(hot)
 
-    out = banded.groupby(["band_id", "band_hash"]).map_groups(
-        groups, batch_format="pandas")
-    # distinct doc_ids having ≥1 near-dup candidate
-    return (out.groupby("doc_id").aggregate(Count(alias_name="_n"))
+    def in_hot(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = pa.array([
+            (b, h) in hs for b, h in zip(t["band_id"].to_pylist(),
+                                         t["band_hash"].to_pylist())])
+        return t.filter(mask)
+
+    cand = banded.map_batches(in_hot, batch_format="pyarrow")
+    # distinct doc_ids having >= 1 near-dup candidate
+    return (cand.groupby("doc_id").aggregate(Count(alias_name="_n"))
             .select_columns(["doc_id"]))
+
+
+def _hot_buckets(banded) -> set:
+    """(band_id, band_hash) keys of LSH buckets with >= 2 members —
+    native count aggregate, collected small-side to the driver."""
+    counts = banded.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="n"))
+    hot = set()
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = b.filter(pc.greater_equal(b["n"], 2))
+        hot.update(zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist()))
+    return hot
 
 
 def ngram_jaccard_pairs(sf_dir: str):
@@ -433,8 +454,9 @@ def ngram_jaccard_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     texts_ref = None
     banded = ds.map_batches(
-        F_text.MinHasher, fn_constructor_kwargs={"num_perm": 64, "bands": 8},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        F_text.minhash_bands_rows_batch,
+        fn_kwargs={"num_perm": 64, "bands": 8},
+        batch_format="pyarrow", num_cpus=1).materialize()
 
     # collect candidate pairs per bucket (small), verify with exact
     # jaccard against a broadcast id→text map (documents table is the
@@ -443,6 +465,18 @@ def ngram_jaccard_pairs(sf_dir: str):
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         id_text.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     texts_ref = ray.put(id_text)
+
+    hot = _hot_buckets(banded)
+    hot_ref2 = ray.put(hot)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref2)
+        mask = pa.array([
+            (b, h) in hs for b, h in zip(t["band_id"].to_pylist(),
+                                         t["band_hash"].to_pylist())])
+        return t.filter(mask)
+
+    banded = banded.map_batches(only_hot, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -635,9 +669,10 @@ def render_interleaved(sf_dir: str):
             ["url", "spans", "status"])
 
     prepped = docs.map_batches(prep, batch_format="pyarrow")
-    out = prepped.map_batches(Renderer, fn_constructor_kwargs={"round_no": 0},
-                              batch_format="pyarrow", concurrency=(1, 4),
-                              num_cpus=1)
+    from rendler_ray.stages.render import render_batch
+
+    out = prepped.map_batches(render_batch, fn_kwargs={"round_no": 0},
+                              batch_format="pyarrow", num_cpus=1)
 
     def sizes(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "media_ref": t["media_ref"],
