@@ -410,6 +410,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     deferred_rounds = 0
     pages_rendered = 0
     frontier_rows_total = 0
+    round_lineage: list[dict] = (manifest or {}).get("rounds", [])
     r = r0
     while frontier is not None and r < cfg.max_rounds:
         n_frontier = frontier.count()
@@ -525,6 +526,18 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_round(fetched, os.path.join(rdir, "fetch.parquet"))
             _write_round(renders, os.path.join(rdir, "renders.parquet"))
             _write_round(edges, os.path.join(rdir, "edges.parquet"))
+        # per-round lineage/metrics (north_rule): inputs → outputs with
+        # row counts, appended to the manifest each round
+        round_lineage.append({
+            "round": r,
+            "frontier_rows": n_frontier,
+            "pages_fetched": fetched.count(),
+            "renders": renders.count(),
+            "edges": edges.count(),
+            "outputs": ([f"round={r}/{n}.parquet"
+                         for n in ("frontier", "fetch", "renders", "edges")]
+                        if cfg.out_dir else []),
+        })
 
         with _T(f"r{r} dedup+seen"):
             from rendler_ray.state.seen import drain_winners, offer_batch
@@ -595,6 +608,9 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             next_frontier = (
                 deferred if deferred is not None and deferred.count() else None
             )
+        round_lineage[-1]["new_urls"] = n_new
+        round_lineage[-1]["deferred"] = (
+            deferred.count() if deferred is not None else 0)
 
         if cfg.out_dir:
             # parallel actor-side seen snapshots: resume restores these in
@@ -610,6 +626,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 "pages_fetched": pages_fetched,
                 "seen_snapshot_round": r,
                 "num_seen_shards": cfg.num_seen_shards,
+                "rounds": round_lineage,
                 "config": {"seeds": cfg.seeds, "max_depth": cfg.max_depth,
                            "max_pages": cfg.max_pages,
                            "canonicalize": cfg.canonicalize},
