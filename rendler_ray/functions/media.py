@@ -111,3 +111,26 @@ def media_decode_batch(batch: pa.Table, *, strict: bool = False,
     """Task-pool form of :class:`MediaDecoder` (the sandbox decode stub
     is stateless; a real decoder deployment uses the actor-pool class)."""
     return MediaDecoder(strict, feat_dim)(batch)
+
+
+def media_resize_batch(batch: pa.Table, *, max_side: int = 256) -> pa.Table:
+    """Thumbnail/resize stage (plumbing-real, decode stubbed): computes
+    the target geometry (aspect-preserving fit into max_side) and a
+    deterministic fake thumbnail payload sized accordingly. A real
+    deployment swaps the payload line for PIL ``Image.thumbnail`` inside
+    an actor-pool class; schema and batching stay identical."""
+    w = np.array(batch["width"].to_pylist(), dtype=np.float64)
+    h = np.array(batch["height"].to_pylist(), dtype=np.float64)
+    scale = np.minimum(1.0, max_side / np.maximum(w, h))
+    tw = np.maximum(1, np.round(w * scale)).astype(np.int64)
+    th = np.maximum(1, np.round(h * scale)).astype(np.int64)
+    refs = batch["media_ref"].to_pylist()
+    thumbs = [fake_media_bytes(r)[: max(16, int(a * b) % 512)]
+              for r, a, b in zip(refs, tw, th)]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "media_ref": batch["media_ref"],
+        "thumb_w": pa.array(tw, pa.int64()),
+        "thumb_h": pa.array(th, pa.int64()),
+        "thumb": pa.array(thumbs, pa.large_binary()),
+    })

@@ -29,6 +29,20 @@ def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n, pa.int64()))
 
 
+# GPT-2-style pretokenizer shape: word pieces OR runs of non-word
+# non-space punctuation — mirrors DuckDB regexp_extract_all for the oracle
+BPE_ISH_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+"
+
+
+def token_count_bpe_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Token counting with a BPE-ish regex pretokenizer (words + punct
+    runs) — the second tokenizer family the training-data ops call for
+    alongside whitespace splitting."""
+    s = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
+    n = s.str.findall(BPE_ISH_RE).str.len().to_numpy(np.int64)
+    return batch.append_column("n_bpe_tokens", pa.array(n, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """length / stopword / distinct-token quality features (SQL-exact)."""
     texts = batch[col].to_numpy(zero_copy_only=False)

@@ -355,6 +355,21 @@ SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 """
 
 
+def token_count_bpe(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.token_count_bpe_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bpe_tokens"])
+
+
+TOKEN_COUNT_BPE_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_[:space:]]+'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(F_text.quality_batch,
@@ -656,6 +671,23 @@ def media_features(sf_dir: str):
                                "width", "height"])
 
 
+def media_thumbnails(sf_dir: str):
+    """Decode → resize chain (geometry real, payload stubbed): returns
+    (doc_id, media_ref, thumb_w, thumb_h, thumb_bytes)."""
+    docs = rd.read_parquet(_synth_docs_for(sf_dir))
+    decoded = F_media.media_pipeline(docs)
+    out = decoded.map_batches(F_media.media_resize_batch,
+                              fn_kwargs={"max_side": 256},
+                              batch_format="pyarrow", batch_size=256)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "media_ref": t["media_ref"],
+                         "thumb_w": t["thumb_w"], "thumb_h": t["thumb_h"],
+                         "thumb_bytes": pc.binary_length(t["thumb"])})
+
+    return out.map_batches(sizes, batch_format="pyarrow")
+
+
 def render_interleaved(sf_dir: str):
     """Render every doc's span sequence (S3-shape) and report the image
     size — exercises the span-sequence canonical serialization."""
@@ -697,6 +729,7 @@ QUERIES = {
     "top2_orders_per_customer": top2_orders_per_customer,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
+    "token_count_bpe": token_count_bpe,
     "quality_scores": quality_scores,
     "doc_fingerprint_md5": doc_fingerprint_md5,
     "lang_id_docs": lang_id_docs,
@@ -712,6 +745,7 @@ QUERIES = {
     "crawl_polite": crawl_polite,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
+    "media_thumbnails": media_thumbnails,
     "render_interleaved": render_interleaved,
 }
 
@@ -729,6 +763,7 @@ ORACLES = {
     "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "token_count_docs": TOKEN_COUNT_SQL,
+    "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,
     "doc_fingerprint_md5": FINGERPRINT_SQL,
     "ann_topk": ANN_TOPK_SQL,

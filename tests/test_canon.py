@@ -38,3 +38,22 @@ def test_stable_hash_is_process_stable():
     sh = url_hash_shard(urls, 8)
     assert sh.min() >= 0 and sh.max() < 8
     assert len(np.unique(sh)) > 1
+
+
+def test_hosts_np_matches_host_of():
+    import numpy as np
+
+    from rendler_ray.functions.canon import host_of, hosts_np
+
+    urls = [
+        "s://h003/p00007",
+        "http://Example.COM/path",
+        "https://user:pw@Host.Org:8443/x?q=1#f",
+        "https://host.org:443/",
+        "ftp://h/x",
+        "no-scheme-here",
+        "s://h4999/p123456",
+    ]
+    got = hosts_np(np.array(urls, dtype=object))
+    exp = [host_of(u) for u in urls]
+    assert list(got) == exp
