@@ -324,6 +324,127 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 """
 
 
+def asof_join_events(sf_dir: str):
+    """As-of join — a custom operator Ray Data lacks natively: for each
+    'click' event, the most recent 'view' of the SAME user at or before
+    its timestamp (ties broken by max event_id). Composition:
+    ``groupby(user_id)`` co-locates each user's history, then a
+    vectorized per-group ``np.searchsorted`` merge. The partitioning
+    assumption (hash by user_id) is the same key every per-user op uses.
+    Timestamps emitted as int64 epoch-seconds (hash-stable)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="stable")
+        if not len(clicks):
+            return pd.DataFrame({
+                "click_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "click_epoch": pd.Series([], dtype=np.int64),
+                "view_id": pd.Series([], dtype=np.float64)})
+        views = g[g["event_type"] == "view"].sort_values(
+            ["ts", "event_id"], kind="stable")
+        c_ts = clicks["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        out_view = np.full(len(clicks), np.nan)
+        if len(views):
+            v_ts = views["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            v_id = views["event_id"].to_numpy(np.int64)
+            pos = np.searchsorted(v_ts, c_ts, side="right") - 1
+            ok = pos >= 0
+            out_view[ok] = v_id[pos[ok]].astype(np.float64)
+        return pd.DataFrame({
+            "click_id": clicks["event_id"].to_numpy(np.int64),
+            "user_id": clicks["user_id"].to_numpy(np.int64),
+            "click_epoch": c_ts // 1_000_000,
+            "view_id": out_view})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_JOIN_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       v.view_id
+FROM events c
+LEFT JOIN LATERAL (
+  SELECT CAST(v.event_id AS DOUBLE) AS view_id FROM events v
+  WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) v ON TRUE
+WHERE c.event_type = 'click'
+"""
+
+
+def sliding_window_counts(sf_dir: str):
+    """Sliding-window aggregate (width 30 min, hop 15 min) — expressed
+    as a window-assignment flat-map (each event lands in exactly two
+    windows) followed by a plain groupby aggregate; no windowing
+    primitive needed."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop_us = 900 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = ts // hop_us
+        win = np.concatenate([k * 900, (k - 1) * 900])
+        vals = np.tile(t["value"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({"win_epoch": pa.array(win, pa.int64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("win_epoch")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value_c")))
+    return _fixed_point(out, {"sum_value_c": 2})
+
+
+SLIDING_WINDOW_SQL = """
+SELECT win_epoch, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM (
+  SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS win_epoch, value
+  FROM events
+  UNION ALL
+  SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - 1) * 900, value
+  FROM events
+)
+GROUP BY win_epoch
+"""
+
+
+def range_join_orders(sf_dir: str):
+    """Range join (bucketed-band composition): pair each order with the
+    price band it falls into. Bands are a small broadcast side; the
+    'join' is a vectorized searchsorted per batch — the standard scale
+    pattern for interval joins against a small dimension."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    edges = np.array([0.0, 50_000, 100_000, 200_000, 400_000, 1e18])
+    names = ["xs", "s", "m", "l", "xl"]
+    edges_ref = ray.put((edges, names))
+
+    def band(t: pa.Table) -> pa.Table:
+        e, nm = ray.get(edges_ref)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(e, p, side="right") - 1
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "band": pa.array([nm[i] for i in idx], pa.string())})
+
+    return orders.map_batches(band, batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 400000 THEN 'xl'
+            WHEN o_totalprice >= 200000 THEN 'l'
+            WHEN o_totalprice >= 100000 THEN 'm'
+            WHEN o_totalprice >= 50000  THEN 's'
+            ELSE 'xs' END AS band
+FROM orders
+"""
+
+
 # ==================================================== training-data ops
 
 
@@ -727,6 +848,9 @@ QUERIES = {
     "event_type_stats": event_type_stats,
     "hourly_user_windows": hourly_user_windows,
     "top2_orders_per_customer": top2_orders_per_customer,
+    "asof_join_events": asof_join_events,
+    "sliding_window_counts": sliding_window_counts,
+    "range_join_orders": range_join_orders,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,
@@ -761,6 +885,9 @@ ORACLES = {
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
     "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
+    "asof_join_events": ASOF_JOIN_SQL,
+    "sliding_window_counts": SLIDING_WINDOW_SQL,
+    "range_join_orders": RANGE_JOIN_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "token_count_docs": TOKEN_COUNT_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
