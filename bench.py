@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "media_features",
     "render_interleaved",
+    "asof_join_events",
+    "sliding_window_counts",
+    "approx_distinct_users",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Distributed sketches: HyperLogLog approximate distinct counting.
+
+Standard HLL (Flajolet et al. 2007, public paper): p-bit bucket index,
+max leading-zero rank per bucket, harmonic-mean estimate with the usual
+small-range correction. The distributed shape is the interesting part:
+each ``map_batches`` task emits one PARTIAL register row per group
+(register arrays as fixed-size binary), and partials combine with an
+element-wise ``max`` — a commutative, idempotent reduce, so the result
+is independent of batch order and safe under task retries. The combine
+runs as ``groupby(key).map_groups`` over rows of ~2^p bytes, never over
+the raw data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rendler_ray.functions.canon import stable_hash64
+
+
+def hll_partial_batch(batch: pa.Table, *, key_col: str, val_col: str,
+                      p: int = 12) -> pa.Table:
+    """One partial-register row per key in this batch:
+    (key, registers: binary[2^p])."""
+    m = 1 << p
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    h = stable_hash64(batch[val_col].to_numpy(zero_copy_only=False))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    # rank = leading zeros of the remaining bits + 1 (capped at 64-p+1)
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    # leading zeros via bit_length: lz = 64 - bit_length(rest)
+    bl = np.zeros(len(h), dtype=np.int64)
+    r = rest[nz]
+    for shift in (32, 16, 8, 4, 2, 1):  # branchless bit-length, vectorized
+        big = r >= (np.uint64(1) << np.uint64(shift))
+        bl_add = np.where(big, shift, 0)
+        r = np.where(big, r >> np.uint64(shift), r)
+        bl[nz] += bl_add
+    bl[nz] += 1  # bit_length of remaining value
+    rank_nz = (64 - bl[nz] + 1).astype(np.uint8)
+    rank[nz] = rank_nz
+
+    out_keys, out_regs = [], []
+    df = pd.DataFrame({"k": keys, "b": bucket, "r": rank})
+    for k, g in df.groupby("k", sort=False):
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, g["b"].to_numpy(), g["r"].to_numpy())
+        out_keys.append(k)
+        out_regs.append(regs.tobytes())
+    return pa.table({key_col: pa.array(out_keys),
+                     "registers": pa.array(out_regs, pa.binary())})
+
+
+def hll_merge_group(g: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """Element-wise max over the group's partial registers → estimate."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for blob in g["registers"]:
+        np.maximum.at(regs, np.arange(m), np.frombuffer(blob, np.uint8))
+    est = hll_estimate(regs, p)
+    key_col = [c for c in g.columns if c != "registers"][0]
+    return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                         "approx_distinct": [int(round(est))]})
+
+
+def hll_estimate(regs: np.ndarray, p: int) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+    if e <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            e = m * np.log(m / zeros)  # linear counting, small range
+    return float(e)
+
+
+def approx_distinct(ds, key_col: str, val_col: str, p: int = 12):
+    """Dataset pipeline: per-batch partials → groupby(key) max-merge.
+    Error ~1.04/sqrt(2^p) ≈ 1.6% at p=12."""
+    partials = ds.map_batches(
+        hll_partial_batch, fn_kwargs={"key_col": key_col,
+                                      "val_col": val_col, "p": p},
+        batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(
+        lambda g: hll_merge_group(g, p), batch_format="pandas")

@@ -112,3 +112,26 @@ def test_media_explode_and_decode():
 
     with pytest.raises(NotImplementedError):
         MediaDecoder(strict=True)(media)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_approx_distinct_accuracy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.sketch import approx_distinct
+
+    rng = np.random.default_rng(0)
+    n_true = {"a": 5000, "b": 300, "c": 17}
+    rows_k, rows_v = [], []
+    for k, n in n_true.items():
+        vals = rng.choice(n * 3, size=n, replace=False)
+        reps = np.repeat(vals, 3)  # duplicates must not inflate
+        rows_k += [k] * len(reps)
+        rows_v += [f"{k}-{v}" for v in reps]
+    ds = rd.from_arrow(pa.table({"k": rows_k, "v": rows_v}))
+    out = {r["k"]: r["approx_distinct"]
+           for r in approx_distinct(ds, "k", "v").take_all()}
+    for k, n in n_true.items():
+        assert abs(out[k] - n) / n < 0.05, (k, out[k], n)
