@@ -75,23 +75,41 @@ def q1_lineitem_agg(sf_dir: str):
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
-    def revenue(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "rev", pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"])))
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the shuffle then moves <= 6 rows per batch
+        # instead of the whole table (partial aggregation pattern)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "p": t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            "d": t["l_discount"].to_numpy(zero_copy_only=False),
+        })
+        df["rev"] = df["p"] * (1.0 - df["d"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("q", "sum"), sum_base_price=("p", "sum"),
+            sum_revenue=("rev", "sum"), sum_disc=("d", "sum"),
+            count_order=("q", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(revenue, batch_format="pyarrow")
+    out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("rev", alias_name="sum_revenue"),
-                      Mean("l_discount", alias_name="avg_disc"),
-                      Count(alias_name="count_order")))
-    out = _fixed_point(out, {"sum_qty": 2, "sum_base_price": 2,
-                             "sum_revenue": 2, "avg_disc": 6})
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_revenue", alias_name="sum_revenue"),
+                      Sum("sum_disc", alias_name="sum_disc"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_disc"], pc.cast(t["count_order"], pa.float64()))
+        return t.drop_columns(["sum_disc"]).append_column("avg_disc", avg)
+
+    out = _fixed_point(out.map_batches(finish, batch_format="pyarrow"),
+                       {"sum_qty": 2, "sum_base_price": 2,
+                        "sum_revenue": 2, "avg_disc": 6})
     return out.map_batches(lambda t: t.rename_columns(
         ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_price_c",
-         "sum_revenue_c", "avg_disc_e6", "count_order"]),
+         "sum_revenue_c", "count_order", "avg_disc_e6"]),
         batch_format="pyarrow")
 
 
