@@ -6,15 +6,24 @@ Per round:
     frontier(url, canon_url, host, depth, seq)
       → robots filter + per-host budget gate     (politeness; off in
                                                   conformance mode)
-      → map_batches(Fetcher actors)              closed-world web shards
-      → map_batches(Renderer actors)             renders table
+      → map_batches(fetch)                       closed-world web shards
+        [+ map_batches(enrich), fused]           quality/lang/fingerprints
+      → map_batches(render)                      renders table
       → map_batches(extract_edges)               edges table (page order)
-      → candidates = resolved links, depth-gated
-      → groupby(canon_url) → first discoverer    (the ONLY per-round
-                                                  all-to-all shuffle)
-      → map_batches(SeenFilter)                  sharded seen actors
-      → sort(order_key) + dense seq              next frontier
-      → checkpoint round outputs + manifest      (atomic rename)
+      → candidates = resolved links, depth-gated, per-batch combined
+      → offer → sharded SeenShard actors         fused first-discoverer
+                                                 dedup + seen check: each
+                                                 shard keeps the running
+                                                 min(order_key) per unseen
+                                                 URL (commutative ⇒ batch-
+                                                 order/retry independent)
+      → drain winners (Arrow refs)               no groupby all-to-all:
+                                                 the only exchange is the
+                                                 URL-hash routing the seen
+                                                 check already needs
+      → dense seq by driver-side key rank        (≤5M rows; distributed
+                                                 sort fallback above)
+      → checkpoint round outputs + manifest + seen snapshots (atomic)
 
 Determinism: the reference's queue order is "seed, then links in
 discovery order" (FIFO). ``seq`` — assigned densely in (depth, src_seq,
