@@ -342,6 +342,32 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 """
 
 
+def events_json_extract(sf_dir: str):
+    """Scalar-function family: JSON field extraction from the events
+    ``props`` column (vectorized regex — the props are flat one-key
+    objects), with a DuckDB json_extract oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["props"].to_numpy(zero_copy_only=False),
+                      dtype=object)
+        k = pd.to_numeric(s.str.extract(r'"k":\s*(-?\d+)', expand=False),
+                          errors="coerce")
+        return pa.table({
+            "event_id": t["event_id"],
+            "k": pa.array(k.to_numpy(np.float64), pa.float64()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+EVENTS_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+FROM events
+"""
+
+
 def asof_join_events(sf_dir: str):
     """As-of join — a custom operator Ray Data lacks natively: for each
     'click' event, the most recent 'view' of the SAME user at or before
@@ -877,6 +903,7 @@ QUERIES = {
     "event_type_stats": event_type_stats,
     "hourly_user_windows": hourly_user_windows,
     "top2_orders_per_customer": top2_orders_per_customer,
+    "events_json_extract": events_json_extract,
     "asof_join_events": asof_join_events,
     "sliding_window_counts": sliding_window_counts,
     "range_join_orders": range_join_orders,
@@ -915,6 +942,7 @@ ORACLES = {
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
     "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "range_join_orders": RANGE_JOIN_SQL,

@@ -12,11 +12,14 @@ crawl safe under Ray task retries. Two modes:
     the 10^10-key design point is ~20 GB of filter, hence sharding is
     mandatory (≥16 shards × ~1.3 GB; SURVEY.md §4.2).
 
-Routing happens inside the ``SeenFilter`` batch callable: a batch is
-split by stable hash, one ``check_and_add`` RPC per shard, masks merged.
-Because each round's candidate set is deduplicated BEFORE the seen check
-(groupby url → first discoverer), concurrent batches never race on the
-same URL, keeping results deterministic.
+Routing: a batch is split by stable URL hash, one RPC per shard. The
+shards ALSO own per-round first-discoverer dedup (``offer``/``drain``):
+each shard keeps the running min(order_key) per unseen URL — a
+commutative, idempotent reduce, so concurrent batches and Ray task
+retries cannot change the outcome. This replaces a per-round groupby
+all-to-all with the one hash partition the seen check already needs.
+``SeenFilter``/``check_and_add`` remain for direct filter-style use
+(seed marking, resume replay, tests).
 """
 
 from __future__ import annotations
