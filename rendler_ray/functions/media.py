@@ -134,3 +134,31 @@ def media_resize_batch(batch: pa.Table, *, max_side: int = 256) -> pa.Table:
         "thumb_h": pa.array(th, pa.int64()),
         "thumb": pa.array(thumbs, pa.large_binary()),
     })
+
+
+def frame_sample_batch(batch: pa.Table, *, every_n: int = 10,
+                       max_frames: int = 4) -> pa.Table:
+    """Video frame sampling (plumbing-real, decode stubbed): video rows
+    explode into up to ``max_frames`` sampled frames (every ``every_n``-th
+    frame of a deterministic fake frame count); non-video rows pass
+    through with zero frames. Real deployments swap the payload for an
+    ffmpeg-backed actor-pool class; schema/batching stay identical."""
+    vids = batch.filter(pc.equal(batch["kind"], "video"))
+    refs = vids["media_ref"].to_pylist()
+    ids = vids["doc_id"].to_pylist()
+    out_doc, out_ref, out_idx, out_bytes = [], [], [], []
+    for d, r in zip(ids, refs):
+        n_frames = 30 + int(stable_hash64([r])[0] % 900)  # fake duration
+        for j, f in enumerate(range(0, n_frames, every_n)):
+            if j >= max_frames:
+                break
+            out_doc.append(d)
+            out_ref.append(r)
+            out_idx.append(f)
+            out_bytes.append(fake_media_bytes(f"{r}#f{f}"))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.string()),
+        "media_ref": pa.array(out_ref, pa.string()),
+        "frame_idx": pa.array(out_idx, pa.int32()),
+        "frame": pa.array(out_bytes, pa.large_binary()),
+    })

@@ -864,6 +864,30 @@ def media_thumbnails(sf_dir: str):
     return out.map_batches(sizes, batch_format="pyarrow")
 
 
+def media_frame_samples(sf_dir: str):
+    """Video frame-sampling plumbing over a video-bearing variant of the
+    synthetic interleaved corpus: explode media spans → sample frames
+    (deterministic stub payloads, real schema/batching)."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    path = docs_parquet("/tmp/rendler_ray_web/docs_video_1000.parquet",
+                        n_docs=1000, n_hosts=10, seed=42,
+                        mean_images=1.2, p_video=0.4)
+    docs = rd.read_parquet(path)
+    media = docs.map_batches(F_media.explode_media_spans,
+                             batch_format="pyarrow")
+    frames = media.map_batches(F_media.frame_sample_batch,
+                               fn_kwargs={"every_n": 10, "max_frames": 4},
+                               batch_format="pyarrow", batch_size=256)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "media_ref": t["media_ref"],
+                         "frame_idx": t["frame_idx"],
+                         "frame_bytes": pc.binary_length(t["frame"])})
+
+    return frames.map_batches(sizes, batch_format="pyarrow")
+
+
 def render_interleaved(sf_dir: str):
     """Render every doc's span sequence (S3-shape) and report the image
     size — exercises the span-sequence canonical serialization."""
@@ -927,6 +951,7 @@ QUERIES = {
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
+    "media_frame_samples": media_frame_samples,
     "render_interleaved": render_interleaved,
 }
 

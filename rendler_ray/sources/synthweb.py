@@ -63,6 +63,7 @@ def generate_docs(
     p_relative: float = 0.5,
     p_dangle: float = 0.05,
     mean_images: float = 0.8,
+    p_video: float = 0.0,
     words_per_span: int = 3,
     seed: int = 42,
 ) -> pa.Table:
@@ -89,6 +90,10 @@ def generate_docs(
     tgt_page = np.where(dangle, tgt_size + (tgt_frac * 50).astype(np.int64), tgt_page)
 
     n_imgs = np.minimum(rng.poisson(mean_images, n_docs), 3)
+    # separate stream: must not perturb the main rng sequence (default
+    # corpora are byte-pinned by tests/oracles)
+    vrng = np.random.default_rng(seed + 977)
+    is_video = vrng.random(n_docs * 4).reshape(n_docs, 4) < p_video
     n_text_spans = 1 + rng.integers(0, 3, n_docs)
     word_picks = rng.integers(0, len(_WORDS), n_docs * 8 + 8)
 
@@ -124,9 +129,10 @@ def generate_docs(
             spans.append({"kind": "text", "text": body, "media_ref": "", "offset": off})
             off += 1
             if t < int(n_imgs[d]):
+                kind = "video" if is_video[d, t] else "image"
                 spans.append(
                     {
-                        "kind": "image",
+                        "kind": kind,
                         "text": "",
                         "media_ref": f"blob://h{h:03d}/p{int(page_of_doc[d]):05d}/m{t}",
                         "offset": off,
