@@ -535,6 +535,17 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_round(fetched, os.path.join(rdir, "fetch.parquet"))
             _write_round(renders, os.path.join(rdir, "renders.parquet"))
             _write_round(edges, os.path.join(rdir, "edges.parquet"))
+            # swap the in-memory handles for lazy read-backs: at 10^10
+            # scale the crawl must NOT pin every round's blocks in the
+            # object store — checkpointed rounds stream from storage
+            per_round_fetched[-1] = _read_round(
+                os.path.join(rdir, "fetch.parquet"), FETCH_SCHEMA)
+            per_round_renders[-1] = _read_round(
+                os.path.join(rdir, "renders.parquet"), RENDERS_SCHEMA)
+            per_round_edges[-1] = _read_round(
+                os.path.join(rdir, "edges.parquet"), EDGES_SCHEMA)
+            per_round_frontier[-1] = _read_round(
+                os.path.join(rdir, "frontier.parquet"), FRONTIER_SCHEMA)
         # per-round lineage/metrics (north_rule): inputs → outputs with
         # row counts, appended to the manifest each round
         round_lineage.append({
