@@ -163,6 +163,10 @@ def scaling() -> None:
                 [sys.executable, os.path.abspath(__file__), "--crawl-only",
                  "--big"],
                 env=env, capture_output=True, text=True, timeout=3600)
+            if proc.returncode != 0 or not proc.stdout.strip():
+                sys.stderr.write(f"[scaling] leg num_cpus={n} failed "
+                                 f"(rc={proc.returncode}):\n{proc.stderr}\n")
+                raise RuntimeError(f"scaling leg num_cpus={n} failed")
             run = json.loads(proc.stdout.strip().splitlines()[-1])
             if best is None or run["pages_per_s"] > best["pages_per_s"]:
                 best = run

@@ -159,16 +159,31 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
     return bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
 
 
+# per-worker stage caches for the task-pool forms (keyed on parameters,
+# so differing pipelines in one session never share the wrong instance)
+_TOPK_CACHE: dict = {}
+_LSH_CACHE: dict = {}
+
+
 def cosine_topk_batch(batch: pa.Table, *, queries_ref, k: int,
                       id_col: str = "vec_id",
                       col: str = "embedding") -> pa.Table:
-    """Task-pool form of :class:`CosineTopK` — the query matrix ref
-    resolves from local plasma per task (zero-copy, not re-shipped)."""
-    return CosineTopK(queries_ref, k, id_col, col)(batch)
+    """Task-pool form of :class:`CosineTopK` — the normalized query
+    matrix is built once per worker per (queries, k) and reused across
+    batches (the ref itself resolves zero-copy from local plasma)."""
+    key = (queries_ref.hex(), k, id_col, col)
+    stage = _TOPK_CACHE.get(key)
+    if stage is None:
+        stage = _TOPK_CACHE[key] = CosineTopK(queries_ref, k, id_col, col)
+    return stage(batch)
 
 
 def lsh_bucket_batch(batch: pa.Table, *, dim: int, bits: int = 12,
                      seed: int = 5, col: str = "embedding") -> pa.Table:
-    """Task-pool form of :class:`LshBucketer` (deterministic planes —
-    cheap to rebuild per task)."""
-    return LshBucketer(dim, bits, seed, col)(batch)
+    """Task-pool form of :class:`LshBucketer`; the plane matrix is built
+    once per worker per parameter set."""
+    key = (dim, bits, seed, col)
+    stage = _LSH_CACHE.get(key)
+    if stage is None:
+        stage = _LSH_CACHE[key] = LshBucketer(dim, bits, seed, col)
+    return stage(batch)

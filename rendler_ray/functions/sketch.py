@@ -60,7 +60,7 @@ def hll_merge_group(g: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     for blob in g["registers"]:
-        np.maximum.at(regs, np.arange(m), np.frombuffer(blob, np.uint8))
+        regs = np.maximum(regs, np.frombuffer(blob, np.uint8))
     est = hll_estimate(regs, p)
     key_col = [c for c in g.columns if c != "registers"][0]
     return pd.DataFrame({key_col: [g[key_col].iloc[0]],

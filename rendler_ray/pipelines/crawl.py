@@ -72,12 +72,7 @@ from rendler_ray.state.politeness import (
     build_policies,
     robots_filter_batch,
 )
-from rendler_ray.state.seen import (
-    SeenFilter,
-    make_seen_shards,
-    seen_check_and_add,
-    seen_filter_batch,
-)
+from rendler_ray.state.seen import make_seen_shards, seen_check_and_add
 from rendler_ray.util import with_row_seq
 
 # order_key = src_seq * 2^21 + ord: total order of discovery within a
@@ -377,7 +372,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 and manifest.get("num_seen_shards") == cfg.num_seen_shards):
             oks = ray.get([
                 s.load_from.remote(os.path.join(
-                    cfg.out_dir, "seen", f"shard={i}.pkl"))
+                    cfg.out_dir, "seen", f"shard={i}.pkl"),
+                    manifest["round"])
                 for i, s in enumerate(seen_shards)
             ])
             restored = all(oks)
@@ -633,12 +629,20 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             deferred.count() if deferred is not None else 0)
 
         if cfg.out_dir:
+            # next round's frontier lands BEFORE the manifest commit: a
+            # crash in between leaves a stale (overwritten-on-redo)
+            # frontier file, never a manifest pointing at a missing one
+            if next_frontier is not None:
+                ndir = os.path.join(cfg.out_dir, f"round={r + 1}")
+                os.makedirs(ndir, exist_ok=True)
+                _write_round(next_frontier,
+                             os.path.join(ndir, "frontier.parquet"))
             # parallel actor-side seen snapshots: resume restores these in
             # one shot instead of replaying every frontier file (O(shard)
             # I/O, driver never holds seen state)
             ray.get([
                 s.save_to.remote(os.path.join(
-                    cfg.out_dir, "seen", f"shard={i}.pkl"))
+                    cfg.out_dir, "seen", f"shard={i}.pkl"), r)
                 for i, s in enumerate(seen_shards)
             ])
             _write_manifest(cfg.out_dir, {
@@ -650,13 +654,9 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 "config": {"seeds": cfg.seeds, "max_depth": cfg.max_depth,
                            "max_pages": cfg.max_pages,
                            "canonicalize": cfg.canonicalize},
-                "per_round_pages": [d.count() for d in per_round_fetched],
+                "per_round_pages": [x["pages_fetched"]
+                                    for x in round_lineage],
             })
-            if next_frontier is not None:
-                ndir = os.path.join(cfg.out_dir, f"round={r + 1}")
-                os.makedirs(ndir, exist_ok=True)
-                _write_round(next_frontier,
-                             os.path.join(ndir, "frontier.parquet"))
 
         frontier = next_frontier
         r += 1

@@ -34,22 +34,23 @@ from rendler_ray.functions.text import (
     simhash64_batch,
 )
 
-# crawl-time MinHash-LSH signatures (CCNet/RefinedWeb-style fuzzy dedup):
-# one hasher per worker process, built on first use
-_MINHASHER: list = []
-
-
 def minhash_bands_batch(batch: pa.Table, *, num_perm: int = 64,
                         bands: int = 8,
                         text_col: str = "page_text") -> pa.Table:
-    """Append ``minhash_bands`` (list<string> of per-band LSH hashes).
+    """Append ``minhash_bands`` (list<string> of per-band LSH hashes) —
+    crawl-time MinHash signatures (CCNet/RefinedWeb-style fuzzy dedup).
     A downstream ``groupby(band_hash)`` bucketing gives near-dup
-    candidate groups without re-reading page content."""
-    if not _MINHASHER:
-        _MINHASHER.append(MinHasher(num_perm=num_perm, bands=bands))
-    mh = _MINHASHER[0]
+    candidate groups without re-reading page content. Uses text.py's
+    parameter-keyed per-worker hasher cache."""
     import hashlib
 
+    from rendler_ray.functions.text import _MINHASHERS, MinHasher
+
+    key = (num_perm, 3, bands, 7, "doc_id", text_col)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS[key] = MinHasher(num_perm=num_perm, bands=bands,
+                                          text_col=text_col)
     texts = batch[text_col].to_numpy(zero_copy_only=False)
     out = []
     for t in texts:

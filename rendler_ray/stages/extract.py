@@ -102,14 +102,22 @@ def extract_edges(batch: pa.Table) -> pa.Table:
     hosts = batch["host"].to_numpy(zero_copy_only=False)
 
     # fast path: no generic href="..." form present (those can contain
-    # spaces) ⇒ every link is a whitespace token ⇒ pure Arrow/RE2
+    # spaces), AND — verified, not assumed — the whole-token matches
+    # account for EVERY substring match (an RE2 count over the same
+    # pattern): links embedded inside larger tokens force the general
+    # path, so the two paths can never silently diverge.
     has_href = bool(pc.any(
         pc.match_substring(ttexts, 'href="')).as_py() or False)
     if not has_href:
+        n_sub = pc.sum(
+            pc.count_substring_regex(ttexts, LINK_RE.pattern)).as_py() or 0
         resolved_arr, rows = _extract_token_fast(ttexts, t_par, hosts)
-        if resolved_arr is None:
-            return _EMPTY_EDGES
-        return _assemble_edges(batch, resolved_arr, rows)
+        n_tok = 0 if resolved_arr is None else len(rows)
+        if n_tok == n_sub:
+            if resolved_arr is None:
+                return _EMPTY_EDGES
+            return _assemble_edges(batch, resolved_arr, rows)
+        # embedded/adjacent link forms present: general regex path below
 
     texts = ttexts.to_numpy(zero_copy_only=False)
     found = pd.Series(texts, dtype=object).str.findall(LINK_RE)

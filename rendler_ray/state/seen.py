@@ -147,26 +147,34 @@ class SeenShard:
         else:
             self._filter.restore(snap)
 
-    def save_to(self, path: str) -> int:
+    def save_to(self, path: str, round_no: int = -1) -> int:
         """Actor-side snapshot write (atomic rename) — the N shards
-        persist in parallel, the driver never holds seen-set state."""
+        persist in parallel, the driver never holds seen-set state.
+        The round number is stamped INSIDE the file: a crash between
+        snapshot saves and the manifest write must not let resume restore
+        state from a round ahead of the manifest."""
         import pickle
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(self.snapshot(), f, protocol=5)
+            pickle.dump({"round": round_no, "snap": self.snapshot()}, f,
+                        protocol=5)
         os.replace(tmp, path)
         return self.count()
 
-    def load_from(self, path: str) -> bool:
-        """Actor-side snapshot restore; False if no snapshot exists."""
+    def load_from(self, path: str, expected_round: int = -1) -> bool:
+        """Actor-side snapshot restore; False if missing or stamped with
+        a different round than the manifest committed."""
         import pickle
 
         if not os.path.exists(path):
             return False
         with open(path, "rb") as f:
-            self.restore(pickle.load(f))
+            payload = pickle.load(f)
+        if payload.get("round") != expected_round:
+            return False
+        self.restore(payload["snap"])
         return True
 
 
@@ -199,29 +207,6 @@ def seen_check_and_add(shards: list, urls: list[str]) -> np.ndarray:
     for sel, f in futs:
         mask[sel] = ray.get(f)
     return mask
-
-
-def seen_prefilter_batch(batch: pa.Table, *, shards: list,
-                         url_column: str = "url") -> pa.Table:
-    """READ-ONLY seen-set pre-filter (``contains``, no mutation): drops
-    rows whose URL was seen in a PRIOR round before the first-discoverer
-    shuffle, shrinking the all-to-all to genuinely-new URLs. Safe for
-    determinism precisely because it never writes: previously-seen URLs
-    can never win a frontier slot anyway, and same-round duplicates are
-    untouched (still resolved by the Min aggregate + check_and_add)."""
-    n = batch.num_rows
-    if n == 0:
-        return batch
-    urls = batch[url_column].to_numpy(zero_copy_only=False)
-    sh = url_hash_shard(urls, len(shards))
-    mask = np.zeros(n, dtype=bool)
-    futs = []
-    for k in np.unique(sh):
-        sel = np.flatnonzero(sh == k)
-        futs.append((sel, shards[int(k)].contains.remote(urls[sel].tolist())))
-    for sel, f in futs:
-        mask[sel] = ray.get(f)
-    return batch.filter(pa.array(~mask))
 
 
 def offer_batch(batch: pa.Table, *, shards: list, key_column: str,

@@ -104,8 +104,8 @@ def test_cuckoo_mode_conformance(small_docs):
 
 @pytest.mark.usefixtures("ray_session")
 def test_actor_stage_mode_conformance(small_docs):
-    """stage_mode='actors' (Fetcher/Renderer/SeenFilter actor pools over
-    WebShard actors) — same semantics as the task-mode default."""
+    """stage_mode='actors' (Fetcher/Renderer actor pools over WebShard
+    actors) — same semantics as the task-mode default."""
     res = _run(small_docs, stage_mode="actors", max_depth=2)
     sim = simulate(pq.read_table(small_docs), default_seeds(1), max_depth=2)
     _assert_conformance(res, sim)
