@@ -112,3 +112,67 @@ def test_resume_fallback_without_seen_snapshots(small_docs, tmp_path):
     key = lambda t: sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
     assert key(f1) == key(f2)
     assert resumed.seen_count == full.seen_count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_rejects_ahead_seen_snapshots(small_docs, tmp_path):
+    """Crash window: seen snapshots written for round r+1 but manifest
+    committed at round r — resume must reject the ahead-stamped
+    snapshots (round stamp mismatch) and fall back to frontier replay,
+    yielding the same result as the uninterrupted run."""
+    import pickle
+
+    part_dir = str(tmp_path / "ahead")
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=3,
+                num_seen_shards=2, num_web_shards=2)
+    crawl(CrawlConfig(**base, out_dir=part_dir, max_rounds=2))
+    # simulate the crash: re-stamp the snapshots one round ahead
+    for i in range(2):
+        p = os.path.join(part_dir, "seen", f"shard={i}.pkl")
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        payload["round"] += 1
+        with open(p, "wb") as f:
+            pickle.dump(payload, f)
+
+    resumed = crawl(CrawlConfig(**base, out_dir=part_dir), resume=True)
+    full = crawl(CrawlConfig(**base))
+
+    def key(res):
+        t = table_from_ds(res.fetched)  # materialize ONCE: zip must pair
+        return sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
+
+    assert key(resumed) == key(full)
+    assert resumed.seen_count == full.seen_count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stale_orphan_frontier_is_overwritten(small_docs, tmp_path):
+    """Crash window: round r+1 frontier written but manifest still at
+    round r-1 — the orphan file must be ignored/overwritten on redo, not
+    resumed into."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    part_dir = str(tmp_path / "orphan")
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=3,
+                num_seen_shards=2, num_web_shards=2)
+    crawl(CrawlConfig(**base, out_dir=part_dir, max_rounds=2))
+    # fabricate a bogus orphan frontier two rounds ahead
+    bogus_dir = os.path.join(part_dir, "round=3", "frontier.parquet")
+    os.makedirs(bogus_dir, exist_ok=True)
+    pqt.write_table(
+        pa.table({"url": ["s://h000/p00001"],
+                  "canon_url": ["s://h000/p00001"], "host": ["h000"],
+                  "depth": pa.array([9], pa.int32()),
+                  "seq": pa.array([999], pa.int64())}),
+        os.path.join(bogus_dir, "bogus.parquet"))
+
+    resumed = crawl(CrawlConfig(**base, out_dir=part_dir), resume=True)
+    full = crawl(CrawlConfig(**base))
+
+    def key(res):
+        t = table_from_ds(res.fetched)
+        return sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
+
+    assert key(resumed) == key(full)
