@@ -187,3 +187,97 @@ def lsh_bucket_batch(batch: pa.Table, *, dim: int, bits: int = 12,
     if stage is None:
         stage = _LSH_CACHE[key] = LshBucketer(dim, bits, seed, col)
     return stage(batch)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def _kmeans_centroids(sample: np.ndarray, n_lists: int, seed: int = 11,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a sample (driver-side, numpy):
+    hash-seeded init, cosine assignment, mean + renormalize update."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)),
+                     replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssign:
+    """map_batches stage: append the IVF list id (argmax-cosine
+    centroid). Centroids resolve from plasma once per worker."""
+
+    def __init__(self, cent_ref):
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int32()))
+        m = _normalize(batch_to_matrix(batch))
+        lists = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+_IVF_CACHE: dict = {}
+
+
+def ivf_assign_batch(batch: pa.Table, *, cent_ref) -> pa.Table:
+    key = cent_ref.hex()
+    stage = _IVF_CACHE.get(key)
+    if stage is None:
+        stage = _IVF_CACHE[key] = IvfAssign(cent_ref)
+    return stage(batch)
+
+
+def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
+             n_probe: int = 4, sample_rows: int = 4096, seed: int = 11):
+    """IVF ANN: train centroids on a deterministic sample (driver-side
+    k-means — the centroid table is tiny), broadcast them, assign every
+    vector to its list in one map pass, then brute-force ONLY the lists
+    each query probes (n_probe nearest centroids). The filter runs as a
+    per-batch mask, so non-probed vectors never reach the matmul —
+    at scale this is the partition-pruned read."""
+    # deterministic sample: first sample_rows in vec_id order
+    head = pa.concat_tables(
+        ds.sort("vec_id").limit(sample_rows).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    cent = _kmeans_centroids(
+        np.stack([np.asarray(v, np.float64)
+                  for v in head["embedding"].to_pylist()]),
+        n_lists, seed=seed)
+    cent_ref = ray.put(cent)
+
+    qids = np.array(sorted(queries))
+    qmat = _normalize(np.stack([np.asarray(queries[i], np.float64)
+                                for i in qids]))
+    # lists each query probes
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    probed_lists = set(np.unique(probe).tolist())
+    probed_ref = ray.put(probed_lists)
+
+    assigned = ds.map_batches(ivf_assign_batch,
+                              fn_kwargs={"cent_ref": cent_ref},
+                              batch_format="pyarrow", num_cpus=1)
+
+    def only_probed(t: pa.Table) -> pa.Table:
+        pl = ray.get(probed_ref)
+        import pyarrow.compute as pc
+
+        mask = pa.array([int(x) in pl for x in t["ivf_list"].to_pylist()])
+        return t.filter(mask)
+
+    pruned = assigned.map_batches(only_probed, batch_format="pyarrow")
+    qref = ray.put(queries)
+    cands = pruned.map_batches(
+        cosine_topk_batch, fn_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow", num_cpus=1)
+    return cands.groupby("query_id").map_groups(
+        topk_reduce(k), batch_format="pandas")

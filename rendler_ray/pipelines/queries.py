@@ -500,6 +500,102 @@ def approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, key_col="event_type", val_col="user_id")
 
 
+def sample_docs_deterministic(sf_dir: str):
+    """Deterministic ~10% Bernoulli sample by content-independent hash
+    (md5 of the key + salt): reproducible across runs AND expressible in
+    SQL — the scale-safe way to sample (no global shuffle, no RNG
+    state). Keeps rows whose first 2 hex digits of md5(doc_id||'-s1')
+    are < '1a' (26/256 ≈ 10.2%)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        mask = pa.array([
+            hashlib.md5(f"{i}-s1".encode()).hexdigest()[:2] < "1a"
+            for i in ids])
+        return t.select(["doc_id"]).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SAMPLE_DOCS_SQL = """
+SELECT doc_id FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-s1'), 1, 2) < '1a'
+"""
+
+
+def sessionize_events(sf_dir: str):
+    """Sessionization — split each user's event stream into sessions at
+    >30-min gaps; emits per-session aggregates. groupby(user) co-locates
+    the stream; the per-group computation is vectorized diff/cumsum."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new_sess = np.ones(len(g), dtype=np.int64)
+        new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                           "session_id": sess,
+                           "v": g["value"].to_numpy(np.float64),
+                           "t": ts})
+        out = df.groupby("session_id", sort=True).agg(
+            user_id=("user_id", "first"), n_events=("v", "size"),
+            start_epoch=("t", "min"), sum_value=("v", "sum")).reset_index()
+        out["start_epoch"] = out["start_epoch"] // 1_000_000
+        return out[["user_id", "session_id", "n_events", "start_epoch",
+                    "sum_value"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _fixed_point(out, {"sum_value": 2}).map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "session_id", "n_events", "start_epoch",
+             "sum_value_c"]), batch_format="pyarrow")
+
+
+SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-style partitioned ANN (the scale path beyond brute force):
+    deterministic k-means centroids from a hash-sampled subset →
+    broadcast → partition assignment per batch → probe the top-P
+    partitions per query. Approximate: rows-only here; recall vs brute
+    force is asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qtbl["vec_id"].to_pylist(),
+                               qtbl["embedding"].to_pylist())}
+    return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=4)
+
+
 # ==================================================== training-data ops
 
 
@@ -932,6 +1028,9 @@ QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "range_join_orders": range_join_orders,
     "approx_distinct_users": approx_distinct_users,
+    "sample_docs_deterministic": sample_docs_deterministic,
+    "sessionize_events": sessionize_events,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,
@@ -968,6 +1067,8 @@ ORACLES = {
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
     "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
+    "sample_docs_deterministic": SAMPLE_DOCS_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "range_join_orders": RANGE_JOIN_SQL,

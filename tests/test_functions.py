@@ -135,3 +135,30 @@ def test_hll_approx_distinct_accuracy():
            for r in approx_distinct(ds, "k", "v").take_all()}
     for k, n in n_true.items():
         assert abs(out[k] - n) / n < 0.05, (k, out[k], n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_brute_force():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 32
+    vecs = rng.standard_normal((n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    queries = {i: vecs[i] for i in range(5)}
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6).to_pandas()
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
