@@ -281,3 +281,73 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
         batch_format="pyarrow", num_cpus=1)
     return cands.groupby("query_id").map_groups(
         topk_reduce(k), batch_format="pandas")
+
+
+def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 11,
+               col: str = "embedding", sample_rows: int = 2048):
+    """Distributed k-means (iterative multi-pass Dataset algorithm):
+    per iteration, broadcast the centroids, one ``map_batches`` pass
+    emits per-batch partial (sum, count) rows per cluster, and the
+    driver reduces the tiny partials into new centroids. Data never
+    leaves the cluster; the driver only ever sees n_clusters × dim
+    floats per iteration. Deterministic (hash-sampled spherical init).
+    """
+    head = pa.concat_tables(
+        ds.sort("vec_id").limit(sample_rows).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    cent = _kmeans_centroids(
+        np.stack([np.asarray(v, np.float64)
+                  for v in head[col].to_pylist()]),
+        n_clusters, seed=seed, iters=1)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(t: pa.Table, ref=cent_ref) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(batch_to_matrix(t, col))
+            assign = np.argmax(m @ c.T, axis=1)
+            rows = []
+            for k in np.unique(assign):
+                sel = m[assign == k]
+                rows.append((int(k), sel.sum(axis=0), len(sel)))
+            return pa.table({
+                "cluster": pa.array([r[0] for r in rows], pa.int32()),
+                "vec_sum": pa.array([r[1].tolist() for r in rows],
+                                    pa.list_(pa.float64())),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            })
+
+        agg = pa.concat_tables(
+            ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"))
+        new_cent = cent.copy()
+        for k in range(len(cent)):
+            mask = np.array(agg["cluster"].to_pylist()) == k
+            if mask.any():
+                sums = np.stack([np.asarray(v) for v, m_ in
+                                 zip(agg["vec_sum"].to_pylist(), mask)
+                                 if m_]).sum(axis=0)
+                new_cent[k] = sums
+        cent = _normalize(new_cent)
+    return cent
+
+
+def kmeans_cluster_sizes(ds, n_clusters: int = 8, iters: int = 10,
+                         seed: int = 11, col: str = "embedding"):
+    """Fit + final assignment pass → (cluster, n_members). Deterministic
+    given the seed, so the driver's rows-only check is stable."""
+    from ray.data.aggregate import Count
+
+    cent = kmeans_fit(ds, n_clusters=n_clusters, iters=iters, seed=seed,
+                      col=col)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(batch_to_matrix(t, col))
+        return pa.table({"cluster": pa.array(
+            np.argmax(m @ c.T, axis=1).astype(np.int32))})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster").aggregate(Count(alias_name="n_members")))

@@ -596,6 +596,15 @@ def ann_ivf_topk(sf_dir: str):
     return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=4)
 
 
+def kmeans_embedding_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings table (iterative
+    broadcast-centroids / partial-sums algorithm — the canonical
+    multi-pass Dataset loop). Deterministic init ⇒ stable cluster
+    sizes; rows-only check (iterative, not SQL-expressible)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return F_ann.kmeans_cluster_sizes(ds, n_clusters=8, iters=6)
+
+
 # ==================================================== training-data ops
 
 
@@ -1031,6 +1040,7 @@ QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,

@@ -162,3 +162,27 @@ def test_ivf_topk_recall_vs_brute_force():
         a = set(approx[approx.query_id == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_deterministic_and_total():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import kmeans_cluster_sizes
+
+    rng = np.random.default_rng(9)
+    n, d = 600, 16
+    vecs = rng.standard_normal((n, d))
+    mk = lambda: rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    a = {r["cluster"]: r["n_members"]
+         for r in kmeans_cluster_sizes(mk(), n_clusters=4, iters=5).take_all()}
+    b = {r["cluster"]: r["n_members"]
+         for r in kmeans_cluster_sizes(mk(), n_clusters=4, iters=5).take_all()}
+    assert a == b
+    assert sum(a.values()) == n
+    assert len(a) >= 2
