@@ -123,6 +123,11 @@ class CrawlConfig:
     # per-page enrichment (quality scores, lang-id, simhash) fused into
     # the fetch pass — the training-data half of the pipeline
     enrich: bool = False
+    # fetch each newly-seen host's /robots.txt from the (closed-world)
+    # web itself and fold it into the politeness policies. At 10^8+
+    # hosts the driver-side host ledger becomes a sharded actor service;
+    # the sandbox uses the dict path.
+    auto_robots: bool = False
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -354,7 +359,9 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     policies = build_policies(cfg.robots, cfg.politeness_window_ms,
                               cfg.host_budget_per_round)
     policies_ref = ray.put(policies)
-    politeness_on = bool(policies) or cfg.host_budget_per_round is not None
+    politeness_on = (bool(policies) or cfg.host_budget_per_round is not None
+                     or cfg.auto_robots)
+    robots_known: set[str] = set(policies)
 
     manifest = _read_manifest(cfg.out_dir) if (resume and cfg.out_dir) else None
     if manifest:
@@ -446,6 +453,36 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 ).materialize()
 
         admitted, deferred = frontier, None
+        if cfg.auto_robots:
+            with _T(f"r{r} robots"):
+                hosts_round: set[str] = set()
+                for b in frontier.select_columns(["host"]).iter_batches(
+                        batch_size=65536, batch_format="pyarrow"):
+                    hosts_round.update(b["host"].to_pylist())
+                new_hosts = sorted(hosts_round - robots_known)
+                if new_hosts:
+                    robots_known.update(new_hosts)
+                    rb = _frontier_from_urls(
+                        [f"s://{h}/robots.txt" for h in new_hosts],
+                        [0] * len(new_hosts), list(range(len(new_hosts))),
+                        canon=False)
+                    fetched_rb = (Fetcher(web_shards)(rb)
+                                  if cfg.stage_mode == "actors"
+                                  else fetch_batch(rb, shards=web_shards))
+                    from rendler_ray.state.politeness import parse_robots
+                    for host, status, spans in zip(
+                            fetched_rb["host"].to_pylist(),
+                            fetched_rb["status"].to_pylist(),
+                            fetched_rb["spans"].to_pylist()):
+                        if status != 200:
+                            continue  # no robots.txt ⇒ allow-all
+                        body = "\n".join(sp["text"] for sp in spans
+                                          if sp["kind"] == "text")
+                        pol = parse_robots(body, cfg.politeness_window_ms)
+                        if pol.budget_per_round is None:
+                            pol.budget_per_round = cfg.host_budget_per_round
+                        policies[host] = pol
+                    policies_ref = ray.put(policies)
         if politeness_on:
             if cfg.stage_mode == "actors":
                 admitted = admitted.map_batches(

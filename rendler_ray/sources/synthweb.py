@@ -64,6 +64,7 @@ def generate_docs(
     p_dangle: float = 0.05,
     mean_images: float = 0.8,
     p_video: float = 0.0,
+    p_host_robots: float = 0.0,
     words_per_span: int = 3,
     seed: int = 42,
 ) -> pa.Table:
@@ -140,6 +141,21 @@ def generate_docs(
                 )
                 off += 1
         spans_col.append(spans)
+
+    if p_host_robots > 0:
+        # robots.txt pages per host (separate rng stream: default corpora
+        # stay byte-identical). Each blocks the host's "/p00000" prefix
+        # and sets a crawl delay — enough to exercise both politeness
+        # dimensions end-to-end.
+        rrng = np.random.default_rng(seed + 4099)
+        for h in range(n_hosts):
+            if rrng.random() < p_host_robots:
+                body = ("User-agent: *\n"
+                        "Disallow: /p00001\n"
+                        "Crawl-delay: 2\n")
+                doc_ids.append(f"s://{host_name(h)}/robots.txt")
+                spans_col.append([{"kind": "text", "text": body,
+                                   "media_ref": "", "offset": 0}])
 
     return pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA
