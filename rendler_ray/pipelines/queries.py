@@ -943,6 +943,22 @@ def doc_fingerprint_winnow(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def crawl_auto_robots(sf_dir: str):
+    """Crawl with robots.txt auto-fetched from the web itself (per new
+    host) + crawl-delay budgets — the full politeness flow end-to-end.
+    Deterministic; rows-only."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds, docs_parquet
+
+    path = docs_parquet("/tmp/rendler_ray_web/docs_robots_1000.parquet",
+                        n_docs=1000, n_hosts=10, seed=42,
+                        p_host_robots=0.7)
+    res = crawl(CrawlConfig(docs_path=path, seeds=default_seeds(1),
+                            max_depth=4, auto_robots=True))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                      "status"])
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: explode media spans from the interleaved docs
     → actor-pool decode (deterministic stub) → typed features."""
@@ -1057,6 +1073,7 @@ QUERIES = {
     "crawl_edges": crawl_edges,
     "crawl_enriched": crawl_enriched,
     "crawl_polite": crawl_polite,
+    "crawl_auto_robots": crawl_auto_robots,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
