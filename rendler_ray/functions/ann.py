@@ -245,10 +245,7 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
     each query probes (n_probe nearest centroids). The filter runs as a
     per-batch mask, so non-probed vectors never reach the matmul —
     at scale this is the partition-pruned read."""
-    # deterministic sample: first sample_rows in vec_id order
-    head = pa.concat_tables(
-        ds.sort("vec_id").limit(sample_rows).iter_batches(
-            batch_size=None, batch_format="pyarrow"))
+    head = _deterministic_sample(ds, "vec_id", sample_rows)
     cent = _kmeans_centroids(
         np.stack([np.asarray(v, np.float64)
                   for v in head["embedding"].to_pylist()]),
@@ -258,29 +255,88 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
     qids = np.array(sorted(queries))
     qmat = _normalize(np.stack([np.asarray(queries[i], np.float64)
                                 for i in qids]))
-    # lists each query probes
+    # lists each query probes — pruning is PER QUERY (union only for the
+    # coarse row filter; each query scores only its own probed lists)
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
-    probed_lists = set(np.unique(probe).tolist())
-    probed_ref = ray.put(probed_lists)
+    probe_sets = {int(q): set(int(x) for x in probe[i])
+                  for i, q in enumerate(qids)}
+    union_lists = sorted(set(np.unique(probe).tolist()))
+    union_ref = ray.put(union_lists)
+    probe_ref = ray.put(probe_sets)
+    qref = ray.put(queries)
 
     assigned = ds.map_batches(ivf_assign_batch,
                               fn_kwargs={"cent_ref": cent_ref},
                               batch_format="pyarrow", num_cpus=1)
 
     def only_probed(t: pa.Table) -> pa.Table:
-        pl = ray.get(probed_ref)
         import pyarrow.compute as pc
 
-        mask = pa.array([int(x) in pl for x in t["ivf_list"].to_pylist()])
-        return t.filter(mask)
+        ul = ray.get(union_ref)
+        return t.filter(pc.is_in(
+            t["ivf_list"], value_set=pa.array(ul, pa.int32())))
 
-    pruned = assigned.map_batches(only_probed, batch_format="pyarrow")
-    qref = ray.put(queries)
-    cands = pruned.map_batches(
-        cosine_topk_batch, fn_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow", num_cpus=1)
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        q = ray.get(qref)
+        ps = ray.get(probe_ref)
+        qi = np.array(sorted(q))
+        qm = _normalize(np.stack([np.asarray(q[i], np.float64)
+                                  for i in qi]))
+        m = _normalize(batch_to_matrix(t))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        lists = t["ivf_list"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for row_q, qid in enumerate(qi):
+            allowed = np.isin(lists, list(ps[int(qid)]))
+            if not allowed.any():
+                continue
+            sub = m[allowed]
+            scores = qm[row_q] @ sub.T
+            kk = min(k, len(scores))
+            sel = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(ids[allowed][sel].tolist())
+            out_s.extend(scores[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    cands = assigned.map_batches(
+        only_probed, batch_format="pyarrow").map_batches(
+        score, batch_format="pyarrow", num_cpus=1)
     return cands.groupby("query_id").map_groups(
         topk_reduce(k), batch_format="pandas")
+
+
+def _deterministic_sample(ds, id_col: str, sample_rows: int) -> pa.Table:
+    """One-pass deterministic sample by stable hash threshold on the id —
+    no global sort/shuffle (scale path for training samples)."""
+    n = ds.count()  # parquet metadata, no data read
+    if n <= sample_rows:
+        return pa.concat_tables(ds.iter_batches(batch_size=None,
+                                                batch_format="pyarrow"))
+    # threshold with ~1.3x margin, then trim deterministically by hash
+    thr = np.uint64(int((1.3 * sample_rows / n) * 2**64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        from rendler_ray.functions.canon import stable_hash64
+
+        h = stable_hash64(np.array([str(x) for x in
+                                    t[id_col].to_pylist()], dtype=object))
+        return t.append_column("_h", pa.array(h.astype(np.uint64))).filter(
+            pa.array(h < thr))
+
+    samp = pa.concat_tables(
+        ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    order = np.argsort(samp["_h"].to_numpy(zero_copy_only=False),
+                       kind="stable")[:sample_rows]
+    return samp.take(pa.array(np.sort(order))).drop_columns(["_h"])
 
 
 def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 11,
@@ -288,13 +344,13 @@ def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 11,
     """Distributed k-means (iterative multi-pass Dataset algorithm):
     per iteration, broadcast the centroids, one ``map_batches`` pass
     emits per-batch partial (sum, count) rows per cluster, and the
-    driver reduces the tiny partials into new centroids. Data never
-    leaves the cluster; the driver only ever sees n_clusters × dim
-    floats per iteration. Deterministic (hash-sampled spherical init).
+    driver mean-reduces the tiny partials into new centroids. Data
+    never leaves the cluster; the driver only ever sees
+    n_clusters × dim floats per iteration. Deterministic
+    (hash-sampled init, one-pass sample — no sort shuffle).
     """
-    head = pa.concat_tables(
-        ds.sort("vec_id").limit(sample_rows).iter_batches(
-            batch_size=None, batch_format="pyarrow"))
+    ds = ds.materialize()  # iterations re-scan: read the input ONCE
+    head = _deterministic_sample(ds, "vec_id", sample_rows)
     cent = _kmeans_centroids(
         np.stack([np.asarray(v, np.float64)
                   for v in head[col].to_pylist()]),
@@ -304,6 +360,12 @@ def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 11,
         cent_ref = ray.put(cent)
 
         def partials(t: pa.Table, ref=cent_ref) -> pa.Table:
+            empty = pa.table({
+                "cluster": pa.array([], pa.int32()),
+                "vec_sum": pa.array([], pa.list_(pa.float64())),
+                "n": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
             c = ray.get(ref)
             m = _normalize(batch_to_matrix(t, col))
             assign = np.argmax(m @ c.T, axis=1)
@@ -321,14 +383,16 @@ def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 11,
         agg = pa.concat_tables(
             ds.map_batches(partials, batch_format="pyarrow").iter_batches(
                 batch_size=None, batch_format="pyarrow"))
+        clusters = np.array(agg["cluster"].to_pylist())
+        sums = [np.asarray(v) for v in agg["vec_sum"].to_pylist()]
+        counts = np.array(agg["n"].to_pylist(), dtype=np.int64)
         new_cent = cent.copy()
         for k in range(len(cent)):
-            mask = np.array(agg["cluster"].to_pylist()) == k
+            mask = clusters == k
             if mask.any():
-                sums = np.stack([np.asarray(v) for v, m_ in
-                                 zip(agg["vec_sum"].to_pylist(), mask)
-                                 if m_]).sum(axis=0)
-                new_cent[k] = sums
+                total = np.stack([s for s, m_ in zip(sums, mask)
+                                  if m_]).sum(axis=0)
+                new_cent[k] = total / counts[mask].sum()  # true mean
         cent = _normalize(new_cent)
     return cent
 
@@ -344,6 +408,8 @@ def kmeans_cluster_sizes(ds, n_clusters: int = 8, iters: int = 10,
     cent_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int32())})
         c = ray.get(cent_ref)
         m = _normalize(batch_to_matrix(t, col))
         return pa.table({"cluster": pa.array(

@@ -508,14 +508,14 @@ def sample_docs_deterministic(sf_dir: str):
     are < '1a' (26/256 ≈ 10.2%)."""
     import hashlib
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         mask = pa.array([
             hashlib.md5(f"{i}-s1".encode()).hexdigest()[:2] < "1a"
             for i in ids])
-        return t.select(["doc_id"]).filter(mask)
+        return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -593,7 +593,7 @@ def ann_ivf_topk(sf_dir: str):
     queries = {int(i): np.asarray(v, dtype=np.float64)
                for i, v in zip(qtbl["vec_id"].to_pylist(),
                                qtbl["embedding"].to_pylist())}
-    return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=4)
+    return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
 
 
 def kmeans_embedding_clusters(sf_dir: str):
@@ -950,8 +950,10 @@ def crawl_auto_robots(sf_dir: str):
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.sources.synthweb import default_seeds, docs_parquet
 
-    path = docs_parquet("/tmp/rendler_ray_web/docs_robots_1000.parquet",
-                        n_docs=1000, n_hosts=10, seed=42,
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = {"0.001": 200, "0.01": 2000, "0.1": 20000}.get(sf, 2000)
+    path = docs_parquet(f"/tmp/rendler_ray_web/docs_robots_{n}.parquet",
+                        n_docs=n, n_hosts=max(8, n // 100), seed=42,
                         p_host_robots=0.7)
     res = crawl(CrawlConfig(docs_path=path, seeds=default_seeds(1),
                             max_depth=4, auto_robots=True))

@@ -144,9 +144,9 @@ def generate_docs(
 
     if p_host_robots > 0:
         # robots.txt pages per host (separate rng stream: default corpora
-        # stay byte-identical). Each blocks the host's "/p00000" prefix
-        # and sets a crawl delay — enough to exercise both politeness
-        # dimensions end-to-end.
+        # stay byte-identical). Each blocks the host's "/p00001" prefix
+        # (NOT p00000 — that would robots-block the default seed) and
+        # sets a crawl delay, exercising both politeness dimensions.
         rrng = np.random.default_rng(seed + 4099)
         for h in range(n_hosts):
             if rrng.random() < p_host_robots:

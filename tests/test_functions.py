@@ -155,7 +155,9 @@ def test_ivf_topk_recall_vs_brute_force():
     }))
     queries = {i: vecs[i] for i in range(5)}
     exact = brute_force_topk(ds, queries, k=10).to_pandas()
-    approx = ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6).to_pandas()
+    # unstructured gaussian data is IVF's worst case: probe half the
+    # lists (real pruning — each query scores only its own probed lists)
+    approx = ivf_topk(ds, queries, k=10, n_lists=16, n_probe=8).to_pandas()
     recalls = []
     for q in queries:
         e = set(exact[exact.query_id == q]["vec_id"])
