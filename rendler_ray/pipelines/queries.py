@@ -961,6 +961,22 @@ def crawl_auto_robots(sf_dir: str):
                                       "status"])
 
 
+def pagerank_crawl_graph(sf_dir: str):
+    """PageRank over the crawl's edge table (power iteration:
+    broadcast ranks → per-batch partial contributions → groupby(dst)
+    sum). Deterministic; ranks emitted fixed-point (1e-9) for stability.
+    Rows-only (iterative)."""
+    from rendler_ray.functions.graph import pagerank
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    df = pagerank(res.edges, iters=10)
+    df["rank_e9"] = (df["rank"] * 1e9).round().astype(np.int64)
+    return df[["url", "rank_e9"]]
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: explode media spans from the interleaved docs
     → actor-pool decode (deterministic stub) → typed features."""
@@ -1059,6 +1075,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "pagerank_crawl_graph": pagerank_crawl_graph,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,

@@ -188,3 +188,23 @@ def test_kmeans_deterministic_and_total():
     assert a == b
     assert sum(a.values()) == n
     assert len(a) >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_sums_to_one_and_deterministic():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import pagerank
+
+    # a -> b, a -> c, b -> c, c -> a (+ dangling d pointed to by c)
+    edges = pa.table({"src": ["a", "a", "b", "c", "c", "a"],
+                      "dst": ["b", "c", "c", "a", "d", "b"]})  # dup a->b
+    df1 = pagerank(rd.from_arrow(edges), iters=20)
+    df2 = pagerank(rd.from_arrow(edges), iters=20)
+    assert np.isclose(df1["rank"].sum(), 1.0, atol=1e-9)
+    assert df1.equals(df2)
+    r = dict(zip(df1["url"], df1["rank"]))
+    # c receives from both a and b: highest-ranked non-seed
+    assert r["c"] > r["b"] and r["c"] > r["d"]
