@@ -510,7 +510,13 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     batch_size=cfg.batch_size,
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=0.5,
-                ).materialize()
+                )
+                if cfg.enrich:
+                    fetched = fetched.map_batches(
+                        enrich_batch, batch_format="pyarrow",
+                        batch_size=cfg.batch_size, num_cpus=1,
+                    )
+                fetched = fetched.materialize()
             else:
                 # larger batches than the block size: fewer tasks amortize
                 # the per-task shard-gather cost; num_cpus=1 avoids
