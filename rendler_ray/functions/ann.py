@@ -160,7 +160,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
 
 
 # per-worker stage caches for the task-pool forms (keyed on parameters,
-# so differing pipelines in one session never share the wrong instance)
+# so differing pipelines in one session never share the wrong instance;
+# LRU-bounded — refs from finished queries never recur)
 _TOPK_CACHE: dict = {}
 _LSH_CACHE: dict = {}
 
@@ -171,10 +172,11 @@ def cosine_topk_batch(batch: pa.Table, *, queries_ref, k: int,
     """Task-pool form of :class:`CosineTopK` — the normalized query
     matrix is built once per worker per (queries, k) and reused across
     batches (the ref itself resolves zero-copy from local plasma)."""
+    from rendler_ray.util import lru_get
+
     key = (queries_ref.hex(), k, id_col, col)
-    stage = _TOPK_CACHE.get(key)
-    if stage is None:
-        stage = _TOPK_CACHE[key] = CosineTopK(queries_ref, k, id_col, col)
+    stage = lru_get(_TOPK_CACHE, key,
+                    lambda: CosineTopK(queries_ref, k, id_col, col))
     return stage(batch)
 
 
@@ -182,10 +184,11 @@ def lsh_bucket_batch(batch: pa.Table, *, dim: int, bits: int = 12,
                      seed: int = 5, col: str = "embedding") -> pa.Table:
     """Task-pool form of :class:`LshBucketer`; the plane matrix is built
     once per worker per parameter set."""
+    from rendler_ray.util import lru_get
+
     key = (dim, bits, seed, col)
-    stage = _LSH_CACHE.get(key)
-    if stage is None:
-        stage = _LSH_CACHE[key] = LshBucketer(dim, bits, seed, col)
+    stage = lru_get(_LSH_CACHE, key,
+                    lambda: LshBucketer(dim, bits, seed, col))
     return stage(batch)
 
 
@@ -230,11 +233,10 @@ _IVF_CACHE: dict = {}
 
 
 def ivf_assign_batch(batch: pa.Table, *, cent_ref) -> pa.Table:
-    key = cent_ref.hex()
-    stage = _IVF_CACHE.get(key)
-    if stage is None:
-        stage = _IVF_CACHE[key] = IvfAssign(cent_ref)
-    return stage(batch)
+    from rendler_ray.util import lru_get
+
+    return lru_get(_IVF_CACHE, cent_ref.hex(),
+                   lambda: IvfAssign(cent_ref))(batch)
 
 
 def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
@@ -320,8 +322,10 @@ def _deterministic_sample(ds, id_col: str, sample_rows: int) -> pa.Table:
     if n <= sample_rows:
         return pa.concat_tables(ds.iter_batches(batch_size=None,
                                                 batch_format="pyarrow"))
-    # threshold with ~1.3x margin, then trim deterministically by hash
-    thr = np.uint64(int((1.3 * sample_rows / n) * 2**64))
+    # threshold with ~1.3x margin, then trim deterministically by hash;
+    # clamp: for sample_rows < n <= 1.3*sample_rows the ratio reaches 1
+    # and the raw int would overflow uint64
+    thr = np.uint64(min(int((1.3 * sample_rows / n) * 2**64), 2**64 - 1))
 
     def keep(t: pa.Table) -> pa.Table:
         from rendler_ray.functions.canon import stable_hash64

@@ -79,7 +79,10 @@ def host_of(url: str) -> str:
     return authority.lower()
 
 
-_HOST_RE = r"^[^:/?#]+://(?:[^/@]*@)?([^/:?#]+)"
+# Port handling matches host_of's numeric-port rule: only strip a
+# trailing ':<digits>' — an authority like 'host:abc' keeps its suffix
+# (host_of treats a non-numeric colon-suffix as part of the host).
+_HOST_RE = r"^[^:/?#]+://(?:[^/@]*@)?([^/?#]+?)(?::\d+)?(?=[/?#]|$)"
 
 
 def hosts_np(urls: np.ndarray) -> np.ndarray:

@@ -224,9 +224,10 @@ def minhash_bands_rows_batch(batch: pa.Table, *, num_perm: int = 128,
     """Task-pool form of :class:`MinHasher` (same output): warm task
     workers skip per-query actor-pool spin-up; the hasher is cached per
     worker process."""
+    from rendler_ray.util import lru_get
+
     key = (num_perm, shingle, bands, seed, id_col, text_col)
-    mh = _MINHASHERS.get(key)
-    if mh is None:
-        mh = _MINHASHERS[key] = MinHasher(num_perm, shingle, bands, seed,
-                                          id_col, text_col)
+    mh = lru_get(_MINHASHERS, key,
+                 lambda: MinHasher(num_perm, shingle, bands, seed,
+                                   id_col, text_col))
     return mh(batch)

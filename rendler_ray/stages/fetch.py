@@ -140,17 +140,16 @@ def make_web_blobs(docs_path: str, num_shards: int) -> list:
     return refs
 
 
-# per-worker zero-copy cache of resolved web shards (ObjectRef hex -> blob)
+# per-worker zero-copy cache of resolved web shards (ObjectRef hex ->
+# blob), LRU-bounded: refs from finished crawls never recur, and a miss
+# is one zero-copy ray.get from local plasma
 _WEB_CACHE: dict = {}
 
 
 def _web_shard(ref):
-    key = ref.hex()
-    blob = _WEB_CACHE.get(key)
-    if blob is None:
-        blob = ray.get(ref)
-        _WEB_CACHE[key] = blob
-    return blob
+    from rendler_ray.util import lru_get
+
+    return lru_get(_WEB_CACHE, ref.hex(), lambda: ray.get(ref), maxsize=16)
 
 
 def fetch_batch(batch: pa.Table, *, shards: list) -> pa.Table:

@@ -55,6 +55,24 @@ def with_row_seq(
     return ray.data.from_arrow_refs(refs)
 
 
+def lru_get(cache: dict, key, factory, maxsize: int = 8):
+    """Bounded per-worker stage cache: dict-as-LRU (insertion order =
+    recency; hit re-inserts). Long-lived workers run many pipelines in
+    one session, and ObjectRefs from finished pipelines never recur —
+    unbounded caches would accumulate dead broadcast copies. Eviction is
+    cheap to get wrong-ish: a re-build is one zero-copy ``ray.get`` or a
+    deterministic constructor."""
+    if key in cache:
+        val = cache.pop(key)
+        cache[key] = val
+        return val
+    val = factory()
+    while len(cache) >= maxsize:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+    return val
+
+
 def table_from_ds(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one Arrow table (tests / exports)."""
     tables = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]

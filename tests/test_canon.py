@@ -57,3 +57,21 @@ def test_hosts_np_matches_host_of():
     got = hosts_np(np.array(urls, dtype=object))
     exp = [host_of(u) for u in urls]
     assert list(got) == exp
+
+
+def test_hosts_np_agrees_with_host_of_on_ports_and_colons():
+    from rendler_ray.functions.canon import hosts_np
+
+    urls = [
+        "s://h001/p00002",
+        "http://Example.com:8080/x",          # numeric port: stripped
+        "http://host:abc/x",                  # non-numeric: kept
+        "http://host:abc",                    # no path
+        "http://host:8080",                   # port, no path
+        "http://u@host:99/p",                 # userinfo + port
+        "http://[_fake_v6_]:443/x",
+        "http://host:80:90/x",                # only trailing :digits strips
+    ]
+    got = hosts_np(np.array(urls, dtype=object))
+    want = [host_of(u) for u in urls]
+    assert list(got) == want

@@ -208,3 +208,36 @@ def test_pagerank_sums_to_one_and_deterministic():
     r = dict(zip(df1["url"], df1["rank"]))
     # c receives from both a and b: highest-ranked non-seed
     assert r["c"] > r["b"] and r["c"] > r["d"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deterministic_sample_overflow_band():
+    """sample_rows < n <= 1.3*sample_rows used to overflow uint64 in the
+    hash threshold (ADVICE r1); the clamp must keep it exact-size."""
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import _deterministic_sample
+
+    n = 5000  # 4096 < 5000 <= 1.3*4096
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0] for i in range(n)],
+                              pa.list_(pa.float32()))}))
+    out = _deterministic_sample(ds, "vec_id", 4096)
+    assert out.num_rows == 4096
+    assert len(set(out["vec_id"].to_pylist())) == 4096
+
+
+def test_lru_get_bounds_and_recency():
+    from rendler_ray.util import lru_get
+
+    c: dict = {}
+    builds = []
+    for k in range(5):
+        lru_get(c, k, lambda k=k: builds.append(k) or k, maxsize=3)
+    assert len(c) == 3 and list(c) == [2, 3, 4]
+    # hit refreshes recency: 2 survives the next insert, 3 is evicted
+    assert lru_get(c, 2, lambda: "rebuilt", maxsize=3) == 2
+    lru_get(c, 9, lambda: 9, maxsize=3)
+    assert list(c) == [4, 2, 9]
+    assert builds == [0, 1, 2, 3, 4]
