@@ -2,13 +2,25 @@
 
 PageRank by power iteration — the canonical computation on the link
 graph the reference accumulates (``python/rendler.py`` crawlResults;
-SURVEY.md §1.1 "crawl graph"). Ray-Data shape per iteration: broadcast
-the current rank vector (``ray.put`` once), one ``map_batches`` pass
-over the edges emits per-batch partial contribution sums per dst, and a
-``groupby(dst).sum`` reduces them; dangling mass and teleport close the
-equation on the driver (scalar math). The broadcast-dict form holds to
-~10^8 nodes; past that, ranks become a table and the broadcast becomes
-a hash join keyed on src — same iteration skeleton.
+SURVEY.md §1.1 "crawl graph"). Duplicate (src, dst) edges count once
+(reference A1 set semantics).
+
+Two executions, one shared distributed prep (distinct edges via
+``groupby(src, dst)``, out-degrees via ``groupby(src).count()`` — the
+edge table itself NEVER lands on the driver):
+
+* :func:`pagerank` — broadcast-state iteration: the rank/degree dicts
+  are ``ray.put`` once per iteration, one ``map_batches`` pass over the
+  deduped edges emits per-batch partial per-dst sums, and a
+  ``groupby(dst).sum`` reduces them. Driver memory is O(nodes) (the
+  dicts), which holds to ~10^8 nodes.
+* :func:`pagerank_ds` — fully distributed iteration for past that
+  ceiling: ranks live as a Dataset, each iteration hash-joins
+  ranks ⋈ edges on ``src``, groups contributions by ``dst``, and
+  rebuilds the rank table with a union-groupby (nodes with no inflow
+  get the teleport base). Driver state is O(1) scalars; dangling mass
+  falls out of the contribution total (sum of contributions == total
+  rank held by non-dangling nodes), so no extra join is needed.
 """
 
 from __future__ import annotations
@@ -17,31 +29,46 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
+
+
+def _distinct_edges_and_degrees(edges_ds):
+    """(distinct-edge Dataset (src, dst), out-degree Dataset (src, deg),
+    node Dataset (url)) — all via distributed groupbys; nothing collects
+    to the driver."""
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])
+                .materialize())
+    deg = distinct.groupby("src").aggregate(Count(alias_name="deg"))
+    srcs = distinct.select_columns(["src"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    dsts = distinct.select_columns(["dst"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    nodes = (srcs.union(dsts).groupby("url")
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["url"]))
+    return distinct, deg, nodes
 
 
 def pagerank(edges_ds, iters: int = 10, damping: float = 0.85):
     """edges (src, dst) → pandas DataFrame (url, rank), ranks sum to 1.
-    Deterministic. Duplicate (src,dst) edges count once (reference A1
-    set semantics)."""
-    # node set + out-degrees (distinct edges), one pass
-    pairs = set()
-    for b in edges_ds.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        pairs.update(zip(b["src"].to_pylist(), b["dst"].to_pylist()))
-    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    Deterministic. Broadcast-state form: rank/degree dicts on the
+    driver (O(nodes)); the edge table stays distributed throughout."""
+    distinct, deg_ds, nodes_ds = _distinct_edges_and_degrees(edges_ds)
+    nodes = sorted(
+        u
+        for b in nodes_ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        for u in b["url"].to_pylist())
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"url": [], "rank": []})
     out_deg: dict[str, int] = {}
-    for s, _ in pairs:
-        out_deg[s] = out_deg.get(s, 0) + 1
+    for b in deg_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out_deg.update(zip(b["src"].to_pylist(), b["deg"].to_pylist()))
 
-    edge_tbl = pa.table({
-        "src": pa.array([s for s, _ in sorted(pairs)], pa.string()),
-        "dst": pa.array([d for _, d in sorted(pairs)], pa.string()),
-    })
-    edges = ray.data.from_arrow(edge_tbl)
     ranks = {u: 1.0 / n for u in nodes}
 
     for _ in range(iters):
@@ -56,7 +83,7 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85):
                 "dst", sort=False)["w"].sum().reset_index()
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+        agg = (distinct.map_batches(contrib, batch_format="pyarrow")
                .groupby("dst").aggregate(Sum("w", alias_name="w")))
         inflow = {r["dst"]: r["w"] for r in agg.take_all()}
         dangling = sum(ranks[u] for u in nodes if u not in out_deg)
@@ -65,3 +92,72 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85):
 
     return pd.DataFrame({"url": nodes,
                          "rank": [ranks[u] for u in nodes]})
+
+
+def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
+                num_partitions: int = 16):
+    """Fully distributed PageRank: returns a Dataset (url, rank).
+
+    Per iteration: ranks ⋈ edges hash join on src → per-edge
+    contribution rank/deg → ``groupby(dst).sum`` → union with the node
+    table (w=0) so no-inflow nodes keep the teleport base →
+    ``groupby(url).sum`` → vectorized rank update. Driver holds only
+    scalars (n, dangling mass); the rank table is materialized once per
+    iteration so the lazy graph doesn't re-execute prior iterations.
+    """
+    distinct, deg_ds, nodes_ds = _distinct_edges_and_degrees(edges_ds)
+    nodes_ds = nodes_ds.materialize()
+    n = nodes_ds.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64())}))
+
+    # degree travels WITH the edges: one static join, reused every
+    # iteration (deg never changes)
+    edges_deg = distinct.join(
+        deg_ds, join_type="inner", num_partitions=num_partitions,
+        on=("src",), right_on=("src",), right_suffix="_r").select_columns(
+        ["src", "dst", "deg"]).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()))
+
+    ranks = nodes_ds.map_batches(init_rank,
+                                 batch_format="pyarrow").materialize()
+    zeros = nodes_ds.map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.zeros(t.num_rows), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = edges_deg.join(
+            ranks, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("url",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            w = (t["rank"].to_numpy(zero_copy_only=False)
+                 / t["deg"].to_numpy(zero_copy_only=False))
+            return pa.table({"url": t["dst"],
+                             "w": pa.array(w, pa.float64())})
+
+        inflow = (joined.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("url").aggregate(Sum("w", alias_name="w"))
+                  .materialize())  # consumed twice: sum + union
+        # total contribution mass == rank held by non-dangling nodes, so
+        # dangling mass needs no extra join: 1 - sum(w) (ranks sum to 1)
+        covered = inflow.sum("w") or 0.0
+        dangling = max(0.0, 1.0 - covered)
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def update(t: pa.Table, b=base, d=damping) -> pa.Table:
+            w = t["w"].to_numpy(zero_copy_only=False)
+            return pa.table({"url": t["url"],
+                             "rank": pa.array(b + d * w, pa.float64())})
+
+        ranks = (inflow.union(zeros)
+                 .groupby("url").aggregate(Sum("w", alias_name="w"))
+                 .map_batches(update, batch_format="pyarrow")
+                 .materialize())
+    return ranks

@@ -977,6 +977,27 @@ def pagerank_crawl_graph(sf_dir: str):
     return df[["url", "rank_e9"]]
 
 
+def pagerank_joined_crawl(sf_dir: str):
+    """Fully distributed PageRank (ranks as a Dataset, per-iteration
+    hash join ranks ⋈ edges on src — the past-10^8-nodes form; see
+    functions/graph.py::pagerank_ds). Same fixture crawl as
+    pagerank_crawl_graph; agrees with the broadcast form to 1e-9
+    (asserted in tests). Rows-only (iterative)."""
+    from rendler_ray.functions.graph import pagerank_ds
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    ranks = pagerank_ds(res.edges, iters=10, num_partitions=8)
+
+    def fixed(t: pa.Table) -> pa.Table:
+        e9 = pc.cast(pc.round(pc.multiply(t["rank"], 1e9)), pa.int64())
+        return pa.table({"url": t["url"], "rank_e9": e9})
+
+    return ranks.map_batches(fixed, batch_format="pyarrow")
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: explode media spans from the interleaved docs
     → actor-pool decode (deterministic stub) → typed features."""
@@ -1076,6 +1097,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "pagerank_crawl_graph": pagerank_crawl_graph,
+    "pagerank_joined_crawl": pagerank_joined_crawl,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,

@@ -241,3 +241,29 @@ def test_lru_get_bounds_and_recency():
     lru_get(c, 9, lambda: 9, maxsize=3)
     assert list(c) == [4, 2, 9]
     assert builds == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_ds_matches_broadcast_form():
+    """The fully distributed (join-based) PageRank must agree with the
+    broadcast-dict form to 1e-9 granularity on a random fixture graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import pagerank, pagerank_ds
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 120, 800)
+    dst = rng.integers(0, 120, 800)
+    tbl = pa.table({"src": pa.array([f"u{i}" for i in src]),
+                    "dst": pa.array([f"u{i}" for i in dst])})
+    a = pagerank(rd.from_arrow(tbl), iters=8).sort_values(
+        "url").reset_index(drop=True)
+    b = pd.DataFrame(pagerank_ds(rd.from_arrow(tbl), iters=8,
+                                 num_partitions=4).take_all()).sort_values(
+        "url").reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"])
+    ae9 = np.round(a["rank"].to_numpy() * 1e9).astype(np.int64)
+    be9 = np.round(b["rank"].to_numpy() * 1e9).astype(np.int64)
+    assert (ae9 == be9).all()
+    assert np.isclose(b["rank"].sum(), 1.0, atol=1e-9)
