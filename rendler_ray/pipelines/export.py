@@ -54,13 +54,13 @@ def export_dot(edges_ds: "ray.data.Dataset", renders_ds: "ray.data.Dataset",
         promote_options="default",
     ) if renders_ds.count() else pa.table({"doc_id": pa.array([], pa.string()),
                                            "media_ref": pa.array([], pa.string())})
-    rendered_ref = ray.put(set(node_tbl["doc_id"].to_pylist()))
+    rendered_ref = ray.put(node_tbl["doc_id"].combine_chunks())
 
     def keep_rendered(t: pa.Table) -> pa.Table:
-        rset = ray.get(rendered_ref)
-        src_ok = pa.array([u in rset for u in t["src"].to_pylist()])
-        dst_ok = pa.array([u in rset for u in t["dst"].to_pylist()])
-        return t.select(["src", "dst"]).filter(pc.and_(src_ok, dst_ok))
+        rset = ray.get(rendered_ref)  # Arrow string array (zero-copy)
+        mask = pc.and_(pc.is_in(t["src"], value_set=rset),
+                       pc.is_in(t["dst"], value_set=rset))
+        return t.select(["src", "dst"]).filter(mask)
 
     edge_parts = list(
         edges_ds.map_batches(keep_rendered, batch_format="pyarrow")

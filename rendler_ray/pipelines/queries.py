@@ -148,16 +148,15 @@ def semi_join_orders(sf_dir: str):
     """J2-shape broadcast semi-join: keep orders whose customer has
     acctbal > 5000. Small side shipped once via ray.put."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-    keys = set()
+    keys: list[pa.Array] = []
     for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
         t = b.filter(pc.greater(b["c_acctbal"], 5000.0))
-        keys.update(t["c_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
+        keys.append(t["c_custkey"].combine_chunks())
+    keys_ref = ray.put(pa.concat_arrays(keys))
 
     def keep(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
-        return t.filter(mask)
+        ks = ray.get(keys_ref)  # Arrow array, zero-copy from plasma
+        return t.filter(pc.is_in(t["o_custkey"], value_set=ks))
 
     return _read(sf_dir, "orders",
                  ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
@@ -175,16 +174,15 @@ def anti_join_customers(sf_dir: str):
     at rest): customers with no high-value (>300k) order. The seen key
     set is broadcast once (ray.put), membership tested per batch."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    seen = set()
+    seen: list[pa.Array] = []
     for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
         t = b.filter(pc.greater(b["o_totalprice"], 300000.0))
-        seen.update(t["o_custkey"].to_pylist())
-    seen_ref = ray.put(seen)
+        seen.append(t["o_custkey"].combine_chunks())
+    seen_ref = ray.put(pa.concat_arrays(seen))
 
     def keep(t: pa.Table) -> pa.Table:
         s = ray.get(seen_ref)
-        mask = pa.array([k not in s for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=s)))
 
     return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         keep, batch_format="pyarrow")
@@ -703,76 +701,76 @@ def simhash_docs(sf_dir: str):
         ["doc_id", "simhash"])
 
 
-def minhash_dup_groups(sf_dir: str):
-    """MinHash+LSH near-dup candidates: shingle → minhash → band →
-    bucket groupby → groups of size ≥ 2 (doc_id, group_key)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+def _checkpoint(ds, tag: str):
+    """Spill an intermediate Dataset to /tmp parquet and return a lazy
+    read-back — the scale-safe way to consume a computed stage twice
+    (``.materialize()`` would pin every block in the object store for
+    the whole query; a parquet checkpoint streams both passes)."""
+    import uuid
+
+    path = f"/tmp/rendler_ray_ckpt/{tag}-{uuid.uuid4().hex[:12]}"
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
+
+
+def _banded_with_key(ds, num_perm: int = 64, bands: int = 8):
+    """documents → one row per (doc, band) with a single combined
+    ``bucket_key`` column (band_id:band_hash, vectorized concat) — the
+    LSH shuffle/join key."""
     banded = ds.map_batches(
         F_text.minhash_bands_rows_batch,
-        fn_kwargs={"num_perm": 64, "bands": 8},
-        batch_format="pyarrow", num_cpus=1).materialize()
+        fn_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow", num_cpus=1)
 
-    # hot buckets (size >= 2) via native count aggregate; the hot set is
-    # tiny relative to the corpus, so it broadcasts (ray.put) and the
-    # candidate filter is a per-batch membership test — no per-group
-    # Python, no second shuffle over the full banded table.
-    hot = _hot_buckets(banded)
-    hot_ref = ray.put(hot)
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band_id"], pa.string()), t["band_hash"], ":")
+        return pa.table({"doc_id": t["doc_id"], "bucket_key": key})
 
-    def in_hot(t: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        mask = pa.array([
-            (b, h) in hs for b, h in zip(t["band_id"].to_pylist(),
-                                         t["band_hash"].to_pylist())])
-        return t.filter(mask)
+    return banded.map_batches(add_key, batch_format="pyarrow")
 
-    cand = banded.map_batches(in_hot, batch_format="pyarrow")
-    # distinct doc_ids having >= 1 near-dup candidate
+
+def _hot_bucket_candidates(banded):
+    """banded (doc_id, bucket_key) → candidate rows in buckets of size
+    ≥ 2, fully distributed: native count aggregate → distributed filter
+    → hash semi-join back onto the banded rows. No driver-side hot set,
+    no broadcast — the hot-bucket table can be any size."""
+    counts = banded.groupby("bucket_key").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(
+            ["bucket_key"]),
+        batch_format="pyarrow")
+    return banded.join(hot, join_type="inner", num_partitions=8,
+                       on=("bucket_key",))
+
+
+def minhash_dup_groups(sf_dir: str):
+    """MinHash+LSH near-dup candidates: shingle → minhash → band →
+    bucket count → distributed hot-bucket semi-join → distinct doc_ids
+    with ≥ 1 near-dup candidate. The banded table is checkpointed to
+    parquet (consumed by both the count and the join) instead of pinned
+    with materialize()."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    banded = _checkpoint(_banded_with_key(ds, num_perm=64, bands=8),
+                         "minhash_banded")
+    cand = _hot_bucket_candidates(banded)
     return (cand.groupby("doc_id").aggregate(Count(alias_name="_n"))
             .select_columns(["doc_id"]))
 
 
-def _hot_buckets(banded) -> set:
-    """(band_id, band_hash) keys of LSH buckets with >= 2 members —
-    native count aggregate, collected small-side to the driver."""
-    counts = banded.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n"))
-    hot = set()
-    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        t = b.filter(pc.greater_equal(b["n"], 2))
-        hot.update(zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist()))
-    return hot
-
-
 def ngram_jaccard_pairs(sf_dir: str):
     """Near-dup verification: LSH candidate pairs → exact 3-gram Jaccard
-    ≥ 0.5 → (a, b, jaccard)."""
+    ≥ 0.5 → (a, b, jaccard). Texts reach the verifier by a hash join of
+    the candidate rows against the documents table (only candidates pay
+    the text shuffle — the corpus is never broadcast), and each bucket
+    group verifies from its own rows."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    texts_ref = None
-    banded = ds.map_batches(
-        F_text.minhash_bands_rows_batch,
-        fn_kwargs={"num_perm": 64, "bands": 8},
-        batch_format="pyarrow", num_cpus=1).materialize()
-
-    # collect candidate pairs per bucket (small), verify with exact
-    # jaccard against a broadcast id→text map (documents table is the
-    # small side at test scale; at 100 TB this becomes a join).
-    id_text = {}
-    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        id_text.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(id_text)
-
-    hot = _hot_buckets(banded)
-    hot_ref2 = ray.put(hot)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref2)
-        mask = pa.array([
-            (b, h) in hs for b, h in zip(t["band_id"].to_pylist(),
-                                         t["band_hash"].to_pylist())])
-        return t.filter(mask)
-
-    banded = banded.map_batches(only_hot, batch_format="pyarrow")
+    banded = _checkpoint(_banded_with_key(ds, num_perm=64, bands=8),
+                         "jaccard_banded")
+    cand = _hot_bucket_candidates(banded)
+    cand_txt = cand.join(ds, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -780,7 +778,7 @@ def ngram_jaccard_pairs(sf_dir: str):
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
                                  "jaccard": pd.Series([], dtype=np.float64)})
-        texts = ray.get(texts_ref)
+        texts = dict(zip(g["doc_id"], g["text"]))
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -794,7 +792,7 @@ def ngram_jaccard_pairs(sf_dir: str):
                              "jaccard": pd.Series(out_j, dtype=np.float64)})
 
     # a pair can surface from several bands: dedup with a grouped min
-    return (banded.groupby(["band_id", "band_hash"])
+    return (cand_txt.groupby("bucket_key")
             .map_groups(pairs, batch_format="pandas")
             .groupby(["a", "b"])
             .aggregate(Min("jaccard", alias_name="jaccard")))
