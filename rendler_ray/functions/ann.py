@@ -129,11 +129,20 @@ class LshBucketer:
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
-                             dim: int = 64, id_col: str = "vec_id"):
+                             dim: int = 64, id_col: str = "vec_id",
+                             max_bucket: int | None = 4096):
     """Embedding-cosine near-duplicate pairs via LSH bucketing:
     bucket groupby (the only shuffle) → exact cosine within buckets →
     (a, b, score) pairs with a < b. Approximate: pairs split across
     buckets are missed (recall grows with fewer bits / multiple tables).
+
+    Skew guard (``max_bucket``): a hot bucket of size b costs O(b²) in
+    ONE task. Buckets over the cap are salted into ceil(b/cap)
+    hash-of-id sub-buckets BEFORE the groupby, bounding every task at
+    O(cap²); cross-sub pairs inside an oversized bucket are dropped
+    (same approximation class as the bucketing itself). Output is
+    unchanged whenever no bucket exceeds the cap. The bucket histogram
+    has ≤ 2^bits rows — a config constant — so it broadcasts.
     """
     bucketed = ds.map_batches(
         lsh_bucket_batch,
@@ -141,6 +150,33 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
         batch_format="pyarrow",
         num_cpus=1,
     )
+    if max_bucket is not None:
+        from ray.data.aggregate import Count
+
+        from rendler_ray.functions.canon import stable_hash64
+
+        hist = {r["bucket"]: r["n"] for r in
+                bucketed.select_columns(["bucket"]).groupby("bucket")
+                .aggregate(Count(alias_name="n")).take_all()}
+        n_sub = {b: -(-n // max_bucket) for b, n in hist.items() if n > max_bucket}
+        if n_sub:
+            sub_ref = ray.put(n_sub)
+
+            def salt(t: pa.Table) -> pa.Table:
+                ns = ray.get(sub_ref)
+                bk = t["bucket"].to_numpy(zero_copy_only=False)
+                subs = np.fromiter((ns.get(int(b), 1) for b in bk),
+                                   dtype=np.int64, count=len(bk))
+                h = stable_hash64(np.array(
+                    [str(x) for x in t[id_col].to_pylist()], dtype=object))
+                salted = (bk.astype(np.int64) << 20) | \
+                    (h % subs.astype(np.uint64)).astype(np.int64)
+                return t.set_column(
+                    t.schema.get_field_index("bucket"), "bucket",
+                    pa.array(salted, pa.int64()))
+
+            bucketed = bucketed.map_batches(salt, batch_format="pyarrow")
+        # no oversized bucket: keys unchanged, no extra pass
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -267,3 +267,39 @@ def test_pagerank_ds_matches_broadcast_form():
     be9 = np.round(b["rank"].to_numpy() * 1e9).astype(np.int64)
     assert (ae9 == be9).all()
     assert np.isclose(b["rank"].sum(), 1.0, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_bucket_cap_and_unchanged_when_small():
+    """LSH near-dup skew guard: an adversarial single hot bucket is
+    salted into bounded sub-buckets (each task O(cap²)); with no
+    oversized bucket the output is identical to the uncapped run."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # 200 tiny perturbations of one direction: all land in one bucket
+    vecs = base[None, :] + 0.001 * rng.standard_normal((200, 16))
+    mk = lambda: rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+
+    full = pd.DataFrame(embedding_near_dup_pairs(
+        mk(), threshold=0.99, bits=6, dim=16, max_bucket=None).take_all())
+    capped = pd.DataFrame(embedding_near_dup_pairs(
+        mk(), threshold=0.99, bits=6, dim=16, max_bucket=50).take_all())
+    # capped output is a SUBSET (cross-sub pairs dropped), non-empty,
+    # and every sub-bucket still found its internal pairs
+    assert 0 < len(capped) < len(full)
+    fk = set(zip(full["a"], full["b"]))
+    ck = set(zip(capped["a"], capped["b"]))
+    assert ck <= fk
+    # cap high enough to cover everything -> identical output
+    same = pd.DataFrame(embedding_near_dup_pairs(
+        mk(), threshold=0.99, bits=6, dim=16, max_bucket=4096).take_all())
+    sk = set(zip(same["a"], same["b"]))
+    assert sk == fk
