@@ -124,10 +124,17 @@ class CrawlConfig:
     # the fetch pass — the training-data half of the pipeline
     enrich: bool = False
     # fetch each newly-seen host's /robots.txt from the (closed-world)
-    # web itself and fold it into the politeness policies. At 10^8+
-    # hosts the driver-side host ledger becomes a sharded actor service;
-    # the sandbox uses the dict path.
+    # web itself and fold it into the politeness policies. The
+    # known-host ledger is a driver set by default; set
+    # host_ledger_shards > 0 to keep it in sharded SeenShard actors
+    # instead (the 10^8-hosts form — the driver then only ever holds
+    # one round's distinct hosts).
     auto_robots: bool = False
+    host_ledger_shards: int = 0
+    # per-host budget thresholds broadcast as a dict up to this many
+    # hosts; above it the gate becomes a hash join on host
+    # (state/politeness.py::_budget_gate_join)
+    budget_broadcast_max_hosts: int = 200_000
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -362,6 +369,14 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     politeness_on = (bool(policies) or cfg.host_budget_per_round is not None
                      or cfg.auto_robots)
     robots_known: set[str] = set(policies)
+    host_ledger = None
+    if cfg.auto_robots and cfg.host_ledger_shards > 0:
+        # sharded known-host ledger: same actor infra as the URL-seen
+        # set, keyed by host — the driver only ever sees one round's
+        # distinct hosts, never the cumulative ledger
+        host_ledger = make_seen_shards(cfg.host_ledger_shards, "exact")
+        if policies:
+            seen_check_and_add(host_ledger, sorted(policies))
 
     manifest = _read_manifest(cfg.out_dir) if (resume and cfg.out_dir) else None
     if manifest:
@@ -455,13 +470,26 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         admitted, deferred = frontier, None
         if cfg.auto_robots:
             with _T(f"r{r} robots"):
+                import pyarrow.compute as pc
+
+                # per-batch distinct combiner: the driver receives at
+                # most (distinct hosts per batch) rows, not every
+                # frontier row's host string
+                uniq = frontier.select_columns(["host"]).map_batches(
+                    lambda t: pa.table({"host": pc.unique(t["host"])}),
+                    batch_format="pyarrow")
                 hosts_round: set[str] = set()
-                for b in frontier.select_columns(["host"]).iter_batches(
-                        batch_size=65536, batch_format="pyarrow"):
+                for b in uniq.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow"):
                     hosts_round.update(b["host"].to_pylist())
-                new_hosts = sorted(hosts_round - robots_known)
-                if new_hosts:
+                if host_ledger is not None:
+                    cand = sorted(hosts_round)
+                    newmask = seen_check_and_add(host_ledger, cand)
+                    new_hosts = [h for h, m in zip(cand, newmask) if m]
+                else:
+                    new_hosts = sorted(hosts_round - robots_known)
                     robots_known.update(new_hosts)
+                if new_hosts:
                     rb = _frontier_from_urls(
                         [f"s://{h}/robots.txt" for h in new_hosts],
                         [0] * len(new_hosts), list(range(len(new_hosts))),
@@ -495,7 +523,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     batch_format="pyarrow",
                 )
             admitted, deferred = budget_gate(
-                admitted, policies, cfg.host_budget_per_round
+                admitted, policies, cfg.host_budget_per_round,
+                broadcast_max_hosts=cfg.budget_broadcast_max_hosts,
             )
             if deferred is not None:
                 deferred = deferred.materialize()

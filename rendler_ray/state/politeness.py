@@ -126,9 +126,15 @@ def robots_filter_batch(batch: pa.Table, *, policies_ref) -> pa.Table:
 
 
 def budget_gate(frontier, policies: dict[str, HostPolicy],
-                default_budget: int | None):
+                default_budget: int | None,
+                broadcast_max_hosts: int = 200_000):
     """Split a frontier dataset into (admitted, deferred) by per-host
-    budgets. Returns (frontier, None) when no host is budget-limited."""
+    budgets. Returns (frontier, None) when no host is budget-limited.
+
+    The per-host threshold table is broadcast (``ray.put`` dict) while it
+    has ≤ ``broadcast_max_hosts`` rows; above that it stays a Dataset
+    and the gate becomes a hash join on ``host`` (identical output —
+    every frontier host has a threshold row by construction)."""
     budgets = {h: p.budget_per_round for h, p in policies.items()
                if p.budget_per_round is not None}
     if default_budget is None and not budgets:
@@ -158,7 +164,9 @@ def budget_gate(frontier, policies: dict[str, HostPolicy],
         frontier.map_batches(partial_top, batch_format="pandas")
         .groupby("host")
         .map_groups(threshold, batch_format="pandas")
-    )
+    ).materialize()
+    if thr_ds.count() > broadcast_max_hosts:
+        return _budget_gate_join(frontier, thr_ds)
     thr_map = {r["host"]: r["thr"] for r in thr_ds.take_all()}
     thr_ref = ray.put(thr_map)
 
@@ -177,4 +185,64 @@ def budget_gate(frontier, policies: dict[str, HostPolicy],
     return (
         frontier.map_batches(_split(True), batch_format="pyarrow"),
         frontier.map_batches(_split(False), batch_format="pyarrow"),
+    )
+
+
+@ray.remote
+def _block_to_arrow(b) -> pa.Table:
+    if isinstance(b, pa.Table):
+        return b
+    return pa.Table.from_pandas(b, preserve_index=False)
+
+
+def _nonempty_blocks(materialized):
+    """Rebuild a MATERIALIZED dataset from its non-empty blocks only
+    (converted to Arrow). Ray's hash join / pandas map_groups emit
+    zero-row COLUMNLESS placeholder blocks for empty partitions;
+    map_batches skips empty blocks (so a normalizing map can't fix
+    them), and a later hash shuffle chokes when a partition is built
+    purely from colless shards. Metadata-only driver work."""
+    refs = [
+        _block_to_arrow.remote(ref)
+        for bundle in materialized.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def _budget_gate_join(frontier, thr_ds):
+    """Join form of the budget gate for host counts past the broadcast
+    ceiling: frontier ⋈ thresholds on host (inner — every frontier host
+    has a threshold row), then a vectorized seq<=thr split. The joined
+    table is materialized once and both splits stream from it."""
+    import pyarrow.compute as pc
+
+    thr_clean = _nonempty_blocks(thr_ds)
+    if thr_clean is None:
+        return frontier, None  # no threshold rows at all
+    front_clean = _nonempty_blocks(frontier.materialize())
+    if front_clean is None:
+        return frontier, None  # empty frontier: nothing to gate
+    cols = ["url", "canon_url", "host", "depth", "seq"]
+    joined = front_clean.join(
+        thr_clean, join_type="inner", num_partitions=8, on=("host",)
+    ).materialize()
+    joined = _nonempty_blocks(joined)
+    if joined is None:  # inner join can't drop rows here, but be safe
+        return frontier, None
+
+    def _split(admit: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.less_equal(batch["seq"], batch["thr"])
+            if not admit:
+                mask = pc.invert(mask)
+            return batch.filter(mask).select(cols)
+        return fn
+
+    return (
+        joined.map_batches(_split(True), batch_format="pyarrow"),
+        joined.map_batches(_split(False), batch_format="pyarrow"),
     )

@@ -32,3 +32,21 @@ def test_auto_robots_fetched_from_web(tmp_path):
                              num_web_shards=2))
     urls2 = table_from_ds(res2.fetched)["url"].to_pylist()
     assert any(u.split("/")[-1].startswith("p00001") for u in urls2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_host_ledger_identical(tmp_path):
+    """host_ledger_shards>0 keeps the known-host ledger in sharded
+    actors; the crawl must be identical to the driver-dict ledger."""
+    docs = docs_parquet(str(tmp_path / "docs_hl.parquet"), n_docs=300,
+                        n_hosts=8, seed=42, p_host_robots=0.7)
+    base = dict(docs_path=docs, seeds=default_seeds(1), max_depth=3,
+                num_seen_shards=2, num_web_shards=2, auto_robots=True)
+    drv = crawl(CrawlConfig(**base))
+    shd = crawl(CrawlConfig(**base, host_ledger_shards=2))
+    a = sorted(zip(table_from_ds(drv.fetched)["seq"].to_pylist(),
+                   table_from_ds(drv.fetched)["url"].to_pylist()))
+    b = sorted(zip(table_from_ds(shd.fetched)["seq"].to_pylist(),
+                   table_from_ds(shd.fetched)["url"].to_pylist()))
+    assert a == b
+    assert drv.rounds == shd.rounds and drv.seen_count == shd.seen_count

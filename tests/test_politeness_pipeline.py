@@ -61,3 +61,22 @@ def test_path_scoped_disallow(small_docs):
     assert res.pages_fetched > 0
     assert any(u.startswith("s://h000/") for u in fetched)
     assert not any(u.startswith("s://h000/p0001") for u in fetched)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_gate_join_path_identical(small_docs):
+    """Forcing broadcast_max_hosts=0 routes every round through the hash-
+    join gate (_budget_gate_join); the crawl must be identical to the
+    broadcast-dict path — same fetch set, same seq order, same rounds."""
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=2,
+                num_seen_shards=2, num_web_shards=2,
+                host_budget_per_round=3, max_rounds=500)
+    bcast = crawl(CrawlConfig(**base))
+    joined = crawl(CrawlConfig(**base, budget_broadcast_max_hosts=0))
+    a = sorted(zip(table_from_ds(bcast.fetched)["seq"].to_pylist(),
+                   table_from_ds(bcast.fetched)["url"].to_pylist()))
+    b = sorted(zip(table_from_ds(joined.fetched)["seq"].to_pylist(),
+                   table_from_ds(joined.fetched)["url"].to_pylist()))
+    assert a == b
+    assert bcast.rounds == joined.rounds
+    assert bcast.seen_count == joined.seen_count
