@@ -2,13 +2,102 @@
 disallow permanently, seen-set equality is preserved under any budget
 (north_rule: 'same seed list and politeness budget')."""
 
+import os
+
 import pyarrow.parquet as pq
 import pytest
 
 from rendler_ray.pipelines.crawl import CrawlConfig, crawl
-from rendler_ray.refsim import simulate
-from rendler_ray.sources.synthweb import default_seeds
+from rendler_ray.refsim import simulate, simulate_polite
+from rendler_ray.sources.synthweb import default_seeds, docs_parquet
 from rendler_ray.util import table_from_ds
+
+
+def _round_orders(out_dir: str) -> tuple[list[list[str]], dict[str, int]]:
+    """Per-round fetch order (urls sorted by seq) + url->seq map, read
+    back from the crawl's round checkpoints."""
+    rounds, seqs = [], {}
+    r = 0
+    while True:
+        p = os.path.join(out_dir, f"round={r}", "fetch.parquet")
+        if not os.path.exists(p):
+            break
+        t = pq.read_table(p, columns=["url", "seq"])
+        rows = sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
+        rounds.append([u for _, u in rows])
+        seqs.update({u: s for s, u in rows})
+        r += 1
+    return rounds, seqs
+
+
+def _assert_conformance(res, out_dir, sim):
+    got_rounds, got_seqs = _round_orders(out_dir)
+    # a final all-deferred/all-blocked round can be empty on either side
+    assert ([r for r in got_rounds if r]
+            == [r for r in sim.round_order if r])
+    assert got_seqs == {u: sim.seq[u] for u in got_seqs}
+    assert res.seen_count == len(sim.seen)
+    assert res.pages_fetched == len(sim.order)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polite_conformance_budget(small_docs, tmp_path):
+    """Exact per-round fetch order + seq assignment + seen set vs the
+    independent politeness oracle (north_rule: 'same seed list and
+    politeness budget')."""
+    out = str(tmp_path / "polite_budget")
+    res = crawl(CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                            max_depth=2, host_budget_per_round=3,
+                            max_rounds=500, num_seen_shards=2,
+                            num_web_shards=2, out_dir=out))
+    sim = simulate_polite(pq.read_table(small_docs), default_seeds(1),
+                          max_depth=2, host_budget_per_round=3)
+    _assert_conformance(res, out, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polite_conformance_robots_and_budget(small_docs, tmp_path):
+    """Static robots (full-host disallow) + budget — the crawl_polite
+    query shape — matches the oracle exactly."""
+    robots = {"h001": "User-agent: *\nDisallow: /\n"}
+    out = str(tmp_path / "polite_robots")
+    res = crawl(CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                            max_depth=3, host_budget_per_round=50,
+                            robots=robots, num_seen_shards=2,
+                            num_web_shards=2, out_dir=out))
+    sim = simulate_polite(pq.read_table(small_docs), default_seeds(1),
+                          max_depth=3, host_budget_per_round=50,
+                          robots=robots)
+    _assert_conformance(res, out, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_robots_conformance(tmp_path):
+    """auto_robots end-to-end (robots fetched from the closed world, new
+    hosts per round, crawl-delay budgets) matches the oracle exactly."""
+    docs = docs_parquet(str(tmp_path / "docs_conf.parquet"), n_docs=300,
+                        n_hosts=8, seed=42, p_host_robots=1.0)
+    out = str(tmp_path / "auto_robots")
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                            max_depth=3, auto_robots=True,
+                            num_seen_shards=2, num_web_shards=2,
+                            out_dir=out))
+    sim = simulate_polite(pq.read_table(docs), default_seeds(1),
+                          max_depth=3, auto_robots=True)
+    _assert_conformance(res, out, sim)
+
+
+def test_polite_sim_reduces_to_fifo(tmp_path):
+    """Sanity: with politeness off, the round-structured oracle's order
+    is exactly the plain FIFO oracle's order."""
+    docs = docs_parquet(str(tmp_path / "docs_fifo.parquet"), n_docs=300,
+                        n_hosts=8, seed=42)
+    tbl = pq.read_table(docs)
+    plain = simulate(tbl, default_seeds(1), max_depth=3)
+    polite = simulate_polite(tbl, default_seeds(1), max_depth=3)
+    assert polite.order == plain.order
+    assert polite.seen == plain.seen
+    assert polite.edges == plain.edges
 
 
 @pytest.mark.usefixtures("ray_session")
