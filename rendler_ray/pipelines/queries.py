@@ -685,12 +685,50 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 
 
 def lang_id_docs(sf_dir: str):
-    """Language-ID heuristic (rows-only: marker-set scoring isn't
-    SQL-hash-stable)."""
+    """Language-ID heuristic: marker-word scoring, first-max-wins argmax.
+    Score emitted fixed-point (1e-9) so the DuckDB oracle can hash-match."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(F_text.lang_id_batch,
-                          batch_format="pyarrow").select_columns(
+    out = ds.map_batches(F_text.lang_id_batch,
+                         batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred", "lang_score"])
+    return _fixed_point(out, {"lang_score": 9})
+
+
+def _lang_id_sql() -> str:
+    """Oracle for :func:`lang_id_docs`, generated from the marker table.
+    Python scans langs in dict order keeping strictly-greater scores, so
+    the winner is the FIRST lang attaining the max — expressed as a CASE
+    chain where lang ``l`` wins iff its score >= every later lang's."""
+    langs = list(F_text._LANG_MARKERS)
+    scores = ",\n       ".join(
+        f"len(list_filter(toks, x -> x IN {markers!r}))"
+        f" / CAST(n AS DOUBLE) AS s_{lang}"
+        for lang, markers in F_text._LANG_MARKERS.items())
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    case = [f"WHEN greatest({all_s}) <= 0 THEN 'und'"]
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{l}'")
+    case.append(f"ELSE '{langs[-1]}'")
+    case_sql = "\n            ".join(case)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         greatest(len(string_split(text, ' ')), 1) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id,
+       {scores}
+  FROM t
+)
+SELECT doc_id,
+       CASE {case_sql} END AS lang_pred,
+       CAST(round(greatest({all_s}) * 1000000000) AS BIGINT) AS lang_score
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def simhash_docs(sf_dir: str):
@@ -1143,6 +1181,7 @@ ORACLES = {
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,
     "doc_fingerprint_md5": FINGERPRINT_SQL,
+    "lang_id_docs": LANG_ID_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "embedding_near_dup_exact": EMB_NEAR_DUP_SQL,
 }

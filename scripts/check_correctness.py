@@ -9,46 +9,19 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
 
 import duckdb
-import pandas as pd
-import pyarrow as pa
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from rendler_ray.goldenhash import canon, to_pandas, value_hash  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def to_pandas(res) -> pd.DataFrame:
-    if isinstance(res, pd.DataFrame):
-        return res
-    if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    h = hashlib.sha256()
-    for c in df.columns:
-        col = df[c]
-        if col.dtype.kind == "f":
-            col = col.round(9)
-        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
-    return h.hexdigest()[:16]
 
 
 def main() -> int:

@@ -1,0 +1,92 @@
+"""Generate golden (row-count, value-hash) fixtures for the
+deterministic rows-only queries — the ones with no SQL oracle
+(iterative / approximate / crawl pipelines). Every listed query is a
+pure function of its inputs + seeds, so its driver-model hash is stable
+across runs AND parallelism levels; tests/test_goldens.py asserts
+against these, converting the queries from rows-only to value-checked.
+
+Usage: python scripts/make_goldens.py [sf_dir] [query ...]
+Writes tests/data/goldens_<sf>.json (merging over any existing file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from rendler_ray.goldenhash import result_hash  # noqa: E402
+
+# every no-oracle query whose output is deterministic (seeded synth
+# inputs, seeded algorithms, fixed-point floats). lang_id_docs has a
+# real SQL oracle; nothing here is timing- or scheduling-dependent.
+GOLDEN_QUERIES = [
+    "approx_distinct_users",
+    "ann_ivf_topk",
+    "kmeans_embedding_clusters",
+    "pagerank_crawl_graph",
+    "pagerank_joined_crawl",
+    "simhash_docs",
+    "minhash_dup_groups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_lsh",
+    "crawl_fetch",
+    "crawl_edges",
+    "crawl_enriched",
+    "crawl_polite",
+    "crawl_auto_robots",
+    "doc_fingerprint_winnow",
+    "media_features",
+    "media_thumbnails",
+    "media_frame_samples",
+    "render_interleaved",
+]
+
+
+def golden_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(REPO, "tests", "data", f"goldens_{sf}.json")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as E
+    qs = E.queries()
+
+    path = golden_path(sf_dir)
+    goldens: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            goldens = json.load(f)
+
+    for name in GOLDEN_QUERIES:
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        rows, h = result_hash(qs[name](sf_dir))
+        goldens[name] = {"rows": rows, "hash": h}
+        print(f"{name}: rows={rows} hash={h} [{time.time() - t0:.1f}s]")
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(dict(sorted(goldens.items())), f, indent=2)
+        f.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
