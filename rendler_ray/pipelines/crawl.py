@@ -720,6 +720,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_manifest(cfg.out_dir, {
                 "round": r, "total_seq": total_seq,
                 "pages_fetched": pages_fetched,
+                "seen_stats": ray.get(
+                    [s.stats.remote() for s in seen_shards]),
                 "seen_snapshot_round": r,
                 "num_seen_shards": cfg.num_seen_shards,
                 "rounds": round_lineage,
@@ -733,7 +735,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         frontier = next_frontier
         r += 1
 
-    seen_count = sum(ray.get([s.count.remote() for s in seen_shards]))
+    seen_stats = ray.get([s.stats.remote() for s in seen_shards])
+    seen_count = sum(st["count"] for st in seen_stats)
 
     def _union(lst, empty_schema_src):
         lst = [d for d in lst if d is not None and d.count() > 0]
@@ -754,5 +757,6 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         seen_count=seen_count,
         deferred_rounds=deferred_rounds,
         stats={"pages_rendered": pages_rendered,
-               "frontier_rows": frontier_rows_total},
+               "frontier_rows": frontier_rows_total,
+               "seen_shards": seen_stats},
     )

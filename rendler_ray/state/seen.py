@@ -135,6 +135,25 @@ class SeenShard:
     def count(self) -> int:
         return len(self._set) if self.mode == "exact" else self._filter.count
 
+    def stats(self) -> dict:
+        """Occupancy / false-positive telemetry for the manifest. A
+        cuckoo false positive means a URL wrongly considered seen (never
+        crawled), so the estimated FPR is the crawl's miss-rate bound."""
+        if self.mode == "exact":
+            return {"mode": "exact", "count": len(self._set)}
+        f = self._filter
+        slots = f.num_buckets * 4
+        load = f.count / slots
+        return {
+            "mode": "cuckoo",
+            "count": f.count,
+            "num_buckets": f.num_buckets,
+            "load": round(load, 6),
+            "kicked_out": f.kicked_out,
+            # Fan'14 §5: FPR ≈ 1-(1-2^-16)^(2·4·load) ≈ 8·load/2^16
+            "fpr_estimate": 8.0 * load / 65536.0,
+        }
+
     def snapshot(self):
         """Checkpointable state (SURVEY.md §4.2 resume)."""
         if self.mode == "exact":
