@@ -21,25 +21,38 @@ import pyarrow.compute as pc
 import ray
 
 
-def _quote(s: str) -> str:
-    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+def _quote_arr(arr) -> pa.Array:
+    """Vectorized dot-quoting: backslash-escape, wrap in quotes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    q = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
+    q = pc.replace_substring(q, pattern='"', replacement='\\"')
+    return pc.binary_join_element_wise('"', q, '"', "")
 
 
 def dot_from_tables(edges: pa.Table, renders: pa.Table) -> str:
-    rendered: dict[str, str] = {}
-    for did, ref in zip(renders["doc_id"].to_pylist(),
-                        renders["media_ref"].to_pylist()):
-        rendered.setdefault(did, ref)
-    pairs = set()
-    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
-        if s in rendered and d in rendered:
-            pairs.add((s, d))
-    lines = ["digraph G {", "  node [shape=box];"]
-    for url in sorted(rendered):
-        lines.append(f"  {_quote(url)} [label={_quote(url)} image={_quote(rendered[url])}];")
-    for s, d in sorted(pairs):
-        lines.append(f"  {_quote(s)} -> {_quote(d)};")
-    lines.append("}")
+    """Emit the dot text from (already endpoint-filtered) edges + the
+    rendered-node table — all Arrow kernels (distinct, sort, escape,
+    line assembly); no per-row Python until the final join of emitted
+    lines (O(artifact), not O(crawl))."""
+    nodes = (renders.select(["doc_id", "media_ref"])
+             .group_by("doc_id").aggregate([("media_ref", "min")])
+             .sort_by("doc_id"))
+    ids_q = _quote_arr(nodes["doc_id"])
+    refs_q = _quote_arr(nodes["media_ref_min"])
+    node_lines = pc.binary_join_element_wise(
+        "  ", ids_q, " [label=", ids_q, " image=", refs_q, "];", "")
+    rset = nodes["doc_id"].combine_chunks()
+    both = pc.and_(pc.is_in(edges["src"], value_set=rset),
+                   pc.is_in(edges["dst"], value_set=rset))
+    uniq = (edges.select(["src", "dst"]).filter(both)
+            .group_by(["src", "dst"]).aggregate([])
+            .sort_by([("src", "ascending"), ("dst", "ascending")]))
+    edge_lines = pc.binary_join_element_wise(
+        "  ", _quote_arr(uniq["src"]), " -> ", _quote_arr(uniq["dst"]),
+        ";", "")
+    lines = (["digraph G {", "  node [shape=box];"]
+             + node_lines.to_pylist() + edge_lines.to_pylist() + ["}"])
     return "\n".join(lines) + "\n"
 
 
@@ -60,7 +73,9 @@ def export_dot(edges_ds: "ray.data.Dataset", renders_ds: "ray.data.Dataset",
         rset = ray.get(rendered_ref)  # Arrow string array (zero-copy)
         mask = pc.and_(pc.is_in(t["src"], value_set=rset),
                        pc.is_in(t["dst"], value_set=rset))
-        return t.select(["src", "dst"]).filter(mask)
+        # per-batch distinct: the driver sees at most the unique pairs
+        return (t.select(["src", "dst"]).filter(mask)
+                .group_by(["src", "dst"]).aggregate([]))
 
     edge_parts = list(
         edges_ds.map_batches(keep_rendered, batch_format="pyarrow")
