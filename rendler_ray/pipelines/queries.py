@@ -257,6 +257,73 @@ FROM documents
 """
 
 
+def tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF top-3 terms per document: token explode →
+    per-(doc, token) tf groupby → per-token document-frequency groupby →
+    tf ⋈ df hash join on token → score → per-doc top-3. The vocabulary
+    (df table) stays a Dataset through a hash join — never broadcast,
+    never on the driver — so the shape holds when the vocabulary is
+    billions of tokens.
+
+    idf is the LINEAR N/df (not log): the score is then one IEEE
+    division of exact integers, which DuckDB and numpy round
+    identically — log(x) differs by 1 ulp between libms, which a
+    fixed-point hash compare cannot tolerate. Ties break on token asc.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "token": pa.array(
+                np.concatenate([np.array(x, dtype=object) for x in toks]),
+                pa.string()),
+        })
+
+    tf = (ds.map_batches(explode, batch_format="pyarrow")
+          .groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")))
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf.join(df, join_type="inner", num_partitions=8, on=("token",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        s = (tfv * np.int64(n_docs)).astype(np.float64) / dfv.astype(np.float64)
+        return t.append_column("score", pa.array(s, pa.float64()))
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "token"],
+                             ascending=[False, True]).head(3)
+
+    out = (joined.map_batches(score, batch_format="pyarrow")
+           .groupby("doc_id").map_groups(top3, batch_format="pandas")
+           .select_columns(["doc_id", "token", "tf", "df", "score"]))
+    return _fixed_point(out, {"score": 6})
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tfc AS (
+  SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+), dfc AS (
+  SELECT token, count(*) AS df FROM tfc GROUP BY token
+)
+SELECT doc_id, token, tf, df,
+       CAST(round(tf * (SELECT count(*) FROM documents) / df * 1000000)
+            AS BIGINT) AS score
+FROM tfc JOIN dfc USING (token)
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf * (SELECT count(*) FROM documents) / df DESC,
+                                    token ASC) <= 3
+"""
+
+
 def last_event_per_user(sf_dir: str):
     """A2-shape last-write-wins per key (renderResults[url]=x semantics):
     latest event per user, tiebreak on event_id."""
@@ -1119,6 +1186,7 @@ QUERIES = {
     "top10_orders": top10_orders,
     "distinct_union_nations": distinct_union_nations,
     "extract_tokens": extract_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
     "last_event_per_user": last_event_per_user,
     "event_type_stats": event_type_stats,
     "hourly_user_windows": hourly_user_windows,
@@ -1166,6 +1234,7 @@ ORACLES = {
     "top10_orders": TOP10_SQL,
     "distinct_union_nations": DISTINCT_UNION_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "last_event_per_user": LAST_EVENT_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
