@@ -151,13 +151,23 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
         num_cpus=1,
     )
     if max_bucket is not None:
-        from ray.data.aggregate import Count
-
         from rendler_ray.functions.canon import stable_hash64
 
-        hist = {r["bucket"]: r["n"] for r in
-                bucketed.select_columns(["bucket"]).groupby("bucket")
-                .aggregate(Count(alias_name="n")).take_all()}
+        def partial_hist(t: pa.Table) -> pa.Table:
+            b, c = np.unique(t["bucket"].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            return pa.table({"bucket": pa.array(b, pa.int64()),
+                             "n": pa.array(c, pa.int64())})
+
+        # per-batch partial counts streamed to the driver (≤ 2^bits rows
+        # per batch, config-bounded) — no groupby all-to-all just to
+        # build a histogram the driver can fold
+        hist: dict = {}
+        for t in (bucketed.select_columns(["bucket"])
+                  .map_batches(partial_hist, batch_format="pyarrow")
+                  .iter_batches(batch_size=None, batch_format="pyarrow")):
+            for b, n in zip(t["bucket"].to_pylist(), t["n"].to_pylist()):
+                hist[b] = hist.get(b, 0) + n
         n_sub = {b: -(-n // max_bucket) for b, n in hist.items() if n > max_bucket}
         if n_sub:
             sub_ref = ray.put(n_sub)

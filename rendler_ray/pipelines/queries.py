@@ -836,29 +836,63 @@ def _banded_with_key(ds, num_perm: int = 64, bands: int = 8):
     return banded.map_batches(add_key, batch_format="pyarrow")
 
 
+# hot-key sets up to this size broadcast (ray.put once + vectorized
+# is_in per batch); above it the filter becomes a hash semi-join — the
+# same bounded-broadcast/join switch as state/politeness.budget_gate
+_HOT_BCAST_MAX = 1_000_000
+# banded tables up to this many rows pin in the object store
+# (materialize); above it they checkpoint to parquet and both consumers
+# stream from storage instead
+_BANDED_PIN_MAX = 20_000_000
+
+
+def _pin_banded(banded, n_rows_est: int, tag: str):
+    if n_rows_est <= _BANDED_PIN_MAX:
+        return banded.materialize()
+    return _checkpoint(banded, tag)
+
+
 def _hot_bucket_candidates(banded):
     """banded (doc_id, bucket_key) → candidate rows in buckets of size
-    ≥ 2, fully distributed: native count aggregate → distributed filter
-    → hash semi-join back onto the banded rows. No driver-side hot set,
-    no broadcast — the hot-bucket table can be any size."""
+    ≥ 2, distributed: native count aggregate → filter n≥2 → semi-join
+    back onto the banded rows. The hot-key side (already reduced to
+    multi-occupancy buckets) broadcasts while ≤ ``_HOT_BCAST_MAX`` rows
+    — one vectorized ``is_in`` pass, no second shuffle; past the cap it
+    switches to a hash semi-join (identical output)."""
     counts = banded.groupby("bucket_key").aggregate(Count(alias_name="n"))
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(
             ["bucket_key"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    if hot.count() <= _HOT_BCAST_MAX:
+        keys = pa.concat_tables(
+            hot.iter_batches(batch_size=None, batch_format="pyarrow")
+        )["bucket_key"].combine_chunks()
+        kref = ray.put(keys)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["bucket_key"],
+                                     value_set=ray.get(kref)))
+
+        return banded.map_batches(keep, batch_format="pyarrow")
     return banded.join(hot, join_type="inner", num_partitions=8,
                        on=("bucket_key",))
 
 
 def minhash_dup_groups(sf_dir: str):
     """MinHash+LSH near-dup candidates: shingle → minhash → band →
-    bucket count → distributed hot-bucket semi-join → distinct doc_ids
-    with ≥ 1 near-dup candidate. The banded table is checkpointed to
-    parquet (consumed by both the count and the join) instead of pinned
-    with materialize()."""
+    one bucket-key groupby whose per-group filter keeps only buckets of
+    size ≥ 2 → distinct doc_ids with ≥ 1 near-dup candidate.
+
+    The banded table (consumed by both the count and the filter) pins
+    in the object store below ``_BANDED_PIN_MAX`` rows and checkpoints
+    to parquet above it; the hot-bucket filter broadcasts below
+    ``_HOT_BCAST_MAX`` keys and hash-semi-joins above (see
+    :func:`_hot_bucket_candidates`)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    banded = _checkpoint(_banded_with_key(ds, num_perm=64, bands=8),
-                         "minhash_banded")
+    n_docs = ds.count()
+    banded = _pin_banded(_banded_with_key(ds, num_perm=64, bands=8),
+                         n_docs * 8, "minhash_banded")
     cand = _hot_bucket_candidates(banded)
     return (cand.groupby("doc_id").aggregate(Count(alias_name="_n"))
             .select_columns(["doc_id"]))
@@ -871,8 +905,9 @@ def ngram_jaccard_pairs(sf_dir: str):
     the text shuffle — the corpus is never broadcast), and each bucket
     group verifies from its own rows."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    banded = _checkpoint(_banded_with_key(ds, num_perm=64, bands=8),
-                         "jaccard_banded")
+    n_docs = ds.count()
+    banded = _pin_banded(_banded_with_key(ds, num_perm=64, bands=8),
+                         n_docs * 8, "jaccard_banded")
     cand = _hot_bucket_candidates(banded)
     cand_txt = cand.join(ds, join_type="inner", num_partitions=8,
                          on=("doc_id",))

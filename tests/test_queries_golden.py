@@ -36,3 +36,16 @@ def test_query_matches_golden(name):
 
     got = _value_hash(QUERIES[name](SF))
     assert got == GOLDEN[name], f"{name}: {got} != {GOLDEN[name]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_bucket_join_fallback_identical(monkeypatch):
+    """Forcing _HOT_BCAST_MAX=0 routes the hot-bucket filter through the
+    hash semi-join (the past-the-broadcast-cap path); output must be
+    value-identical to the broadcast is_in path."""
+    import rendler_ray.pipelines.queries as Q
+
+    base = _value_hash(Q.QUERIES["minhash_dup_groups"](SF))
+    monkeypatch.setattr(Q, "_HOT_BCAST_MAX", 0)
+    joined = _value_hash(Q.QUERIES["minhash_dup_groups"](SF))
+    assert joined == base == GOLDEN["minhash_dup_groups"]
