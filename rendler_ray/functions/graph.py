@@ -161,3 +161,80 @@ def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
                  .map_batches(update, batch_format="pyarrow")
                  .materialize())
     return ranks
+
+
+def connected_components_ds(edges_ds, max_iters: int = 50,
+                            num_partitions: int = 16):
+    """Connected components of the (undirected view of the) crawl graph:
+    Dataset (url, component) where ``component`` is the lexicographic
+    min url of the component. Deterministic.
+
+    Min-label propagation, fully distributed: per iteration,
+    labels ⋈ symmetric-edges hash join on the source node → candidate
+    (dst, src_label) rows → union with current labels →
+    ``groupby(url).min`` → new labels. Converges in graph-diameter
+    iterations; convergence is detected with a per-batch label-hash sum
+    folded to one driver scalar (labels only ever decrease, so an
+    unchanged signature means a fixpoint — no extra compare join).
+    """
+    from ray.data.aggregate import Min
+
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"]))
+    sym = (distinct.union(distinct.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow"))
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])).materialize()
+    sym = _nonempty_blocks(sym)
+    if sym is None:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+
+    # every node appears as a src in the symmetric edge list
+    labels = (sym.select_columns(["src"])
+              .groupby("src").aggregate(Count(alias_name="_n"))
+              .map_batches(lambda t: pa.table(
+                  {"url": t["src"], "label": t["src"]}),
+                  batch_format="pyarrow")).materialize()
+
+    def _sig(ds) -> int:
+        s = 0
+        for b in (ds.select_columns(["label"])
+                  .map_batches(lambda t: pa.table({"h": pa.array(
+                      [int(stable_hash64(np.asarray(
+                          t["label"].to_pylist(), dtype=object))
+                          .sum(dtype=np.uint64))], pa.uint64())}),
+                      batch_format="pyarrow")
+                  .iter_batches(batch_size=None, batch_format="pyarrow")):
+            for v in b["h"].to_pylist():
+                s = (s + v) & 0xFFFFFFFFFFFFFFFF
+        return s
+
+    sig_prev = _sig(labels)
+    for _ in range(max_iters):
+        cand = sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("url",)).map_batches(
+            lambda t: pa.table({"url": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels = (cand.union(labels.select_columns(["url", "label"]))
+                  .groupby("url").aggregate(Min("label", alias_name="label"))
+                  ).materialize()
+        # hash-join partitioning chokes on the zero-column placeholder
+        # blocks empty partitions emit; rebuild from real blocks before
+        # the next iteration's join (metadata-only driver work)
+        labels = _nonempty_blocks(labels)
+        sig = _sig(labels)
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    return labels.map_batches(
+        lambda t: pa.table({"url": t["url"], "component": t["label"]}),
+        batch_format="pyarrow")

@@ -1136,6 +1136,20 @@ def pagerank_joined_crawl(sf_dir: str):
     return ranks.map_batches(fixed, batch_format="pyarrow")
 
 
+def connected_components_crawl(sf_dir: str):
+    """Connected components of the crawl graph (undirected view):
+    iterative min-label propagation with per-iteration label⋈edge hash
+    joins (functions/graph.py::connected_components_ds). Deterministic
+    (labels are lexicographic-min urls); rows-only (iterative)."""
+    from rendler_ray.functions.graph import connected_components_ds
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return connected_components_ds(res.edges, num_partitions=8)
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: explode media spans from the interleaved docs
     → actor-pool decode (deterministic stub) → typed features."""
@@ -1237,6 +1251,7 @@ QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "pagerank_crawl_graph": pagerank_crawl_graph,
     "pagerank_joined_crawl": pagerank_joined_crawl,
+    "connected_components_crawl": connected_components_crawl,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,

@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "kmeans_embedding_clusters",
     "pagerank_crawl_graph",
     "pagerank_joined_crawl",
+    "connected_components_crawl",
     "simhash_docs",
     "minhash_dup_groups",
     "ngram_jaccard_pairs",

@@ -303,3 +303,31 @@ def test_near_dup_bucket_cap_and_unchanged_when_small():
         mk(), threshold=0.99, bits=6, dim=16, max_bucket=4096).take_all())
     sk = set(zip(same["a"], same["b"]))
     assert sk == fk
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components():
+    """Two components + an isolated self-loop node; labels are the
+    lexicographic min url of each component, direction ignored."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import connected_components_ds
+
+    edges = pa.table({
+        #  comp {a,b,c,d} (chain via directed edges both ways),
+        #  comp {x,y}, self-loop {z}
+        "src": ["b", "c", "d", "y", "z", "b"],
+        "dst": ["a", "b", "c", "x", "z", "a"],  # dup b->a
+    })
+    out = pd.DataFrame(
+        connected_components_ds(rd.from_arrow(edges),
+                                num_partitions=4).take_all())
+    got = dict(zip(out["url"], out["component"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "z"}
+    # deterministic across runs
+    out2 = pd.DataFrame(
+        connected_components_ds(rd.from_arrow(edges),
+                                num_partitions=4).take_all())
+    assert sorted(map(tuple, out.values)) == sorted(map(tuple, out2.values))
