@@ -591,6 +591,34 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-s1'), 1, 2) < '1a'
 """
 
 
+def stratified_sample_docs(sf_dir: str):
+    """Stratified sampling: exactly k=20 docs per ``source`` stratum,
+    chosen by deterministic hash rank (md5 of doc_id + salt) — the
+    reproducible, shuffle-once form of per-group reservoir sampling
+    (every worker/run picks the same rows; no RNG state, no second
+    pass). groupby(source) co-locates each stratum; ties impossible
+    (md5 of distinct ids)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["doc_id"].map(
+            lambda i: hashlib.md5(f"{i}-s2".encode()).hexdigest())
+        return g.assign(_h=h).sort_values("_h").head(20)[
+            ["doc_id", "source"]]
+
+    return ds.groupby("source").map_groups(topk, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || '-s2')) <= 20
+"""
+
+
 def sessionize_events(sf_dir: str):
     """Sessionization — split each user's event stream into sessions at
     >30-min gaps; emits per-session aggregates. groupby(user) co-locates
@@ -1136,6 +1164,17 @@ def pagerank_joined_crawl(sf_dir: str):
     return ranks.map_batches(fixed, batch_format="pyarrow")
 
 
+def bpe_train_merges(sf_dir: str):
+    """Learned BPE merge table over the documents corpus (classic
+    Sennrich'16 merge learning on the word-frequency table — raw text
+    is shuffled exactly once; see functions/bpe.py). Deterministic
+    (count desc, pair lexicographic tie-break); rows-only (iterative)."""
+    from rendler_ray.functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, num_merges=16)
+
+
 def connected_components_crawl(sf_dir: str):
     """Connected components of the crawl graph (undirected view):
     iterative min-label propagation with per-iteration label⋈edge hash
@@ -1246,12 +1285,14 @@ QUERIES = {
     "range_join_orders": range_join_orders,
     "approx_distinct_users": approx_distinct_users,
     "sample_docs_deterministic": sample_docs_deterministic,
+    "stratified_sample_docs": stratified_sample_docs,
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "pagerank_crawl_graph": pagerank_crawl_graph,
     "pagerank_joined_crawl": pagerank_joined_crawl,
     "connected_components_crawl": connected_components_crawl,
+    "bpe_train_merges": bpe_train_merges,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,
@@ -1291,6 +1332,7 @@ ORACLES = {
     "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "sample_docs_deterministic": SAMPLE_DOCS_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,

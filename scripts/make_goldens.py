@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "pagerank_crawl_graph",
     "pagerank_joined_crawl",
     "connected_components_crawl",
+    "bpe_train_merges",
     "simhash_docs",
     "minhash_dup_groups",
     "ngram_jaccard_pairs",

@@ -331,3 +331,27 @@ def test_connected_components():
         connected_components_ds(rd.from_arrow(edges),
                                 num_partitions=4).take_all())
     assert sorted(map(tuple, out.values)) == sorted(map(tuple, out2.values))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_classic_merges():
+    """Hand-verified first merges on the classic BPE toy corpus
+    (weighted pair counts + (count desc, pair asc) tie-break)."""
+    import ray.data as rd
+
+    from rendler_ray.functions.bpe import bpe_train
+
+    docs = pa.table({"text": [
+        "low low low low low",
+        "lower lower",
+        "newest newest newest",
+        "widest",
+    ]})
+    out = bpe_train(rd.from_arrow(docs), num_merges=4)
+    got = list(zip(out["left"].to_pylist(), out["right"].to_pylist(),
+                   out["n"].to_pylist()))
+    # (l,o)=7 ties (o,w)=7 -> lexicographic; then (lo,w)=7; then
+    # (e,s)=4 ties (s,t)=4 -> lexicographic; then (es,t)=4
+    assert got == [("l", "o", 7), ("lo", "w", 7),
+                   ("e", "s", 4), ("es", "t", 4)]
+    assert out["rank"].to_pylist() == [0, 1, 2, 3]
