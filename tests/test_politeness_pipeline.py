@@ -169,3 +169,62 @@ def test_budget_gate_join_path_identical(small_docs):
     assert a == b
     assert bcast.rounds == joined.rounds
     assert bcast.seen_count == joined.seen_count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polite_conformance_max_pages(small_docs, tmp_path):
+    """max_pages truncation composed with per-host budgets matches the
+    oracle exactly (truncation keeps the remaining smallest seqs BEFORE
+    robots/budget gating, as the pipeline does)."""
+    out = str(tmp_path / "polite_maxpages")
+    res = crawl(CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                            max_depth=3, host_budget_per_round=7,
+                            max_pages=120, max_rounds=500,
+                            num_seen_shards=2, num_web_shards=2,
+                            out_dir=out))
+    sim = simulate_polite(pq.read_table(small_docs), default_seeds(1),
+                          max_depth=3, host_budget_per_round=7,
+                          max_pages=120)
+    _assert_conformance(res, out, sim)
+    assert res.pages_fetched <= 120
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polite_resume_equivalence(small_docs, tmp_path):
+    """Kill a budgeted+robots crawl after 3 rounds, resume: identical to
+    the uninterrupted run AND to the politeness oracle (deferred rows
+    and policies reconstruct across the checkpoint boundary)."""
+    robots = {"h001": "User-agent: *\nDisallow: /\n"}
+    base = dict(docs_path=small_docs, seeds=default_seeds(1), max_depth=2,
+                host_budget_per_round=5, robots=robots, max_rounds=500,
+                num_seen_shards=2, num_web_shards=2)
+    full_dir = str(tmp_path / "pfull")
+    part_dir = str(tmp_path / "ppart")
+    full = crawl(CrawlConfig(**base, out_dir=full_dir))
+    crawl(CrawlConfig(**{**base, "max_rounds": 3}, out_dir=part_dir))
+    resumed = crawl(CrawlConfig(**base, out_dir=part_dir), resume=True)
+
+    sim = simulate_polite(pq.read_table(small_docs), default_seeds(1),
+                          max_depth=2, host_budget_per_round=5,
+                          robots=robots)
+    _assert_conformance(full, full_dir, sim)
+    _assert_conformance(resumed, part_dir, sim)
+    assert resumed.seen_count == full.seen_count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_robots_resume_equivalence(tmp_path):
+    """auto_robots resume: the known-host ledger restarts empty, so
+    robots re-fetch for hosts still in the frontier — policies
+    reconstruct deterministically and the crawl matches the oracle."""
+    docs = docs_parquet(str(tmp_path / "docs_arr.parquet"), n_docs=300,
+                        n_hosts=8, seed=42, p_host_robots=1.0)
+    base = dict(docs_path=docs, seeds=default_seeds(1), max_depth=3,
+                auto_robots=True, num_seen_shards=2, num_web_shards=2)
+    part_dir = str(tmp_path / "arpart")
+    crawl(CrawlConfig(**base, max_rounds=2, out_dir=part_dir))
+    resumed = crawl(CrawlConfig(**base, max_rounds=1000, out_dir=part_dir),
+                    resume=True)
+    sim = simulate_polite(pq.read_table(docs), default_seeds(1),
+                          max_depth=3, auto_robots=True)
+    _assert_conformance(resumed, part_dir, sim)
