@@ -9,8 +9,9 @@ is then over the much smaller unique-word table:
   1. ``map_batches``: weighted adjacent-pair counts, locally combined
      per batch (one (a, b, n) row per distinct pair per batch);
   2. ``groupby(a, b).sum`` → global pair counts;
-  3. ``sort((n desc, a asc, b asc)).limit(1)`` → the merge winner
-     (deterministic tie-break — count, then pair lexicographic);
+  3. per-batch partial top-1 → driver fold over ≤ one row per block →
+     the merge winner (deterministic tie-break — count desc, then pair
+     lexicographic asc). An argmax needs no sort all-to-all;
   4. ``map_batches``: rewrite every word's symbol sequence with the
      winning merge (left-to-right, non-overlapping — the classic rule).
 
@@ -87,20 +88,29 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 24,
     seqs = _word_counts(ds, text_col).map_batches(
         _to_syms, batch_format="pyarrow").materialize()
 
+    def _top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().sort_values(
+            ["n", "a", "b"], ascending=[False, True, True]).head(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ranks, lefts, rights, counts = [], [], [], []
     for rank in range(num_merges):
-        top = (seqs.map_batches(_count_pairs, batch_format="pyarrow")
-               .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
-               .sort(key=["n", "a", "b"],
-                     descending=[True, False, False])
-               .limit(1).take_all())
-        if not top or top[0]["n"] < min_count:
+        cand = (seqs.map_batches(_count_pairs, batch_format="pyarrow")
+                .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+                .map_batches(_top1, batch_format="pyarrow")
+                .take_all())  # ≤ 1 row per block — bounded driver fold
+        if not cand:
             break
-        a, b = top[0]["a"], top[0]["b"]
+        top = min(cand, key=lambda r: (-r["n"], r["a"], r["b"]))
+        if top["n"] < min_count:
+            break
+        a, b = top["a"], top["b"]
         ranks.append(rank)
         lefts.append(a)
         rights.append(b)
-        counts.append(int(top[0]["n"]))
+        counts.append(int(top["n"]))
 
         def apply(t: pa.Table, a=a, b=b) -> pa.Table:
             return pa.table({
@@ -116,3 +126,36 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 24,
                      "left": pa.array(lefts, pa.string()),
                      "right": pa.array(rights, pa.string()),
                      "n": pa.array(counts, pa.int64())})
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the learned merges in rank order (the classic encoder)."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, a, b)
+    return syms
+
+
+def bpe_encode_batch(batch: pa.Table, *, merges_ref,
+                     text_col: str = "text") -> pa.Table:
+    """``map_batches`` kernel: tokens-per-document under a trained merge
+    table (broadcast via ``ray.put`` once, resolved zero-copy per task).
+    Each distinct word in the batch is encoded once (local memo) —
+    per-unique-word work, not per-occurrence."""
+    import ray
+
+    merges = ray.get(merges_ref)
+    memo: dict[str, int] = {}
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        total = 0
+        for w in t.split(" "):
+            k = memo.get(w)
+            if k is None:
+                k = memo[w] = len(encode_word(w, merges))
+            total += k
+        out[i] = total
+    return batch.append_column("n_bpe_pieces", pa.array(out, pa.int64()))

@@ -1175,6 +1175,23 @@ def bpe_train_merges(sf_dir: str):
     return bpe_train(ds, num_merges=16)
 
 
+def bpe_encode_docs(sf_dir: str):
+    """Tokenize the corpus under its own trained BPE merges: train (16
+    merges) then one encode pass — (doc_id, n_bpe_pieces). The merge
+    table broadcasts once; encoding memoizes per unique word per batch.
+    Deterministic; rows-only (depends on the iterative trainer)."""
+    from rendler_ray.functions.bpe import bpe_encode_batch, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_tbl = bpe_train(_read(sf_dir, "documents", ["text"]),
+                           num_merges=16)
+    merges_ref = ray.put(list(zip(merges_tbl["left"].to_pylist(),
+                                  merges_tbl["right"].to_pylist())))
+    return ds.map_batches(
+        bpe_encode_batch, fn_kwargs={"merges_ref": merges_ref},
+        batch_format="pyarrow").select_columns(["doc_id", "n_bpe_pieces"])
+
+
 def connected_components_crawl(sf_dir: str):
     """Connected components of the crawl graph (undirected view):
     iterative min-label propagation with per-iteration label⋈edge hash
@@ -1293,6 +1310,7 @@ QUERIES = {
     "pagerank_joined_crawl": pagerank_joined_crawl,
     "connected_components_crawl": connected_components_crawl,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_docs": bpe_encode_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,

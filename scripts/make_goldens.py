@@ -32,6 +32,7 @@ GOLDEN_QUERIES = [
     "pagerank_joined_crawl",
     "connected_components_crawl",
     "bpe_train_merges",
+    "bpe_encode_docs",
     "simhash_docs",
     "minhash_dup_groups",
     "ngram_jaccard_pairs",

@@ -355,3 +355,21 @@ def test_bpe_train_classic_merges():
     assert got == [("l", "o", 7), ("lo", "w", 7),
                    ("e", "s", 4), ("es", "t", 4)]
     assert out["rank"].to_pylist() == [0, 1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_applies_merges_in_rank_order():
+    import ray
+    import ray.data as rd
+
+    from rendler_ray.functions.bpe import bpe_encode_batch, encode_word
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    assert encode_word("lowest", merges) == ["low", "est"]
+    assert encode_word("low", merges) == ["low"]
+    assert encode_word("slower", merges) == ["s", "low", "e", "r"]
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["low lowest", "slower low"]})
+    out = bpe_encode_batch(batch, merges_ref=ray.put(merges))
+    assert out["n_bpe_pieces"].to_pylist() == [1 + 2, 4 + 1]
