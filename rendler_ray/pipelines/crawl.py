@@ -135,6 +135,12 @@ class CrawlConfig:
     # hosts; above it the gate becomes a hash join on host
     # (state/politeness.py::_budget_gate_join)
     budget_broadcast_max_hosts: int = 200_000
+    # crawl-time exact content dedup (training-data crawls): pages whose
+    # text-content fingerprint was already crawled are dropped BEFORE
+    # render/extract — first discoverer (min seq) wins, deterministic.
+    # Off in conformance mode (the reference renders every fetch).
+    content_dedup: bool = False
+    content_dedup_shards: int = 4
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -342,6 +348,70 @@ def _number_winners(winner_refs: list, fast: bool, total_seq: int,
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _content_fp_batch(t: pa.Table) -> pa.Table:
+    """Append an exact-content fingerprint (md5 over the page's text
+    spans, newline-joined); "" for non-200 rows (no content)."""
+    import hashlib
+
+    spans = t["spans"].to_pylist()
+    status = t["status"].to_numpy(zero_copy_only=False)
+    fps = [
+        hashlib.md5("\n".join(sp["text"] for sp in row
+                              if sp["kind"] == "text").encode()).hexdigest()
+        if st == 200 else ""
+        for row, st in zip(spans, status)
+    ]
+    return t.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+@ray.remote
+def _packed_fp_keys(block: pa.Table) -> pa.Table:
+    """Winner block (canon_url=fingerprint, key=seq) → packed fp:seq
+    key column (small per-round table)."""
+    import pyarrow.compute as pc
+
+    key = pc.binary_join_element_wise(
+        block["canon_url"], pc.cast(block["key"], pa.string()), ":")
+    return pa.table({"k": key})
+
+
+def _content_dedup_round(fetched, shards):
+    """Drop fetched rows whose content fingerprint was already crawled
+    (earlier round, or a lower-seq row this round). Reuses the SeenShard
+    offer/drain min-reduce keyed by fingerprint with seq as the order
+    key — deterministic under any batch order/retry. The per-round
+    winner set is broadcast as packed fp:seq keys (bounded by round
+    size, the same posture as the driver seq-rank; above that cap this
+    becomes a join on (fingerprint, seq)). Returns (kept, n_dups)."""
+    import pyarrow.compute as pc
+
+    from rendler_ray.state.seen import drain_winners, offer_batch
+
+    fp = fetched.map_batches(_content_fp_batch,
+                             batch_format="pyarrow").materialize()
+
+    def offer(t: pa.Table) -> pa.Table:
+        return offer_batch(t.filter(pc.equal(t["status"], 200)),
+                           shards=shards, key_column="seq",
+                           url_column="fingerprint", depth_column=None)
+
+    fp.map_batches(offer, batch_format="pyarrow").materialize()
+    winner_refs = drain_winners(shards, "int64")
+    packs = pa.concat_tables(ray.get(
+        [_packed_fp_keys.remote(r) for r in winner_refs]))
+    winners_ref = ray.put(packs["k"].combine_chunks())
+
+    def keep(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["fingerprint"], pc.cast(t["seq"], pa.string()), ":")
+        mask = pc.or_(pc.not_equal(t["status"], 200),
+                      pc.is_in(key, value_set=ray.get(winners_ref)))
+        return t.filter(mask).drop_columns(["fingerprint"])
+
+    kept = fp.map_batches(keep, batch_format="pyarrow").materialize()
+    return kept, fetched.count() - kept.count()
+
+
 # checkpoint I/O lives behind the storage seam (parquet now, lance when
 # the wheel exists — rendler_ray/storage.py)
 from rendler_ray.storage import (  # noqa: E402
@@ -377,6 +447,10 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         host_ledger = make_seen_shards(cfg.host_ledger_shards, "exact")
         if policies:
             seen_check_and_add(host_ledger, sorted(policies))
+
+    content_shards = (make_seen_shards(cfg.content_dedup_shards, "exact")
+                      if cfg.content_dedup else None)
+    content_dups_total = 0
 
     manifest = _read_manifest(cfg.out_dir) if (resume and cfg.out_dir) else None
     if manifest:
@@ -421,6 +495,18 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             ]
 
         per_round_fetched = _rounds("fetch.parquet", FETCH_SCHEMA)
+        if content_shards is not None:
+            # checkpointed fetch tables are already deduped, so their
+            # fingerprints ARE the content-seen set at the crash point
+            for dsr in per_round_fetched:
+                for b in (dsr.map_batches(_content_fp_batch,
+                                          batch_format="pyarrow")
+                          .iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")):
+                    import pyarrow.compute as pc
+                    ok = b.filter(pc.equal(b["status"], 200))
+                    seen_check_and_add(content_shards,
+                                       ok["fingerprint"].to_pylist())
         per_round_edges = _rounds("edges.parquet", EDGES_SCHEMA)
         per_round_renders = _rounds("renders.parquet", RENDERS_SCHEMA)
         per_round_frontier = _rounds("frontier.parquet", FRONTIER_SCHEMA)
@@ -570,6 +656,12 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             m = _re.findall(r"(\d+) tasks executed, (\d+) blocks produced in ([\d.]+)s", s)
             print(f"[crawl-stats] r{r} fetch ops: {m}", flush=True)
         pages_fetched += fetched.count()
+        n_content_dups = 0
+        if content_shards is not None:
+            with _T(f"r{r} content-dedup"):
+                fetched, n_content_dups = _content_dedup_round(
+                    fetched, content_shards)
+                content_dups_total += n_content_dups
         per_round_fetched.append(fetched)
 
         with _T(f"r{r} render"):
@@ -699,6 +791,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         round_lineage[-1]["new_urls"] = n_new
         round_lineage[-1]["deferred"] = (
             deferred.count() if deferred is not None else 0)
+        if content_shards is not None:
+            round_lineage[-1]["content_dups"] = n_content_dups
 
         if cfg.out_dir:
             # next round's frontier lands BEFORE the manifest commit: a
@@ -758,5 +852,6 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         deferred_rounds=deferred_rounds,
         stats={"pages_rendered": pages_rendered,
                "frontier_rows": frontier_rows_total,
-               "seen_shards": seen_stats},
+               "seen_shards": seen_stats,
+               "content_dups": content_dups_total},
     )

@@ -1127,6 +1127,22 @@ def crawl_auto_robots(sf_dir: str):
                                       "status"])
 
 
+def crawl_content_dedup(sf_dir: str):
+    """Training-data crawl with exact content dedup fused in: duplicate
+    pages (same text fingerprint) are dropped before render/extract,
+    first discoverer wins (crawl.py::_content_dedup_round). The
+    synthetic corpus has near-zero exact dups, so this exercises the
+    plumbing at full crawl scale. Deterministic; rows-only."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4,
+                            content_dedup=True))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                      "status"])
+
+
 def pagerank_crawl_graph(sf_dir: str):
     """PageRank over the crawl's edge table (power iteration:
     broadcast ranks → per-batch partial contributions → groupby(dst)
@@ -1328,6 +1344,7 @@ QUERIES = {
     "crawl_enriched": crawl_enriched,
     "crawl_polite": crawl_polite,
     "crawl_auto_robots": crawl_auto_robots,
+    "crawl_content_dedup": crawl_content_dedup,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,

@@ -42,6 +42,7 @@ GOLDEN_QUERIES = [
     "crawl_enriched",
     "crawl_polite",
     "crawl_auto_robots",
+    "crawl_content_dedup",
     "doc_fingerprint_winnow",
     "media_features",
     "media_thumbnails",
