@@ -141,6 +141,12 @@ class CrawlConfig:
     # Off in conformance mode (the reference renders every fetch).
     content_dedup: bool = False
     content_dedup_shards: int = 4
+    # incremental re-crawl: path to a PRIOR run's out_dir. Pages whose
+    # content fingerprint is unchanged vs the prior run skip the render
+    # stage; their prior render artifacts are reused (fetch and link
+    # extraction still run — discovering change requires fetching).
+    recrawl_prior_dir: str | None = None
+    recrawl_fp_shards: int = 4
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -452,6 +458,29 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                       if cfg.content_dedup else None)
     content_dups_total = 0
 
+    fp_shards = None
+    unchanged_urls_rounds: list = []
+    if cfg.recrawl_prior_dir:
+        from rendler_ray.state.fpstore import fp_put, make_fp_shards
+
+        fp_shards = make_fp_shards(cfg.recrawl_fp_shards)
+        rr = 0
+        while True:
+            p = os.path.join(cfg.recrawl_prior_dir, f"round={rr}",
+                             "fetch.parquet")
+            if not os.path.exists(p):
+                break
+            prior = _read_round(p, FETCH_SCHEMA)
+            for b in (prior.map_batches(_content_fp_batch,
+                                        batch_format="pyarrow")
+                      .iter_batches(batch_size=65536,
+                                    batch_format="pyarrow")):
+                import pyarrow.compute as pc
+                ok = b.filter(pc.equal(b["status"], 200))
+                fp_put(fp_shards, ok["url"].to_pylist(),
+                       ok["fingerprint"].to_pylist())
+            rr += 1
+
     manifest = _read_manifest(cfg.out_dir) if (resume and cfg.out_dir) else None
     if manifest:
         r0 = manifest["round"] + 1
@@ -664,9 +693,44 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 content_dups_total += n_content_dups
         per_round_fetched.append(fetched)
 
+        to_render = fetched
+        if fp_shards is not None:
+            with _T(f"r{r} recrawl-diff"):
+                import pyarrow.compute as pc
+
+                from rendler_ray.state.fpstore import prior_fp_lookup_batch
+
+                fpt = (fetched.map_batches(_content_fp_batch,
+                                           batch_format="pyarrow")
+                       .map_batches(prior_fp_lookup_batch,
+                                    fn_kwargs={"shards": fp_shards},
+                                    batch_format="pyarrow")).materialize()
+
+                def _split_changed(keep_changed: bool):
+                    def fn(t: pa.Table) -> pa.Table:
+                        unchanged = pc.and_(
+                            pc.equal(t["status"], 200),
+                            pc.and_(pc.not_equal(t["prior_fp"], ""),
+                                    pc.equal(t["fingerprint"],
+                                             t["prior_fp"])))
+                        mask = (pc.invert(unchanged) if keep_changed
+                                else unchanged)
+                        return t.filter(mask).drop_columns(
+                            ["fingerprint", "prior_fp"])
+                    return fn
+
+                to_render = fpt.map_batches(
+                    _split_changed(True), batch_format="pyarrow"
+                ).materialize()
+                unch = fpt.map_batches(
+                    _split_changed(False), batch_format="pyarrow"
+                ).select_columns(["url"]).materialize()
+                if unch.count():
+                    unchanged_urls_rounds.append(unch)
+
         with _T(f"r{r} render"):
             if cfg.stage_mode == "actors":
-                renders = fetched.map_batches(
+                renders = to_render.map_batches(
                     Renderer,
                     fn_constructor_kwargs={"round_no": r},
                     batch_format="pyarrow",
@@ -675,7 +739,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     num_cpus=0.5,
                 ).materialize()
             else:
-                renders = fetched.map_batches(
+                renders = to_render.map_batches(
                     render_batch,
                     fn_kwargs={"round_no": r},
                     batch_format="pyarrow",
@@ -829,6 +893,42 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         frontier = next_frontier
         r += 1
 
+    renders_reused = 0
+    if fp_shards is not None and unchanged_urls_rounds:
+        # attach the PRIOR run's render artifacts for unchanged pages: a
+        # broadcast semi-join on url (the unchanged set is bounded by the
+        # crawl's own size — swap for a hash join past the broadcast cap)
+        import pyarrow.compute as pc
+
+        uarr = pa.concat_tables([
+            pa.table({"url": b["url"]})
+            for d in unchanged_urls_rounds
+            for b in d.iter_batches(batch_size=None, batch_format="pyarrow")
+        ])["url"].combine_chunks()
+        uref = ray.put(uarr)
+
+        def keep_unchanged(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(uref)))
+
+        rr = 0
+        prior_rounds = []
+        while True:
+            p = os.path.join(cfg.recrawl_prior_dir, f"round={rr}",
+                             "renders.parquet")
+            if not os.path.exists(p):
+                break
+            prior_rounds.append(_read_round(p, RENDERS_SCHEMA))
+            rr += 1
+        if prior_rounds:
+            reused = prior_rounds[0]
+            for d in prior_rounds[1:]:
+                reused = reused.union(d)
+            reused = reused.map_batches(keep_unchanged,
+                                        batch_format="pyarrow").materialize()
+            renders_reused = reused.count()
+            if renders_reused:
+                per_round_renders.append(reused)
+
     seen_stats = ray.get([s.stats.remote() for s in seen_shards])
     seen_count = sum(st["count"] for st in seen_stats)
 
@@ -853,5 +953,6 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         stats={"pages_rendered": pages_rendered,
                "frontier_rows": frontier_rows_total,
                "seen_shards": seen_stats,
-               "content_dups": content_dups_total},
+               "content_dups": content_dups_total,
+               "renders_reused": renders_reused},
     )

@@ -1143,6 +1143,31 @@ def crawl_content_dedup(sf_dir: str):
                                       "status"])
 
 
+def crawl_incremental(sf_dir: str):
+    """Incremental re-crawl end-to-end: crawl the corpus with
+    checkpointing, then re-crawl the SAME corpus against that prior run
+    — every page's content is unchanged, so the render stage is skipped
+    entirely and all artifacts are reused (crawl.py recrawl_prior_dir).
+    Returns the reused renders (sans image bytes). Deterministic;
+    rows-only."""
+    import shutil
+    import uuid
+
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    prior_dir = f"/tmp/rendler_ray_ckpt/recrawl-{uuid.uuid4().hex[:12]}"
+    base = dict(docs_path=_synth_docs_for(sf_dir), seeds=default_seeds(1),
+                max_depth=4)
+    crawl(CrawlConfig(**base, out_dir=prior_dir))
+    res = crawl(CrawlConfig(**base, recrawl_prior_dir=prior_dir))
+    assert res.stats["pages_rendered"] == 0, "identical corpus must reuse"
+    out = res.renders.select_columns(["doc_id", "media_ref",
+                                      "rendered_round"]).materialize()
+    shutil.rmtree(prior_dir, ignore_errors=True)
+    return out
+
+
 def pagerank_crawl_graph(sf_dir: str):
     """PageRank over the crawl's edge table (power iteration:
     broadcast ranks → per-batch partial contributions → groupby(dst)
@@ -1345,6 +1370,7 @@ QUERIES = {
     "crawl_polite": crawl_polite,
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_content_dedup": crawl_content_dedup,
+    "crawl_incremental": crawl_incremental,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,

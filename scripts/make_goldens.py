@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "crawl_polite",
     "crawl_auto_robots",
     "crawl_content_dedup",
+    "crawl_incremental",
     "doc_fingerprint_winnow",
     "media_features",
     "media_thumbnails",
