@@ -1,4 +1,5 @@
-"""Distributed sketches: HyperLogLog approximate distinct counting.
+"""Distributed sketches: HyperLogLog approximate distinct counting and
+Misra–Gries two-pass exact heavy hitters.
 
 Standard HLL (Flajolet et al. 2007, public paper): p-bit bucket index,
 max leading-zero rank per bucket, harmonic-mean estimate with the usual
@@ -87,3 +88,60 @@ def approx_distinct(ds, key_col: str, val_col: str, p: int = 12):
         batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(
         lambda g: hll_merge_group(g, p), batch_format="pandas")
+
+
+# --------------------------------------------------- exact heavy hitters
+
+
+def mg_candidates_batch(batch: pa.Table, *, col: str,
+                        eps: float) -> pa.Table:
+    """Misra–Gries (1982, public) summary of one batch: the ≤ ceil(1/eps)
+    candidate keys whose batch frequency can reach eps·batch_rows.
+    Pigeonhole: any key with GLOBAL frequency ≥ eps·N has local
+    frequency ≥ eps·n_b in at least one batch, so the union of per-batch
+    candidates is a superset of the true frequent keys — no cross-batch
+    state needed. Vectorized: a batch-local count + threshold stands in
+    for the sequential decrement loop (same guarantee, tighter set)."""
+    vals = batch[col].to_numpy(zero_copy_only=False)
+    if len(vals) == 0:
+        return pa.table({col: pa.array([], batch[col].type)})
+    u, c = np.unique(vals, return_counts=True)
+    keep = c >= max(1, int(np.ceil(eps * len(vals))))
+    return pa.table({col: pa.array(u[keep].tolist(), batch[col].type)})
+
+
+def heavy_hitters(ds, col: str, eps: float = 0.005):
+    """EXACT frequent items via the classic two-pass sketch pattern:
+    pass 1 fans out per-batch Misra–Gries candidate summaries (bounded
+    ≤ 1/eps rows per batch — never the raw column) and dedups them;
+    pass 2 exactly recounts ONLY the candidates (broadcast ``is_in``
+    filter → groupby count) and keeps counts ≥ ceil(eps·N). The
+    candidate superset property makes the output exactly equal to
+    ``GROUP BY col HAVING count(*) >= ceil(eps*N)`` — SQL-oracle-able,
+    unlike a one-pass approximate sketch."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    n = ds.count()
+    if n == 0:
+        return ds
+    thr = max(1, int(np.ceil(eps * n)))
+    cand = (ds.map_batches(mg_candidates_batch,
+                           fn_kwargs={"col": col, "eps": eps},
+                           batch_format="pyarrow")
+            .groupby(col).aggregate(Count(alias_name="_n"))
+            .select_columns([col]))
+    # candidate set is ≤ (batches × 1/eps) keys — broadcast class
+    arrs = pa.concat_tables(cand.iter_batches(batch_size=None,
+                                              batch_format="pyarrow"))
+    cref = ray.put(arrs[col].combine_chunks())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[col], value_set=ray.get(cref)))
+
+    counts = (ds.map_batches(keep, batch_format="pyarrow")
+              .groupby(col).aggregate(Count(alias_name="n")))
+    return counts.map_batches(
+        lambda t, v=thr: t.filter(pc.greater_equal(t["n"], v)),
+        batch_format="pyarrow")

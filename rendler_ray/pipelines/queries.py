@@ -565,6 +565,25 @@ def approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, key_col="event_type", val_col="user_id")
 
 
+def heavy_hitter_users(sf_dir: str):
+    """Exact frequent items by the two-pass Misra–Gries pattern
+    (functions/sketch.py::heavy_hitters): per-batch bounded candidate
+    summaries → exact recount of candidates only → threshold. Output
+    provably equals the SQL GROUP BY/HAVING — sketch fan-out with an
+    exact oracle."""
+    from rendler_ray.functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", eps=0.008)
+
+
+HEAVY_HITTERS_SQL = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+HAVING count(*) >=
+  CAST(ceil(0.008 * (SELECT count(*) FROM events)) AS BIGINT)
+"""
+
+
 def sample_docs_deterministic(sf_dir: str):
     """Deterministic ~10% Bernoulli sample by content-independent hash
     (md5 of the key + salt): reproducible across runs AND expressible in
@@ -1342,6 +1361,7 @@ QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "range_join_orders": range_join_orders,
     "approx_distinct_users": approx_distinct_users,
+    "heavy_hitter_users": heavy_hitter_users,
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
     "sessionize_events": sessionize_events,
@@ -1394,6 +1414,7 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "sample_docs_deterministic": SAMPLE_DOCS_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "heavy_hitter_users": HEAVY_HITTERS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,

@@ -373,3 +373,26 @@ def test_bpe_encode_applies_merges_in_rank_order():
                       "text": ["low lowest", "slower low"]})
     out = bpe_encode_batch(batch, merges_ref=ray.put(merges))
     assert out["n_bpe_pieces"].to_pylist() == [1 + 2, 4 + 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_under_adversarial_spread():
+    """Two-pass MG must be EXACT: a key exactly at the global threshold
+    spread evenly across blocks is kept; one just under it (or locally
+    hot but globally under) is dropped."""
+    import ray.data as rd
+
+    from rendler_ray.functions.sketch import heavy_hitters
+
+    # 4 blocks x 100 rows, eps=0.05 -> global thr = ceil(0.05*400) = 20
+    blocks = []
+    for i in range(4):
+        vals = (["hot"] * 5                       # 20 total == thr: kept
+                + ["edge"] * (5 if i < 3 else 4)  # 19 total: dropped
+                + (["sparse"] * 19 if i == 0 else [])  # candidate, 19: drop
+                + [f"f{i}_{j}" for j in range(100)])
+        blocks.append(pa.table({"k": pa.array(vals[:100], pa.string())}))
+    ds = rd.from_arrow(blocks)  # one block per table => one batch each
+    got = {r["k"]: r["n"] for r in
+           heavy_hitters(ds, "k", eps=0.05).take_all()}
+    assert got == {"hot": 20}
