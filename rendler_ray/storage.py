@@ -62,6 +62,72 @@ def read_table(path: str, schema: pa.Schema) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, partitioning=None)
 
 
+def write_partitioned(ds: "ray.data.Dataset", path: str, key_col: str,
+                      num_buckets: int = 64) -> dict:
+    """Resumable hash-bucketed sink: rows land in ``bucket=K/`` dirs by
+    ``stable_hash64(key) % num_buckets``; each completed bucket is
+    stamped with ``_SUCCESS``. A re-run (a) deletes unstamped partial
+    bucket dirs from the crashed attempt, (b) writes ONLY the missing
+    buckets (one distributed filtered pass — never one scan per
+    bucket), (c) stamps them. A 100-TB job that dies at 80% re-does
+    the missing 20%. Returns {"written": [...], "skipped": [...]}.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rendler_ray.functions.canon import stable_hash64
+
+    os.makedirs(path, exist_ok=True)
+    done, partial = [], []
+    for d in os.listdir(path):
+        if not d.startswith("bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        if os.path.exists(os.path.join(path, d, "_SUCCESS")):
+            done.append(b)
+        else:
+            partial.append(d)
+    for d in partial:  # unstamped = crashed mid-write: redo
+        shutil.rmtree(os.path.join(path, d))
+
+    done_arr = np.asarray(sorted(done), dtype=np.int64)
+
+    def add_bucket_keep_missing(t: pa.Table) -> pa.Table:
+        h = stable_hash64(np.asarray(
+            [str(x) for x in t[key_col].to_pylist()], dtype=object))
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        t = t.append_column("bucket", pa.array(b, pa.int64()))
+        if len(done_arr):
+            t = t.filter(pc.invert(pc.is_in(
+                t["bucket"], value_set=pa.array(done_arr, pa.int64()))))
+        return t
+
+    todo = ds.map_batches(add_bucket_keep_missing, batch_format="pyarrow")
+    todo.write_parquet(path, partition_cols=["bucket"])
+    written = []
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            b = int(d.split("=", 1)[1])
+            if b not in done:
+                open(os.path.join(path, d, "_SUCCESS"), "w").close()
+                written.append(b)
+    return {"written": sorted(written), "skipped": sorted(done)}
+
+
+def read_partitioned(path: str) -> "ray.data.Dataset":
+    """Read a :func:`write_partitioned` sink: only stamped (_SUCCESS)
+    buckets are read, with the original data schema (``bucket`` lives
+    in the directory name, not the files)."""
+    files = [
+        f
+        for d in sorted(os.listdir(path))
+        if d.startswith("bucket=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        for f in sorted(glob.glob(os.path.join(path, d, "*.parquet")))
+    ]
+    return ray.data.read_parquet(files)
+
+
 def read_manifest(out_dir: str) -> dict | None:
     p = os.path.join(out_dir, "manifest.json")
     if not os.path.exists(p):

@@ -52,3 +52,38 @@ def test_manifest_roundtrip(tmp_path):
     write_manifest(d, {"round": 2, "x": [1, 2]})
     assert read_manifest(d) == {"round": 2, "x": [1, 2]}
     assert not os.path.exists(os.path.join(d, "manifest.json.tmp"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_partitioned_resume_skips_done_buckets(tmp_path):
+    """Resumable sink: stamped buckets are skipped on re-run; unstamped
+    (crashed) and missing buckets are redone; read-back is complete."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rendler_ray.storage import read_partitioned, write_partitioned
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned(rd.from_arrow(src), out, "doc_id",
+                           num_buckets=8)
+    assert r1["skipped"] == [] and len(r1["written"]) > 1
+
+    # simulate a crash: one bucket unstamped (partial), one gone
+    written = sorted(r1["written"])
+    os.remove(os.path.join(out, f"bucket={written[0]}", "_SUCCESS"))
+    shutil.rmtree(os.path.join(out, f"bucket={written[1]}"))
+
+    r2 = write_partitioned(rd.from_arrow(src), out, "doc_id",
+                           num_buckets=8)
+    assert set(r2["written"]) == {written[0], written[1]}
+    assert set(r2["skipped"]) == set(written[2:])
+
+    df = read_partitioned(out).to_pandas()
+    got = sorted(zip(df["doc_id"], df["text"]))
+    exp = sorted(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    assert got == exp
