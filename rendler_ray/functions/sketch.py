@@ -133,9 +133,15 @@ def heavy_hitters(ds, col: str, eps: float = 0.005):
             .groupby(col).aggregate(Count(alias_name="_n"))
             .select_columns([col]))
     # candidate set is ≤ (batches × 1/eps) keys — broadcast class
-    arrs = pa.concat_tables(cand.iter_batches(batch_size=None,
-                                              batch_format="pyarrow"))
-    cref = ray.put(arrs[col].combine_chunks())
+    batches = list(cand.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    if not batches:  # no key frequent in ANY batch => none frequent globally
+        sch = ds.schema()  # ray Schema wrapper: parallel names/types lists
+        col_type = dict(zip(sch.names, sch.types))[col]
+        return ray.data.from_arrow(pa.table({
+            col: pa.array([], col_type),
+            "n": pa.array([], pa.int64())}))
+    cref = ray.put(pa.concat_tables(batches)[col].combine_chunks())
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t[col], value_set=ray.get(cref)))
