@@ -145,6 +145,10 @@ class CrawlConfig:
     # content fingerprint is unchanged vs the prior run skip the render
     # stage; their prior render artifacts are reused (fetch and link
     # extraction still run — discovering change requires fetching).
+    # Limitation: resuming a KILLED re-crawl (out_dir + resume=True)
+    # loses the pre-crash rounds' unchanged-URL sets, so reused renders
+    # cover only post-resume rounds — re-run the re-crawl from scratch
+    # instead (it skips the render work either way).
     recrawl_prior_dir: str | None = None
     recrawl_fp_shards: int = 4
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —

@@ -273,20 +273,28 @@ def tfidf_top_terms(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_combine(t: pa.Table) -> pa.Table:
+        # local combiner: one (doc, token, partial count) row per unique
+        # pair per batch — the shuffle moves unique pairs, not instances
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
                          dtype=object).str.split(" ")
         lens = toks.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": np.concatenate(
+                [np.array(x, dtype=object) for x in toks]),
+        })
+        g = df.groupby(["doc_id", "token"], sort=False).size()
+        g = g.reset_index(name="tf")
         return pa.table({
-            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
-            "token": pa.array(
-                np.concatenate([np.array(x, dtype=object) for x in toks]),
-                pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
         })
 
-    tf = (ds.map_batches(explode, batch_format="pyarrow")
-          .groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")))
+    tf = (ds.map_batches(explode_combine, batch_format="pyarrow")
+          .groupby(["doc_id", "token"]).aggregate(Sum("tf", alias_name="tf")))
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
     joined = tf.join(df, join_type="inner", num_partitions=8, on=("token",))
 
