@@ -314,6 +314,67 @@ def tfidf_top_terms(sf_dir: str):
     return _fixed_point(out, {"score": 6})
 
 
+def doc_freq_score(sf_dir: str):
+    """Corpus-frequency quality score per document: global token
+    frequencies (explode+combine → groupby sum) hash-joined back onto
+    each document's token counts → per-doc integer aggregates
+    (freq_sum = Σ tf·global_freq, n_tokens = Σ tf). The vocabulary
+    stays a Dataset through the join (tfidf's shape, opposite
+    regroup direction); all-integer math makes the sums order-free, so
+    the oracle is hash-exact with no fixed-point dance."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_combine(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": np.concatenate(
+                [np.array(x, dtype=object) for x in toks]),
+        })
+        g = df.groupby(["doc_id", "token"], sort=False).size()
+        g = g.reset_index(name="tf")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+        })
+
+    tfc = (ds.map_batches(explode_combine, batch_format="pyarrow")
+           .groupby(["doc_id", "token"]).aggregate(Sum("tf", alias_name="tf")))
+    tfc = _checkpoint(tfc, "docfreq_tfc")  # consumed by freq AND the join
+    freq = tfc.groupby("token").aggregate(Sum("tf", alias_name="freq"))
+    joined = tfc.join(freq, join_type="inner", num_partitions=8,
+                      on=("token",))
+
+    def weight(t: pa.Table) -> pa.Table:
+        w = (t["tf"].to_numpy(zero_copy_only=False)
+             * t["freq"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t["doc_id"], "tf": t["tf"],
+                         "wf": pa.array(w, pa.int64())})
+
+    return (joined.map_batches(weight, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("wf", alias_name="freq_sum"),
+                       Sum("tf", alias_name="n_tokens")))
+
+
+DOC_FREQ_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tfc AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), freq AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tfc GROUP BY token
+)
+SELECT doc_id, CAST(sum(tf * freq) AS BIGINT) AS freq_sum,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM tfc JOIN freq USING (token) GROUP BY doc_id
+"""
+
+
 TFIDF_SQL = """
 WITH tf AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -1360,6 +1421,7 @@ QUERIES = {
     "distinct_union_nations": distinct_union_nations,
     "extract_tokens": extract_tokens,
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_freq_score": doc_freq_score,
     "last_event_per_user": last_event_per_user,
     "event_type_stats": event_type_stats,
     "hourly_user_windows": hourly_user_windows,
@@ -1415,6 +1477,7 @@ ORACLES = {
     "distinct_union_nations": DISTINCT_UNION_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "doc_freq_score": DOC_FREQ_SCORE_SQL,
     "last_event_per_user": LAST_EVENT_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
