@@ -138,9 +138,11 @@ def heavy_hitters(ds, col: str, eps: float = 0.005):
     if not batches:  # no key frequent in ANY batch => none frequent globally
         sch = ds.schema()  # ray Schema wrapper: parallel names/types lists
         col_type = dict(zip(sch.names, sch.types))[col]
-        return ray.data.from_arrow(pa.table({
-            col: pa.array([], col_type),
-            "n": pa.array([], pa.int64())}))
+        # a pyarrow Table, NOT an empty Dataset: Dataset.to_pandas()
+        # drops the columns of an all-empty dataset (schema mismatch
+        # downstream); the Arrow table keeps the typed schema
+        return pa.table({col: pa.array([], col_type),
+                         "n": pa.array([], pa.int64())})
     cref = ray.put(pa.concat_tables(batches)[col].combine_chunks())
 
     def keep(t: pa.Table) -> pa.Table:
