@@ -120,7 +120,7 @@ class PoliteSimResult(SimResult):
 def _sim_parse_robots(body: str, window_ms: int) -> dict:
     """Minimal robots.txt model: ``User-agent: *`` sections, Disallow
     path prefixes, Crawl-delay seconds -> per-round budget."""
-    pol = {"allow_all": True, "disallow": [], "budget": None}
+    pol = {"allow_all": True, "disallow": [], "allow": [], "budget": None}
     applies = False
     delay_ms = None
     for raw in body.splitlines():
@@ -136,6 +136,9 @@ def _sim_parse_robots(body: str, window_ms: int) -> dict:
                 pol["allow_all"] = False
             elif val:
                 pol["disallow"].append(val)
+        elif applies and key == "allow":
+            if val:
+                pol["allow"].append(val)
         elif applies and key == "crawl-delay":
             try:
                 delay_ms = int(float(val) * 1000)
@@ -147,6 +150,7 @@ def _sim_parse_robots(body: str, window_ms: int) -> dict:
 
 
 def _sim_allowed(url: str, pol: dict | None) -> bool:
+    """Longest-match Disallow/Allow rule (REP), Allow wins ties."""
     if pol is None:
         return True
     if not pol["allow_all"]:
@@ -159,7 +163,13 @@ def _sim_allowed(url: str, pol: dict | None) -> bool:
         j = url.find("/", i + 3)
         if j >= 0:
             path = url[j:]
-    return not any(path.startswith(p) for p in pol["disallow"])
+    dis = max((len(p) for p in pol["disallow"] if path.startswith(p)),
+              default=-1)
+    if dis < 0:
+        return True
+    alw = max((len(p) for p in pol["allow"] if path.startswith(p)),
+              default=-1)
+    return alw >= dis
 
 
 def simulate_polite(

@@ -39,6 +39,7 @@ import ray
 @dataclass
 class HostPolicy:
     disallow: list[str] = field(default_factory=list)  # path prefixes
+    allow: list[str] = field(default_factory=list)     # path prefixes
     allow_all: bool = True
     budget_per_round: int | None = None  # None = unlimited
 
@@ -46,7 +47,8 @@ class HostPolicy:
 def parse_robots(robots_txt: str, window_ms: int = 60_000,
                  default_delay_ms: int | None = None) -> HostPolicy:
     """Minimal robots.txt subset: ``User-agent: *`` sections with
-    ``Disallow:`` path prefixes and ``Crawl-delay:`` seconds."""
+    ``Disallow:``/``Allow:`` path prefixes (longest-match wins, the
+    Google/REP rule) and ``Crawl-delay:`` seconds."""
     pol = HostPolicy()
     applies = False
     delay_ms = default_delay_ms
@@ -64,6 +66,9 @@ def parse_robots(robots_txt: str, window_ms: int = 60_000,
                 pol.allow_all = False
             elif val:
                 pol.disallow.append(val)
+        elif applies and key == "allow":
+            if val:
+                pol.allow.append(val)
         elif applies and key == "crawl-delay":
             try:
                 delay_ms = int(float(val) * 1000)
@@ -85,6 +90,10 @@ def build_policies(robots: dict[str, str] | None, window_ms: int = 60_000,
 
 
 def path_allowed(url: str, pol: HostPolicy) -> bool:
+    """Longest-match rule (REP/Google): the most specific matching
+    prefix among Disallow ∪ Allow decides; an Allow can carve an
+    exception out of a broader Disallow (``Disallow: /`` remains a
+    full-host block)."""
     if not pol.allow_all:
         return False
     if not pol.disallow:
@@ -95,7 +104,13 @@ def path_allowed(url: str, pol: HostPolicy) -> bool:
         j = url.find("/", i + 3)
         if j >= 0:
             path = url[j:]
-    return not any(path.startswith(p) for p in pol.disallow)
+    dis = max((len(p) for p in pol.disallow if path.startswith(p)),
+              default=-1)
+    if dis < 0:
+        return True
+    alw = max((len(p) for p in pol.allow if path.startswith(p)),
+              default=-1)
+    return alw >= dis
 
 
 class RobotsFilter:

@@ -16,12 +16,18 @@ from rendler_ray.util import table_from_ds
 def _round_orders(out_dir: str) -> tuple[list[list[str]], dict[str, int]]:
     """Per-round fetch order (urls sorted by seq) + url->seq map, read
     back from the crawl's round checkpoints."""
+    import glob as _glob
+
     rounds, seqs = [], {}
     r = 0
     while True:
         p = os.path.join(out_dir, f"round={r}", "fetch.parquet")
         if not os.path.exists(p):
             break
+        if not _glob.glob(os.path.join(p, "*.parquet")):
+            rounds.append([])  # all-blocked round: empty marker dir
+            r += 1
+            continue
         t = pq.read_table(p, columns=["url", "seq"])
         rows = sorted(zip(t["seq"].to_pylist(), t["url"].to_pylist()))
         rounds.append([u for _, u in rows])
@@ -228,3 +234,29 @@ def test_auto_robots_resume_equivalence(tmp_path):
     sim = simulate_polite(pq.read_table(docs), default_seeds(1),
                           max_depth=3, auto_robots=True)
     _assert_conformance(resumed, part_dir, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_allow_carves_exception_and_matches_oracle(small_docs, tmp_path):
+    """Allow: longest-match wins — /p0000x pages stay crawlable inside a
+    broader Disallow; exact conformance vs the oracle."""
+    from rendler_ray.state.politeness import parse_robots, path_allowed
+
+    robots = {"h000": ("User-agent: *\n"
+                       "Disallow: /p00\n"
+                       "Allow: /p0000\n")}
+    pol = parse_robots(robots["h000"])
+    assert path_allowed("s://h000/p00003", pol)       # Allow (6) > Dis (4)
+    assert not path_allowed("s://h000/p00103", pol)   # only Disallow hits
+    assert path_allowed("s://h000/robots.txt", pol)   # neither matches
+
+    out = str(tmp_path / "allow_conf")
+    res = crawl(CrawlConfig(docs_path=small_docs, seeds=default_seeds(1),
+                            max_depth=3, robots=robots, num_seen_shards=2,
+                            num_web_shards=2, out_dir=out))
+    sim = simulate_polite(pq.read_table(small_docs), default_seeds(1),
+                          max_depth=3, robots=robots)
+    _assert_conformance(res, out, sim)
+    urls = [u for r in sim.round_order for u in r]
+    assert any(u.startswith("s://h000/p0000") for u in urls)
+    assert not any(u.startswith("s://h000/p001") for u in urls)
