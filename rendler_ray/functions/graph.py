@@ -163,6 +163,142 @@ def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
     return ranks
 
 
+def connected_components_star(edges_ds, max_iters: int = 30,
+                              num_partitions: int = 16):
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): O(log² n) rounds worst case — and a handful in
+    practice — vs graph-diameter rounds for min-label propagation
+    (:func:`connected_components_ds`). Same output contract: Dataset
+    (url, component) with ``component`` the lexicographic min url of the
+    component. Deterministic; direction and duplicate edges ignored.
+
+    Each round is two ``groupby(node).map_groups`` passes over the
+    symmetrized edge list (large-star hooks every neighbor bigger than
+    the center to the neighborhood min; small-star hooks the center and
+    its smaller neighbors to it) plus one dedup groupby; the edge set
+    only shrinks, so later rounds are cheap. Convergence = unchanged
+    edge-set hash signature (edges monotonically contract toward the
+    star fixpoint, where both operations are identities).
+    """
+    from ray.data.aggregate import Min
+
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])).materialize()
+    distinct = _nonempty_blocks(distinct)
+    if distinct is None:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+
+    srcs = distinct.select_columns(["src"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    dsts = distinct.select_columns(["dst"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    nodes = (srcs.union(dsts).groupby("url")
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["url"])).materialize()
+
+    # canonicalize each undirected edge to (u=hi, v=lo); drop self-loops
+    def canon_pair(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        hi = np.maximum(a, b)
+        lo = np.minimum(a, b)
+        keep = hi != lo
+        return pa.table({"u": pa.array(hi[keep], pa.string()),
+                         "v": pa.array(lo[keep], pa.string())})
+
+    edges = (distinct.map_batches(canon_pair, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["u", "v"])).materialize()
+    edges = _nonempty_blocks(edges)
+
+    def _sig(ds) -> int:
+        import pyarrow.compute as pc
+        s = 0
+        for b in ds.map_batches(
+                lambda t: pa.table({"h": pa.array([int(stable_hash64(
+                    pc.binary_join_element_wise(t["u"], t["v"], "\x00"))
+                    .sum(dtype=np.uint64))], pa.uint64())}),
+                batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            for v in b["h"].to_pylist():
+                s = (s + v) & 0xFFFFFFFFFFFFFFFF
+        return s
+
+    def _star(ds, large: bool):
+        """One star operation over the symmetrized edge list. m =
+        min(neighbors ∪ {center}) — for small-star the global min either
+        IS a smaller neighbor or the center itself, so the expression
+        coincides with min(N≤ ∪ {center}). Emitted edges are always
+        (bigger, smaller) with the self-pair dropped, preserving the
+        canonical orientation with no re-canonicalize pass."""
+        rev = ds.map_batches(
+            lambda t: pa.table({"u": t["v"], "v": t["u"]}),
+            batch_format="pyarrow")
+
+        def star_group(g: pd.DataFrame) -> pd.DataFrame:
+            u = g["u"].iloc[0]
+            nbrs = np.unique(g["v"].to_numpy())
+            m = min(nbrs[0], u)
+            if large:
+                targets = nbrs[nbrs > u]
+            else:
+                targets = np.append(nbrs[nbrs < u], u)
+            targets = targets[targets != m]
+            return pd.DataFrame({
+                "u": targets,
+                "v": np.full(len(targets), m, dtype=object)})
+
+        out = ds.union(rev).groupby("u").map_groups(
+            star_group, batch_format="pandas")
+        return _nonempty_blocks(out.materialize())
+
+    if edges is not None:
+        sig_prev = _sig(edges)
+        for _ in range(max_iters):
+            lg = _star(edges, large=True)
+            if lg is None:
+                edges = None
+                break
+            sm = _star(lg, large=False)
+            if sm is None:
+                edges = None
+                break
+            edges = (sm.groupby(["u", "v"])
+                     .aggregate(Count(alias_name="_n"))
+                     .select_columns(["u", "v"])).materialize()
+            edges = _nonempty_blocks(edges)
+            if edges is None:
+                break
+            sig = _sig(edges)
+            if sig == sig_prev:
+                break
+            sig_prev = sig
+
+    # at the fixpoint edges are (node -> component root); self-label
+    # every node so roots, isolated and self-loop nodes resolve too
+    self_lab = nodes.map_batches(
+        lambda t: pa.table({"url": t["url"], "label": t["url"]}),
+        batch_format="pyarrow")
+    if edges is not None:
+        lab = edges.map_batches(
+            lambda t: pa.table({"url": t["u"], "label": t["v"]}),
+            batch_format="pyarrow")
+        self_lab = lab.union(self_lab)
+    return (self_lab.groupby("url")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(lambda t: pa.table(
+                {"url": t["url"], "component": t["label"]}),
+                batch_format="pyarrow"))
+
+
 def connected_components_ds(edges_ds, max_iters: int = 50,
                             num_partitions: int = 16):
     """Connected components of the (undirected view of the) crawl graph:

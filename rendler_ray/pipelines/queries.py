@@ -1323,16 +1323,19 @@ def bpe_encode_docs(sf_dir: str):
 
 def connected_components_crawl(sf_dir: str):
     """Connected components of the crawl graph (undirected view):
-    iterative min-label propagation with per-iteration label⋈edge hash
-    joins (functions/graph.py::connected_components_ds). Deterministic
-    (labels are lexicographic-min urls); rows-only (iterative)."""
-    from rendler_ray.functions.graph import connected_components_ds
+    alternating large-star / small-star contraction (Kiveris SoCC'14,
+    functions/graph.py::connected_components_star) — O(log² n) rounds
+    vs graph-diameter rounds for the min-label-propagation form
+    (connected_components_ds, kept as the cross-checked reference
+    implementation in tests). Deterministic (labels are
+    lexicographic-min urls); rows-only (iterative)."""
+    from rendler_ray.functions.graph import connected_components_star
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.sources.synthweb import default_seeds
 
     res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
                             seeds=default_seeds(1), max_depth=4))
-    return connected_components_ds(res.edges, num_partitions=8)
+    return connected_components_star(res.edges, num_partitions=8)
 
 
 def media_features(sf_dir: str):

@@ -334,6 +334,48 @@ def test_connected_components():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_star_matches_propagation():
+    """Star contraction (Kiveris SoCC'14) must agree with min-label
+    propagation everywhere: the shared fixture, a diameter-16 chain
+    (where star needs O(log) rounds), and degenerate graphs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import (connected_components_ds,
+                                             connected_components_star)
+
+    edges = pa.table({
+        "src": ["b", "c", "d", "y", "z", "b"],
+        "dst": ["a", "b", "c", "x", "z", "a"],
+    })
+    out = pd.DataFrame(connected_components_star(
+        rd.from_arrow(edges), num_partitions=4).take_all())
+    assert dict(zip(out["url"], out["component"])) == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "z"}
+
+    n = 16
+    chain = pa.table({"src": [f"n{i:02d}" for i in range(1, n)],
+                      "dst": [f"n{i - 1:02d}" for i in range(1, n)]})
+    o1 = pd.DataFrame(connected_components_star(
+        rd.from_arrow(chain), num_partitions=4).take_all())
+    o2 = pd.DataFrame(connected_components_ds(
+        rd.from_arrow(chain), max_iters=30, num_partitions=4).take_all())
+    assert sorted(map(tuple, o1.values)) == sorted(map(tuple, o2.values))
+    assert set(o1["component"]) == {"n00"}
+
+    # empty edge table and self-loop-only graph
+    e0 = pd.DataFrame({"src": pd.Series([], dtype=object),
+                       "dst": pd.Series([], dtype=object)})
+    assert connected_components_star(
+        rd.from_pandas(e0), num_partitions=2).take_all() == []
+    sl = pa.table({"src": ["q", "r"], "dst": ["q", "r"]})
+    o = pd.DataFrame(connected_components_star(
+        rd.from_arrow(sl), num_partitions=2).take_all())
+    assert dict(zip(o["url"], o["component"])) == {"q": "q", "r": "r"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_train_classic_merges():
     """Hand-verified first merges on the classic BPE toy corpus
     (weighted pair counts + (count desc, pair asc) tie-break)."""
