@@ -707,6 +707,140 @@ QUALIFY row_number() OVER (
 """
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sample without replacement (the priority-
+    sampling shape, Duffield et al. JACM'07): priority = hash / weight,
+    keep the k smallest — inclusion probability ∝ weight (here n_chars)
+    at small sampling rates, fully reproducible across runs and
+    parallelism, and SQL-expressible (no RNG state, no rejection pass).
+    The hash is the first 15 md5 hex digits of the salted key (< 2^60,
+    exact BIGINT on both sides); integer floor-division keeps the
+    comparison exact. Each batch pre-prunes to its local top-k so the
+    global sort+limit sees ≤ k rows per block (scale shape)."""
+    import hashlib
+
+    k = 100
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [int(hashlib.md5(f"{i}-w1".encode()).hexdigest()[:15], 16)
+             for i in ids], dtype=np.int64)
+        p = h // np.maximum(w, 1)
+        t = t.append_column("priority", pa.array(p, pa.int64()))
+        idx = np.lexsort((ids, p))[:k]
+        return t.take(pa.array(np.sort(idx)))
+
+    return (ds.map_batches(prio, batch_format="pyarrow")
+            .sort(["priority", "doc_id"]).limit(k))
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-w1'), 1, 15)
+              AS BIGINT) // greatest(n_chars, 1) AS priority
+  FROM documents)
+SELECT doc_id, n_chars, priority FROM pr
+ORDER BY priority, doc_id LIMIT 100
+"""
+
+
+def percentile_order_values(sf_dir: str):
+    """Exact per-group percentiles (p50/p90/p99 of order value in cents)
+    WITHOUT per-group row collection: fixed-point → groupby((group,
+    value)) count — the all-to-all carries one row per DISTINCT value,
+    not per row — then a tiny per-group sorted cumsum picks rank
+    ceil(p·n/100), computed in pure integer arithmetic ((p·n + 99)//100)
+    so both sides agree bit-for-bit (no float q·n corner cases). The
+    value-histogram exact-quantile shape; t-digest is the fallback when
+    value cardinality is unbounded."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    cents = _fixed_point(ds, {"o_totalprice": 2}).map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "cents"]),
+        batch_format="pyarrow")
+    counts = cents.groupby(["o_orderpriority", "cents"]).aggregate(
+        Count(alias_name="n"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        out = {"o_orderpriority": [g["o_orderpriority"].iloc[0]],
+               "n_orders": [n]}
+        for p, col in ((50, "p50_c"), (90, "p90_c"), (99, "p99_c")):
+            rank = (p * n + 99) // 100
+            out[col] = [int(v[np.searchsorted(cum, rank)])]
+        return pd.DataFrame(out)
+
+    return (counts.groupby("o_orderpriority")
+            .map_groups(pick, batch_format="pandas")
+            .select_columns(["o_orderpriority", "n_orders",
+                             "p50_c", "p90_c", "p99_c"]))
+
+
+PERCENTILE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_orders,
+  (list(cents ORDER BY cents))[(50 * count(*) + 99) // 100] AS p50_c,
+  (list(cents ORDER BY cents))[(90 * count(*) + 99) // 100] AS p90_c,
+  (list(cents ORDER BY cents))[(99 * count(*) + 99) // 100] AS p99_c
+FROM c GROUP BY o_orderpriority
+"""
+
+
+def rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): the detail level is the only
+    groupby that touches the base table; the two rollup levels
+    re-aggregate the SMALL detail result (the standard
+    rollup-from-finest-level optimization — at 100 TB the base table is
+    shuffled once, not once per level). 'ALL' sentinels instead of SQL
+    NULLs keep the value-hash compare total-order-safe; revenue is
+    fixed-pointed to cents after the re-aggregation, where double
+    reassociation drift is far below the rounding grain."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def _all(col):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(col)
+            return t.set_column(
+                i, col, pa.array(["ALL"] * t.num_rows, pa.string()))
+        return fn
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    aggs = (Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"))
+    detail = (ds.groupby(keys)
+              .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                         Count(alias_name="n_orders"))).materialize()
+    mid = (detail.map_batches(_all("o_orderstatus"), batch_format="pyarrow")
+           .groupby(keys).aggregate(*aggs)).materialize()
+    top = (mid.map_batches(_all("o_orderpriority"), batch_format="pyarrow")
+           .groupby(keys).aggregate(*aggs))
+    out = _fixed_point(detail.union(mid, top), {"revenue": 2})
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "revenue_c", "n_orders"]),
+        batch_format="pyarrow")
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def sessionize_events(sf_dir: str):
     """Sessionization — split each user's event stream into sessions at
     >30-min gaps; emits per-session aggregates. groupby(user) co-locates
@@ -1437,6 +1571,9 @@ QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
+    "weighted_sample_docs": weighted_sample_docs,
+    "percentile_order_values": percentile_order_values,
+    "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
@@ -1488,6 +1625,9 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "sample_docs_deterministic": SAMPLE_DOCS_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "percentile_order_values": PERCENTILE_SQL,
+    "rollup_revenue": ROLLUP_SQL,
     "heavy_hitter_users": HEAVY_HITTERS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
