@@ -151,6 +151,17 @@ class CrawlConfig:
     # instead (it skips the render work either way).
     recrawl_prior_dir: str | None = None
     recrawl_fp_shards: int = 4
+    # priority-driven frontier scheduling (focused crawling — Cho/
+    # García-Molina/Page'98 URL ordering): parquet score table
+    # (url, score:int64, e.g. fixed-point PageRank from a prior crawl)
+    # + per-round fetch cap. Each round fetches the priority_per_round
+    # highest-scored frontier rows (ties by seq); the rest defer like
+    # politeness deferral. Without a depth cap only fetch order across
+    # rounds moves (same final fetched set); with max_depth the depth
+    # budget is spent along high-score paths. stages/prioritize.py.
+    priority_scores: str | None = None
+    priority_per_round: int | None = None
+    priority_broadcast_max: int = 1_000_000
     # prebuilt closed-world web (make_web_blobs / make_web_shards) —
     # lets benchmarks keep web-corpus setup (the "internet", not the
     # crawler) out of the timed section
@@ -462,6 +473,12 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                       if cfg.content_dedup else None)
     content_dups_total = 0
 
+    prio_scores = None
+    if cfg.priority_scores is not None and cfg.priority_per_round is not None:
+        from rendler_ray.stages.prioritize import load_scores
+
+        prio_scores = load_scores(cfg.priority_scores).materialize()
+
     fp_shards = None
     unchanged_urls_rounds: list = []
     if cfg.recrawl_prior_dir:
@@ -573,6 +590,17 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             _write_round(frontier, os.path.join(rdir, "frontier.parquet"))
         per_round_frontier.append(frontier)
 
+        prio_deferred = None
+        if prio_scores is not None:
+            with _T(f"r{r} priority"):
+                from rendler_ray.stages.prioritize import priority_gate
+
+                frontier, prio_deferred = priority_gate(
+                    frontier, prio_scores, cfg.priority_per_round,
+                    cfg.priority_broadcast_max)
+                if prio_deferred is not None:
+                    prio_deferred = prio_deferred.materialize()
+
         if cfg.max_pages is not None:
             remaining = cfg.max_pages - pages_fetched
             if remaining <= 0:
@@ -647,7 +675,9 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             )
             if deferred is not None:
                 deferred = deferred.materialize()
-                deferred_rounds += 1 if deferred.count() else 0
+        defers = [d for d in (prio_deferred, deferred)
+                  if d is not None and d.count()]
+        deferred_rounds += 1 if defers else 0
 
         with _T(f"r{r} fetch"):
             if cfg.stage_mode == "actors":
@@ -845,20 +875,20 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                         ["url", "canon_url", "host", "depth", "seq"]
                     )
                 total_seq += n_new
-                if deferred is not None and deferred.count():
+                if defers:
                     next_frontier = next_frontier.union(
-                        deferred).materialize()
+                        *defers).materialize()
                 elif n_new > _DRIVER_RANK_MAX:
                     next_frontier = next_frontier.materialize()
                 # driver-rank path: blocks are already computed refs —
                 # from_arrow_refs needs no extra materialize
         else:
-            next_frontier = (
-                deferred if deferred is not None and deferred.count() else None
-            )
+            if len(defers) > 1:
+                next_frontier = defers[0].union(*defers[1:]).materialize()
+            else:
+                next_frontier = defers[0] if defers else None
         round_lineage[-1]["new_urls"] = n_new
-        round_lineage[-1]["deferred"] = (
-            deferred.count() if deferred is not None else 0)
+        round_lineage[-1]["deferred"] = sum(d.count() for d in defers)
         if content_shards is not None:
             round_lineage[-1]["content_dups"] = n_content_dups
 

@@ -1313,6 +1313,41 @@ def crawl_polite(sf_dir: str):
                                       "status"])
 
 
+def crawl_prioritized(sf_dir: str):
+    """Focused crawl (Cho/García-Molina/Page'98 URL ordering): a first
+    crawl's PageRank becomes the second crawl's frontier priority — each
+    round fetches the 64 highest-ranked frontier URLs, the rest defer
+    (stages/prioritize.py). Without a depth cap the fetched SET equals
+    the FIFO crawl's (invariant-tested in tests/test_prioritize.py);
+    under this query's max_depth=4 the focused crawl instead spends its
+    depth budget along high-rank paths, and seq values shift because
+    children of deferred pages are discovered later.
+    Deterministic (fixed-point e9 scores, seq tie-break); rows-only
+    (iterative scoring upstream)."""
+    import pyarrow.parquet as pq
+
+    from rendler_ray.functions.graph import pagerank
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    docs = _synth_docs_for(sf_dir)
+    base = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                             max_depth=4))
+    ranks = pagerank(base.edges, iters=5)
+    scores = pa.table({
+        "url": pa.array(ranks["url"], pa.string()),
+        "score": pa.array(
+            np.round(ranks["rank"].to_numpy() * 1e9).astype(np.int64),
+            pa.int64())})
+    spath = docs.replace(".parquet", "") + "_pr_scores.parquet"
+    pq.write_table(scores, spath)
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                            max_depth=4, priority_scores=spath,
+                            priority_per_round=64))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                       "status"])
+
+
 def doc_fingerprint_winnow(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) —
     rolling-hash windows, keep-smallest selection. Rows-only."""
@@ -1601,6 +1636,7 @@ QUERIES = {
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
+    "crawl_prioritized": crawl_prioritized,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,

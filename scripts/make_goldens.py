@@ -44,6 +44,7 @@ GOLDEN_QUERIES = [
     "crawl_auto_robots",
     "crawl_content_dedup",
     "crawl_incremental",
+    "crawl_prioritized",
     "doc_fingerprint_winnow",
     "media_features",
     "media_thumbnails",
