@@ -123,6 +123,10 @@ class CrawlConfig:
     # per-page enrichment (quality scores, lang-id, simhash) fused into
     # the fetch pass — the training-data half of the pipeline
     enrich: bool = False
+    # with enrich: parquet merge table (left, right — functions/bpe.py
+    # bpe_train output) applied at crawl time; adds n_bpe_pieces (the
+    # token-budget column) to each fetched page. Broadcast once.
+    enrich_bpe_merges: str | None = None
     # fetch each newly-seen host's /robots.txt from the (closed-world)
     # web itself and fold it into the politeness policies. The
     # known-host ledger is a driver set by default; set
@@ -479,6 +483,15 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
 
         prio_scores = load_scores(cfg.priority_scores).materialize()
 
+    enrich_kwargs: dict = {}
+    if cfg.enrich and cfg.enrich_bpe_merges:
+        import pyarrow.parquet as _pq
+
+        mt = _pq.read_table(cfg.enrich_bpe_merges,
+                            columns=["left", "right"])
+        enrich_kwargs["bpe_merges_ref"] = ray.put(
+            list(zip(mt["left"].to_pylist(), mt["right"].to_pylist())))
+
     fp_shards = None
     unchanged_urls_rounds: list = []
     if cfg.recrawl_prior_dir:
@@ -691,7 +704,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 )
                 if cfg.enrich:
                     fetched = fetched.map_batches(
-                        enrich_batch, batch_format="pyarrow",
+                        enrich_batch, fn_kwargs=enrich_kwargs,
+                        batch_format="pyarrow",
                         batch_size=cfg.batch_size, num_cpus=1,
                     )
                 fetched = fetched.materialize()
@@ -709,7 +723,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 if cfg.enrich:
                     # fused into the fetch pass (Ray Data operator fusion)
                     fetched = fetched.map_batches(
-                        enrich_batch, batch_format="pyarrow",
+                        enrich_batch, fn_kwargs=enrich_kwargs,
+                        batch_format="pyarrow",
                         batch_size=max(cfg.batch_size, 16384), num_cpus=1,
                     )
                 fetched = fetched.materialize()

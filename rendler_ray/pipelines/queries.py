@@ -1298,6 +1298,31 @@ def crawl_enriched(sf_dir: str):
          "n_stopwords", "lang_pred", "simhash"])
 
 
+def crawl_enriched_bpe(sf_dir: str):
+    """Tokenize-at-ingest: BPE merges trained on the documents corpus
+    (functions/bpe.py) are applied INSIDE the crawl's enrich stage —
+    every fetched page carries its n_bpe_pieces token budget the moment
+    it lands, no later full re-read pass (the merge table broadcasts
+    once; encoding memoizes per unique word per batch). Deterministic;
+    rows-only (iterative trainer upstream)."""
+    import pyarrow.parquet as pq
+
+    from rendler_ray.functions.bpe import bpe_train
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]),
+                       num_merges=16)
+    docs = _synth_docs_for(sf_dir)
+    mpath = docs.replace(".parquet", "") + "_bpe_merges.parquet"
+    pq.write_table(merges, mpath)
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                            max_depth=4, enrich=True,
+                            enrich_bpe_merges=mpath))
+    return res.fetched.select_columns(
+        ["url", "depth", "seq", "status", "n_tokens", "n_bpe_pieces"])
+
+
 def crawl_polite(sf_dir: str):
     """Politeness-budgeted crawl (per-host budget + robots): deferred
     URLs keep their discovery seq and drain in later rounds (T2/A4
@@ -1632,6 +1657,7 @@ QUERIES = {
     "crawl_fetch": crawl_fetch,
     "crawl_edges": crawl_edges,
     "crawl_enriched": crawl_enriched,
+    "crawl_enriched_bpe": crawl_enriched_bpe,
     "crawl_polite": crawl_polite,
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_content_dedup": crawl_content_dedup,

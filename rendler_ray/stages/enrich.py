@@ -83,18 +83,25 @@ def page_text_column(batch: pa.Table, out_col: str = "page_text") -> pa.Table:
     return batch.append_column(out_col, pa.array(col, pa.string()))
 
 
-def enrich_batch(batch: pa.Table) -> pa.Table:
-    """Fetch batch → fetch batch + quality/lang/simhash columns."""
+def enrich_batch(batch: pa.Table, *, bpe_merges_ref=None) -> pa.Table:
+    """Fetch batch → fetch batch + quality/lang/simhash columns; with a
+    trained BPE merge table (``ray.put`` list of (left, right) pairs,
+    from ``functions.bpe.bpe_train``) also ``n_bpe_pieces`` — the
+    crawl-time token-budget column a training-data pipeline filters and
+    packs by (tokenize-at-ingest, not in a later full re-read pass)."""
     if batch.num_rows == 0:
-        for name, typ in [("n_tokens", pa.int64()),
-                          ("n_uniq_tokens", pa.int64()),
-                          ("n_stopwords", pa.int64()),
-                          ("stopword_ratio", pa.float64()),
-                          ("uniq_ratio", pa.float64()),
-                          ("lang_pred", pa.string()),
-                          ("lang_score", pa.float64()),
-                          ("simhash", pa.int64()),
-                          ("minhash_bands", pa.list_(pa.string()))]:
+        cols = [("n_tokens", pa.int64()),
+                ("n_uniq_tokens", pa.int64()),
+                ("n_stopwords", pa.int64()),
+                ("stopword_ratio", pa.float64()),
+                ("uniq_ratio", pa.float64()),
+                ("lang_pred", pa.string()),
+                ("lang_score", pa.float64()),
+                ("simhash", pa.int64()),
+                ("minhash_bands", pa.list_(pa.string()))]
+        if bpe_merges_ref is not None:
+            cols.append(("n_bpe_pieces", pa.int64()))
+        for name, typ in cols:
             batch = batch.append_column(name, pa.array([], typ))
         return batch
     t = page_text_column(batch)
@@ -102,4 +109,9 @@ def enrich_batch(batch: pa.Table) -> pa.Table:
     t = lang_id_batch(t, col="page_text")
     t = simhash64_batch(t, col="page_text")
     t = minhash_bands_batch(t, text_col="page_text")
+    if bpe_merges_ref is not None:
+        from rendler_ray.functions.bpe import bpe_encode_batch
+
+        t = bpe_encode_batch(t, merges_ref=bpe_merges_ref,
+                             text_col="page_text")
     return t.drop_columns(["page_text"])

@@ -40,6 +40,7 @@ GOLDEN_QUERIES = [
     "crawl_fetch",
     "crawl_edges",
     "crawl_enriched",
+    "crawl_enriched_bpe",
     "crawl_polite",
     "crawl_auto_robots",
     "crawl_content_dedup",
