@@ -894,6 +894,86 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def running_total_events(sf_dir: str):
+    """Per-user running total (the classic SUM OVER (PARTITION BY …
+    ORDER BY … ROWS UNBOUNDED PRECEDING) window): groupby(user)
+    co-locates each stream, the per-group cumsum is vectorized. Values
+    fixed-point to cents BEFORE accumulating so the running sums are
+    exact integers on both sides (a float prefix sum is reassociation-
+    dependent — DuckDB's segment-tree windows would drift in the last
+    ulps)."""
+    ds = _fixed_point(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        {"value": 2})  # value now int64 cents (DuckDB round() semantics)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "running_c": np.cumsum(g["value"].to_numpy(np.int64))})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM events
+"""
+
+
+def pivot_event_values(sf_dir: str):
+    """Pivot (long → wide): per-user columns of summed value by event
+    type. One map_batches pass does the conditional partial pivot
+    (vectorized cents sums per type — the base table is read once and
+    shuffles ≤ users×1 rows), then a native groupby(user).sum folds the
+    partials. SQL oracle = conditional aggregation (the portable PIVOT
+    form)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _fixed_point(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        {"value": 2})  # int64 cents, DuckDB round() semantics
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = t["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": u})
+        for ty in types:
+            df[f"sum_{ty}_c"] = np.where(et == ty, cents, 0)
+        out = df.groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum(f"sum_{ty}_c", alias_name=f"sum_{ty}_c") for ty in types]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(*aggs))
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click'
+    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_click_c,
+  CAST(sum(CASE WHEN event_type = 'error'
+    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_error_c,
+  CAST(sum(CASE WHEN event_type = 'purchase'
+    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_purchase_c,
+  CAST(sum(CASE WHEN event_type = 'signup'
+    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_signup_c,
+  CAST(sum(CASE WHEN event_type = 'view'
+    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_view_c
+FROM events GROUP BY user_id
+"""
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-style partitioned ANN (the scale path beyond brute force):
     deterministic k-means centroids from a hash-sampled subset →
@@ -1338,6 +1418,78 @@ def crawl_polite(sf_dir: str):
                                       "status"])
 
 
+def host_stats_from_crawl(edges, fetched):
+    """Per-host link-graph statistics core (see host_graph_stats): the
+    big tables shuffle once each — edges collapse to (src_host,
+    dst_host) pair counts in a per-batch partial before the groupby, the
+    fetched table to per-host page counts; every metric then folds from
+    those SMALL keyed tables via one union-groupby (no joins, no second
+    pass over the raw edges)."""
+    from rendler_ray.functions.canon import hosts_np
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        sh = hosts_np(t["src"].to_numpy(zero_copy_only=False))
+        dh = hosts_np(t["dst"].to_numpy(zero_copy_only=False))
+        df = (pd.DataFrame({"src_host": sh, "dst_host": dh, "n": 1})
+              .groupby(["src_host", "dst_host"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (edges.select_columns(["src", "dst"])
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["src_host", "dst_host"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    metrics = ["pages", "out_edges", "in_edges", "cross_host_edges",
+               "n_dst_hosts"]
+
+    def _metric_rows(host, **vals):
+        cols = {"host": host}
+        n = len(host)
+        for m in metrics:
+            v = vals.get(m)
+            cols[m] = (pa.array(v, pa.int64()) if v is not None
+                       else pa.array(np.zeros(n, np.int64), pa.int64()))
+        return pa.table(cols)
+
+    def from_pairs(t: pa.Table) -> pa.Table:
+        sh = t["src_host"].to_numpy(zero_copy_only=False)
+        dh = t["dst_host"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = _metric_rows(
+            pa.array(sh, pa.string()), out_edges=n,
+            cross_host_edges=np.where(sh != dh, n, 0),
+            n_dst_hosts=np.ones(len(sh), np.int64))
+        inn = _metric_rows(pa.array(dh, pa.string()), in_edges=n)
+        return pa.concat_tables([out, inn])
+
+    def from_fetched(t: pa.Table) -> pa.Table:
+        hosts, counts = np.unique(
+            t["host"].to_numpy(zero_copy_only=False), return_counts=True)
+        return _metric_rows(pa.array(hosts, pa.string()),
+                            pages=counts.astype(np.int64))
+
+    rows = (pairs.map_batches(from_pairs, batch_format="pyarrow")
+            .union(fetched.select_columns(["host"])
+                   .map_batches(from_fetched, batch_format="pyarrow")))
+    return rows.groupby("host").aggregate(
+        *[Sum(m, alias_name=m) for m in metrics])
+
+
+def host_graph_stats(sf_dir: str):
+    """Per-host link-graph statistics over the crawl: pages fetched,
+    out-/in-edges, cross-host edges, distinct destination hosts
+    (host_stats_from_crawl — single-shuffle partial-aggregate shape;
+    brute-force-equality tested). Deterministic; rows-only
+    (crawl-derived input)."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return host_stats_from_crawl(res.edges, res.fetched)
+
+
 def crawl_prioritized(sf_dir: str):
     """Focused crawl (Cho/García-Molina/Page'98 URL ordering): a first
     crawl's PageRank becomes the second crawl's frontier priority — each
@@ -1635,6 +1787,8 @@ QUERIES = {
     "percentile_order_values": percentile_order_values,
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
+    "running_total_events": running_total_events,
+    "pivot_event_values": pivot_event_values,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "pagerank_crawl_graph": pagerank_crawl_graph,
@@ -1663,6 +1817,7 @@ QUERIES = {
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_prioritized": crawl_prioritized,
+    "host_graph_stats": host_graph_stats,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
@@ -1692,6 +1847,8 @@ ORACLES = {
     "rollup_revenue": ROLLUP_SQL,
     "heavy_hitter_users": HEAVY_HITTERS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "running_total_events": RUNNING_TOTAL_SQL,
+    "pivot_event_values": PIVOT_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "range_join_orders": RANGE_JOIN_SQL,

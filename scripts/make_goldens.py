@@ -46,6 +46,7 @@ GOLDEN_QUERIES = [
     "crawl_content_dedup",
     "crawl_incremental",
     "crawl_prioritized",
+    "host_graph_stats",
     "doc_fingerprint_winnow",
     "media_features",
     "media_thumbnails",

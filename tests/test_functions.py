@@ -438,3 +438,41 @@ def test_heavy_hitters_exact_under_adversarial_spread():
     got = {r["k"]: r["n"] for r in
            heavy_hitters(ds, "k", eps=0.05).take_all()}
     assert got == {"hot": 20}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_stats_matches_bruteforce():
+    """host_stats_from_crawl (partial-aggregate union-groupby shape) ==
+    a brute-force pandas recomputation on an inline fixture."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.canon import host_of
+    from rendler_ray.pipelines.queries import host_stats_from_crawl
+
+    edges = pa.table({
+        "src": ["s://a/1", "s://a/1", "s://a/2", "s://b/1", "s://b/2"],
+        "dst": ["s://a/2", "s://b/1", "s://b/1", "s://a/1", "s://b/1"],
+    })
+    fetched = pa.table({
+        "host": ["a", "a", "b", "b", "c"],
+    })
+    got = pd.DataFrame(host_stats_from_crawl(
+        rd.from_arrow(edges), rd.from_arrow(fetched)).take_all())
+    got = got.sort_values("host").reset_index(drop=True)
+
+    e = pd.DataFrame({"sh": [host_of(u) for u in edges["src"].to_pylist()],
+                      "dh": [host_of(u) for u in edges["dst"].to_pylist()]})
+    exp = {}
+    for h in ["a", "b", "c"]:
+        out = e[e.sh == h]
+        exp[h] = dict(
+            pages=int((pd.Series(fetched["host"].to_pylist()) == h).sum()),
+            out_edges=len(out),
+            in_edges=int((e.dh == h).sum()),
+            cross_host_edges=int((out.dh != h).sum()),
+            n_dst_hosts=out.dh.nunique())
+    for _, row in got.iterrows():
+        for k, v in exp[row["host"]].items():
+            assert row[k] == v, (row["host"], k, row[k], v)
+    assert set(got["host"]) == {"a", "b", "c"}
