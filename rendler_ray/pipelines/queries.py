@@ -195,6 +195,68 @@ WHERE c_custkey NOT IN
 """
 
 
+def full_outer_spend_balance(sf_dir: str):
+    """FULL OUTER hash join of two filtered aggregates — big-spender
+    order totals ⋈ high-balance customers on custkey: rows exist with
+    either side null (coalesced to sentinels so the compare is
+    total-order-safe). The join runs on pre-aggregated/filtered inputs
+    (shuffle carries one row per key, not per order — the right
+    cardinality posture for an outer join at scale)."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = (orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)),
+        batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="spend")))
+    spend = _fixed_point(spend, {"spend": 2})
+    cust = _fixed_point(
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+            lambda t: t.filter(pc.greater(t["c_acctbal"], 1000.0)),
+            batch_format="pyarrow"),
+        {"c_acctbal": 2})
+
+    joined = spend.join(cust, join_type="full_outer", num_partitions=8,
+                        on=("o_custkey",), right_on=("c_custkey",))
+    joined = _nonempty_blocks(joined.materialize())
+    if joined is None:
+        return pa.table({"custkey": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "spend_c": pa.array([], pa.int64()),
+                         "acctbal_c": pa.array([], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's outer join emits ONE coalesced key column (left name)
+        return pa.table({
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+            "spend_c": pc.fill_null(pc.cast(t["spend"], pa.int64()), 0),
+            "acctbal_c": pc.fill_null(pc.cast(t["c_acctbal"], pa.int64()),
+                                      -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+FULL_OUTER_SQL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey),
+b AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+  FROM customer WHERE c_acctbal > 1000)
+SELECT COALESCE(a.o_custkey, b.c_custkey) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(spend_c, 0) AS spend_c,
+       COALESCE(acctbal_c, -1) AS acctbal_c
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
+"""
+
+
 def top10_orders(sf_dir: str):
     """O1-shape global sort + limit with deterministic tiebreak."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -1767,6 +1829,7 @@ QUERIES = {
     "semi_join_orders": semi_join_orders,
     "anti_join_customers": anti_join_customers,
     "top10_orders": top10_orders,
+    "full_outer_spend_balance": full_outer_spend_balance,
     "distinct_union_nations": distinct_union_nations,
     "extract_tokens": extract_tokens,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1831,6 +1894,7 @@ ORACLES = {
     "semi_join_orders": SEMI_JOIN_SQL,
     "anti_join_customers": ANTI_JOIN_SQL,
     "top10_orders": TOP10_SQL,
+    "full_outer_spend_balance": FULL_OUTER_SQL,
     "distinct_union_nations": DISTINCT_UNION_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
