@@ -153,3 +153,64 @@ def heavy_hitters(ds, col: str, eps: float = 0.005):
     return counts.map_batches(
         lambda t, v=thr: t.filter(pc.greater_equal(t["n"], v)),
         batch_format="pyarrow")
+
+
+def approx_quantiles(ds, col: str, percents: list[int],
+                     bins: int = 1 << 14):
+    """Approximate quantiles by a two-pass fixed-width histogram sketch:
+    pass 1 folds per-batch (min, max) partials to the global range;
+    pass 2 emits per-batch NON-ZERO (bucket, count) rows — a local
+    combiner, so the shuffle carries ≤ ``bins`` rows per batch — and a
+    native ``groupby(bucket).sum`` merges them (commutative integer
+    adds: deterministic under any batch order/retry, unlike a float
+    t-digest whose centroids depend on merge order). The driver then
+    walks the ≤ ``bins``-row cumulative histogram.
+
+    Error bound: the returned value is a real bucket LEFT EDGE within
+    (max-min)/bins of the exact quantile value (asserted in tests).
+    ``percents`` are integer percentages; ranks use the exact integer
+    form ceil(p·n/100) = (p·n + 99)//100. Returns a pyarrow Table
+    (percent, value). This is the unbounded-cardinality fallback to the
+    exact value-histogram percentile (queries.percentile_order_values).
+    """
+    from ray.data.aggregate import Sum
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": [float(np.min(v))],
+                         "mx": [float(np.max(v))]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow")
+    gmn, gmx = mm.min("mn"), mm.max("mx")
+    if gmn is None:
+        return pa.table({"percent": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    width = (gmx - gmn) / bins
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if width == 0.0:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.clip(((v - gmn) / width).astype(np.int64), 0, bins - 1)
+        bucket, n = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+    rows = sorted((r["bucket"], r["n"]) for r in counts.take_all())
+    buckets = np.array([b for b, _ in rows], dtype=np.int64)
+    cum = np.cumsum(np.array([n for _, n in rows], dtype=np.int64))
+    total = int(cum[-1])
+    out_p, out_v = [], []
+    for p in percents:
+        rank = (p * total + 99) // 100
+        i = int(np.searchsorted(cum, rank))
+        out_p.append(int(p))
+        out_v.append(float(gmn + buckets[i] * width))
+    return pa.table({"percent": pa.array(out_p, pa.int64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -319,6 +319,58 @@ FROM documents
 """
 
 
+def top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 bigram counts (n-gram language statistics):
+    fully vectorized per-batch bigram explode + local count combiner
+    (the shuffle moves one row per DISTINCT bigram per batch, not per
+    occurrence) → groupby(bigram).sum → per-block partial top-k → tiny
+    global sort+limit. Ties break on bigram asc (deterministic at the
+    cut line)."""
+    k = 20
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.array(x, dtype=object) for x in toks])
+        # first-of-pair positions: everything except each doc's last token
+        valid = np.ones(len(flat), dtype=bool)
+        valid[np.cumsum(lens) - 1] = False
+        idx = np.flatnonzero(valid)
+        bg = (pd.Series(flat[idx], dtype=object) + " "
+              + pd.Series(flat[idx + 1], dtype=object))
+        counts = bg.value_counts()
+        return pa.table({
+            "bigram": pa.array(counts.index.to_numpy(object), pa.string()),
+            "n": pa.array(counts.to_numpy(np.int64), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (counts.map_batches(prune, batch_format="pyarrow")
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(k))
+
+
+TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+bg AS (
+  SELECT a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 def tfidf_top_terms(sf_dir: str):
     """Distributed TF-IDF top-3 terms per document: token explode →
     per-(doc, token) tf groupby → per-token document-frequency groupby →
@@ -694,6 +746,19 @@ def approx_distinct_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, key_col="event_type", val_col="user_id")
+
+
+def approx_percentiles_events(sf_dir: str):
+    """Approximate p50/p90/p99 of event value via the two-pass
+    fixed-width histogram sketch (functions/sketch.py::approx_quantiles)
+    — the unbounded-value-cardinality fallback to the exact
+    value-histogram percentile (percentile_order_values); error bound
+    (max-min)/2^14, accuracy-tested. Deterministic (integer histogram
+    merge); rows-only (approximate)."""
+    from rendler_ray.functions.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return approx_quantiles(ds, "value", [50, 90, 99])
 
 
 def heavy_hitter_users(sf_dir: str):
@@ -1832,6 +1897,7 @@ QUERIES = {
     "full_outer_spend_balance": full_outer_spend_balance,
     "distinct_union_nations": distinct_union_nations,
     "extract_tokens": extract_tokens,
+    "top_bigrams": top_bigrams,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_freq_score": doc_freq_score,
     "last_event_per_user": last_event_per_user,
@@ -1843,6 +1909,7 @@ QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "range_join_orders": range_join_orders,
     "approx_distinct_users": approx_distinct_users,
+    "approx_percentiles_events": approx_percentiles_events,
     "heavy_hitter_users": heavy_hitter_users,
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
@@ -1897,6 +1964,7 @@ ORACLES = {
     "full_outer_spend_balance": FULL_OUTER_SQL,
     "distinct_union_nations": DISTINCT_UNION_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
+    "top_bigrams": TOP_BIGRAMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "doc_freq_score": DOC_FREQ_SCORE_SQL,
     "last_event_per_user": LAST_EVENT_SQL,

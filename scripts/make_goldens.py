@@ -26,6 +26,7 @@ from rendler_ray.goldenhash import result_hash  # noqa: E402
 # real SQL oracle; nothing here is timing- or scheduling-dependent.
 GOLDEN_QUERIES = [
     "approx_distinct_users",
+    "approx_percentiles_events",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
     "pagerank_crawl_graph",

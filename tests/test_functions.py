@@ -476,3 +476,32 @@ def test_host_stats_matches_bruteforce():
         for k, v in exp[row["host"]].items():
             assert row[k] == v, (row["host"], k, row[k], v)
     assert set(got["host"]) == {"a", "b", "c"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_accuracy_and_edges():
+    """Histogram-sketch quantiles within (max-min)/bins of the exact
+    value; constant and empty inputs behave."""
+    import numpy as np
+    import ray.data as rd
+
+    from rendler_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(mean=2.0, sigma=1.0, size=20000)
+    ds = rd.from_arrow(pa.table({"value": pa.array(v, pa.float64())}))
+    out = {r["percent"]: r["value"]
+           for r in approx_quantiles(ds, "value", [50, 90, 99],
+                                     bins=1 << 14).to_pylist()}
+    bound = (v.max() - v.min()) / (1 << 14)
+    sv = np.sort(v)
+    for p in (50, 90, 99):
+        exact = sv[(p * len(v) + 99) // 100 - 1]
+        assert abs(out[p] - exact) <= bound, (p, out[p], exact, bound)
+
+    const = rd.from_arrow(pa.table({"value": pa.array([3.5] * 100)}))
+    out = approx_quantiles(const, "value", [50, 99]).to_pylist()
+    assert all(r["value"] == 3.5 for r in out)
+
+    empty = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    assert approx_quantiles(empty, "value", [50]).num_rows == 0
