@@ -214,3 +214,83 @@ def approx_quantiles(ds, col: str, percents: list[int],
         out_v.append(float(gmn + buckets[i] * width))
     return pa.table({"percent": pa.array(out_p, pa.int64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def approx_quantiles_by(ds, key_col: str, col: str, percents: list[int],
+                        bins: int = 1 << 12):
+    """Per-group approximate quantiles (grouped form of
+    :func:`approx_quantiles`): pass 1 folds per-batch per-group
+    (min, max) partials through a native groupby — one row per group —
+    and broadcasts the range dict (bounded by group count, the same
+    posture as the politeness budget-gate thresholds); pass 2 emits
+    per-batch non-zero (key, bucket, count) partials against each
+    group's OWN range, merges them with an integer groupby sum, and a
+    per-group cumulative walk picks rank (p·n + 99)//100. Error per
+    group ≤ (group max - group min)/bins. Returns a Dataset
+    (key, percent, value); deterministic."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def minmax(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.float64)})
+        g = df.groupby("k", sort=False)["v"].agg(["min", "max"])
+        return pa.table({key_col: pa.array(g.index.to_numpy(object)),
+                         "mn": pa.array(g["min"].to_numpy(np.float64)),
+                         "mx": pa.array(g["max"].to_numpy(np.float64))})
+
+    ranges = (ds.map_batches(minmax, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Min("mn", alias_name="mn"),
+                                          Max("mx", alias_name="mx")))
+    rdict: dict = {}
+    for b in ranges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, mn, mx in zip(b[key_col].to_pylist(), b["mn"].to_pylist(),
+                             b["mx"].to_pylist()):
+            rdict[k] = (mn, (mx - mn) / bins)
+    if not rdict:
+        return ds.map_batches(lambda t: pa.table({
+            key_col: pa.array([], pa.string()),
+            "percent": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64())}), batch_format="pyarrow")
+    ref = ray.put(rdict)
+
+    def hist(t: pa.Table) -> pa.Table:
+        rd_ = ray.get(ref)
+        keys = pd.Series(t[key_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = keys.map(lambda k: rd_[k][0]).to_numpy(np.float64)
+        w = keys.map(lambda k: rd_[k][1]).to_numpy(np.float64)
+        b = np.zeros(len(v), dtype=np.int64)
+        nz = w > 0
+        b[nz] = np.clip(((v[nz] - mn[nz]) / w[nz]).astype(np.int64),
+                        0, bins - 1)
+        g = (pd.DataFrame({"k": keys, "bucket": b, "n": 1})
+             .groupby(["k", "bucket"], sort=False).sum().reset_index())
+        return pa.table({key_col: pa.array(g["k"].to_numpy(object)),
+                         "bucket": pa.array(g["bucket"].to_numpy(np.int64),
+                                            pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow")
+              .groupby([key_col, "bucket"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        rd_ = ray.get(ref)
+        k = g[key_col].iloc[0]
+        mn, w = rd_[k]
+        g = g.sort_values("bucket")
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        buckets = g["bucket"].to_numpy(np.int64)
+        total = int(cum[-1])
+        rows = []
+        for p in percents:
+            rank = (p * total + 99) // 100
+            i = int(np.searchsorted(cum, rank))
+            rows.append((k, int(p), float(mn + buckets[i] * w)))
+        return pd.DataFrame(rows, columns=[key_col, "percent", "value"])
+
+    return counts.groupby(key_col).map_groups(walk, batch_format="pandas")

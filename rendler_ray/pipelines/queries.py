@@ -761,6 +761,18 @@ def approx_percentiles_events(sf_dir: str):
     return approx_quantiles(ds, "value", [50, 90, 99])
 
 
+def approx_percentiles_by_type(sf_dir: str):
+    """Per-event-type approximate p50/p90/p99 of value (grouped
+    histogram sketch, functions/sketch.py::approx_quantiles_by): group
+    ranges fold through one groupby and broadcast; per-group error ≤
+    (group range)/2^12, accuracy-tested. Deterministic; rows-only
+    (approximate)."""
+    from rendler_ray.functions.sketch import approx_quantiles_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_by(ds, "event_type", "value", [50, 90, 99])
+
+
 def heavy_hitter_users(sf_dir: str):
     """Exact frequent items by the two-pass Misra–Gries pattern
     (functions/sketch.py::heavy_hitters): per-batch bounded candidate
@@ -1910,6 +1922,7 @@ QUERIES = {
     "range_join_orders": range_join_orders,
     "approx_distinct_users": approx_distinct_users,
     "approx_percentiles_events": approx_percentiles_events,
+    "approx_percentiles_by_type": approx_percentiles_by_type,
     "heavy_hitter_users": heavy_hitter_users,
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,

@@ -27,6 +27,7 @@ from rendler_ray.goldenhash import result_hash  # noqa: E402
 GOLDEN_QUERIES = [
     "approx_distinct_users",
     "approx_percentiles_events",
+    "approx_percentiles_by_type",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
     "pagerank_crawl_graph",

@@ -505,3 +505,34 @@ def test_approx_quantiles_accuracy_and_edges():
 
     empty = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     assert approx_quantiles(empty, "value", [50]).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_by_group_accuracy():
+    """Grouped histogram sketch within each group's own (max-min)/bins
+    bound vs exact; groups with wildly different ranges."""
+    import numpy as np
+    import ray.data as rd
+
+    from rendler_ray.functions.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(11)
+    data = {"a": rng.normal(10, 2, 5000),
+            "b": rng.lognormal(5, 1, 3000),
+            "c": np.full(100, 42.0)}
+    ks = np.concatenate([[k] * len(v) for k, v in data.items()])
+    vs = np.concatenate(list(data.values()))
+    ds = rd.from_arrow(pa.table({"k": pa.array(ks, pa.string()),
+                                 "value": pa.array(vs, pa.float64())}))
+    bins = 1 << 12
+    out = {}
+    for r in approx_quantiles_by(ds, "k", "value", [50, 99],
+                                 bins=bins).take_all():
+        out[(r["k"], r["percent"])] = r["value"]
+    for k, v in data.items():
+        bound = (v.max() - v.min()) / bins
+        sv = np.sort(v)
+        for p in (50, 99):
+            exact = sv[(p * len(v) + 99) // 100 - 1]
+            got = out[(k, p)]
+            assert abs(got - exact) <= max(bound, 1e-12), (k, p, got, exact)
