@@ -489,6 +489,110 @@ FROM tfc JOIN freq USING (token) GROUP BY doc_id
 """
 
 
+def trigram_fluency_docs(sf_dir: str):
+    """Corpus-trigram-LM fluency score per document — the LM
+    quality-filter shape (CCNet-style: score text against a language
+    model built from the corpus itself), made integer-exact: trigram
+    counts and bigram-prefix counts come from two groupbys over the
+    locally-combined trigram-instance table; each document pools
+    Σ c(trigram) and Σ c(bigram-prefix) as order-free INTEGER sums and
+    the score is ONE final IEEE division fixed-pointed to e6 (tfidf's
+    determinism trick) — so the DuckDB oracle is hash-exact. The count
+    tables stay Datasets through hash joins (billion-n-gram safe).
+    Documents with < 3 tokens have no trigrams and drop out on both
+    sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_combine(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.array(x, dtype=object) for x in toks])
+        lens_rep = np.repeat(lens, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_in_doc = np.arange(len(flat)) - starts
+        idx = np.flatnonzero(pos_in_doc < lens_rep - 2)
+        big = (pd.Series(flat[idx], dtype=object) + " "
+               + pd.Series(flat[idx + 1], dtype=object))
+        tri = big + " " + pd.Series(flat[idx + 2], dtype=object)
+        g = (pd.DataFrame({"doc_id": np.repeat(ids, np.maximum(lens - 2, 0)),
+                           "tri": tri.to_numpy(object),
+                           "big": big.to_numpy(object)})
+             .groupby(["doc_id", "tri", "big"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "tri": pa.array(g["tri"].tolist(), pa.string()),
+            "big": pa.array(g["big"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    inst = (ds.map_batches(explode_combine, batch_format="pyarrow")
+            .groupby(["doc_id", "tri", "big"])
+            .aggregate(Sum("n", alias_name="n")))
+    inst = _checkpoint(inst, "trigram_inst")  # consumed 3×
+    tric = inst.groupby("tri").aggregate(Sum("n", alias_name="ct"))
+    bigc = inst.groupby("big").aggregate(Sum("n", alias_name="cb"))
+    joined = (inst.join(tric, join_type="inner", num_partitions=8,
+                        on=("tri",))
+              .join(bigc, join_type="inner", num_partitions=8,
+                    on=("big",)))
+
+    def weight(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n": t["n"],
+            "wt": pa.array(n * t["ct"].to_numpy(zero_copy_only=False),
+                           pa.int64()),
+            "wb": pa.array(n * t["cb"].to_numpy(zero_copy_only=False),
+                           pa.int64())})
+
+    per_doc = (joined.map_batches(weight, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("n", alias_name="n_tri"),
+                          Sum("wt", alias_name="s_tri"),
+                          Sum("wb", alias_name="s_big")))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        f = (t["s_tri"].to_numpy(zero_copy_only=False)
+             / t["s_big"].to_numpy(zero_copy_only=False))
+        return t.append_column("fluency", pa.array(f, pa.float64()))
+
+    out = _fixed_point(per_doc.map_batches(ratio, batch_format="pyarrow"),
+                       {"fluency": 6})
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "n_tri", "s_tri", "s_big", "fluency_e6"]),
+        batch_format="pyarrow")
+
+
+TRIGRAM_FLUENCY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+tri AS (
+  SELECT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS tri,
+         a.token || ' ' || b.token AS big
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2),
+tric AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri GROUP BY tri),
+bigc AS (SELECT big, CAST(count(*) AS BIGINT) AS cb FROM tri GROUP BY big),
+doc AS (
+  SELECT t.doc_id, count(*) AS n_tri,
+         CAST(sum(ct) AS BIGINT) AS s_tri,
+         CAST(sum(cb) AS BIGINT) AS s_big
+  FROM tri t JOIN tric USING (tri) JOIN bigc USING (big)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tri, s_tri, s_big,
+       CAST(round(s_tri / s_big * 1000000) AS BIGINT) AS fluency_e6
+FROM doc
+"""
+
+
 TFIDF_SQL = """
 WITH tf AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -1912,6 +2016,7 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_freq_score": doc_freq_score,
+    "trigram_fluency_docs": trigram_fluency_docs,
     "last_event_per_user": last_event_per_user,
     "event_type_stats": event_type_stats,
     "hourly_user_windows": hourly_user_windows,
@@ -1980,6 +2085,7 @@ ORACLES = {
     "top_bigrams": TOP_BIGRAMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "doc_freq_score": DOC_FREQ_SCORE_SQL,
+    "trigram_fluency_docs": TRIGRAM_FLUENCY_SQL,
     "last_event_per_user": LAST_EVENT_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "hourly_user_windows": HOURLY_WINDOWS_SQL,
