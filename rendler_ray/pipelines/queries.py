@@ -1845,6 +1845,46 @@ def crawl_incremental(sf_dir: str):
     return out
 
 
+def _diff_crawl_pair(sf_dir: str):
+    """Crawl two deterministic snapshots of the synthetic web: the base
+    corpus and its mutated "next snapshot" (pages dropped / text-edited
+    / one-link-added — sources/synthweb.py::mutate_docs)."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import (
+        default_seeds,
+        mutated_docs_parquet,
+    )
+
+    base = _synth_docs_for(sf_dir)
+    v2 = mutated_docs_parquet(base)
+    res_a = crawl(CrawlConfig(docs_path=base, seeds=default_seeds(1),
+                              max_depth=4))
+    res_b = crawl(CrawlConfig(docs_path=v2, seeds=default_seeds(1),
+                              max_depth=4))
+    return res_a, res_b
+
+
+def crawl_diff_edges(sf_dir: str):
+    """Cross-run structural edge diff: which (src, dst) links exist in
+    exactly one of two crawl snapshots (pipelines/diff.py::edge_diff —
+    one union-groupby shuffle over per-batch-deduped pairs).
+    Deterministic; rows-only (conformance-tested vs refsim diffs)."""
+    from rendler_ray.pipelines.diff import edge_diff
+
+    res_a, res_b = _diff_crawl_pair(sf_dir)
+    return edge_diff(res_a.edges, res_b.edges)
+
+
+def crawl_diff_pages(sf_dir: str):
+    """Cross-run page-content diff: per-URL added / removed / changed
+    between two crawl snapshots via content-fingerprint FULL OUTER join
+    (pipelines/diff.py::page_diff). Deterministic; rows-only."""
+    from rendler_ray.pipelines.diff import page_diff
+
+    res_a, res_b = _diff_crawl_pair(sf_dir)
+    return page_diff(res_a.fetched, res_b.fetched)
+
+
 def pagerank_crawl_graph(sf_dir: str):
     """PageRank over the crawl's edge table (power iteration:
     broadcast ranks → per-batch partial contributions → groupby(dst)
@@ -2064,6 +2104,8 @@ QUERIES = {
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
+    "crawl_diff_edges": crawl_diff_edges,
+    "crawl_diff_pages": crawl_diff_pages,
     "crawl_prioritized": crawl_prioritized,
     "host_graph_stats": host_graph_stats,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,

@@ -186,3 +186,69 @@ def docs_parquet(
 def default_seeds(n: int = 1) -> list[str]:
     """Reference parity: RENDLER takes one seed URL (SURVEY.md §2.1 S1)."""
     return [page_url(0, i) for i in range(n)]
+
+
+def mutate_docs(
+    tbl: pa.Table,
+    seed: int = 42,
+    p_drop: float = 0.03,
+    p_edit: float = 0.08,
+    p_add_link: float = 0.04,
+) -> pa.Table:
+    """A deterministic "next snapshot" of a docs corpus, for cross-run
+    crawl diffing: a fraction of pages is dropped (now 404), a fraction
+    gets a text edit (content fingerprint changes, links unchanged), and
+    a fraction gains one new outlink to an existing page (new edge).
+
+    Pure post-processing on an already-generated table — the pinned
+    ``generate_docs`` RNG streams are untouched (CLAUDE.md rule); all
+    draws come from the independent ``default_rng(seed + 6007)`` stream.
+    robots.txt rows and the default seed page are never mutated.
+    """
+    rng = np.random.default_rng(seed + 6007)
+    doc_ids = tbl["doc_id"].to_pylist()
+    spans_col = tbl["spans"].to_pylist()
+    n = len(doc_ids)
+    u = rng.random(n)
+    tgt_pick = rng.integers(0, max(1, n), n)
+    seed0 = page_url(0, 0)
+
+    page_ids = [d for d in doc_ids if not d.endswith("/robots.txt")]
+    out_ids: list[str] = []
+    out_spans: list[list[dict]] = []
+    for i in range(n):
+        d, spans = doc_ids[i], spans_col[i]
+        immutable = d == seed0 or d.endswith("/robots.txt")
+        if not immutable and u[i] < p_drop:
+            continue
+        if not immutable and u[i] < p_drop + p_edit:
+            spans = [dict(sp) for sp in spans]
+            for sp in reversed(spans):
+                if sp["kind"] == "text":
+                    sp["text"] = sp["text"] + " editedrev"
+                    break
+        elif not immutable and u[i] < p_drop + p_edit + p_add_link:
+            spans = [dict(sp) for sp in spans]
+            tgt = page_ids[int(tgt_pick[i]) % len(page_ids)]
+            for sp in reversed(spans):
+                if sp["kind"] == "text":
+                    sp["text"] = sp["text"] + " " + tgt
+                    break
+        out_ids.append(d)
+        out_spans.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
+    )
+
+
+def mutated_docs_parquet(base_path: str, seed: int = 42, **kw) -> str:
+    """Write (or reuse) the cached mutated snapshot of a cached corpus."""
+    suffix = "_v2_" + "_".join(
+        f"{k}{v}" for k, v in sorted(kw.items())) if kw else "_v2"
+    path = base_path.replace(".parquet", f"{suffix}.parquet")
+    if not os.path.exists(path):
+        tbl = mutate_docs(pq.read_table(base_path), seed=seed, **kw)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path

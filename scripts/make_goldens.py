@@ -47,6 +47,8 @@ GOLDEN_QUERIES = [
     "crawl_auto_robots",
     "crawl_content_dedup",
     "crawl_incremental",
+    "crawl_diff_edges",
+    "crawl_diff_pages",
     "crawl_prioritized",
     "host_graph_stats",
     "doc_fingerprint_winnow",
