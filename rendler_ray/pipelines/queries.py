@@ -257,6 +257,244 @@ FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
 """
 
 
+def multiway_join_revenue(sf_dir: str):
+    """Three-way join (TPC-H Q3 family): customer ⋈ orders ⋈ lineitem
+    with the cardinality-aware join ORDER — lineitem is pre-aggregated
+    to per-orderkey revenue BEFORE the join (per-batch partial combine,
+    then one groupby), so the final hash join carries one row per order
+    on each side instead of one per line item. Top-10 cutoff sorts the
+    ROUNDED integer revenue on both sides (float sums at the cutoff
+    would be engine-dependent in the last ulp)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = (pd.DataFrame({"o_orderkey": t["l_orderkey"].to_numpy(),
+                            "revenue": rev.to_numpy()})
+              .groupby("o_orderkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li_rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+              .groupby("o_orderkey")
+              .aggregate(Sum("revenue", alias_name="revenue")))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ord_b = orders.join(cust, join_type="inner", num_partitions=8,
+                        on=("o_custkey",), right_on=("c_custkey",))
+    j = li_rev.join(ord_b.select_columns(["o_orderkey"]),
+                    join_type="inner", num_partitions=8,
+                    on=("o_orderkey",))
+    j = _fixed_point(j, {"revenue": 2}).map_batches(
+        lambda t: t.rename_columns(["orderkey", "revenue_c"]),
+        batch_format="pyarrow")
+    return j.sort(["revenue_c", "orderkey"],
+                  descending=[True, False]).limit(10)
+
+
+MULTIWAY_JOIN_SQL = """
+WITH rev AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+              AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_orderkey)
+SELECT rev.orderkey, rev.revenue_c
+FROM rev
+JOIN orders ON orders.o_orderkey = rev.orderkey
+JOIN customer ON customer.c_custkey = orders.o_custkey
+WHERE customer.c_mktsegment = 'BUILDING'
+ORDER BY revenue_c DESC, orderkey LIMIT 10
+"""
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Grouped exact COUNT(DISTINCT): per-batch distinct partial shrinks
+    the exchange to unique (type, user) pairs; the shuffle key INCLUDES
+    user_id, so a hot event_type spreads across all reducers instead of
+    landing on one (the built-in skew handling of composite-key
+    distinct — no explicit salting needed for algebraic distinct
+    counts). A second, tiny groupby folds pairs into per-type counts."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow")
+    uniq = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n"))
+    return (uniq.groupby("event_type")
+            .aggregate(Count(alias_name="n_users")))
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def median_value_by_type(sf_dir: str):
+    """Grouped EXACT median via the value-histogram shape (the grouped
+    form of percentile_order_values): the all-to-all carries one row per
+    distinct (type, cents) value, never per event; the per-group finish
+    runs over that small histogram. Median is emitted ×2 (lo + hi
+    middle ranks) so even-count groups stay in exact integer arithmetic
+    on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    cents = _fixed_point(ds, {"value": 2}).map_batches(
+        lambda t: t.rename_columns(["event_type", "cents"]),
+        batch_format="pyarrow")
+    counts = cents.groupby(["event_type", "cents"]).aggregate(
+        Count(alias_name="n"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_events": [n],
+                             "median_x2_c": [lo + hi]})
+
+    return (counts.groupby("event_type")
+            .map_groups(pick, batch_format="pandas")
+            .select_columns(["event_type", "n_events", "median_x2_c"]))
+
+
+MEDIAN_BY_TYPE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+  CAST((list(cents ORDER BY cents))[(count(*) + 1) // 2]
+     + (list(cents ORDER BY cents))[count(*) // 2 + 1] AS BIGINT)
+    AS median_x2_c
+FROM c GROUP BY event_type
+"""
+
+
+def corr_qty_price_stats(sf_dir: str):
+    """Distributed correlation/covariance MOMENTS per group: the five
+    algebraic sums (n, Σq, Σp, Σq², Σp², Σqp) fold per batch into one
+    row per key, so the shuffle is O(groups × batches) — the classic
+    one-pass parallel corr shape; the final float division happens
+    outside the engine compare. Values are floor()ed to whole units
+    first (floor matches bit-for-bit between numpy and DuckDB where
+    round()/CAST do not — CLAUDE.md rule; whole units also keep Σp²
+    inside int64 at bench scale)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy()).astype(np.int64)
+        p = np.floor(t["l_extendedprice"].to_numpy()).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_numpy(
+            zero_copy_only=False), "n": 1, "sum_q": q, "sum_p": p,
+            "sum_qq": q * q, "sum_pp": p * p, "sum_qp": q * p})
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q"),
+                       Sum("sum_p", alias_name="sum_p"),
+                       Sum("sum_qq", alias_name="sum_qq"),
+                       Sum("sum_pp", alias_name="sum_pp"),
+                       Sum("sum_qp", alias_name="sum_qp")))
+
+
+CORR_STATS_SQL = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice) AS BIGINT) AS p
+  FROM lineitem)
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(p) AS BIGINT) AS sum_p,
+       CAST(sum(q * q) AS BIGINT) AS sum_qq,
+       CAST(sum(p * p) AS BIGINT) AS sum_pp,
+       CAST(sum(q * p) AS BIGINT) AS sum_qp
+FROM v GROUP BY l_returnflag
+"""
+
+
+def ntile_customers_by_nation(sf_dir: str):
+    """NTILE(4) window over account balance within each nation —
+    per-group pandas finish reproduces SQL NTILE exactly (first
+    count%4 buckets take the extra row) with a deterministic
+    (acctbal, custkey) tie-break. The sort comparison uses the STORED
+    doubles (no arithmetic), so engines agree."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+        k, nb = len(g), 4
+        base, rem = divmod(k, nb)
+        sizes = [base + (1 if i < rem else 0) for i in range(nb)]
+        g["bucket"] = np.repeat(np.arange(1, nb + 1), sizes)[:k]
+        return g[["c_custkey", "c_nationkey", "bucket"]]
+
+    return ds.groupby("c_nationkey").map_groups(
+        ntile, batch_format="pandas")
+
+
+NTILE_SQL = """
+SELECT c_custkey, c_nationkey,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey) AS bucket
+FROM customer
+"""
+
+
+def nations_intersect(sf_dir: str):
+    """Distributed INTERSECT via the side-tag union-groupby (the same
+    one-shuffle Min/Max presence trick pipelines/diff.py uses for edge
+    diffs): nations with a rich customer AND a rich supplier. Per-batch
+    distinct partials shrink both inputs before the single exchange."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def tag(key_col: str, bal_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t[bal_col], 5000.0))
+            keys = pc.unique(pc.cast(t[key_col], pa.int64()))
+            return pa.table({
+                "nationkey": keys,
+                "side": pa.array([side] * len(keys), pa.int8())})
+        return fn
+
+    tagged = (cust.map_batches(tag("c_nationkey", "c_acctbal", 1),
+                               batch_format="pyarrow")
+              .union(supp.map_batches(tag("s_nationkey", "s_acctbal", 2),
+                                      batch_format="pyarrow")))
+    agg = tagged.groupby("nationkey").aggregate(
+        Min("side", alias_name="smin"), Max("side", alias_name="smax"))
+
+    def both(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["smin"], 1), pc.equal(t["smax"], 2))
+        return t.filter(mask).select(["nationkey"])
+
+    return agg.map_batches(both, batch_format="pyarrow")
+
+
+NATIONS_INTERSECT_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey
+FROM supplier WHERE s_acctbal > 5000
+"""
+
+
 def top10_orders(sf_dir: str):
     """O1-shape global sort + limit with deterministic tiebreak."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -2052,6 +2290,12 @@ QUERIES = {
     "top10_orders": top10_orders,
     "full_outer_spend_balance": full_outer_spend_balance,
     "distinct_union_nations": distinct_union_nations,
+    "multiway_join_revenue": multiway_join_revenue,
+    "distinct_users_by_type": distinct_users_by_type,
+    "median_value_by_type": median_value_by_type,
+    "corr_qty_price_stats": corr_qty_price_stats,
+    "ntile_customers_by_nation": ntile_customers_by_nation,
+    "nations_intersect": nations_intersect,
     "extract_tokens": extract_tokens,
     "top_bigrams": top_bigrams,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2123,6 +2367,12 @@ ORACLES = {
     "top10_orders": TOP10_SQL,
     "full_outer_spend_balance": FULL_OUTER_SQL,
     "distinct_union_nations": DISTINCT_UNION_SQL,
+    "multiway_join_revenue": MULTIWAY_JOIN_SQL,
+    "distinct_users_by_type": DISTINCT_USERS_SQL,
+    "median_value_by_type": MEDIAN_BY_TYPE_SQL,
+    "corr_qty_price_stats": CORR_STATS_SQL,
+    "ntile_customers_by_nation": NTILE_SQL,
+    "nations_intersect": NATIONS_INTERSECT_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
