@@ -259,12 +259,15 @@ FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
 
 def multiway_join_revenue(sf_dir: str):
     """Three-way join (TPC-H Q3 family): customer ⋈ orders ⋈ lineitem
-    with the cardinality-aware join ORDER — lineitem is pre-aggregated
-    to per-orderkey revenue BEFORE the join (per-batch partial combine,
-    then one groupby), so the final hash join carries one row per order
-    on each side instead of one per line item. Top-10 cutoff sorts the
-    ROUNDED integer revenue on both sides (float sums at the cutoff
-    would be engine-dependent in the last ulp)."""
+    with the cardinality-aware operator ORDER — lineitem is combined to
+    per-(orderkey, batch) partial revenue, then SEMI-FILTERED through
+    the BUILDING-orders join BEFORE the per-order aggregate, so the
+    expensive high-cardinality groupby sums only the ~1/5 of partials
+    that survive the segment filter (the join is Ray's hash shuffle,
+    which is much cheaper per row than the sort-based aggregate).
+    Top-10 cutoff sorts the ROUNDED integer revenue on both sides
+    (float sums at the cutoff would be engine-dependent in the last
+    ulp)."""
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -276,9 +279,7 @@ def multiway_join_revenue(sf_dir: str):
               .groupby("o_orderkey", sort=False).sum().reset_index())
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    li_rev = (li.map_batches(rev_partial, batch_format="pyarrow")
-              .groupby("o_orderkey")
-              .aggregate(Sum("revenue", alias_name="revenue")))
+    li_part = li.map_batches(rev_partial, batch_format="pyarrow")
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
@@ -288,9 +289,11 @@ def multiway_join_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     ord_b = orders.join(cust, join_type="inner", num_partitions=8,
                         on=("o_custkey",), right_on=("c_custkey",))
-    j = li_rev.join(ord_b.select_columns(["o_orderkey"]),
-                    join_type="inner", num_partitions=8,
-                    on=("o_orderkey",))
+    j = (li_part.join(ord_b.select_columns(["o_orderkey"]),
+                      join_type="inner", num_partitions=8,
+                      on=("o_orderkey",))
+         .groupby("o_orderkey")
+         .aggregate(Sum("revenue", alias_name="revenue")))
     j = _fixed_point(j, {"revenue": 2}).map_batches(
         lambda t: t.rename_columns(["orderkey", "revenue_c"]),
         batch_format="pyarrow")
