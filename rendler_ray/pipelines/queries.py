@@ -458,11 +458,12 @@ FROM customer
 """
 
 
-def nations_intersect(sf_dir: str):
-    """Distributed INTERSECT via the side-tag union-groupby (the same
+def _rich_nation_presence(sf_dir: str):
+    """Shared side-tag presence table for the set ops (the same
     one-shuffle Min/Max presence trick pipelines/diff.py uses for edge
-    diffs): nations with a rich customer AND a rich supplier. Per-batch
-    distinct partials shrink both inputs before the single exchange."""
+    diffs): per-batch distinct partials of nations with a rich
+    (acctbal > 5000) customer (side 1) / supplier (side 2), one union
+    groupby → (nationkey, smin, smax)."""
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 
@@ -479,14 +480,216 @@ def nations_intersect(sf_dir: str):
                                batch_format="pyarrow")
               .union(supp.map_batches(tag("s_nationkey", "s_acctbal", 2),
                                       batch_format="pyarrow")))
-    agg = tagged.groupby("nationkey").aggregate(
+    return tagged.groupby("nationkey").aggregate(
         Min("side", alias_name="smin"), Max("side", alias_name="smax"))
+
+
+_NATIONKEY_SCHEMA = pa.schema([("nationkey", pa.int64())])
+
+
+def _small_typed(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a known-TINY result as a typed Arrow table: an all-empty
+    Dataset loses its column schema through to_pandas (the EXCEPT of
+    two sets is legitimately empty at some scales), and the driver's
+    compare then sees schema [] != [cols]."""
+    return pa.Table.from_pylist(ds.take_all(), schema=schema)
+
+
+def nations_intersect(sf_dir: str):
+    """Distributed INTERSECT: nations with a rich customer AND a rich
+    supplier — presence on both sides of the tagged union."""
+    agg = _rich_nation_presence(sf_dir)
 
     def both(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.equal(t["smin"], 1), pc.equal(t["smax"], 2))
         return t.filter(mask).select(["nationkey"])
 
-    return agg.map_batches(both, batch_format="pyarrow")
+    return _small_typed(agg.map_batches(both, batch_format="pyarrow"),
+                        _NATIONKEY_SCHEMA)
+
+
+def nations_except(sf_dir: str):
+    """Distributed EXCEPT (set difference): nations with a rich customer
+    but NO rich supplier — presence on side 1 only (smin == smax == 1).
+    Same single exchange as INTERSECT; no join, no second pass. Empty
+    at scales where every nation has both (sf0.1) — the typed-empty
+    schema survives."""
+    agg = _rich_nation_presence(sf_dir)
+
+    def only_left(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["smin"], 1), pc.equal(t["smax"], 1))
+        return t.filter(mask).select(["nationkey"])
+
+    return _small_typed(agg.map_batches(only_left, batch_format="pyarrow"),
+                        _NATIONKEY_SCHEMA)
+
+
+NATIONS_EXCEPT_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey
+FROM supplier WHERE s_acctbal > 5000
+"""
+
+
+def region_nation_pairs(sf_dir: str):
+    """CROSS JOIN with the broadcast-small-side shape: region (5 rows)
+    is read once on the driver and closed over; each nation batch emits
+    the vectorized cartesian block (np.repeat × np.tile). The pattern a
+    100-TB pipeline uses for tiny dimension × big fact products — the
+    big side streams, the small side never shuffles."""
+    import pyarrow.parquet as pq
+
+    r_names = sorted(pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_name"])["r_name"].to_pylist())
+
+    def cross(t: pa.Table) -> pa.Table:
+        n = t["n_name"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(np.repeat(r_names, len(n))),
+            "n_name": pa.array(np.tile(n, len(r_names)))})
+
+    return _read(sf_dir, "nation", ["n_name"]).map_batches(
+        cross, batch_format="pyarrow")
+
+
+REGION_NATION_CROSS_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+def event_gaps_lag(sf_dir: str):
+    """LAG window: per-user gap to the previous event in exact int64
+    microseconds (epoch_us on both sides — float epoch seconds would
+    not hash). groupby(user) + one vectorized diff per group; first
+    event per user is dropped (its lag is NULL in SQL)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), us))
+        us, eid = us[order], g["event_id"].to_numpy()[order]
+        return pd.DataFrame({
+            "event_id": eid[1:],
+            "user_id": g["user_id"].iloc[0],
+            "gap_us": np.diff(us)})
+
+    return (ds.groupby("user_id")
+            .map_groups(gaps, batch_format="pandas")
+            .select_columns(["event_id", "user_id", "gap_us"]))
+
+
+EVENT_GAPS_SQL = """
+WITH w AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_id, user_id, gap_us FROM w WHERE gap_us IS NOT NULL
+"""
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE (most frequent value) with a deterministic
+    tie-break: per-batch count partials → one (user, type) groupby sum →
+    tiny per-user argmax finish. The composite-key count shuffle is the
+    skew-safe shape (a hot user still spreads across reducers by
+    type)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = (ds.map_batches(
+        lambda t: t.group_by(["user_id", "event_type"])
+                   .aggregate([([], "count_all")])
+                   .rename_columns(["user_id", "event_type", "n"]),
+        batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True])
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "top_type": [g["event_type"].iloc[0]],
+                             "n": [int(g["n"].iloc[0])]})
+
+    return counts.groupby("user_id").map_groups(
+        pick, batch_format="pandas")
+
+
+MODE_PER_USER_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
+"""
+
+
+def triangle_counts(sf_dir: str):
+    """Distributed triangle counting (per lowest vertex) over a
+    deterministic graph derived from orders: undirected edges
+    (min, max) of (o_custkey, o_orderkey % 1500 + 1). The classic
+    two-join scheme: canonical a<b edges → wedge join E⋈E on the low
+    vertex (b<c filter) → close the wedge with an edge join on (b, c).
+    All exchanges are hash joins on bounded keys; no adjacency list is
+    ever collected."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def canon_edges(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy()
+        v = (t["o_orderkey"].to_numpy() % 1500) + 1
+        a, b = np.minimum(u, v), np.maximum(u, v)
+        keep = a != b
+        df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (orders.map_batches(canon_edges, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["a", "b"]))
+
+    right = edges.map_batches(
+        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
+    wedges = (edges.join(right, join_type="inner", num_partitions=8,
+                         on=("a",))
+              .map_batches(lambda t: t.filter(pc.less(t["b"], t["c"])),
+                           batch_format="pyarrow"))
+    # the wedge table feeds a SECOND hash join: scrub the zero-row
+    # columnless placeholder blocks Ray's join emits for empty
+    # partitions (they choke a downstream hash shuffle)
+    from rendler_ray.state.politeness import _nonempty_blocks
+    wedges = _nonempty_blocks(wedges.materialize())
+    closing = edges.map_batches(
+        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+    if wedges is None:
+        return empty
+    tri = wedges.join(closing, join_type="inner", num_partitions=8,
+                      on=("b", "c"))
+    out = (tri.groupby("a").aggregate(Count(alias_name="n_triangles"))
+           .materialize())  # final result, bounded by vertex count
+    # all-empty Datasets lose their schema through to_pandas
+    return empty if out.count() == 0 else out
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1)
+SELECT e1.a AS a, count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+GROUP BY e1.a
+"""
 
 
 NATIONS_INTERSECT_SQL = """
@@ -2299,6 +2502,11 @@ QUERIES = {
     "corr_qty_price_stats": corr_qty_price_stats,
     "ntile_customers_by_nation": ntile_customers_by_nation,
     "nations_intersect": nations_intersect,
+    "nations_except": nations_except,
+    "region_nation_pairs": region_nation_pairs,
+    "event_gaps_lag": event_gaps_lag,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "triangle_counts": triangle_counts,
     "extract_tokens": extract_tokens,
     "top_bigrams": top_bigrams,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2376,6 +2584,11 @@ ORACLES = {
     "corr_qty_price_stats": CORR_STATS_SQL,
     "ntile_customers_by_nation": NTILE_SQL,
     "nations_intersect": NATIONS_INTERSECT_SQL,
+    "nations_except": NATIONS_EXCEPT_SQL,
+    "region_nation_pairs": REGION_NATION_CROSS_SQL,
+    "event_gaps_lag": EVENT_GAPS_SQL,
+    "mode_event_type_per_user": MODE_PER_USER_SQL,
+    "triangle_counts": TRIANGLE_SQL,
     "extract_tokens": EXTRACT_TOKENS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
