@@ -212,6 +212,40 @@ def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     ).append_column("lang_score", pa.array(scores, pa.float64()))
 
 
+def simhash_bands_batch(batch: pa.Table, *, bands: int = 4,
+                        sig_col: str = "simhash",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Explode 64-bit SimHash signatures into ``bands`` equal bit
+    slices, one row per (doc, band), with the band id packed into the
+    combined int64 ``bucket_key`` (Manku et al., WWW'07 table scheme).
+
+    Pigeonhole guarantee: two signatures within hamming distance
+    ``bands - 1`` agree EXACTLY on at least one slice, so grouping on
+    ``bucket_key`` recalls every such pair — banding is lossless for
+    the ≤ bands-1 radius, unlike MinHash-LSH's probabilistic recall.
+    The signature rides along so each bucket verifies hamming from its
+    own rows (no corpus join)."""
+    sig = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    w = 64 // bands
+    mask = np.uint64((1 << w) - 1)
+    keys = np.concatenate([
+        (np.uint64(k) << np.uint64(w)) | ((sig >> np.uint64(k * w)) & mask)
+        for k in range(bands)
+    ])
+    return pa.table({
+        id_col: pa.array(np.tile(
+            batch[id_col].to_numpy(zero_copy_only=False), bands)),
+        "bucket_key": pa.array(keys.astype(np.int64), pa.int64()),
+        sig_col: pa.array(np.tile(sig, bands).astype(np.int64), pa.int64()),
+    })
+
+
+def hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(x ^ y) over uint64 arrays."""
+    z = (x ^ y).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(z, axis=1).sum(axis=1).astype(np.int64)
+
+
 # per-worker MinHasher cache for the task-pool form (construction is
 # deterministic, so any worker's instance is identical)
 _MINHASHERS: dict = {}

@@ -1055,6 +1055,49 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """
 
 
+def inverted_index_postings(sf_dir: str):
+    """Inverted-index build: token → df + sorted posting list (the
+    retrieval/shard-index shape a training-data pipeline materializes).
+    Per-batch (doc_id, token) dedup acts as the shuffle combiner; one
+    groupby(token) then emits the CSV posting string per token. At 100
+    TB the posting strings for stop-word-grade tokens get capped/split
+    into fixed-size segments; the synthetic vocab stays tiny."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_dedup(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "token": np.concatenate(
+                [np.array(x, dtype=object) for x in toks]),
+            "doc_id": np.repeat(ids, lens),
+        }).drop_duplicates()
+        return pa.table({"token": pa.array(df["token"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"], pa.int64())})
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": pd.Series([len(ids)], dtype=np.int64),
+            "postings": [",".join(map(str, ids))]})
+
+    return (ds.map_batches(explode_dedup, batch_format="pyarrow")
+            .groupby("token").map_groups(postings, batch_format="pandas"))
+
+
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+td AS (SELECT DISTINCT doc_id, token FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY token
+"""
+
+
 def last_event_per_user(sf_dir: str):
     """A2-shape last-write-wins per key (renderResults[url]=x semantics):
     latest event per user, tiebreak on event_id."""
@@ -1613,6 +1656,51 @@ FROM events
 """
 
 
+def zscore_outlier_events(sf_dir: str):
+    """Per-user anomaly detection: events whose value sits more than 2
+    population standard deviations from the user's mean. The test is
+    done in EXACT integer arithmetic — z² > 4 ⟺ (n·v − s)² >
+    4·(n·ssq − s²) over cents — no division or sqrt, so the DuckDB
+    HUGEINT oracle agrees bit-for-bit (a float z-score would drift in
+    the last ulps). One groupby(user) co-locates each stream; the
+    per-group test runs on arbitrary-precision Python ints (group
+    moments overflow int64 only past sf≈1, but exactness is the
+    point)."""
+    ds = _fixed_point(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        {"value": 2})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.int64).astype(object)
+        n = len(v)
+        s = v.sum()
+        ssq = (v * v).sum()
+        lhs = (n * v - s) ** 2
+        keep = (lhs > 4 * (n * ssq - s * s)).astype(bool)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "user_id": g["user_id"].to_numpy(np.int64)[keep],
+            "value_c": v[keep].astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+ZSCORE_OUTLIER_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+st AS (
+  SELECT user_id, count(*) AS n, sum(v) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS ssq
+  FROM c GROUP BY user_id)
+SELECT c.event_id, c.user_id, c.v AS value_c
+FROM c JOIN st USING (user_id)
+WHERE (CAST(n AS HUGEINT) * c.v - s) * (CAST(n AS HUGEINT) * c.v - s)
+      > 4 * (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
+"""
+
+
 def pivot_event_values(sf_dir: str):
     """Pivot (long → wide): per-user columns of summed value by event
     type. One map_batches pass does the conditional partial pivot
@@ -1921,10 +2009,14 @@ def ngram_jaccard_pairs(sf_dir: str):
     the candidate rows against the documents table (only candidates pay
     the text shuffle — the corpus is never broadcast), and each bucket
     group verifies from its own rows."""
+    return _verified_jaccard_pairs(sf_dir, "jaccard_banded")
+
+
+def _verified_jaccard_pairs(sf_dir: str, tag: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
     banded = _pin_banded(_banded_with_key(ds, num_perm=64, bands=8),
-                         n_docs * 8, "jaccard_banded")
+                         n_docs * 8, tag)
     cand = _hot_bucket_candidates(banded)
     cand_txt = cand.join(ds, join_type="inner", num_partitions=8,
                          on=("doc_id",))
@@ -1953,6 +2045,95 @@ def ngram_jaccard_pairs(sf_dir: str):
             .map_groups(pairs, batch_format="pandas")
             .groupby(["a", "b"])
             .aggregate(Min("jaccard", alias_name="jaccard")))
+
+
+def simhash_near_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs within hamming distance 3: simhash →
+    4 × 16-bit band explode (lossless for radius ≤ 3, Manku WWW'07)
+    → bucket groupby → in-bucket vectorized XOR-popcount verify →
+    grouped-min dedup across bands. All-integer output (a, b,
+    hamming); equivalence to brute-force all-pairs is pytest-asserted
+    (tests/test_functions.py). Hot buckets (a 16-bit slice shared by
+    many docs, e.g. boilerplate) would need the LSH salting cap from
+    functions/ann.py; the synthetic corpora stay far below it."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    banded = (ds.map_batches(F_text.simhash64_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "simhash"])
+                .map_batches(F_text.simhash_bands_batch,
+                             batch_format="pyarrow"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ham = F_text.hamming64(sig[iu], sig[ju])
+        keep = ham <= 3
+        return pd.DataFrame({
+            "a": np.minimum(ids[iu[keep]], ids[ju[keep]]).astype(np.int64),
+            "b": np.maximum(ids[iu[keep]], ids[ju[keep]]).astype(np.int64),
+            "hamming": ham[keep]})
+
+    return (banded.groupby("bucket_key")
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def near_dup_dedup_docs(sf_dir: str):
+    """The full corpus-dedup capstone: MinHash-LSH candidates → exact
+    3-gram Jaccard ≥ 0.5 verify → connected components over the verified
+    pair graph (large/small-star, O(log² n) rounds) → keep ONE canonical
+    doc (min doc_id) per near-dup cluster. Returns the surviving
+    (doc_id, cluster) rows — singletons carry their own id as cluster.
+
+    Every stage is the at-scale shape: banded shuffle (never all-pairs),
+    text via hash join (never a corpus broadcast), cluster membership
+    removed via a left-outer join marker (never a collected drop-set).
+    Deterministic; value-pinned by golden fixture + a union-find
+    equivalence pytest."""
+    pairs = _verified_jaccard_pairs(sf_dir, "dedup_banded")
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        # zero-pad so CC's lexicographic min label == numeric min doc_id
+        return pa.table({
+            "src": pa.array([f"{x:012d}" for x in a], pa.string()),
+            "dst": pa.array([f"{x:012d}" for x in b], pa.string())})
+
+    from rendler_ray.functions import graph as F_graph
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    cc = F_graph.connected_components_star(
+        pairs.map_batches(pair_edges, batch_format="pyarrow"))
+    members = cc.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "cluster": pc.cast(t["component"], pa.int64())}),
+        batch_format="pyarrow")
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    members = _nonempty_blocks(members)
+    if members is None:
+        return docs.map_batches(
+            lambda t: t.append_column("cluster", t["doc_id"]),
+            batch_format="pyarrow")
+    joined = docs.join(members, join_type="left_outer", num_partitions=8,
+                       on=("doc_id",))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)  # float w/ NaN
+        cl = np.where(np.isnan(cl), doc, cl).astype(np.int64)
+        keep = cl == doc  # non-members (own cluster) + cluster reps
+        return pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                         "cluster": pa.array(cl[keep], pa.int64())})
+
+    return joined.map_batches(survivors, batch_format="pyarrow")
 
 
 def ann_topk(sf_dir: str):
@@ -2248,6 +2429,26 @@ def crawl_auto_robots(sf_dir: str):
                                       "status"])
 
 
+def crawl_redirects(sf_dir: str):
+    """Crawl over a corpus where ~15% of pages are HTTP-301 redirects:
+    fetch reports status 301, render skips them, extract follows the
+    single Location edge. Deterministic; conformance-tested vs
+    refsim.simulate (tests/test_crawl.py::test_redirect_conformance);
+    rows-only here."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds, docs_parquet
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = {"0.001": 200, "0.01": 2000, "0.1": 20000}.get(sf, 2000)
+    path = docs_parquet(f"/tmp/rendler_ray_web/docs_redir_{n}.parquet",
+                        n_docs=n, n_hosts=max(8, n // 100), seed=42,
+                        p_redirect=0.15)
+    res = crawl(CrawlConfig(docs_path=path, seeds=default_seeds(1),
+                            max_depth=4))
+    return res.fetched.select_columns(["url", "host", "depth", "seq",
+                                      "status"])
+
+
 def crawl_content_dedup(sf_dir: str):
     """Training-data crawl with exact content dedup fused in: duplicate
     pages (same text fingerprint) are dropped before render/extract,
@@ -2510,6 +2711,7 @@ QUERIES = {
     "extract_tokens": extract_tokens,
     "top_bigrams": top_bigrams,
     "tfidf_top_terms": tfidf_top_terms,
+    "inverted_index_postings": inverted_index_postings,
     "doc_freq_score": doc_freq_score,
     "trigram_fluency_docs": trigram_fluency_docs,
     "last_event_per_user": last_event_per_user,
@@ -2531,6 +2733,7 @@ QUERIES = {
     "rollup_revenue": rollup_revenue,
     "sessionize_events": sessionize_events,
     "running_total_events": running_total_events,
+    "zscore_outlier_events": zscore_outlier_events,
     "pivot_event_values": pivot_event_values,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
@@ -2548,6 +2751,8 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "minhash_dup_groups": minhash_dup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "near_dup_dedup_docs": near_dup_dedup_docs,
     "ann_topk": ann_topk,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -2557,6 +2762,7 @@ QUERIES = {
     "crawl_enriched_bpe": crawl_enriched_bpe,
     "crawl_polite": crawl_polite,
     "crawl_auto_robots": crawl_auto_robots,
+    "crawl_redirects": crawl_redirects,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -2592,6 +2798,7 @@ ORACLES = {
     "extract_tokens": EXTRACT_TOKENS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "inverted_index_postings": INVERTED_INDEX_SQL,
     "doc_freq_score": DOC_FREQ_SCORE_SQL,
     "trigram_fluency_docs": TRIGRAM_FLUENCY_SQL,
     "last_event_per_user": LAST_EVENT_SQL,
@@ -2607,6 +2814,7 @@ ORACLES = {
     "heavy_hitter_users": HEAVY_HITTERS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "running_total_events": RUNNING_TOTAL_SQL,
+    "zscore_outlier_events": ZSCORE_OUTLIER_SQL,
     "pivot_event_values": PIVOT_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,

@@ -26,11 +26,13 @@ _SIM_LINK = re.compile(r'href="([^"]+)"|(s://h\d+/p\d+)|(/p\d+)')
 
 
 def _sim_extract(spans: list[dict], base_url: str) -> list[str]:
-    """Page-order link extraction + relative resolution (oracle copy)."""
+    """Page-order link extraction + relative resolution (oracle copy).
+    A redirect span's text is the absolute Location URL — it yields
+    that one link (the 301 Location edge)."""
     host = base_url.split("/")[2]
     out: list[str] = []
     for sp in spans:
-        if sp["kind"] != "text":
+        if sp["kind"] not in ("text", "redirect"):
             continue
         for m in _SIM_LINK.finditer(sp["text"]):
             href = m.group(1) or m.group(2) or m.group(3)
@@ -38,6 +40,12 @@ def _sim_extract(spans: list[dict], base_url: str) -> list[str]:
                 href = f"s://{host}{href}" if href.startswith("/") else href
             out.append(href)
     return out
+
+
+def _sim_is_redirect(spans: list[dict]) -> bool:
+    """HTTP-301 pages (any redirect span) are fetched but never
+    rendered — mirrors the engine's status==200 render filter."""
+    return any(sp["kind"] == "redirect" for sp in spans)
 
 
 @dataclass
@@ -82,7 +90,8 @@ def simulate(
         spans = index.get(url)
         if spans is None:
             continue  # 404: reference logs TASK_FAILED and moves on
-        r.rendered.append(url)
+        if not _sim_is_redirect(spans):
+            r.rendered.append(url)
         d = r.depth[url]
         for ord_, dst in enumerate(_sim_extract(spans, url)):
             r.edges.append((url, dst, ord_))
@@ -278,7 +287,8 @@ def simulate_polite(
             spans = index.get(url)
             if spans is None:
                 continue
-            r.rendered.append(url)
+            if not _sim_is_redirect(spans):
+                r.rendered.append(url)
             for ord_, dst in enumerate(_sim_extract(spans, url)):
                 r.edges.append((url, dst, ord_))
                 if max_depth is not None and d + 1 > max_depth:

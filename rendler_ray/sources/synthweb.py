@@ -65,6 +65,7 @@ def generate_docs(
     mean_images: float = 0.8,
     p_video: float = 0.0,
     p_host_robots: float = 0.0,
+    p_redirect: float = 0.0,
     words_per_span: int = 3,
     seed: int = 42,
 ) -> pa.Table:
@@ -141,6 +142,29 @@ def generate_docs(
                 )
                 off += 1
         spans_col.append(spans)
+
+    if p_redirect > 0:
+        # redirect pages (separate rng stream: default corpora stay
+        # byte-identical). A redirect page's entire content is ONE
+        # kind="redirect" span whose text is the absolute Location URL:
+        # fetch reports HTTP 301, render skips it, extract emits the
+        # single Location edge, and the target is enqueued like any
+        # discovered link. The default seed page never redirects.
+        xrng = np.random.default_rng(seed + 8887)
+        is_redir = xrng.random(n_docs) < p_redirect
+        tgt_h2 = xrng.choice(n_hosts, size=n_docs, p=sizes / sizes.sum())
+        tgt_f2 = xrng.random(n_docs)
+        for d in range(n_docs):
+            if not is_redir[d] or doc_ids[d] == page_url(0, 0):
+                continue
+            th = int(tgt_h2[d])
+            tp = int(tgt_f2[d] * sizes[th])
+            tgt = page_url(th, tp)
+            if tgt == doc_ids[d]:  # no self-redirect
+                tp = (tp + 1) % int(sizes[th])
+                tgt = page_url(th, tp)
+            spans_col[d] = [{"kind": "redirect", "text": tgt,
+                             "media_ref": "", "offset": 0}]
 
     if p_host_robots > 0:
         # robots.txt pages per host (separate rng stream: default corpora

@@ -96,7 +96,9 @@ def extract_edges(batch: pa.Table) -> pa.Table:
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-    tmask = kinds == "text"
+    # redirect spans carry the absolute Location URL as their text:
+    # the Location edge extracts through the same link kernels
+    tmask = (kinds == "text") | (kinds == "redirect")
     t_par = parents[tmask]
     ttexts = flat.field("text").filter(pa.array(tmask))
     hosts = batch["host"].to_numpy(zero_copy_only=False)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -192,6 +193,21 @@ def fetch_batch(batch: pa.Table, *, shards: list) -> pa.Table:
 def _with_fetch_columns(t: pa.Table, status: pa.Array, spans) -> pa.Table:
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
+    if len(spans):
+        # redirect pages (a kind="redirect" span holding the Location
+        # URL) report HTTP 301: render skips them (it keeps status==200
+        # only) and extract emits the single Location edge. Vectorized:
+        # flatten kinds once, mark parent rows.
+        kinds = pc.list_flatten(spans).field("kind")
+        redir_flat = pc.equal(kinds, "redirect").to_numpy(
+            zero_copy_only=False)
+        if redir_flat.any():
+            par = pc.list_parent_indices(spans).to_numpy(
+                zero_copy_only=False)
+            mask = np.zeros(len(spans), dtype=bool)
+            mask[par[redir_flat]] = True
+            status = pc.if_else(pa.array(mask),
+                                pa.scalar(301, pa.int32()), status)
     return t.append_column("status", status).append_column(
         "spans", pa.chunked_array([spans], type=pa.list_(SPAN_STRUCT))
     )

@@ -38,6 +38,8 @@ GOLDEN_QUERIES = [
     "simhash_docs",
     "minhash_dup_groups",
     "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "near_dup_dedup_docs",
     "embedding_near_dup_lsh",
     "crawl_fetch",
     "crawl_edges",
@@ -45,6 +47,7 @@ GOLDEN_QUERIES = [
     "crawl_enriched_bpe",
     "crawl_polite",
     "crawl_auto_robots",
+    "crawl_redirects",
     "crawl_content_dedup",
     "crawl_incremental",
     "crawl_diff_edges",

@@ -102,6 +102,36 @@ def test_cuckoo_mode_conformance(small_docs):
     _assert_conformance(res, sim)
 
 
+@pytest.fixture(scope="session")
+def redirect_docs(tmp_path_factory):
+    """Corpus where ~20% of pages are HTTP-301 redirects (one
+    kind="redirect" span holding the absolute Location URL)."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    p = tmp_path_factory.mktemp("webr") / "docs.parquet"
+    return docs_parquet(str(p), n_docs=300, n_hosts=8, seed=42,
+                        p_redirect=0.2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redirect_conformance(redirect_docs):
+    """301 pages: fetched (Location edge followed) but never rendered —
+    exact order/seen/edge/render equality vs the refsim oracle."""
+    res = _run(redirect_docs)
+    sim = simulate(pq.read_table(redirect_docs), default_seeds(1))
+    _assert_conformance(res, sim)
+
+    fetched = table_from_ds(res.fetched)
+    st = dict(zip(fetched["url"].to_pylist(), fetched["status"].to_pylist()))
+    n301 = sum(1 for v in st.values() if v == 301)
+    n200 = sum(1 for v in st.values() if v == 200)
+    assert n301 > 0, "corpus produced no reachable redirects"
+    assert len(sim.rendered) == n200  # 404s + 301s never render
+    # every rendered page is a 200; no 301 ever rendered
+    renders = table_from_ds(res.renders)
+    assert all(st[u] == 200 for u in renders["doc_id"].to_pylist())
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_actor_stage_mode_conformance(small_docs):
     """stage_mode='actors' (Fetcher/Renderer actor pools over WebShard

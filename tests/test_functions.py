@@ -536,3 +536,72 @@ def test_approx_quantiles_by_group_accuracy():
             exact = sv[(p * len(v) + 99) // 100 - 1]
             got = out[(k, p)]
             assert abs(got - exact) <= max(bound, 1e-12), (k, p, got, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_banding_matches_bruteforce_all_pairs():
+    """4×16-bit banding is LOSSLESS for hamming radius ≤ 3 (pigeonhole):
+    the banded pipeline must return exactly the brute-force all-pairs
+    result on the real sf0.001 documents table."""
+    import pyarrow.parquet as pq
+
+    from rendler_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["simhash_near_dup_pairs"]("/root/testdata/sf0.001")
+    got = got.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    sh = T.simhash64_batch(docs)
+    ids = sh["doc_id"].to_numpy()
+    sig = sh["simhash"].to_numpy().astype(np.uint64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ham = T.hamming64(sig[iu], sig[ju])
+    keep = ham <= 3
+    import pandas as pd
+    exp = pd.DataFrame({
+        "a": np.minimum(ids[iu[keep]], ids[ju[keep]]).astype(np.int64),
+        "b": np.maximum(ids[iu[keep]], ids[ju[keep]]).astype(np.int64),
+        "hamming": ham[keep]}).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(exp) > 0, "fixture corpus has no near-dup pairs"
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "hamming"]].astype("int64"),
+        exp.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_dedup_matches_union_find():
+    """The distributed dedup capstone (verified pairs → star CC →
+    survivors) must equal a driver union-find over the same verified
+    pairs on the sf0.001 documents table."""
+    import pyarrow.parquet as pq
+
+    from rendler_ray.pipelines.queries import QUERIES
+
+    pairs = QUERIES["ngram_jaccard_pairs"]("/root/testdata/sf0.001")
+    pairs = pairs.to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id rep per member
+    rep = {x: find(x) for x in list(parent)}
+
+    all_ids = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    expected = sorted((d, rep.get(d, d)) for d in all_ids
+                      if rep.get(d, d) == d)
+
+    gdf = QUERIES["near_dup_dedup_docs"]("/root/testdata/sf0.001").to_pandas()
+    got = sorted(zip(gdf["doc_id"].astype(int), gdf["cluster"].astype(int)))
+    assert len(expected) < len(all_ids), "fixture corpus has no near-dups"
+    assert got == expected
