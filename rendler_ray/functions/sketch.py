@@ -294,3 +294,63 @@ def approx_quantiles_by(ds, key_col: str, col: str, percents: list[int],
         return pd.DataFrame(rows, columns=[key_col, "percent", "value"])
 
     return counts.groupby(key_col).map_groups(walk, batch_format="pandas")
+
+
+# ------------------------------------------------------- Bloom filter
+
+
+def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al. '14) over int64
+    keys — wrapping uint64 arithmetic, deterministic everywhere."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(seed)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def bloom_build(ds, col: str, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build over an int64 key column: each
+    batch emits ONE fixed-size packed-uint64 bitmap partial; partials
+    OR-fold on the driver (#blocks × m/8 bytes — 128 KiB each at the
+    default m; a tree `union` reduce replaces the driver fold when
+    #blocks × m stops being driver-sized). Double hashing per
+    Kirsch–Mitzenmacher'06: position_i = h1 + i·h2 (mod m)."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = np.zeros(words, np.uint64)
+        h1 = _splitmix64(keys, 0x51_7C_C1_B7)
+        h2 = _splitmix64(keys, 0x27_22_0A_95) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    out = np.zeros(words, np.uint64)
+    for b in (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for v in b["bm"]:
+            out |= np.frombuffer(v.as_py(), np.uint64)
+    return out
+
+
+def bloom_contains(bitmap: np.ndarray, keys: np.ndarray,
+                   m_bits: int, k: int = 4) -> np.ndarray:
+    """Vectorized membership test mask (true ⇒ maybe-member; false ⇒
+    definitely absent). Same double-hash family as :func:`bloom_build`."""
+    keys = keys.astype(np.int64)
+    h1 = _splitmix64(keys, 0x51_7C_C1_B7)
+    h2 = _splitmix64(keys, 0x27_22_0A_95) | np.uint64(1)
+    hit = np.ones(len(keys), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            w = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= ((w >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit

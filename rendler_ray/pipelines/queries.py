@@ -163,6 +163,57 @@ def semi_join_orders(sf_dir: str):
         keep, batch_format="pyarrow")
 
 
+def bloom_semi_join_lineitem(sf_dir: str):
+    """Bloom-prefiltered semi-join — the scale form of a semi-join whose
+    build side is too big to broadcast exactly: urgent orders →
+    distributed Bloom build (per-batch bitmap partials OR-folded, 128
+    KiB total) → probe side drops definite non-members BEFORE the
+    shuffle → exact inner hash join of the survivors removes the false
+    positives → per-order aggregate. Output is EXACT (the oracle is the
+    plain IN semi-join); the bloom only cuts shuffle volume."""
+    from rendler_ray.functions import sketch as F_sketch
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow")
+    m_bits = 1 << 20
+    bm_ref = ray.put(F_sketch.bloom_build(urgent, "l_orderkey",
+                                          m_bits=m_bits, k=4))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(
+            F_sketch.bloom_contains(bm, keys, m_bits, 4)))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    cand = li.map_batches(prefilter, batch_format="pyarrow")
+    exact = cand.join(urgent, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",))
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "q": q})
+
+    return (exact.map_batches(agg_partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("q", alias_name="sum_qty")))
+
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT l_orderkey, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey
+"""
+
+
 SEMI_JOIN_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
@@ -1656,6 +1707,37 @@ FROM events
 """
 
 
+def moving_sum_events(sf_dir: str):
+    """Bounded-frame window (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW):
+    per-user 5-event moving sum over cents. Exact integers both sides —
+    the cumsum-difference c[i] − c[i−5] is the vectorized form."""
+    ds = _fixed_point(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        {"value": 2})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        c = np.cumsum(g["value"].to_numpy(np.int64))
+        w = c.copy()
+        w[5:] = c[5:] - c[:-5]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "w5_sum_c": w})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+MOVING_SUM_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS w5_sum_c
+FROM events
+"""
+
+
 def zscore_outlier_events(sf_dir: str):
     """Per-user anomaly detection: events whose value sits more than 2
     population standard deviations from the user's mean. The test is
@@ -1827,6 +1909,52 @@ def quality_scores(sf_dir: str):
                           batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens", "n_uniq_tokens", "n_stopwords",
          "stopword_ratio", "uniq_ratio"])
+
+
+def c4_quality_filter_docs(sf_dir: str):
+    """Data-driven corpus cleaning (C4/CCNet shape): keep docs whose
+    length sits between the corpus-exact P5 and P95 of n_tokens AND
+    whose stopword ratio is ≥ 5% (fluency floor). The length thresholds
+    come FROM the data via the value-histogram exact-percentile shape
+    (groupby(n_tokens).count — shuffle carries one row per DISTINCT
+    length); the ratio test is the integer inequality 20·n_stop ≥
+    n_tokens, so the SQL oracle agrees bit-for-bit."""
+    feats = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(F_text.quality_batch, batch_format="pyarrow")
+             .select_columns(["doc_id", "n_tokens", "n_stopwords"]))
+    hist = (feats.groupby("n_tokens").aggregate(Count(alias_name="c"))
+            .sort("n_tokens").take_all())  # ≤ distinct lengths: tiny
+    v = np.array([r["n_tokens"] for r in hist], np.int64)
+    cum = np.cumsum(np.array([r["c"] for r in hist], np.int64))
+    n = int(cum[-1])
+    p5 = int(v[np.searchsorted(cum, (5 * n + 99) // 100)])
+    p95 = int(v[np.searchsorted(cum, (95 * n + 99) // 100)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ns = t["n_stopwords"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(
+            (nt >= p5) & (nt <= p95) & (20 * ns >= nt)))
+
+    return feats.map_batches(keep, batch_format="pyarrow")
+
+
+C4_QUALITY_FILTER_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN {F_text.STOPWORDS!r})) AS n_stopwords
+  FROM documents),
+hist AS (SELECT n_tokens AS v, count(*) AS c FROM f GROUP BY v),
+ranked AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM f),
+lo AS (SELECT min(v) AS p5 FROM ranked, tot WHERE cum >= (5 * n + 99) // 100),
+hi AS (SELECT min(v) AS p95 FROM ranked, tot WHERE cum >= (95 * n + 99) // 100)
+SELECT doc_id, n_tokens, n_stopwords
+FROM f, lo, hi
+WHERE n_tokens BETWEEN p5 AND p95 AND 20 * n_stopwords >= n_tokens
+"""
 
 
 QUALITY_SQL = f"""
@@ -2734,6 +2862,9 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "running_total_events": running_total_events,
     "zscore_outlier_events": zscore_outlier_events,
+    "moving_sum_events": moving_sum_events,
+    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+    "c4_quality_filter_docs": c4_quality_filter_docs,
     "pivot_event_values": pivot_event_values,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
@@ -2815,6 +2946,9 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "running_total_events": RUNNING_TOTAL_SQL,
     "zscore_outlier_events": ZSCORE_OUTLIER_SQL,
+    "moving_sum_events": MOVING_SUM_SQL,
+    "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,
+    "c4_quality_filter_docs": C4_QUALITY_FILTER_SQL,
     "pivot_event_values": PIVOT_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,

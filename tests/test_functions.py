@@ -605,3 +605,26 @@ def test_near_dup_dedup_matches_union_find():
     got = sorted(zip(gdf["doc_id"].astype(int), gdf["cluster"].astype(int)))
     assert len(expected) < len(all_ids), "fixture corpus has no near-dups"
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_filter_no_false_negatives():
+    """bloom_build/bloom_contains: every member hits (no false
+    negatives — the property the exact-join cleanup relies on), and the
+    false-positive rate stays near the k/m design point."""
+    import ray.data as rd
+
+    from rendler_ray.functions import sketch as S
+
+    keys = np.arange(5000, dtype=np.int64) * 13 + 7
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    m_bits = 1 << 18
+    bm = S.bloom_build(ds, "k", m_bits=m_bits, k=4)
+
+    assert S.bloom_contains(bm, keys, m_bits, 4).all(), "false negative"
+    probe = np.arange(100000, dtype=np.int64)
+    hit = S.bloom_contains(bm, probe, m_bits, 4)
+    members = np.isin(probe, keys)
+    assert not (~hit & members).any()
+    fp_rate = (hit & ~members).sum() / (~members).sum()
+    assert fp_rate < 0.01, fp_rate  # 5k keys in 256k bits, k=4 → ~2e-4
