@@ -642,6 +642,125 @@ SELECT event_id, user_id, gap_us FROM w WHERE gap_us IS NOT NULL
 """
 
 
+def funnel_view_click_purchase(sf_dir: str):
+    """Ordered-funnel analysis: per user, the first 'view', the first
+    'click' AT-OR-AFTER that view, and the first 'purchase' at-or-after
+    that click — the classic product funnel, computed in one
+    groupby(user) pass with exact epoch-µs stage times (-1 = stage not
+    reached, so both sides hash on pure int64). Users with no view are
+    excluded (they never entered the funnel)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+
+        def first_at_or_after(kind: str, t0: int) -> int:
+            m = us[(et == kind) & (us >= t0)]
+            return int(m.min()) if len(m) else -1
+
+        t_view = first_at_or_after("view", np.iinfo(np.int64).min)
+        if t_view == -1:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "t_view_us": pd.Series([], dtype=np.int64),
+                                 "t_click_us": pd.Series([], dtype=np.int64),
+                                 "t_purchase_us": pd.Series([],
+                                                            dtype=np.int64)})
+        t_click = first_at_or_after("click", t_view)
+        t_purchase = (first_at_or_after("purchase", t_click)
+                      if t_click != -1 else -1)
+        return pd.DataFrame({
+            "user_id": pd.Series([g["user_id"].iloc[0]], dtype=np.int64),
+            "t_view_us": pd.Series([t_view], dtype=np.int64),
+            "t_click_us": pd.Series([t_click], dtype=np.int64),
+            "t_purchase_us": pd.Series([t_purchase], dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+  GROUP BY e.user_id)
+SELECT v.user_id, v.t_view AS t_view_us,
+       COALESCE(c.t_click, -1) AS t_click_us,
+       COALESCE(p.t_purchase, -1) AS t_purchase_us
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def hourly_retention_events(sf_dir: str):
+    """Cohort retention: for each hour h, how many users active in h
+    were ALSO active in h+1. No join — the (user, hour) presence table
+    is side-tagged (A at h, B shifted to h−1) and ONE groupby finds
+    pairs carrying both tags (the INTERSECT presence shape), then a
+    count per hour."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour = us // 3_600_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([uid, uid]), pa.int64()),
+            "hour": pa.array(np.concatenate([hour, hour - 1]), pa.int64()),
+            "tag": pa.array(np.concatenate(
+                [np.zeros(len(uid), np.int64),
+                 np.ones(len(uid), np.int64)])),
+        })
+
+    presence = (ds.map_batches(tag, batch_format="pyarrow")
+                .groupby(["user_id", "hour"])
+                .aggregate(Min("tag", alias_name="lo"),
+                           Max("tag", alias_name="hi")))
+    retained = presence.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["lo"], 0),
+                                   pc.equal(t["hi"], 1))),
+        batch_format="pyarrow")
+    return (retained.groupby("hour").aggregate(Count(alias_name="n_retained"))
+            .select_columns(["hour", "n_retained"]))
+
+
+HOURLY_RETENTION_SQL = """
+WITH uh AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events)
+SELECT a.hour, CAST(count(*) AS BIGINT) AS n_retained
+FROM uh a JOIN uh b ON a.user_id = b.user_id AND b.hour = a.hour + 1
+GROUP BY a.hour
+"""
+
+
+def customer_order_histogram(sf_dir: str):
+    """Degree-distribution shape: histogram of orders-per-customer
+    (count-of-counts — two cheap groupbys, the second over ≤ max-degree
+    rows)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = ds.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"))
+    return (per_cust.groupby("n_orders")
+            .aggregate(Count(alias_name="n_customers"))
+            .select_columns(["n_orders", "n_customers"]))
+
+
+ORDER_HISTOGRAM_SQL = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey)
+GROUP BY n_orders
+"""
+
+
 def mode_event_type_per_user(sf_dir: str):
     """Grouped MODE (most frequent value) with a deterministic
     tie-break: per-batch count partials → one (user, type) groupby sum →
@@ -2863,6 +2982,9 @@ QUERIES = {
     "running_total_events": running_total_events,
     "zscore_outlier_events": zscore_outlier_events,
     "moving_sum_events": moving_sum_events,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "hourly_retention_events": hourly_retention_events,
+    "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
     "c4_quality_filter_docs": c4_quality_filter_docs,
     "pivot_event_values": pivot_event_values,
@@ -2947,6 +3069,9 @@ ORACLES = {
     "running_total_events": RUNNING_TOTAL_SQL,
     "zscore_outlier_events": ZSCORE_OUTLIER_SQL,
     "moving_sum_events": MOVING_SUM_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "hourly_retention_events": HOURLY_RETENTION_SQL,
+    "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,
     "c4_quality_filter_docs": C4_QUALITY_FILTER_SQL,
     "pivot_event_values": PIVOT_SQL,
