@@ -163,6 +163,52 @@ def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
     return ranks
 
 
+def connected_components_auto(edges_ds, driver_max: int = 1_000_000,
+                              **kw):
+    """Size-gated connected components: when the DISTINCT edge count is
+    ≤ ``driver_max`` (8–80 MB of key strings — the verified near-dup
+    pair graph is vastly smaller than its corpus), a driver union-find
+    finishes in one pass instead of ~8 star-contraction rounds × 3
+    shuffles each; bigger graphs run the distributed
+    :func:`connected_components_star`. Identical output contract
+    ((url, component=min member), equality pytest-asserted) — the same
+    bounded-driver-state + distributed-fallback pattern as the crawl's
+    dense-seq key rank (pipelines/crawl.py::_number_winners)."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])).materialize()
+    distinct = _nonempty_blocks(distinct)
+    if distinct is None:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+    if distinct.count() > driver_max:
+        return connected_components_star(distinct, **kw)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for b in distinct.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        for a, c in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            ra, rc = find(a), find(c)
+            if ra != rc:
+                parent[max(ra, rc)] = min(ra, rc)
+    urls = sorted(parent)
+    comp = [find(u) for u in urls]
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "component": pa.array(comp, pa.string())}))
+
+
 def connected_components_star(edges_ds, max_iters: int = 30,
                               num_partitions: int = 16):
     """Connected components via alternating large-star / small-star

@@ -2355,7 +2355,10 @@ def near_dup_dedup_docs(sf_dir: str):
     from rendler_ray.functions import graph as F_graph
     from rendler_ray.state.politeness import _nonempty_blocks
 
-    cc = F_graph.connected_components_star(
+    # size-gated: driver union-find under 1M distinct pairs (the
+    # verified pair graph is tiny next to the corpus), star contraction
+    # above — identical output either way (graph.py equality test)
+    cc = F_graph.connected_components_auto(
         pairs.map_batches(pair_edges, batch_format="pyarrow"))
     members = cc.map_batches(
         lambda t: pa.table({

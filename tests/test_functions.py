@@ -628,3 +628,28 @@ def test_bloom_filter_no_false_negatives():
     assert not (~hit & members).any()
     fp_rate = (hit & ~members).sum() / (~members).sum()
     assert fp_rate < 0.01, fp_rate  # 5k keys in 256k bits, k=4 → ~2e-4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_auto_matches_star():
+    """The size-gated driver union-find and the distributed star
+    contraction must emit identical (url, component) tables — on a
+    multi-component graph with chains, and under a forced-low
+    driver_max that exercises the star path through the same entry."""
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import (connected_components_auto,
+                                             connected_components_star)
+
+    edges = pa.table({
+        "src": ["a", "b", "c", "x", "y", "m", "a", "b"],
+        "dst": ["b", "c", "d", "y", "z", "m", "b", "a"]})  # dups+loop
+    auto = sorted(map(tuple, connected_components_auto(
+        rd.from_arrow(edges)).to_pandas().values.tolist()))
+    star = sorted(map(tuple, connected_components_star(
+        rd.from_arrow(edges)).to_pandas().values.tolist()))
+    forced = sorted(map(tuple, connected_components_auto(
+        rd.from_arrow(edges), driver_max=2).to_pandas().values.tolist()))
+    assert auto == star == forced
+    assert auto == [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                    ("m", "m"), ("x", "x"), ("y", "x"), ("z", "x")]
