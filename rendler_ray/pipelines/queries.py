@@ -144,6 +144,43 @@ GROUP BY c_mktsegment
 """
 
 
+def revenue_by_segment_broadcast(sf_dir: str):
+    """Broadcast map-side variant of :func:`revenue_by_segment` — the
+    production choice at this size ratio (customer ≪ orders): the
+    (custkey → segment) map ships ONCE via ray.put, each orders batch
+    resolves segments locally (vectorized searchsorted) and emits ≤
+    |segments| partial-sum rows, and one tiny groupby folds them — no
+    all-to-all over the fact table. Same oracle as the hash-join form."""
+    cust = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys = keys[order]
+    segs = cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order]
+    names, codes = np.unique(segs, return_inverse=True)
+    ref = ray.put((keys, codes.astype(np.int64), list(map(str, names))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, cs, nm = ray.get(ref)
+        idx = np.searchsorted(ks, t["o_custkey"].to_numpy(
+            zero_copy_only=False))
+        seg = cs[idx]  # every o_custkey exists in customer (FK)
+        rev = np.bincount(seg, weights=t["o_totalprice"].to_numpy(
+            zero_copy_only=False), minlength=len(nm))
+        n = np.bincount(seg, minlength=len(nm)).astype(np.int64)
+        return pa.table({"c_mktsegment": pa.array(nm, pa.string()),
+                         "rev": pa.array(rev, pa.float64()),
+                         "n": pa.array(n, pa.int64())})
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("rev", alias_name="revenue_c"),
+                      Sum("n", alias_name="n_orders")))
+    return _fixed_point(out, {"revenue_c": 2})
+
+
 def semi_join_orders(sf_dir: str):
     """J2-shape broadcast semi-join: keep orders whose customer has
     acctbal > 5000. Small side shipped once via ray.put."""
@@ -639,6 +676,102 @@ WITH w AS (
              PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events)
 SELECT event_id, user_id, gap_us FROM w WHERE gap_us IS NOT NULL
+"""
+
+
+def monthly_revenue(sf_dir: str):
+    """Calendar truncation (date_trunc family): revenue per calendar
+    month. numpy's datetime64[M] cast is exact calendar math and equals
+    DuckDB's (year−1970)·12 + month−1 — months-since-epoch int64 keys
+    on both sides; revenue in cents after the grouped sum."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[M]").astype(np.int64))
+        return pa.table({"month": pa.array(m, pa.int64()),
+                         "rev": t["o_totalprice"],
+                         "n": pa.array(np.ones(len(m), np.int64))})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("rev", alias_name="revenue_c"),
+                      Sum("n", alias_name="n_orders")))
+    return _fixed_point(out, {"revenue_c": 2})
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS month,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY month
+"""
+
+
+def incremental_event_stats(sf_dir: str):
+    """Incremental view maintenance (the backfill-free shape a 100-TB
+    store needs): a PERSISTED per-type aggregate of the 'old' partition
+    (event_id % 5 != 0, checkpointed to parquet once) is merged with
+    the freshly-aggregated 'new' partition — old raw rows are never
+    rescanned. Exact because every statistic is decomposable: counts
+    and sums add, mins/maxes fold. The oracle computes the same stats
+    over the FULL table, proving merge == recompute."""
+    import os as _os
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    ck = f"/tmp/rendler_ray_ivm/{sf}/old_agg.parquet"
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                             options=pc.RoundOptions(
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity")),
+                    pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "c": v})
+
+    def part(t: pa.Table, *, new: bool) -> pa.Table:
+        mod = pc.subtract(t["event_id"],
+                          pc.multiply(pc.divide(t["event_id"], 5), 5))
+        m = pc.equal(mod, 0) if new else pc.not_equal(mod, 0)
+        t = t.filter(m)
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({"event_type": t["event_type"], "n": one,
+                         "sum_c": t["c"], "min_c": t["c"],
+                         "max_c": t["c"]})
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]
+               ).map_batches(cents, batch_format="pyarrow")
+
+    def agg(d):
+        return d.groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_c", alias_name="sum_c"),
+            Min("min_c", alias_name="min_c"),
+            Max("max_c", alias_name="max_c"))
+
+    if not _os.path.exists(ck):
+        _os.makedirs(_os.path.dirname(ck), exist_ok=True)
+        old = agg(ds.map_batches(lambda t: part(t, new=False),
+                                 batch_format="pyarrow"))
+        tmp = ck + ".tmp"
+        import pyarrow.parquet as _pq
+        _pq.write_table(pa.concat_tables(
+            old.iter_batches(batch_size=None, batch_format="pyarrow")),
+            tmp)
+        _os.replace(tmp, ck)
+
+    old_ds = rd.read_parquet(ck)
+    new_agg = agg(ds.map_batches(lambda t: part(t, new=True),
+                                 batch_format="pyarrow"))
+    return agg(old_ds.union(new_agg))
+
+
+INCREMENTAL_STATS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_c
+FROM events GROUP BY event_type
 """
 
 
@@ -2699,6 +2832,55 @@ def crawl_redirects(sf_dir: str):
                                       "status"])
 
 
+def crawl_canonical_groups(sf_dir: str):
+    """Canonical-URL consolidation after a crawl over a rel=canonical
+    corpus: each fetched 200 page maps to its declared canonical target
+    (itself if none), then ONE groupby(canonical_url) counts the alias
+    set and picks the first-discovered alias (min seq) as the keeper —
+    the index-dedup step a canonical-aware crawler runs. Vectorized
+    span scan (flatten once, first canonical per page); deterministic;
+    conformance of the underlying crawl is pinned by
+    tests/test_crawl.py::test_canonical_conformance."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds, docs_parquet
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = {"0.001": 200, "0.01": 2000, "0.1": 20000}.get(sf, 2000)
+    path = docs_parquet(f"/tmp/rendler_ray_web/docs_canon_{n}.parquet",
+                        n_docs=n, n_hosts=max(8, n // 100), seed=42,
+                        p_canonical=0.3)
+    res = crawl(CrawlConfig(docs_path=path, seeds=default_seeds(1),
+                            max_depth=4))
+
+    def canon_of(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["status"], 200))
+        spans = ok["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        urls = ok["url"].to_numpy(zero_copy_only=False)
+        canon = urls.copy()
+        cm = kinds == "canonical"
+        # last write per parent is fine: synth pages carry ≤1 canonical
+        canon[par[cm]] = flat.field("text").to_numpy(
+            zero_copy_only=False)[cm]
+        return pa.table({
+            "canonical_url": pa.array(canon, pa.string()),
+            "alias_url": ok["url"],
+            "seq": ok["seq"]})
+
+    mapped = res.fetched.map_batches(canon_of, batch_format="pyarrow")
+    groups = mapped.groupby("canonical_url").aggregate(
+        Count(alias_name="n_aliases"), Min("seq", alias_name="min_seq"))
+    # join the min-seq winner's url back (tiny second pass, no driver set)
+    winners = mapped.map_batches(
+        lambda t: t.rename_columns(["canonical_url", "winner_url",
+                                    "min_seq"]),
+        batch_format="pyarrow")
+    return groups.join(winners, join_type="inner", num_partitions=8,
+                       on=("canonical_url", "min_seq"))
+
+
 def crawl_content_dedup(sf_dir: str):
     """Training-data crawl with exact content dedup fused in: duplicate
     pages (same text fingerprint) are dropped before render/extract,
@@ -2986,6 +3168,9 @@ QUERIES = {
     "zscore_outlier_events": zscore_outlier_events,
     "moving_sum_events": moving_sum_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "incremental_event_stats": incremental_event_stats,
+    "revenue_by_segment_broadcast": revenue_by_segment_broadcast,
+    "monthly_revenue": monthly_revenue,
     "hourly_retention_events": hourly_retention_events,
     "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
@@ -3019,6 +3204,7 @@ QUERIES = {
     "crawl_polite": crawl_polite,
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_redirects": crawl_redirects,
+    "crawl_canonical_groups": crawl_canonical_groups,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -3073,6 +3259,9 @@ ORACLES = {
     "zscore_outlier_events": ZSCORE_OUTLIER_SQL,
     "moving_sum_events": MOVING_SUM_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
+    "incremental_event_stats": INCREMENTAL_STATS_SQL,
+    "revenue_by_segment_broadcast": REVENUE_BY_SEGMENT_SQL,
+    "monthly_revenue": MONTHLY_REVENUE_SQL,
     "hourly_retention_events": HOURLY_RETENTION_SQL,
     "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,

@@ -28,11 +28,12 @@ _SIM_LINK = re.compile(r'href="([^"]+)"|(s://h\d+/p\d+)|(/p\d+)')
 def _sim_extract(spans: list[dict], base_url: str) -> list[str]:
     """Page-order link extraction + relative resolution (oracle copy).
     A redirect span's text is the absolute Location URL — it yields
-    that one link (the 301 Location edge)."""
+    that one link (the 301 Location edge). A canonical span's text is
+    the rel=canonical target — one more (trailing) link."""
     host = base_url.split("/")[2]
     out: list[str] = []
     for sp in spans:
-        if sp["kind"] not in ("text", "redirect"):
+        if sp["kind"] not in ("text", "redirect", "canonical"):
             continue
         for m in _SIM_LINK.finditer(sp["text"]):
             href = m.group(1) or m.group(2) or m.group(3)

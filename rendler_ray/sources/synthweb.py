@@ -66,6 +66,7 @@ def generate_docs(
     p_video: float = 0.0,
     p_host_robots: float = 0.0,
     p_redirect: float = 0.0,
+    p_canonical: float = 0.0,
     words_per_span: int = 3,
     seed: int = 42,
 ) -> pa.Table:
@@ -165,6 +166,35 @@ def generate_docs(
                 tgt = page_url(th, tp)
             spans_col[d] = [{"kind": "redirect", "text": tgt,
                              "media_ref": "", "offset": 0}]
+
+    if p_canonical > 0:
+        # rel=canonical annotations (separate rng stream: default corpora
+        # stay byte-identical). An annotated page keeps its content and
+        # gains ONE trailing kind="canonical" span whose text is the
+        # absolute canonical URL on the SAME host: extract emits it as
+        # one more (last-ord) edge — crawlers follow canonical targets —
+        # and queries.crawl_canonical_groups consolidates fetched
+        # aliases by target. Redirect pages and the default seed are
+        # exempt; single-page hosts have no same-host target.
+        crng = np.random.default_rng(seed + 8889)
+        is_canon = crng.random(n_docs) < p_canonical
+        tgt_f3 = crng.random(n_docs)
+        for d in range(n_docs):
+            if not is_canon[d] or doc_ids[d] == page_url(0, 0):
+                continue
+            sp = spans_col[d]
+            if sp and sp[0]["kind"] == "redirect":
+                continue
+            h = int(host_of_doc[d])
+            if int(sizes[h]) < 2:
+                continue
+            tp = int(tgt_f3[d] * sizes[h])
+            tgt = page_url(h, tp)
+            if tgt == doc_ids[d]:  # no self-canonical
+                tp = (tp + 1) % int(sizes[h])
+                tgt = page_url(h, tp)
+            sp.append({"kind": "canonical", "text": tgt,
+                       "media_ref": "", "offset": len(sp)})
 
     if p_host_robots > 0:
         # robots.txt pages per host (separate rng stream: default corpora

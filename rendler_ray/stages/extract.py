@@ -96,9 +96,9 @@ def extract_edges(batch: pa.Table) -> pa.Table:
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-    # redirect spans carry the absolute Location URL as their text:
-    # the Location edge extracts through the same link kernels
-    tmask = (kinds == "text") | (kinds == "redirect")
+    # redirect spans carry the absolute Location URL, canonical spans
+    # the rel=canonical target: both extract through the link kernels
+    tmask = (kinds == "text") | (kinds == "redirect") | (kinds == "canonical")
     t_par = parents[tmask]
     ttexts = flat.field("text").filter(pa.array(tmask))
     hosts = batch["host"].to_numpy(zero_copy_only=False)

@@ -48,6 +48,7 @@ GOLDEN_QUERIES = [
     "crawl_polite",
     "crawl_auto_robots",
     "crawl_redirects",
+    "crawl_canonical_groups",
     "crawl_content_dedup",
     "crawl_incremental",
     "crawl_diff_edges",

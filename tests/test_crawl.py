@@ -133,6 +133,26 @@ def test_redirect_conformance(redirect_docs):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_canonical_conformance(tmp_path_factory):
+    """rel=canonical spans: the canonical target is one more (trailing)
+    extracted edge — exact conformance on a corpus mixing canonicals
+    AND redirects (redirect pages are exempt from annotation)."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    p = tmp_path_factory.mktemp("webc") / "docs.parquet"
+    docs = docs_parquet(str(p), n_docs=300, n_hosts=8, seed=42,
+                        p_redirect=0.1, p_canonical=0.3)
+    res = _run(docs)
+    sim = simulate(pq.read_table(docs), default_seeds(1))
+    _assert_conformance(res, sim)
+
+    src = pq.read_table(docs)
+    n_canon = sum(any(sp["kind"] == "canonical" for sp in row)
+                  for row in src["spans"].to_pylist())
+    assert n_canon > 0, "corpus produced no canonical annotations"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_actor_stage_mode_conformance(small_docs):
     """stage_mode='actors' (Fetcher/Renderer actor pools over WebShard
     actors) — same semantics as the task-mode default."""
