@@ -38,7 +38,11 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
             "span_offset": flat.field("offset"),
         }
     )
-    return t.filter(pc.not_equal(t["kind"], "text"))
+    # positive kind list: link-metadata spans (redirect/canonical) carry
+    # no media_ref and must not leak into the media pipeline
+    return t.filter(pc.is_in(t["kind"],
+                             value_set=pa.array(["image", "video",
+                                                 "audio"])))
 
 
 def fake_media_bytes(media_ref: str) -> bytes:
@@ -133,6 +137,35 @@ def media_resize_batch(batch: pa.Table, *, max_side: int = 256) -> pa.Table:
         "thumb_w": pa.array(tw, pa.int64()),
         "thumb_h": pa.array(th, pa.int64()),
         "thumb": pa.array(thumbs, pa.large_binary()),
+    })
+
+
+def audio_segment_batch(batch: pa.Table, *, seg_ms: int = 5000,
+                        max_segments: int = 4) -> pa.Table:
+    """Audio segmentation (plumbing-real, decode stubbed): audio rows
+    explode into up to ``max_segments`` fixed-length windows of a
+    deterministic fake duration; non-audio rows pass through with zero
+    segments. Real deployments swap the payload for an
+    ffmpeg/soundfile-backed actor-pool class; schema/batching stay
+    identical. Mirrors :func:`frame_sample_batch` for the audio kind."""
+    auds = batch.filter(pc.equal(batch["kind"], "audio"))
+    refs = auds["media_ref"].to_pylist()
+    ids = auds["doc_id"].to_pylist()
+    out_doc, out_ref, out_start, out_bytes = [], [], [], []
+    for d, r in zip(ids, refs):
+        dur_ms = 1000 + int(stable_hash64([r])[0] % 60000)  # fake length
+        for j, s in enumerate(range(0, dur_ms, seg_ms)):
+            if j >= max_segments:
+                break
+            out_doc.append(d)
+            out_ref.append(r)
+            out_start.append(s)
+            out_bytes.append(fake_media_bytes(f"{r}#a{s}"))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.string()),
+        "media_ref": pa.array(out_ref, pa.string()),
+        "start_ms": pa.array(out_start, pa.int32()),
+        "segment": pa.array(out_bytes, pa.large_binary()),
     })
 
 

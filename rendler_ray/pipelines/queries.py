@@ -3094,6 +3094,31 @@ def media_frame_samples(sf_dir: str):
     return frames.map_batches(sizes, batch_format="pyarrow")
 
 
+def media_audio_segments(sf_dir: str):
+    """Audio segmentation plumbing over an audio-bearing variant of the
+    synthetic interleaved corpus (image/video/audio triad): explode
+    media spans → fixed-window segments (deterministic stub payloads,
+    real schema/batching)."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    path = docs_parquet("/tmp/rendler_ray_web/docs_audio_1000.parquet",
+                        n_docs=1000, n_hosts=10, seed=42,
+                        mean_images=1.2, p_video=0.2, p_audio=0.4)
+    docs = rd.read_parquet(path)
+    media = docs.map_batches(F_media.explode_media_spans,
+                             batch_format="pyarrow")
+    segs = media.map_batches(F_media.audio_segment_batch,
+                             fn_kwargs={"seg_ms": 5000, "max_segments": 4},
+                             batch_format="pyarrow", batch_size=256)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "media_ref": t["media_ref"],
+                         "start_ms": t["start_ms"],
+                         "seg_bytes": pc.binary_length(t["segment"])})
+
+    return segs.map_batches(sizes, batch_format="pyarrow")
+
+
 def render_interleaved(sf_dir: str):
     """Render every doc's span sequence (S3-shape) and report the image
     size — exercises the span-sequence canonical serialization."""
@@ -3215,6 +3240,7 @@ QUERIES = {
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
     "media_frame_samples": media_frame_samples,
+    "media_audio_segments": media_audio_segments,
     "render_interleaved": render_interleaved,
 }
 

@@ -64,6 +64,7 @@ def generate_docs(
     p_dangle: float = 0.05,
     mean_images: float = 0.8,
     p_video: float = 0.0,
+    p_audio: float = 0.0,
     p_host_robots: float = 0.0,
     p_redirect: float = 0.0,
     p_canonical: float = 0.0,
@@ -97,6 +98,10 @@ def generate_docs(
     # corpora are byte-pinned by tests/oracles)
     vrng = np.random.default_rng(seed + 977)
     is_video = vrng.random(n_docs * 4).reshape(n_docs, 4) < p_video
+    # audio stream (seed+978): an image slot becomes audio — video wins
+    # ties so existing p_video corpora are unchanged by p_audio=0
+    arng = np.random.default_rng(seed + 978)
+    is_audio = arng.random(n_docs * 4).reshape(n_docs, 4) < p_audio
     n_text_spans = 1 + rng.integers(0, 3, n_docs)
     word_picks = rng.integers(0, len(_WORDS), n_docs * 8 + 8)
 
@@ -132,7 +137,8 @@ def generate_docs(
             spans.append({"kind": "text", "text": body, "media_ref": "", "offset": off})
             off += 1
             if t < int(n_imgs[d]):
-                kind = "video" if is_video[d, t] else "image"
+                kind = ("video" if is_video[d, t]
+                        else "audio" if is_audio[d, t] else "image")
                 spans.append(
                     {
                         "kind": kind,

@@ -59,6 +59,7 @@ GOLDEN_QUERIES = [
     "media_features",
     "media_thumbnails",
     "media_frame_samples",
+    "media_audio_segments",
     "render_interleaved",
 ]
 
