@@ -679,6 +679,67 @@ SELECT event_id, user_id, gap_us FROM w WHERE gap_us IS NOT NULL
 """
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join with null-side fill: every customer with their
+    order count and spend (0/0 for customers with no orders) — the
+    dimension-preserving join the FULL OUTER and INNER entries don't
+    cover. Orders pre-aggregate to one row per custkey BEFORE the join,
+    so the shuffle carries |customers| + |custkeys-with-orders| rows,
+    never the fact table."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             options=pc.RoundOptions(
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity")),
+                    pa.int64())
+        return pa.table({"c_custkey": t["o_custkey"], "spend_c": v})
+
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum("spend_c", alias_name="spend_c")))
+    # groupby aggregates emit colless placeholder blocks for empty
+    # partitions; sanitize before feeding the hash join (ROUND2 notes)
+    per_cust = _nonempty_blocks(per_cust.materialize())
+    if per_cust is None:
+        return cust.map_batches(
+            lambda t: t.append_column(
+                "n_orders", pa.array(np.zeros(t.num_rows, np.int64))
+            ).append_column(
+                "spend_c", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        s = t["spend_c"].to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
+        s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "n_orders": pa.array(n, pa.int64()),
+                         "spend_c": pa.array(s, pa.int64())})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.s, 0) AS BIGINT) AS spend_c
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey
+"""
+
+
 def monthly_revenue(sf_dir: str):
     """Calendar truncation (date_trunc family): revenue per calendar
     month. numpy's datetime64[M] cast is exact calendar math and equals
@@ -3196,6 +3257,7 @@ QUERIES = {
     "incremental_event_stats": incremental_event_stats,
     "revenue_by_segment_broadcast": revenue_by_segment_broadcast,
     "monthly_revenue": monthly_revenue,
+    "customer_order_counts": customer_order_counts,
     "hourly_retention_events": hourly_retention_events,
     "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
@@ -3288,6 +3350,7 @@ ORACLES = {
     "incremental_event_stats": INCREMENTAL_STATS_SQL,
     "revenue_by_segment_broadcast": REVENUE_BY_SEGMENT_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,
+    "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "hourly_retention_events": HOURLY_RETENTION_SQL,
     "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,

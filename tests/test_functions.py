@@ -653,3 +653,26 @@ def test_connected_components_auto_matches_star():
     assert auto == star == forced
     assert auto == [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
                     ("m", "m"), ("x", "x"), ("y", "x"), ("z", "x")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_order_counts_null_fill(tmp_path):
+    """The testdata has no zero-order customers, so pin the LEFT-join
+    null-fill path with a synthetic pair of tables."""
+    import pyarrow.parquet as pq
+
+    from rendler_ray.pipelines.queries import QUERIES
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": ["A", "B", "A"],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_totalprice": pa.array([10.5, 2.25], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    df = (QUERIES["customer_order_counts"](str(tmp_path))
+          .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert df["n_orders"].tolist() == [2, 0, 0]
+    assert df["spend_c"].tolist() == [1275, 0, 0]
