@@ -1935,6 +1935,54 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(priority, status) — the full grouping-set lattice
+    (detail, each one-dim marginal, grand total). Same
+    shuffle-the-base-once optimization as :func:`rollup_revenue`: every
+    coarser set re-aggregates the SMALL detail result."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def _all(col):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(col)
+            return t.set_column(
+                i, col, pa.array(["ALL"] * t.num_rows, pa.string()))
+        return fn
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    aggs = (Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"))
+    detail = (ds.groupby(keys)
+              .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                         Count(alias_name="n_orders"))).materialize()
+    by_prio = (detail.map_batches(_all("o_orderstatus"),
+                                  batch_format="pyarrow")
+               .groupby(keys).aggregate(*aggs)).materialize()
+    by_status = (detail.map_batches(_all("o_orderpriority"),
+                                    batch_format="pyarrow")
+                 .groupby(keys).aggregate(*aggs))
+    total = (by_prio.map_batches(_all("o_orderpriority"),
+                                 batch_format="pyarrow")
+             .groupby(keys).aggregate(*aggs))
+    out = _fixed_point(detail.union(by_prio, by_status, total),
+                       {"revenue": 2})
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "revenue_c", "n_orders"]),
+        batch_format="pyarrow")
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 def sessionize_events(sf_dir: str):
     """Sessionization — split each user's event stream into sessions at
     >30-min gaps; emits per-session aggregates. groupby(user) co-locates
@@ -3249,6 +3297,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "percentile_order_values": percentile_order_values,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
     "sessionize_events": sessionize_events,
     "running_total_events": running_total_events,
     "zscore_outlier_events": zscore_outlier_events,
@@ -3341,6 +3390,7 @@ ORACLES = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "percentile_order_values": PERCENTILE_SQL,
     "rollup_revenue": ROLLUP_SQL,
+    "cube_revenue": CUBE_SQL,
     "heavy_hitter_users": HEAVY_HITTERS_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "running_total_events": RUNNING_TOTAL_SQL,
