@@ -2990,6 +2990,88 @@ def crawl_canonical_groups(sf_dir: str):
                        on=("canonical_url", "min_seq"))
 
 
+def training_data_pipeline(sf_dir: str):
+    """The end-to-end training-data story in ONE composition over the
+    live crawl: enriched crawl (quality/lang/simhash fused at fetch) →
+    C4-style quality gate (corpus-exact P5/P95 length band + 5%
+    stopword floor, thresholds computed from the crawled pages
+    themselves) → SimHash near-dup drop (lossless 4×16-bit banding,
+    smaller-url keeper per pair, drops removed by a left-join marker —
+    no driver drop-set) → deterministic 20% hash sample. Returns the
+    sampled training shard (url, n_tokens, simhash). Every stage is the
+    at-scale shape its standalone query uses; deterministic,
+    golden-pinned."""
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4,
+                            enrich=True))
+    pages = res.fetched.select_columns(
+        ["url", "status", "n_tokens", "n_stopwords", "simhash"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["status"], 200))
+                   .drop_columns(["status"]),
+        batch_format="pyarrow")
+
+    # -- stage 1: data-driven quality gate (value-histogram percentiles)
+    hist = (pages.groupby("n_tokens").aggregate(Count(alias_name="c"))
+            .sort("n_tokens").take_all())
+    v = np.array([r["n_tokens"] for r in hist], np.int64)
+    cum = np.cumsum(np.array([r["c"] for r in hist], np.int64))
+    n = int(cum[-1])
+    p5 = int(v[np.searchsorted(cum, (5 * n + 99) // 100)])
+    p95 = int(v[np.searchsorted(cum, (95 * n + 99) // 100)])
+
+    def gate(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ns = t["n_stopwords"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(
+            (nt >= p5) & (nt <= p95) & (20 * ns >= nt)))
+
+    kept = pages.map_batches(gate, batch_format="pyarrow")
+
+    # -- stage 2: simhash near-dup pairwise drop (keep the smaller url)
+    banded = kept.select_columns(["url", "simhash"]).map_batches(
+        F_text.simhash_bands_batch, fn_kwargs={"id_col": "url"},
+        batch_format="pyarrow")
+
+    def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["url"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"url": pd.Series([], dtype=object)})
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = F_text.hamming64(sig[iu], sig[ju]) <= 3
+        drops = np.where(ids[iu[keep]] > ids[ju[keep]],
+                         ids[iu[keep]], ids[ju[keep]])
+        return pd.DataFrame({"url": pd.Series(np.unique(drops),
+                                              dtype=object)})
+
+    drops = (banded.groupby("bucket_key")
+             .map_groups(bucket_drops, batch_format="pandas")
+             .groupby("url").aggregate(Count(alias_name="_flag")))
+    drops = _nonempty_blocks(drops.materialize())
+    if drops is not None:
+        j = kept.join(drops, join_type="left_outer", num_partitions=8,
+                      on=("url",))
+        kept = j.map_batches(
+            lambda t: t.filter(pc.is_null(t["_flag"])).drop_columns(
+                ["_flag"]),
+            batch_format="pyarrow")
+
+    # -- stage 3: deterministic 20% shard sample (hash threshold)
+    thr = np.uint64(int(0.2 * 2**64))
+
+    def sample(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t["url"])
+        return t.filter(pa.array(h < thr))
+
+    return kept.map_batches(sample, batch_format="pyarrow")
+
+
 def crawl_content_dedup(sf_dir: str):
     """Training-data crawl with exact content dedup fused in: duplicate
     pages (same text fingerprint) are dropped before render/extract,
@@ -3341,6 +3423,7 @@ QUERIES = {
     "crawl_auto_robots": crawl_auto_robots,
     "crawl_redirects": crawl_redirects,
     "crawl_canonical_groups": crawl_canonical_groups,
+    "training_data_pipeline": training_data_pipeline,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

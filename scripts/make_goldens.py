@@ -49,6 +49,7 @@ GOLDEN_QUERIES = [
     "crawl_auto_robots",
     "crawl_redirects",
     "crawl_canonical_groups",
+    "training_data_pipeline",
     "crawl_content_dedup",
     "crawl_incremental",
     "crawl_diff_edges",
