@@ -836,6 +836,66 @@ FROM events GROUP BY event_type
 """
 
 
+def unpivot_user_type_sums(sf_dir: str):
+    """Unpivot (wide → long): the per-user wide pivot result melts back
+    to (user_id, event_type, sum_c) rows, dropping the zero cells the
+    widening fabricated — the melt is a cheap vectorized per-batch
+    flat-map over the ALREADY-AGGREGATED wide table (users × types
+    rows, never the fact table). Oracle = the plain long aggregate."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_event_values(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        cols = [t[f"sum_{ty}_c"].to_numpy(zero_copy_only=False)
+                for ty in types]
+        uu = np.tile(u, len(types))
+        tt = np.repeat(np.array(types, dtype=object), len(u))
+        vv = np.concatenate(cols)
+        keep = vv != 0
+        return pa.table({
+            "user_id": pa.array(uu[keep], pa.int64()),
+            "event_type": pa.array(tt[keep], pa.string()),
+            "sum_c": pa.array(vv[keep], pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_SQL = """
+SELECT user_id, event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM events GROUP BY user_id, event_type
+HAVING sum(CAST(round(value * 100) AS BIGINT)) != 0
+"""
+
+
+def dow_hour_event_counts(sf_dir: str):
+    """Calendar extraction (day-of-week × hour-of-day heatmap):
+    (epoch_days + 4) % 7 equals DuckDB's dayofweek (Sunday=0; epoch day
+    0 was a Thursday=4) — pure integer on both sides."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        return pa.table({
+            "dow": pa.array((day + 4) % 7, pa.int64()),
+            "hour": pa.array(us // 3_600_000_000 % 24, pa.int64()),
+            "n": pa.array(np.ones(len(us), np.int64))})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["dow", "hour"])
+            .aggregate(Sum("n", alias_name="n_events")))
+
+
+DOW_HOUR_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY dow, hour
+"""
+
+
 def funnel_view_click_purchase(sf_dir: str):
     """Ordered-funnel analysis: per user, the first 'view', the first
     'click' AT-OR-AFTER that view, and the first 'purchase' at-or-after
@@ -3389,6 +3449,8 @@ QUERIES = {
     "revenue_by_segment_broadcast": revenue_by_segment_broadcast,
     "monthly_revenue": monthly_revenue,
     "customer_order_counts": customer_order_counts,
+    "unpivot_user_type_sums": unpivot_user_type_sums,
+    "dow_hour_event_counts": dow_hour_event_counts,
     "hourly_retention_events": hourly_retention_events,
     "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
@@ -3484,6 +3546,8 @@ ORACLES = {
     "revenue_by_segment_broadcast": REVENUE_BY_SEGMENT_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
+    "unpivot_user_type_sums": UNPIVOT_SQL,
+    "dow_hour_event_counts": DOW_HOUR_SQL,
     "hourly_retention_events": HOURLY_RETENTION_SQL,
     "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,
