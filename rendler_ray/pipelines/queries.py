@@ -2159,6 +2159,42 @@ FROM events
 """
 
 
+def rank_orders_in_priority(sf_dir: str):
+    """RANK() with ties (competition ranking — equal values share a
+    rank, the next rank skips): per-priority rank of order value. rank
+    = 1 + #strictly-greater, vectorized per group with one sort + one
+    searchsorted; cents keys so both sides rank identical integers."""
+    ds = _fixed_point(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        {"o_totalprice": 2}).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "o_orderpriority", "cents"]),
+        batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["cents"].to_numpy(np.int64)
+        vs = np.sort(v)
+        rnk = 1 + (len(v) - np.searchsorted(vs, v, side="right"))
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": g["o_orderpriority"].to_numpy(),
+            "cents": v, "rnk": rnk.astype(np.int64)})
+
+    return ds.groupby("o_orderpriority").map_groups(
+        rank, batch_format="pandas")
+
+
+RANK_ORDERS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+            AS BIGINT) AS rnk
+FROM orders
+"""
+
+
 def zscore_outlier_events(sf_dir: str):
     """Per-user anomaly detection: events whose value sits more than 2
     population standard deviations from the user's mean. The test is
@@ -3451,6 +3487,7 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "unpivot_user_type_sums": unpivot_user_type_sums,
     "dow_hour_event_counts": dow_hour_event_counts,
+    "rank_orders_in_priority": rank_orders_in_priority,
     "hourly_retention_events": hourly_retention_events,
     "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
@@ -3548,6 +3585,7 @@ ORACLES = {
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "unpivot_user_type_sums": UNPIVOT_SQL,
     "dow_hour_event_counts": DOW_HOUR_SQL,
+    "rank_orders_in_priority": RANK_ORDERS_SQL,
     "hourly_retention_events": HOURLY_RETENTION_SQL,
     "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,

@@ -159,3 +159,22 @@ def test_actor_stage_mode_conformance(small_docs):
     res = _run(small_docs, stage_mode="actors", max_depth=2)
     sim = simulate(pq.read_table(small_docs), default_seeds(1), max_depth=2)
     _assert_conformance(res, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edge_cases_empty_crawls(small_docs):
+    """Degenerate inputs must produce clean empty results, not crashes:
+    a 404 seed (fetched, nothing extracted) and max_pages=0."""
+    res = _run(small_docs, seeds=["s://h999/p99999"])
+    assert res.pages_fetched == 1          # the dangling seed itself
+    assert res.edges.count() == 0          # (empty ds loses its schema:
+    assert res.renders.count() == 0        # assert counts, not columns)
+    sim = simulate(pq.read_table(small_docs), ["s://h999/p99999"])
+    assert sim.order == ["s://h999/p99999"] and not sim.edges
+    fetched = table_from_ds(res.fetched)
+    assert fetched["url"].to_pylist() == sim.order
+    assert res.seen_count == len(sim.seen) == 1
+
+    res0 = _run(small_docs, max_pages=0)
+    assert res0.pages_fetched == 0
+    assert res0.edges.count() == 0
