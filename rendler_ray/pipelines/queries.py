@@ -2159,6 +2159,46 @@ FROM events
 """
 
 
+def trailing_hour_spend(sf_dir: str):
+    """Time-based window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): for each event, the user's spend over the
+    trailing hour INCLUDING ties at the same timestamp — the RANGE
+    flavor, distinct from the ROWS moving sum. Per user: one sort, a
+    prefix-sum, and two searchsorteds (window start by ts-1h, window
+    end past all same-ts rows, matching SQL RANGE peer semantics)."""
+    ds = _fixed_point(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        {"value": 2})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), us))
+        us = us[order]
+        v = g["value"].to_numpy(np.int64)[order]
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        cum = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(us, us - 3_600_000_000, side="left")
+        hi = np.searchsorted(us, us, side="right")  # all ts-peers
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": g["user_id"].iloc[0],
+            "hour_spend_c": cum[hi] - cum[lo]})
+
+    return (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .select_columns(["event_id", "user_id", "hour_spend_c"]))
+
+
+TRAILING_HOUR_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS hour_spend_c
+FROM events
+"""
+
+
 def rank_orders_in_priority(sf_dir: str):
     """RANK() with ties (competition ranking — equal values share a
     rank, the next rank skips): per-priority rank of order value. rank
@@ -3488,6 +3528,7 @@ QUERIES = {
     "unpivot_user_type_sums": unpivot_user_type_sums,
     "dow_hour_event_counts": dow_hour_event_counts,
     "rank_orders_in_priority": rank_orders_in_priority,
+    "trailing_hour_spend": trailing_hour_spend,
     "hourly_retention_events": hourly_retention_events,
     "customer_order_histogram": customer_order_histogram,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
@@ -3586,6 +3627,7 @@ ORACLES = {
     "unpivot_user_type_sums": UNPIVOT_SQL,
     "dow_hour_event_counts": DOW_HOUR_SQL,
     "rank_orders_in_priority": RANK_ORDERS_SQL,
+    "trailing_hour_spend": TRAILING_HOUR_SQL,
     "hourly_retention_events": HOURLY_RETENTION_SQL,
     "customer_order_histogram": ORDER_HISTOGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_JOIN_SQL,
