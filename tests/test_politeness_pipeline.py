@@ -260,3 +260,27 @@ def test_allow_carves_exception_and_matches_oracle(small_docs, tmp_path):
     urls = [u for r in sim.round_order for u in r]
     assert any(u.startswith("s://h000/p0000") for u in urls)
     assert not any(u.startswith("s://h000/p001") for u in urls)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polite_conformance_with_redirects(tmp_path):
+    """Politeness budgets interacting with HTTP-301 redirects AND
+    rel=canonical edges: exact per-round fetch order + seq + seen set
+    vs the oracle on a corpus exercising all three features at once."""
+    from rendler_ray.sources.synthweb import docs_parquet
+
+    docs = docs_parquet(str(tmp_path / "docs.parquet"), n_docs=300,
+                        n_hosts=8, seed=42, p_redirect=0.15,
+                        p_canonical=0.2)
+    out = str(tmp_path / "polite_redir")
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                            max_depth=3, host_budget_per_round=4,
+                            max_rounds=500, num_seen_shards=2,
+                            num_web_shards=2, out_dir=out))
+    sim = simulate_polite(pq.read_table(docs), default_seeds(1),
+                          max_depth=3, host_budget_per_round=4)
+    _assert_conformance(res, out, sim)
+    # the corpus really exercised both features
+    src = pq.read_table(docs)["spans"].to_pylist()
+    assert any(sp["kind"] == "redirect" for row in src for sp in row)
+    assert any(sp["kind"] == "canonical" for row in src for sp in row)
