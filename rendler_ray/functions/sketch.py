@@ -125,7 +125,12 @@ def heavy_hitters(ds, col: str, eps: float = 0.005):
 
     n = ds.count()
     if n == 0:
-        return ds
+        # same typed empty table as the no-candidates branch below — a
+        # raw empty Dataset loses its schema through to_pandas
+        sch = ds.schema()
+        col_type = dict(zip(sch.names, sch.types))[col]
+        return pa.table({col: pa.array([], col_type),
+                         "n": pa.array([], pa.int64())})
     thr = max(1, int(np.ceil(eps * n)))
     cand = (ds.map_batches(mg_candidates_batch,
                            fn_kwargs={"col": col, "eps": eps},

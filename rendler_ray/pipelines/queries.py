@@ -52,6 +52,18 @@ def _fixed_point(ds, cols: dict[str, int]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _cents(col) -> pa.Array:
+    """Float price column → int64 cents, rounded half-away-from-zero
+    (DuckDB ``round``'s rule). Per-ROW fixed-pointing before any sum —
+    rounding a block-parallel double sum after the fact can drift a full
+    cent from DuckDB's sequential sum on large groups."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            options=pc.RoundOptions(
+                                ndigits=0,
+                                round_mode="half_towards_infinity")),
+                   pa.int64())
+
+
 def _synth_docs_for(sf_dir: str) -> str:
     """Deterministic synthetic interleaved docs sized to the scale factor
     (the crawl's closed world; cached under /tmp)."""
@@ -750,20 +762,22 @@ def monthly_revenue(sf_dir: str):
     def part(t: pa.Table) -> pa.Table:
         m = (t["o_orderdate"].to_numpy()
              .astype("datetime64[M]").astype(np.int64))
+        # cents BEFORE the sum: per-row rounding is order-independent,
+        # a post-sum rounding of a block-parallel double sum is not
         return pa.table({"month": pa.array(m, pa.int64()),
-                         "rev": t["o_totalprice"],
+                         "rev": _cents(t["o_totalprice"]),
                          "n": pa.array(np.ones(len(m), np.int64))})
 
-    out = (ds.map_batches(part, batch_format="pyarrow")
-           .groupby("month")
-           .aggregate(Sum("rev", alias_name="revenue_c"),
-                      Sum("n", alias_name="n_orders")))
-    return _fixed_point(out, {"revenue_c": 2})
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("rev", alias_name="revenue_c"),
+                       Sum("n", alias_name="n_orders")))
 
 
 MONTHLY_REVENUE_SQL = """
 SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS month,
-       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY month
 """
@@ -779,8 +793,13 @@ def incremental_event_stats(sf_dir: str):
     over the FULL table, proving merge == recompute."""
     import os as _os
 
+    # checkpoint key includes the source file's (mtime, size): if the
+    # testdata under this sf dir is regenerated, a stale 'old' aggregate
+    # would silently merge wrong stats — content-keyed paths can't
     sf = _os.path.basename(_os.path.normpath(sf_dir))
-    ck = f"/tmp/rendler_ray_ivm/{sf}/old_agg.parquet"
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    ck = (f"/tmp/rendler_ray_ivm/{sf}-{st.st_mtime_ns}-{st.st_size}"
+          f"/old_agg.parquet")
 
     def cents(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
@@ -1955,9 +1974,10 @@ def rollup_revenue(sf_dir: str):
     re-aggregate the SMALL detail result (the standard
     rollup-from-finest-level optimization — at 100 TB the base table is
     shuffled once, not once per level). 'ALL' sentinels instead of SQL
-    NULLs keep the value-hash compare total-order-safe; revenue is
-    fixed-pointed to cents after the re-aggregation, where double
-    reassociation drift is far below the rounding grain."""
+    NULLs keep the value-hash compare total-order-safe; prices are
+    fixed-pointed to int64 cents PER ROW before any sum (the ALL/ALL
+    row sums the whole table, where double accumulation-order drift can
+    reach the half-cent rounding grain)."""
     ds = _read(sf_dir, "orders",
                ["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
@@ -1968,27 +1988,30 @@ def rollup_revenue(sf_dir: str):
                 i, col, pa.array(["ALL"] * t.num_rows, pa.string()))
         return fn
 
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "o_orderstatus": t["o_orderstatus"],
+                         "price_c": _cents(t["o_totalprice"])})
+
     keys = ["o_orderpriority", "o_orderstatus"]
-    aggs = (Sum("revenue", alias_name="revenue"),
+    aggs = (Sum("revenue_c", alias_name="revenue_c"),
             Sum("n_orders", alias_name="n_orders"))
-    detail = (ds.groupby(keys)
-              .aggregate(Sum("o_totalprice", alias_name="revenue"),
+    detail = (ds.map_batches(cents, batch_format="pyarrow")
+              .groupby(keys)
+              .aggregate(Sum("price_c", alias_name="revenue_c"),
                          Count(alias_name="n_orders"))).materialize()
     mid = (detail.map_batches(_all("o_orderstatus"), batch_format="pyarrow")
            .groupby(keys).aggregate(*aggs)).materialize()
     top = (mid.map_batches(_all("o_orderpriority"), batch_format="pyarrow")
            .groupby(keys).aggregate(*aggs))
-    out = _fixed_point(detail.union(mid, top), {"revenue": 2})
-    return out.map_batches(
-        lambda t: t.rename_columns(
-            ["o_orderpriority", "o_orderstatus", "revenue_c", "n_orders"]),
-        batch_format="pyarrow")
+    return detail.union(mid, top)
 
 
 ROLLUP_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
-       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
@@ -1998,8 +2021,9 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 def cube_revenue(sf_dir: str):
     """GROUP BY CUBE(priority, status) — the full grouping-set lattice
     (detail, each one-dim marginal, grand total). Same
-    shuffle-the-base-once optimization as :func:`rollup_revenue`: every
-    coarser set re-aggregates the SMALL detail result."""
+    shuffle-the-base-once optimization as :func:`rollup_revenue`, and
+    the same per-row cents fixed-pointing (the grand-total cell sums
+    the whole table)."""
     ds = _read(sf_dir, "orders",
                ["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
@@ -2010,11 +2034,17 @@ def cube_revenue(sf_dir: str):
                 i, col, pa.array(["ALL"] * t.num_rows, pa.string()))
         return fn
 
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "o_orderstatus": t["o_orderstatus"],
+                         "price_c": _cents(t["o_totalprice"])})
+
     keys = ["o_orderpriority", "o_orderstatus"]
-    aggs = (Sum("revenue", alias_name="revenue"),
+    aggs = (Sum("revenue_c", alias_name="revenue_c"),
             Sum("n_orders", alias_name="n_orders"))
-    detail = (ds.groupby(keys)
-              .aggregate(Sum("o_totalprice", alias_name="revenue"),
+    detail = (ds.map_batches(cents, batch_format="pyarrow")
+              .groupby(keys)
+              .aggregate(Sum("price_c", alias_name="revenue_c"),
                          Count(alias_name="n_orders"))).materialize()
     by_prio = (detail.map_batches(_all("o_orderstatus"),
                                   batch_format="pyarrow")
@@ -2025,18 +2055,14 @@ def cube_revenue(sf_dir: str):
     total = (by_prio.map_batches(_all("o_orderpriority"),
                                  batch_format="pyarrow")
              .groupby(keys).aggregate(*aggs))
-    out = _fixed_point(detail.union(by_prio, by_status, total),
-                       {"revenue": 2})
-    return out.map_batches(
-        lambda t: t.rename_columns(
-            ["o_orderpriority", "o_orderstatus", "revenue_c", "n_orders"]),
-        batch_format="pyarrow")
+    return detail.union(by_prio, by_status, total)
 
 
 CUBE_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
-       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
@@ -2540,10 +2566,15 @@ def _checkpoint(ds, tag: str):
     """Spill an intermediate Dataset to /tmp parquet and return a lazy
     read-back — the scale-safe way to consume a computed stage twice
     (``.materialize()`` would pin every block in the object store for
-    the whole query; a parquet checkpoint streams both passes)."""
-    import uuid
+    the whole query; a parquet checkpoint streams both passes).
 
-    path = f"/tmp/rendler_ray_ckpt/{tag}-{uuid.uuid4().hex[:12]}"
+    The path is keyed by ``tag`` (unique per query) and REUSED — cleared
+    and rewritten on each call — so repeated gate runs never accumulate
+    /tmp usage (earlier uuid-named dirs leaked unboundedly)."""
+    import shutil
+
+    path = f"/tmp/rendler_ray_ckpt/{tag}"
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
     return rd.read_parquet(path)

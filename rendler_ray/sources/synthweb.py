@@ -168,6 +168,10 @@ def generate_docs(
             tp = int(tgt_f2[d] * sizes[th])
             tgt = page_url(th, tp)
             if tgt == doc_ids[d]:  # no self-redirect
+                if int(sizes[th]) < 2:
+                    # single-page host: (tp+1)%1 would re-pick the same
+                    # page — skip the redirect (canonical path's guard)
+                    continue
                 tp = (tp + 1) % int(sizes[th])
                 tgt = page_url(th, tp)
             spans_col[d] = [{"kind": "redirect", "text": tgt,

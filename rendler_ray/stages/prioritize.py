@@ -41,10 +41,17 @@ _FRONTIER_COLS = ["url", "canon_url", "host", "depth", "seq"]
 def load_scores(path: str):
     """Score table parquet → Dataset (url, score:int64). Scores must be
     integers (fixed-point the float upstream — ordering by last-ulp
-    float differences is not reproducible across reduction orders)."""
-    import ray.data as rd
+    float differences is not reproducible across reduction orders).
 
-    return rd.read_parquet(path, columns=["url", "score"])
+    Dedup on url (max score wins): the two attach forms would otherwise
+    diverge on duplicate urls — the broadcast dict collapses them
+    (last wins) while the left-outer join would DUPLICATE frontier rows,
+    double-fetching a URL downstream. A no-op for unique score tables."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    return (rd.read_parquet(path, columns=["url", "score"])
+            .groupby("url").aggregate(Max("score", alias_name="score")))
 
 
 def _attach_broadcast(frontier, scores_ds):
@@ -66,6 +73,14 @@ def _attach_broadcast(frontier, scores_ds):
 def _attach_join(frontier, scores_ds, num_partitions: int = 8):
     from rendler_ray.state.politeness import _nonempty_blocks
 
+    # load_scores ends in a groupby, whose empty partitions emit
+    # zero-column placeholder blocks that break a downstream hash join
+    scores_ds = _nonempty_blocks(scores_ds.materialize())
+    if scores_ds is None:  # empty score table: everything scores 0
+        return frontier.map_batches(
+            lambda t: t.append_column(
+                "score", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
     joined = frontier.join(
         scores_ds, join_type="left_outer", num_partitions=num_partitions,
         on=("url",), right_on=("url",)).materialize()
