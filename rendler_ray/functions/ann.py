@@ -205,6 +205,60 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, bits: int = 10,
     return bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
 
 
+def salt_hot_int_buckets(ds, key_col: str = "bucket_key",
+                         id_col: str = "doc_id",
+                         max_bucket: int = 4096, shift_bits: int = 20):
+    """Hot-bucket salting for int64 LSH bucket keys (the generic form of
+    :func:`embedding_near_dup_pairs`'s skew guard, reused by the simhash
+    text path): buckets with more than ``max_bucket`` rows are split
+    into ceil(n/max_bucket) hash-of-id sub-buckets BEFORE the bucket
+    groupby, bounding every in-bucket O(b²) task at O(max_bucket²).
+
+    The histogram is per-batch partial counts folded on the driver —
+    bounded by the KEY SPACE (4·2^16 for the simhash 4×16-bit banding),
+    a config constant, never the corpus — so no extra all-to-all.
+    When a bucket IS split, every key shifts left ``shift_bits`` (cold
+    buckets get sub 0), so keys must fit in 63−shift_bits bits; pairs
+    crossing sub-buckets of an oversized bucket are missed unless they
+    share another band — the deliberate trade (an oversized bucket is
+    boilerplate; exhaustively pairing it is the scale killer, Manku
+    WWW'07 §5 discussion). Returns ``ds`` UNCHANGED (keys unshifted)
+    when no bucket exceeds the cap."""
+    import pyarrow.compute as pc
+
+    from rendler_ray.functions.canon import stable_hash64
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t[key_col].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"k": pa.array(b, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    hist: dict = {}
+    for t in (ds.select_columns([key_col])
+              .map_batches(partial_hist, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for b, n in zip(t["k"].to_pylist(), t["n"].to_pylist()):
+            hist[b] = hist.get(b, 0) + n
+    n_sub = {b: -(-n // max_bucket)
+             for b, n in hist.items() if n > max_bucket}
+    if not n_sub:
+        return ds
+    sub_ref = ray.put(n_sub)
+
+    def salt(t: pa.Table) -> pa.Table:
+        ns = ray.get(sub_ref)
+        bk = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        subs = np.fromiter((ns.get(int(b), 1) for b in bk),
+                           dtype=np.uint64, count=len(bk))
+        h = stable_hash64(t[id_col])
+        salted = (bk << shift_bits) | (h % subs).astype(np.int64)
+        return t.set_column(t.schema.get_field_index(key_col), key_col,
+                            pa.array(salted, pa.int64()))
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
 # per-worker stage caches for the task-pool forms (keyed on parameters,
 # so differing pipelines in one session never share the wrong instance;
 # LRU-bounded — refs from finished queries never recur)

@@ -2684,10 +2684,13 @@ def _verified_jaccard_pairs(sf_dir: str, tag: str):
                                  "b": pd.Series([], dtype=np.int64),
                                  "jaccard": pd.Series([], dtype=np.float64)})
         texts = dict(zip(g["doc_id"], g["text"]))
+        # shingle each doc ONCE per group (pairwise re-shingling costs
+        # O(bucket) redundant tokenizations per doc)
+        grams = {i: F_text.ngram_set(texts[i]) for i in ids}
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                jac = F_text.jaccard_ngrams(texts[ids[i]], texts[ids[j]])
+                jac = F_text.jaccard_sets(grams[ids[i]], grams[ids[j]])
                 if jac >= 0.5:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
@@ -2703,20 +2706,37 @@ def _verified_jaccard_pairs(sf_dir: str, tag: str):
             .aggregate(Min("jaccard", alias_name="jaccard")))
 
 
+# in-bucket pair verification is O(b²) in ONE task: buckets past this
+# cap split into hash-of-id sub-buckets first (ann.salt_hot_int_buckets)
+_SIMHASH_MAX_BUCKET = 4096
+
+
+def _simhash_banded_salted(sig_ds, id_col: str = "doc_id"):
+    """(id, simhash) rows → salted 4×16-bit band rows ready for the
+    bucket groupby. Output keys are unchanged when no bucket exceeds
+    ``_SIMHASH_MAX_BUCKET`` (the common case; boilerplate-heavy corpora
+    get split — see salt_hot_int_buckets for the recall trade)."""
+    banded = sig_ds.map_batches(F_text.simhash_bands_batch,
+                                fn_kwargs={"id_col": id_col},
+                                batch_format="pyarrow")
+    return F_ann.salt_hot_int_buckets(
+        banded, key_col="bucket_key", id_col=id_col,
+        max_bucket=_SIMHASH_MAX_BUCKET)
+
+
 def simhash_near_dup_pairs(sf_dir: str):
     """SimHash near-dup pairs within hamming distance 3: simhash →
     4 × 16-bit band explode (lossless for radius ≤ 3, Manku WWW'07)
     → bucket groupby → in-bucket vectorized XOR-popcount verify →
     grouped-min dedup across bands. All-integer output (a, b,
     hamming); equivalence to brute-force all-pairs is pytest-asserted
-    (tests/test_functions.py). Hot buckets (a 16-bit slice shared by
-    many docs, e.g. boilerplate) would need the LSH salting cap from
-    functions/ann.py; the synthetic corpora stay far below it."""
+    (tests/test_functions.py). Buckets past _SIMHASH_MAX_BUCKET are
+    salted into sub-buckets (boilerplate skew guard) — banding stays
+    lossless whenever no bucket exceeds the cap."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    banded = (ds.map_batches(F_text.simhash64_batch, batch_format="pyarrow")
-                .select_columns(["doc_id", "simhash"])
-                .map_batches(F_text.simhash_bands_batch,
-                             batch_format="pyarrow"))
+    banded = _simhash_banded_salted(
+        ds.map_batches(F_text.simhash64_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "simhash"]))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()
@@ -3200,10 +3220,11 @@ def training_data_pipeline(sf_dir: str):
 
     kept = pages.map_batches(gate, batch_format="pyarrow")
 
-    # -- stage 2: simhash near-dup pairwise drop (keep the smaller url)
-    banded = kept.select_columns(["url", "simhash"]).map_batches(
-        F_text.simhash_bands_batch, fn_kwargs={"id_col": "url"},
-        batch_format="pyarrow")
+    # -- stage 2: simhash near-dup pairwise drop (keep the smaller url);
+    # hot buckets salted into sub-buckets (_simhash_banded_salted) so a
+    # boilerplate-heavy corpus can't put O(b²) pairs in one task
+    banded = _simhash_banded_salted(
+        kept.select_columns(["url", "simhash"]), id_col="url")
 
     def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["url"].to_numpy()

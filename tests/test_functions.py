@@ -676,3 +676,44 @@ def test_customer_order_counts_null_fill(tmp_path):
           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
     assert df["n_orders"].tolist() == [2, 0, 0]
     assert df["spend_c"].tolist() == [1275, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_hot_bucket_salting():
+    """Adversarial boilerplate corpus: 1000 docs with IDENTICAL simhash
+    put all 4 band buckets at size 1000. Salting must split each into
+    hash-of-id sub-buckets (bounding the in-bucket O(b²) verify), and
+    must pass a cold corpus through with keys UNCHANGED."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import salt_hot_int_buckets
+    from rendler_ray.functions.text import simhash_bands_batch
+
+    n = 1000
+    hot = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "simhash": pa.array(np.full(n, 123456789, np.int64))})
+    banded = rd.from_arrow(hot).map_batches(
+        simhash_bands_batch, batch_format="pyarrow")
+    salted = salt_hot_int_buckets(banded, max_bucket=64)
+    df = salted.to_pandas()
+    assert len(df) == 4 * n
+    sizes = df.groupby("bucket_key").size()
+    # 16 hash-of-id sub-buckets per band: max group far below n (hash
+    # balance, not an exact split) and well past 4 groups total
+    assert sizes.max() <= 4 * 64
+    assert sizes.size >= 4 * 8
+    # signatures ride along unchanged — in-bucket verify still works
+    assert (df["simhash"] == 123456789).all()
+
+    cold = pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "simhash": pa.array(np.arange(10, dtype=np.int64) * 999983)})
+    b2 = rd.from_arrow(cold).map_batches(
+        simhash_bands_batch, batch_format="pyarrow")
+    out = (salt_hot_int_buckets(b2, max_bucket=64).to_pandas()
+           .sort_values(["doc_id", "bucket_key"]).reset_index(drop=True))
+    exp = (b2.to_pandas()
+           .sort_values(["doc_id", "bucket_key"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
