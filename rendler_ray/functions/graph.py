@@ -52,11 +52,13 @@ def _distinct_edges_and_degrees(edges_ds):
     return distinct, deg, nodes
 
 
-def pagerank(edges_ds, iters: int = 10, damping: float = 0.85):
+def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
+             _prep=None):
     """edges (src, dst) → pandas DataFrame (url, rank), ranks sum to 1.
     Deterministic. Broadcast-state form: rank/degree dicts on the
     driver (O(nodes)); the edge table stays distributed throughout."""
-    distinct, deg_ds, nodes_ds = _distinct_edges_and_degrees(edges_ds)
+    distinct, deg_ds, nodes_ds = (_prep if _prep is not None
+                                  else _distinct_edges_and_degrees(edges_ds))
     nodes = sorted(
         u
         for b in nodes_ds.iter_batches(batch_size=65536,
@@ -95,7 +97,7 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85):
 
 
 def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
-                num_partitions: int = 16):
+                num_partitions: int = 16, _prep=None):
     """Fully distributed PageRank: returns a Dataset (url, rank).
 
     Per iteration: ranks ⋈ edges hash join on src → per-edge
@@ -105,7 +107,8 @@ def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
     scalars (n, dangling mass); the rank table is materialized once per
     iteration so the lazy graph doesn't re-execute prior iterations.
     """
-    distinct, deg_ds, nodes_ds = _distinct_edges_and_degrees(edges_ds)
+    distinct, deg_ds, nodes_ds = (_prep if _prep is not None
+                                  else _distinct_edges_and_degrees(edges_ds))
     nodes_ds = nodes_ds.materialize()
     n = nodes_ds.count()
     if n == 0:
@@ -161,6 +164,29 @@ def pagerank_ds(edges_ds, iters: int = 10, damping: float = 0.85,
                  .map_batches(update, batch_format="pyarrow")
                  .materialize())
     return ranks
+
+
+def pagerank_auto(edges_ds, iters: int = 10, damping: float = 0.85,
+                  driver_max: int = 1_000_000, num_partitions: int = 16):
+    """Size-gated PageRank, always returning a Dataset (url, rank):
+    node counts ≤ ``driver_max`` run the broadcast-state
+    :func:`pagerank` (driver dicts + one map pass per iteration — far
+    fewer shuffles, the small-graph fast path); bigger graphs run the
+    fully distributed :func:`pagerank_ds` (per-iteration hash join,
+    O(1) driver state). Both forms agree to float64 determinism
+    (bit-agreement pytest-asserted), so the gate is invisible in
+    output — the same bounded-driver + distributed-fallback pattern as
+    :func:`connected_components_auto`."""
+    prep = _distinct_edges_and_degrees(edges_ds)
+    nodes_ds = prep[2].materialize()
+    prep = (prep[0], prep[1], nodes_ds)
+    if nodes_ds.count() > driver_max:
+        return pagerank_ds(edges_ds, iters=iters, damping=damping,
+                           num_partitions=num_partitions, _prep=prep)
+    df = pagerank(edges_ds, iters=iters, damping=damping, _prep=prep)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "rank": pa.array(df["rank"].to_numpy(np.float64), pa.float64())}))
 
 
 def connected_components_auto(edges_ds, driver_max: int = 1_000_000,

@@ -717,3 +717,31 @@ def test_simhash_hot_bucket_salting():
     exp = (b2.to_pandas()
            .sort_values(["doc_id", "bucket_key"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_auto_gate_switches_identical_e9():
+    """pagerank_auto with a forced-low driver_max must take the
+    distributed pagerank_ds path and produce the same 1e-9 fixed-point
+    ranks as the broadcast path (the gate is invisible in output)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import pagerank_auto
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    tbl = pa.table({"src": pa.array([f"u{i}" for i in src]),
+                    "dst": pa.array([f"u{i}" for i in dst])})
+    lo = pd.DataFrame(pagerank_auto(rd.from_arrow(tbl), iters=8,
+                                    driver_max=2,
+                                    num_partitions=4).take_all())
+    hi = pd.DataFrame(pagerank_auto(rd.from_arrow(tbl), iters=8,
+                                    driver_max=10**6).take_all())
+    lo = lo.sort_values("url").reset_index(drop=True)
+    hi = hi.sort_values("url").reset_index(drop=True)
+    assert list(lo["url"]) == list(hi["url"])
+    le9 = np.round(lo["rank"].to_numpy() * 1e9).astype(np.int64)
+    he9 = np.round(hi["rank"].to_numpy() * 1e9).astype(np.int64)
+    assert (le9 == he9).all()
