@@ -461,17 +461,31 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     policies = build_policies(cfg.robots, cfg.politeness_window_ms,
                               cfg.host_budget_per_round)
     policies_ref = ray.put(policies)
+    # the dict handed to the budget gate each round: the cumulative
+    # driver dict by default, ONE ROUND's gathered policies in the
+    # sharded-store mode (never cumulative on the driver)
+    gate_policies = policies
     politeness_on = (bool(policies) or cfg.host_budget_per_round is not None
                      or cfg.auto_robots)
     robots_known: set[str] = set(policies)
     host_ledger = None
+    policy_shards = None
     if cfg.auto_robots and cfg.host_ledger_shards > 0:
-        # sharded known-host ledger: same actor infra as the URL-seen
-        # set, keyed by host — the driver only ever sees one round's
-        # distinct hosts, never the cumulative ledger
+        # sharded known-host ledger + policy store: same actor infra as
+        # the URL-seen set, keyed by host — the driver only ever sees
+        # one round's distinct hosts (and their policies), never the
+        # cumulative ledger or the cumulative parsed-policy dict
+        from rendler_ray.state.politeness import (
+            make_policy_shards,
+            policy_get,
+            policy_put,
+        )
+
         host_ledger = make_seen_shards(cfg.host_ledger_shards, "exact")
+        policy_shards = make_policy_shards(cfg.host_ledger_shards)
         if policies:
             seen_check_and_add(host_ledger, sorted(policies))
+            policy_put(policy_shards, policies)
 
     content_shards = (make_seen_shards(cfg.content_dedup_shards, "exact")
                       if cfg.content_dedup else None)
@@ -649,6 +663,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 else:
                     new_hosts = sorted(hosts_round - robots_known)
                     robots_known.update(new_hosts)
+                new_pols: dict = {}
                 if new_hosts:
                     rb = _frontier_from_urls(
                         [f"s://{h}/robots.txt" for h in new_hosts],
@@ -669,7 +684,18 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                         pol = parse_robots(body, cfg.politeness_window_ms)
                         if pol.budget_per_round is None:
                             pol.budget_per_round = cfg.host_budget_per_round
-                        policies[host] = pol
+                        new_pols[host] = pol
+                if policy_shards is not None:
+                    # sharded store: persist the delta, then gather ONLY
+                    # this round's frontier hosts' policies — the
+                    # broadcast is bounded by the round, not the crawl
+                    if new_pols:
+                        policy_put(policy_shards, new_pols)
+                    gate_policies = policy_get(policy_shards,
+                                               sorted(hosts_round))
+                    policies_ref = ray.put(gate_policies)
+                elif new_pols:
+                    policies.update(new_pols)
                     policies_ref = ray.put(policies)
         if politeness_on:
             if cfg.stage_mode == "actors":
@@ -683,7 +709,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     batch_format="pyarrow",
                 )
             admitted, deferred = budget_gate(
-                admitted, policies, cfg.host_budget_per_round,
+                admitted, gate_policies, cfg.host_budget_per_round,
                 broadcast_max_hosts=cfg.budget_broadcast_max_hosts,
             )
             if deferred is not None:

@@ -140,6 +140,59 @@ def robots_filter_batch(batch: pa.Table, *, policies_ref) -> pa.Table:
     return RobotsFilter(policies_ref)(batch)
 
 
+@ray.remote(num_cpus=0.1)
+class PolicyShard:
+    """One shard of the parsed-robots policy store for auto-robots
+    crawls at the 10^8-hosts design point: parsed ``HostPolicy`` objects
+    live host-hash-partitioned in these actors (alongside the sharded
+    known-host ledger), so the DRIVER never holds the cumulative
+    policy dict and never re-broadcasts it per round — each round it
+    gathers only the policies for THAT round's distinct frontier hosts
+    and ``ray.put``s that bounded dict."""
+
+    def __init__(self):
+        self.pols: dict[str, HostPolicy] = {}
+
+    def put(self, items: dict) -> int:
+        self.pols.update(items)
+        return len(self.pols)
+
+    def get(self, hosts: list[str]) -> dict:
+        return {h: self.pols[h] for h in hosts if h in self.pols}
+
+
+def make_policy_shards(n: int) -> list:
+    return [PolicyShard.remote() for _ in range(n)]
+
+
+def _by_shard(hosts, n_shards: int):
+    from rendler_ray.functions.canon import url_hash_shard
+
+    ha = np.array(sorted(hosts), dtype=object)
+    return ha, url_hash_shard(ha, n_shards)
+
+
+def policy_put(shards: list, pols: dict) -> None:
+    if not pols:
+        return
+    ha, sh = _by_shard(list(pols), len(shards))
+    ray.get([s.put.remote({h: pols[h] for h in ha[sh == i]})
+             for i, s in enumerate(shards) if (sh == i).any()])
+
+
+def policy_get(shards: list, hosts) -> dict:
+    """Gather policies for (one round's distinct) hosts — the only
+    policy state that ever reaches the driver."""
+    if not len(hosts):
+        return {}
+    ha, sh = _by_shard(hosts, len(shards))
+    out: dict = {}
+    for d in ray.get([s.get.remote(list(ha[sh == i]))
+                      for i, s in enumerate(shards)]):
+        out.update(d)
+    return out
+
+
 def budget_gate(frontier, policies: dict[str, HostPolicy],
                 default_budget: int | None,
                 broadcast_max_hosts: int = 200_000):

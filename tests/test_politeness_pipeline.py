@@ -284,3 +284,22 @@ def test_polite_conformance_with_redirects(tmp_path):
     src = pq.read_table(docs)["spans"].to_pylist()
     assert any(sp["kind"] == "redirect" for row in src for sp in row)
     assert any(sp["kind"] == "canonical" for row in src for sp in row)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_robots_sharded_policy_store_conformance(tmp_path):
+    """host_ledger_shards>0 keeps BOTH the known-host ledger AND the
+    parsed policy store in sharded actors (the driver only ever puts one
+    round's gathered policies) — the crawl must still match the
+    politeness oracle exactly, per-round order and seqs included."""
+    docs = docs_parquet(str(tmp_path / "docs_conf_sh.parquet"), n_docs=300,
+                        n_hosts=8, seed=42, p_host_robots=1.0)
+    out = str(tmp_path / "auto_robots_sh")
+    res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
+                            max_depth=3, auto_robots=True,
+                            host_ledger_shards=2,
+                            num_seen_shards=2, num_web_shards=2,
+                            out_dir=out))
+    sim = simulate_polite(pq.read_table(docs), default_seeds(1),
+                          max_depth=3, auto_robots=True)
+    _assert_conformance(res, out, sim)
