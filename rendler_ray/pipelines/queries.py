@@ -3072,6 +3072,43 @@ def crawl_prioritized(sf_dir: str):
                                        "status"])
 
 
+def crawl_embed(sf_dir: str):
+    """Crawl → text-embedding INFERENCE (stages/embed.py::TextEmbedder,
+    the actor-pool text twin of the media decoder — model load once per
+    actor, batched vectorized inference per batch; stub-backed in this
+    sandbox, honest about it): every fetched 200 page gets an
+    L2-normalized embedding at ingest, closing the produce side of the
+    embed → index → dedup chain the ANN ops consume. Output is the
+    hashable scalar projection (first component + L1 norm, fixed-point
+    e6). Deterministic; rows-only, golden-pinned."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+    from rendler_ray.stages.embed import embed_text_ds
+    from rendler_ray.stages.enrich import page_text_column
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["status"], 200))
+        return page_text_column(ok).select(["url", "page_text"])
+
+    pages = res.fetched.map_batches(prep, batch_format="pyarrow")
+    emb = embed_text_ds(pages, text_col="page_text")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        m = F_ann.batch_to_matrix(t, "embedding")
+        return pa.table({
+            "url": t["url"],
+            "emb0_e6": pa.array(np.round(m[:, 0] * 1e6).astype(np.int64),
+                                pa.int64()),
+            "l1_e6": pa.array(
+                np.round(np.abs(m).sum(axis=1) * 1e6).astype(np.int64),
+                pa.int64())})
+
+    return emb.map_batches(summarize, batch_format="pyarrow")
+
+
 def doc_fingerprint_winnow(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) —
     rolling-hash windows, keep-smallest selection. Rows-only."""
@@ -3616,6 +3653,7 @@ QUERIES = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "crawl_fetch": crawl_fetch,
     "crawl_edges": crawl_edges,
+    "crawl_embed": crawl_embed,
     "crawl_enriched": crawl_enriched,
     "crawl_enriched_bpe": crawl_enriched_bpe,
     "crawl_polite": crawl_polite,

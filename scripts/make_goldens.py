@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "embedding_near_dup_lsh",
     "crawl_fetch",
     "crawl_edges",
+    "crawl_embed",
     "crawl_enriched",
     "crawl_enriched_bpe",
     "crawl_polite",
