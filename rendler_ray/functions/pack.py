@@ -1,0 +1,225 @@
+"""Training-sequence packing: docs → fixed-length token sequences.
+
+The last mile of an LLM data pipeline: tokenized documents (+ one
+end-of-document token each) are concatenated in a DETERMINISTIC
+SHUFFLED order and cut into fixed-length training sequences, documents
+straddling cut points (the standard packed-pretraining layout, e.g.
+GPT-3 / T5 "pack until full" — public technique). The shuffle is
+hash-ordering: global doc order = (md5(doc_id + salt), doc_id) — fully
+reproducible, independent of parallelism, and SQL-expressible, unlike
+``random_shuffle`` whose output depends on RNG state and block layout.
+
+Distributed shape (no driver-side corpus state):
+
+  1. per-doc meta (n tokens + hash key + 256-way key-prefix bucket) —
+     one vectorized map pass;
+  2. per-bucket token totals → ``groupby(bucket).sum`` → 256-row driver
+     cumsum → broadcast base offsets (the classic two-pass distributed
+     prefix sum);
+  3. within-bucket exact prefix sums via ``groupby(bucket).map_groups``
+     (each bucket holds ~1/256 of the docs);
+  4. each doc now knows its global token offset → it emits one partial
+     row per training sequence it overlaps (seq_id = pos // seq_len) →
+     ``groupby(seq_id)`` folds counts and the boundary tokens.
+
+Boundary tokens fold with packed-string min/max: "{pos:016d}|{token}"
+compares lexicographically == numerically on pos, so ``Min``/``Max``
+are arg-min/arg-max without a dedicated aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+EOD = "<|eod|>"
+
+
+def doc_meta_batch(t: pa.Table, *, id_col: str, n_col: str | None,
+                   text_col: str | None, salt: str) -> pa.Table:
+    """(id [, n | text]) → (id, n, hkey, bucket). ``n`` counts the doc's
+    tokens INCLUDING its end-of-document token (len(split)+1) when
+    derived from text; an explicit ``n_col`` passes through as-is."""
+    ids = t[id_col]
+    if n_col is not None:
+        n = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        n = pc.list_value_length(
+            pc.split_pattern(t[text_col].combine_chunks(), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    hk = [hashlib.md5(f"{v}{salt}".encode()).hexdigest()
+          for v in ids.to_pylist()]
+    bucket = np.array([int(h[:2], 16) for h in hk], np.int64)
+    return pa.table({id_col: ids,
+                     "n": pa.array(n, pa.int64()),
+                     "hkey": pa.array(hk, pa.string()),
+                     "bucket": pa.array(bucket, pa.int64())})
+
+
+def assign_offsets(ds, id_col: str = "doc_id", n_col: str | None = None,
+                   text_col: str | None = "text", salt: str = "-pk"):
+    """docs → Dataset (id, n, off): each doc's global token offset in
+    (hkey, id) order. Two-pass distributed prefix sum (see module doc);
+    driver state is the 256-row bucket-total cumsum."""
+    meta = ds.map_batches(
+        doc_meta_batch,
+        fn_kwargs={"id_col": id_col, "n_col": n_col, "text_col": text_col,
+                   "salt": salt},
+        batch_format="pyarrow").materialize()
+
+    totals = {int(r["bucket"]): int(r["bn"])
+              for r in meta.groupby("bucket")
+              .aggregate(Sum("n", alias_name="bn")).take_all()}
+    base, acc = {}, 0
+    for b in range(256):
+        base[b] = acc
+        acc += totals.get(b, 0)
+    base_ref = ray.put(base)
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", id_col], kind="stable")
+        n = g["n"].to_numpy()
+        off = (ray.get(base_ref)[int(g["bucket"].iloc[0])]
+               + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64))
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "n": n.astype(np.int64), "off": off})
+
+    return meta.groupby("bucket").map_groups(offsets, batch_format="pandas")
+
+
+def _seq_bounds(off: int, n: int, seq_len: int):
+    """Yield (seq_id, lo, hi) global position ranges of a doc's overlap
+    with each training sequence it touches."""
+    s0 = off // seq_len
+    s1 = (off + n - 1) // seq_len
+    for s in range(s0, s1 + 1):
+        lo = max(off, s * seq_len)
+        hi = min(off + n, (s + 1) * seq_len)
+        yield s, lo, hi
+
+
+def token_partials_batch(t: pa.Table, *, seq_len: int,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """(id, n, off, text) rows → per-(doc, sequence) partial rows:
+    (seq_id, cnt, firstkey, lastkey, doc-count 1). Token lists come from
+    ONE vectorized split; the per-row loop only emits the ≤ n/seq_len+1
+    overlap rows per doc."""
+    toks_arr = pc.split_pattern(t[text_col].combine_chunks(), " ")
+    offs = t["off"].to_numpy(zero_copy_only=False)
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    out_s, out_c, out_f, out_l = [], [], [], []
+    for i in range(t.num_rows):
+        toks = toks_arr[i].as_py()
+        toks.append(EOD)
+        off, n = int(offs[i]), int(ns[i])
+        for s, lo, hi in _seq_bounds(off, n, seq_len):
+            out_s.append(s)
+            out_c.append(hi - lo)
+            out_f.append(f"{lo:016d}|{toks[lo - off]}")
+            out_l.append(f"{hi - 1:016d}|{toks[hi - 1 - off]}")
+    return pa.table({
+        "seq_id": pa.array(out_s, pa.int64()),
+        "cnt": pa.array(out_c, pa.int64()),
+        "firstkey": pa.array(out_f, pa.string()),
+        "lastkey": pa.array(out_l, pa.string())})
+
+
+def pack_sequences(docs_ds, seq_len: int = 128, id_col: str = "doc_id",
+                   text_col: str = "text", salt: str = "-pk",
+                   num_partitions: int = 8):
+    """documents → Dataset (seq_id, n_tokens, n_docs, first_token,
+    last_token): the packed-sequence manifest. Every sequence except the
+    last has exactly ``seq_len`` tokens; ``n_docs`` counts documents
+    contributing to the sequence. Text reaches the packers by a hash
+    join of the (small) offset table against the documents — the corpus
+    is never broadcast."""
+    from ray.data.aggregate import Max
+
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    offs = assign_offsets(docs_ds, id_col=id_col, text_col=text_col,
+                          salt=salt)
+    offs = _nonempty_blocks(offs.materialize())
+    if offs is None:
+        return ray.data.from_arrow(pa.table({
+            "seq_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "first_token": pa.array([], pa.string()),
+            "last_token": pa.array([], pa.string())}))
+    joined = offs.join(docs_ds, join_type="inner",
+                       num_partitions=num_partitions, on=(id_col,))
+    parts = joined.map_batches(
+        token_partials_batch,
+        fn_kwargs={"seq_len": seq_len, "id_col": id_col,
+                   "text_col": text_col},
+        batch_format="pyarrow")
+    agg = parts.groupby("seq_id").aggregate(
+        Sum("cnt", alias_name="n_tokens"),
+        Count(alias_name="n_docs"),
+        Min("firstkey", alias_name="firstkey"),
+        Max("lastkey", alias_name="lastkey"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        first = pa.array([x[17:] for x in t["firstkey"].to_pylist()],
+                         pa.string())
+        last = pa.array([x[17:] for x in t["lastkey"].to_pylist()],
+                        pa.string())
+        return pa.table({"seq_id": t["seq_id"], "n_tokens": t["n_tokens"],
+                         "n_docs": t["n_docs"], "first_token": first,
+                         "last_token": last})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_manifest_by_counts(ds, seq_len: int, id_col: str, n_col: str,
+                            salt: str = "-pk"):
+    """Packing manifest from token COUNTS only (no token materialization
+    — the shape for pipelines that carry n_tokens but dropped the text,
+    e.g. the crawl capstone): Dataset (seq_id, n_tokens, n_docs,
+    first_id) where first_id is the document covering the sequence's
+    first position. ``n`` per doc = n_col + 1 (end-of-doc token)."""
+    def plus_eod(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.cast(t[n_col], pa.int64()), 1)
+        return pa.table({id_col: t[id_col], "_n_eod": n})
+
+    offs = assign_offsets(ds.map_batches(plus_eod, batch_format="pyarrow"),
+                          id_col=id_col, n_col="_n_eod", text_col=None,
+                          salt=salt)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        offs_np = t["off"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        out_s, out_c, out_f = [], [], []
+        for i in range(t.num_rows):
+            off, n = int(offs_np[i]), int(ns[i])
+            for s, lo, hi in _seq_bounds(off, n, seq_len):
+                out_s.append(s)
+                out_c.append(hi - lo)
+                out_f.append(f"{lo:016d}|{ids[i]}")
+        return pa.table({"seq_id": pa.array(out_s, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64()),
+                         "firstkey": pa.array(out_f, pa.string())})
+
+    agg = (offs.map_batches(partials, batch_format="pyarrow")
+           .groupby("seq_id").aggregate(
+               Sum("cnt", alias_name="n_tokens"),
+               Count(alias_name="n_docs"),
+               Min("firstkey", alias_name="firstkey")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq_id": t["seq_id"], "n_tokens": t["n_tokens"],
+            "n_docs": t["n_docs"],
+            "first_id": pa.array([x[17:] for x in t["firstkey"].to_pylist()],
+                                 pa.string())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

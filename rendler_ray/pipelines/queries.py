@@ -3221,11 +3221,15 @@ def training_data_pipeline(sf_dir: str):
     stopword floor, thresholds computed from the crawled pages
     themselves) → SimHash near-dup drop (lossless 4×16-bit banding,
     smaller-url keeper per pair, drops removed by a left-join marker —
-    no driver drop-set) → deterministic 20% hash sample. Returns the
-    sampled training shard (url, n_tokens, simhash). Every stage is the
-    at-scale shape its standalone query uses; deterministic,
-    golden-pinned."""
+    no driver drop-set) → deterministic 20% hash sample → SEQUENCE
+    PACKING manifest (functions/pack.py::pack_manifest_by_counts):
+    the surviving shard, hash-shuffled and cut into 256-token training
+    sequences from the n_tokens budgets the enrich stage computed at
+    fetch time (no text re-read). Returns the per-sequence manifest
+    (seq_id, n_tokens, n_docs, first_id). Every stage is the at-scale
+    shape its standalone query uses; deterministic, golden-pinned."""
     from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.functions.pack import pack_manifest_by_counts
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.sources.synthweb import default_seeds
     from rendler_ray.state.politeness import _nonempty_blocks
@@ -3294,7 +3298,57 @@ def training_data_pipeline(sf_dir: str):
         h = stable_hash64(t["url"])
         return t.filter(pa.array(h < thr))
 
-    return kept.map_batches(sample, batch_format="pyarrow")
+    sampled = kept.map_batches(sample, batch_format="pyarrow")
+
+    # -- stage 4: packed-sequence manifest (hash-shuffled training
+    # export) from the crawl-time n_tokens budgets — the text never
+    # re-reads; at write time the same offsets drive the token sink
+    return pack_manifest_by_counts(sampled, seq_len=256,
+                                   id_col="url", n_col="n_tokens")
+
+
+def pack_training_sequences(sf_dir: str):
+    """Training-batch export, the LLM pipeline's last mile: documents
+    (+ one end-of-doc token each) are concatenated in DETERMINISTIC
+    SHUFFLED order (md5 hash-ordering — reproducible and
+    SQL-expressible, unlike random_shuffle) and cut into fixed-length
+    128-token sequences, docs straddling cut points (packed-pretraining
+    layout). Fully distributed: two-pass bucket prefix sum for global
+    offsets, text to the packers by hash join, per-(doc, seq) partial
+    rows folded by one groupby(seq_id) (functions/pack.py). Output is
+    the per-sequence manifest (n_tokens — seq_len except the tail —
+    n_docs, boundary tokens), verified token-exactly by the DuckDB
+    oracle's window-cumsum + zipped-unnest formulation."""
+    from rendler_ray.functions.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, seq_len=128)
+
+
+PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, list_append(string_split(text, ' '), '<|eod|>') AS toks,
+         len(string_split(text, ' ')) + 1 AS n,
+         md5(CAST(doc_id AS VARCHAR) || '-pk') AS hkey
+  FROM documents),
+o AS (
+  SELECT doc_id, toks, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY hkey, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM d),
+tok AS (
+  SELECT doc_id,
+         off + unnest(generate_series(1, n)) - 1 AS pos,
+         unnest(toks) AS token
+  FROM o)
+SELECT pos // 128 AS seq_id,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       arg_min(token, pos) AS first_token,
+       arg_max(token, pos) AS last_token
+FROM tok GROUP BY seq_id
+"""
 
 
 def crawl_content_dedup(sf_dir: str):
@@ -3661,6 +3715,7 @@ QUERIES = {
     "crawl_redirects": crawl_redirects,
     "crawl_canonical_groups": crawl_canonical_groups,
     "training_data_pipeline": training_data_pipeline,
+    "pack_training_sequences": pack_training_sequences,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -3741,4 +3796,5 @@ ORACLES = {
     "lang_id_docs": LANG_ID_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "embedding_near_dup_exact": EMB_NEAR_DUP_SQL,
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
 }
