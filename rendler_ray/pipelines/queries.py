@@ -2495,6 +2495,182 @@ FROM documents
 """
 
 
+def _trigram_rows(t: pa.Table, id_col: str = "doc_id",
+                  col: str = "text") -> pa.Table:
+    """(id, text) → (id, gram) word-trigram rows, vectorized: one Arrow
+    split, shifted flat-token concat masked to same-parent windows;
+    docs under 3 tokens contribute their whole text as one gram (the
+    jaccard_ngrams short-doc rule)."""
+    arr = t[col].combine_chunks()
+    toks = pc.split_pattern(arr, " ")
+    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pd.Series(pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+                     dtype=object)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if len(flat) >= 3:
+        valid = parents[:-2] == parents[2:]
+        grams = (flat.iloc[:-2].reset_index(drop=True) + " "
+                 + flat.iloc[1:-1].reset_index(drop=True) + " "
+                 + flat.iloc[2:].reset_index(drop=True))[valid]
+        gids = ids[parents[:-2][valid]]
+    else:
+        grams, gids = pd.Series([], dtype=object), ids[:0]
+    short = nt < 3
+    out_ids = np.concatenate([gids, ids[short]])
+    out_grams = np.concatenate([grams.to_numpy(dtype=object),
+                                arr.to_numpy(zero_copy_only=False)[short]])
+    return pa.table({id_col: pa.array(out_ids, t[id_col].type),
+                     "gram": pa.array(out_grams, pa.string())})
+
+
+def contamination_check_docs(sf_dir: str):
+    """Benchmark decontamination (the GPT-3 appendix-C shape): flag
+    training docs sharing any word trigram with the 'benchmark' set
+    (here: the trigrams of docs 0–19, standing in for an eval set).
+    The benchmark gram set is SMALL by construction — built once,
+    ``ray.put`` broadcast, vectorized ``is_in`` per batch; the corpus
+    itself only streams. Output: (doc_id, n_hits) per contaminated doc
+    — hit count = trigram POSITIONS matching the benchmark."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_rows = ds.map_batches(
+        lambda t: _trigram_rows(t.filter(pc.less(t["doc_id"], 20))),
+        batch_format="pyarrow")
+    bench = pa.concat_tables(
+        bench_rows.iter_batches(batch_size=None, batch_format="pyarrow")
+    )["gram"].combine_chunks().unique()
+    bref = ray.put(bench)
+
+    def hits(t: pa.Table) -> pa.Table:
+        g = _trigram_rows(t)
+        g = g.filter(pc.is_in(g["gram"], value_set=ray.get(bref)))
+        ids, cnt = np.unique(
+            g["doc_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(hits, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Sum("n_hits",
+                                             alias_name="n_hits")))
+
+
+CONTAMINATION_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks, text,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t WHERE len(toks) >= 3),
+gr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               AS gram FROM g
+       UNION ALL
+       SELECT doc_id, text AS gram FROM t WHERE len(toks) < 3),
+bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id < 20)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM gr WHERE gram IN (SELECT gram FROM bench)
+GROUP BY doc_id
+"""
+
+
+def repetition_filter_docs(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    per doc, the duplicate-bigram fraction (1 − distinct/total) and the
+    top-bigram fraction (most frequent bigram / total). Purely per-row
+    feature extraction — each doc's bigrams live in its own batch row,
+    so this is ONE map pass, no shuffle at any corpus size. Fractions
+    fixed-point e6 (round-half-away, both sides); docs under 2 tokens
+    report 0/0."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pd.Series(
+            pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+            dtype=object)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        n = t.num_rows
+        dup = np.zeros(n, np.float64)
+        top = np.zeros(n, np.float64)
+        if len(flat) >= 2:
+            valid = parents[:-1] == parents[1:]
+            grams = (flat.iloc[:-1].reset_index(drop=True) + " "
+                     + flat.iloc[1:].reset_index(drop=True))[valid]
+            gpar = parents[:-1][valid]
+            df = pd.DataFrame({"p": gpar, "g": grams.to_numpy(object)})
+            per = df.groupby(["p", "g"], sort=False).size()
+            byp = per.groupby(level=0)
+            tot = df.groupby("p").size()
+            d2 = byp.size()
+            topc = byp.max()
+            idx = tot.index.to_numpy()
+            dup[idx] = 1.0 - d2.to_numpy() / tot.to_numpy(np.float64)
+            top[idx] = topc.to_numpy() / tot.to_numpy(np.float64)
+        e6 = lambda x: np.floor(x * 1e6 + 0.5).astype(np.int64)  # noqa: E731
+        return pa.table({"doc_id": t["doc_id"],
+                         "dup2_e6": pa.array(e6(dup), pa.int64()),
+                         "top2_e6": pa.array(e6(top), pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2),
+gr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM g),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS topc
+      FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(CAST(round((1 - d2 / CAST(n2 AS DOUBLE)) * 1000000)
+                     AS BIGINT), 0) AS dup2_e6,
+       COALESCE(CAST(round((topc / CAST(n2 AS DOUBLE)) * 1000000)
+                     AS BIGINT), 0) AS top2_e6
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
+# per-source target sampling rates for the domain-mix op (quarters so
+# rate·2^60 is exact in int64 on both sides)
+_MIX_RATES = {f"src{i}": (i % 4 + 1) / 4 for i in range(10)}
+
+
+def domain_mix_sample(sf_dir: str):
+    """Domain mixture sampling (the Pile/dolma-style source reweighting
+    step): each source keeps a deterministic hash fraction of its docs
+    per the target mix — src_i keeps (i%4+1)/4. One stateless map pass
+    (rate lookup + md5 threshold), reproducible across runs and
+    parallelism, no RNG state."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    thr = {s: int(r * (1 << 60)) for s, r in _MIX_RATES.items()}
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        h = np.array([int(hashlib.md5(f"{i}-mix".encode())
+                          .hexdigest()[:15], 16) for i in ids], np.int64)
+        lim = np.array([tm.get(s, 0) for s in srcs], np.int64)
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+DOMAIN_MIX_SQL = f"""
+WITH r AS (SELECT doc_id, source,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 15)
+            AS BIGINT) AS h,
+       CASE {' '.join(f"WHEN source = '{s}' THEN {int(r * (1 << 60))}"
+                      for s, r in _MIX_RATES.items())}
+            ELSE 0 END AS lim
+  FROM documents)
+SELECT doc_id, source FROM r WHERE h < lim
+"""
+
+
 def doc_fingerprint_md5(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(F_text.md5_fingerprint_batch,
@@ -3109,6 +3285,39 @@ def crawl_embed(sf_dir: str):
     return emb.map_batches(summarize, batch_format="pyarrow")
 
 
+def scrub_url_tokens(sf_dir: str):
+    """PII-style scrubbing stage over the crawled pages: redact every
+    URL token (absolute or host-relative) to '<|url|>' — the same
+    vectorized regex-redaction kernel an email/phone scrub uses
+    (``pc.replace_substring_regex``; one C pass, no Python rows). The
+    synthetic corpus's identifying strings ARE its URLs, so this is the
+    honest closed-world stand-in. Output: (url, n_scrubbed,
+    scrubbed_md5) — count + content hash of the redacted text.
+    Deterministic; rows-only, golden-pinned."""
+    import hashlib
+
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+    from rendler_ray.stages.enrich import page_text_column
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    pat = r"(s://h\d{3})?/p\d{5}"
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ok = page_text_column(t.filter(pc.equal(t["status"], 200)))
+        txt = ok["page_text"].combine_chunks()
+        n = pc.count_substring_regex(txt, pat)
+        red = pc.replace_substring_regex(txt, pat, "<|url|>")
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in red.to_pylist()]
+        return pa.table({"url": ok["url"],
+                         "n_scrubbed": pc.cast(n, pa.int64()),
+                         "scrubbed_md5": pa.array(md5s, pa.string())})
+
+    return res.fetched.map_batches(scrub, batch_format="pyarrow")
+
+
 def doc_fingerprint_winnow(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) —
     rolling-hash windows, keep-smallest selection. Rows-only."""
@@ -3692,6 +3901,9 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_docs": bpe_encode_docs,
     "dedup_exact_docs": dedup_exact_docs,
+    "contamination_check_docs": contamination_check_docs,
+    "repetition_filter_docs": repetition_filter_docs,
+    "domain_mix_sample": domain_mix_sample,
     "token_count_docs": token_count_docs,
     "token_count_bpe": token_count_bpe,
     "quality_scores": quality_scores,
@@ -3722,6 +3934,7 @@ QUERIES = {
     "crawl_diff_pages": crawl_diff_pages,
     "crawl_prioritized": crawl_prioritized,
     "host_graph_stats": host_graph_stats,
+    "scrub_url_tokens": scrub_url_tokens,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
@@ -3789,6 +4002,9 @@ ORACLES = {
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "range_join_orders": RANGE_JOIN_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "contamination_check_docs": CONTAMINATION_SQL,
+    "repetition_filter_docs": REPETITION_SQL,
+    "domain_mix_sample": DOMAIN_MIX_SQL,
     "token_count_docs": TOKEN_COUNT_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,

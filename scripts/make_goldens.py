@@ -57,6 +57,7 @@ GOLDEN_QUERIES = [
     "crawl_diff_pages",
     "crawl_prioritized",
     "host_graph_stats",
+    "scrub_url_tokens",
     "doc_fingerprint_winnow",
     "media_features",
     "media_thumbnails",

@@ -745,3 +745,17 @@ def test_pagerank_auto_gate_switches_identical_e9():
     le9 = np.round(lo["rank"].to_numpy() * 1e9).astype(np.int64)
     he9 = np.round(hi["rank"].to_numpy() * 1e9).astype(np.int64)
     assert (le9 == he9).all()
+
+
+def test_scrub_regex_removes_all_url_tokens():
+    """The scrub kernel's regex redacts absolute and host-relative URL
+    tokens and counts them."""
+    import pyarrow.compute as pc
+
+    txt = pa.array(["see s://h003/p00007 and /p00123 here",
+                    "no links at all"])
+    pat = r"(s://h\d{3})?/p\d{5}"
+    assert pc.count_substring_regex(txt, pat).to_pylist() == [2, 0]
+    red = pc.replace_substring_regex(txt, pat, "<|url|>").to_pylist()
+    assert red[0] == "see <|url|> and <|url|> here"
+    assert "p00" not in red[0]

@@ -99,3 +99,34 @@ def test_packed_export_resumable(tmp_path):
     assert (back["n_tokens"] == exp["n_tokens"]).all()
     assert (back["first_token"] == exp["first_token"]).all()
     assert len(back) == len(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_split_covers_all_sequences():
+    """Trainer-side consumption: streaming_split over the packed
+    manifest hands every sequence to exactly one concurrent consumer —
+    no loss, no duplication (the multi-worker training-ingest shape)."""
+    import threading
+
+    import ray.data as rd
+
+    from rendler_ray.functions.pack import pack_sequences
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    packed = pack_sequences(ds, seq_len=128).materialize()
+    expected = sorted(packed.to_pandas()["seq_id"])
+
+    splits = packed.streaming_split(2, equal=False)
+    got = [[], []]
+
+    def consume(i):
+        for b in splits[i].iter_batches(batch_size=32,
+                                        batch_format="pyarrow"):
+            got[i].extend(b["seq_id"].to_pylist())
+
+    ts = [threading.Thread(target=consume, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(got[0] + got[1]) == expected
+    assert got[0] and got[1]  # both consumers actually received work
