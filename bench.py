@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "asof_join_events",
     "sliding_window_counts",
     "approx_distinct_users",
+    "pack_training_sequences",  # r3: sequence-packing op family
 ]
 
 

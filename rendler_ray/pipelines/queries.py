@@ -2497,31 +2497,13 @@ FROM documents
 
 def _trigram_rows(t: pa.Table, id_col: str = "doc_id",
                   col: str = "text") -> pa.Table:
-    """(id, text) → (id, gram) word-trigram rows, vectorized: one Arrow
-    split, shifted flat-token concat masked to same-parent windows;
-    docs under 3 tokens contribute their whole text as one gram (the
-    jaccard_ngrams short-doc rule)."""
-    arr = t[col].combine_chunks()
-    toks = pc.split_pattern(arr, " ")
-    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    flat = pd.Series(pc.list_flatten(toks).to_numpy(zero_copy_only=False),
-                     dtype=object)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    """(id, text) → (id, gram) word-trigram rows (text.kgram_rows:
+    vectorized shifted-concat explode; docs under 3 tokens contribute
+    their whole text as one gram — the jaccard short-doc rule)."""
+    grams, gpar, _ = F_text.kgram_rows(t[col].combine_chunks(), 3)
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    if len(flat) >= 3:
-        valid = parents[:-2] == parents[2:]
-        grams = (flat.iloc[:-2].reset_index(drop=True) + " "
-                 + flat.iloc[1:-1].reset_index(drop=True) + " "
-                 + flat.iloc[2:].reset_index(drop=True))[valid]
-        gids = ids[parents[:-2][valid]]
-    else:
-        grams, gids = pd.Series([], dtype=object), ids[:0]
-    short = nt < 3
-    out_ids = np.concatenate([gids, ids[short]])
-    out_grams = np.concatenate([grams.to_numpy(dtype=object),
-                                arr.to_numpy(zero_copy_only=False)[short]])
-    return pa.table({id_col: pa.array(out_ids, t[id_col].type),
-                     "gram": pa.array(out_grams, pa.string())})
+    return pa.table({id_col: pa.array(ids[gpar], t[id_col].type),
+                     "gram": pa.array(grams, pa.string())})
 
 
 def contamination_check_docs(sf_dir: str):

@@ -52,10 +52,14 @@ def minhash_bands_batch(batch: pa.Table, *, num_perm: int = 64,
         mh = _MINHASHERS[key] = MinHasher(num_perm=num_perm, bands=bands,
                                           text_col=text_col)
     texts = batch[text_col].to_numpy(zero_copy_only=False)
+    # batched signatures (one explode + one hash pass — hot path);
+    # empty pages keep the all-zeros signature the row form used
+    sigs = mh.signatures_batch(batch[text_col].combine_chunks())
+    zero = np.zeros(num_perm, np.uint64)
+    rb = mh.rows_per_band
     out = []
-    for t in texts:
-        sig = mh.signature(t) if t else np.zeros(num_perm, np.uint64)
-        rb = mh.rows_per_band
+    for i, t in enumerate(texts):
+        sig = sigs[i] if t else zero
         out.append([
             hashlib.md5(sig[b * rb:(b + 1) * rb].tobytes()
                         + bytes([b])).hexdigest()[:16]
