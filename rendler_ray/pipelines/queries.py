@@ -3812,6 +3812,293 @@ def render_interleaved(sf_dir: str):
     return out.map_batches(sizes, batch_format="pyarrow")
 
 
+# ===================================== round-3 additions (second half):
+# substring-level dedup, model-scoring inference, window-family
+# completions, semantic dedup.
+
+
+def dup_span_stats_docs(sf_dir: str):
+    """Duplicate-substring statistics — the exact-substring training-data
+    dedup shape (Lee et al. ACL'22 "Deduplicating Training Data Makes
+    Language Models Better", public): a word 5-gram appearing in >= 2
+    DISTINCT documents marks a duplicated span; per doc, count its gram
+    instances lying in such spans, computed by COMPLEMENT:
+    n_dup(doc) = Σ all gram instances − Σ instances of grams UNIQUE to
+    the doc. ONE explode pass emits per-batch-combined (gram, doc_id,
+    tf) rows (each doc lives in exactly one batch row, so pairs are
+    globally unique — a gram's group row-count IS its distinct-doc
+    count, and a unique gram's Min(doc_id)/Sum(tf) identify its sole
+    owner and instance count in the same aggregate); the unique-gram
+    rows re-enter NEGATED through a union and one groupby(doc_id) sums
+    both signs. Two gram/doc-keyed shuffles, no join, no broadcast of
+    the corpus-sized dup-gram set, no per-group Python. All-integer,
+    SQL-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_tf(t: pa.Table) -> pa.Table:
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 5)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
+        g = (pd.DataFrame({"gram": grams, "doc_id": ids})
+             .groupby(["gram", "doc_id"], sort=False).size()
+             .reset_index(name="tf"))
+        return pa.table({
+            "gram": pa.array(g["gram"].to_numpy(object), pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64())})
+
+    # consumed twice (total counts + unique-gram counts): checkpoint
+    pairs = _checkpoint(ds.map_batches(gram_tf, batch_format="pyarrow"),
+                        "dupspan_pairs")
+    gagg = pairs.groupby("gram").aggregate(
+        Count(alias_name="n_docs"),
+        Min("doc_id", alias_name="doc_id"),
+        Sum("tf", alias_name="tf"))
+
+    def negate_unique(t: pa.Table) -> pa.Table:
+        u = t.filter(pc.equal(t["n_docs"], 1))
+        return pa.table({"doc_id": u["doc_id"],
+                         "tf": pc.negate(u["tf"])})
+
+    neg = gagg.map_batches(negate_unique, batch_format="pyarrow")
+    pos = pairs.map_batches(lambda t: t.select(["doc_id", "tf"]),
+                            batch_format="pyarrow")
+    return (pos.union(neg)
+            .groupby("doc_id").aggregate(
+                Sum("tf", alias_name="n_dup_grams"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["n_dup_grams"], 0)),
+                batch_format="pyarrow"))
+
+
+DUP_SPAN_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 4)) AS i
+      FROM t WHERE len(toks) >= 5),
+gr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram FROM g
+       UNION ALL
+       SELECT doc_id, text AS gram FROM t WHERE len(toks) < 5),
+d AS (SELECT gram FROM gr GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM gr WHERE gram IN (SELECT gram FROM d)
+GROUP BY doc_id
+"""
+
+
+# per-worker memo: token -> integer weight (the model table lookup)
+_CLF_WCACHE: dict[str, int] = {}
+
+
+def _clf_weights(tokens: np.ndarray) -> np.ndarray:
+    """Deterministic hashed-feature weights: md5(token) → bucket →
+    integer weight (bucket % 1001) − 500. Memoized per worker process
+    (unique tokens only ever hash once per worker)."""
+    import hashlib
+
+    out = np.empty(len(tokens), np.int64)
+    for i, tok in enumerate(tokens):
+        w = _CLF_WCACHE.get(tok)
+        if w is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            w = h % 1001 - 500
+            _CLF_WCACHE[tok] = w
+        out[i] = w
+    return out
+
+
+def classifier_score_docs(sf_dir: str):
+    """Model-scoring inference over text — the fastText-style linear
+    quality classifier every modern pretraining pipeline runs (CCNet /
+    DCLM shape, public): hashed bag-of-words features × a weight
+    vector, ONE stateless vectorized map pass, no shuffle at any corpus
+    size. The stub derives each bucket weight from md5 so the DuckDB
+    oracle is EXACT — a real model swaps ``_clf_weights`` for a learned
+    table broadcast once via ``ray.put``; the pipeline shape is
+    identical. Hashing is memoized per UNIQUE token per worker; per-doc
+    sums are one ``bincount``. ``keep_flag`` = score > 0 is the filter
+    decision a quality gate would act on."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.bincount(par, weights=w, minlength=t.num_rows)
+        s = np.rint(s).astype(np.int64)  # float64 exact below 2^53
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clf_score": pa.array(s, pa.int64()),
+            "keep_flag": pa.array((s > 0).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+CLASSIFIER_SCORE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id)
+SELECT doc_id, clf_score,
+       CAST(CASE WHEN clf_score > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS keep_flag
+FROM s
+"""
+
+
+def dense_rank_orders(sf_dir: str):
+    """DENSE_RANK() — equal values share a rank and the next DISTINCT
+    value takes rank+1, no gaps (completes the RANK / NTILE window
+    family): per-priority dense rank of order value, descending. rank =
+    1 + #distinct-strictly-greater — one ``unique`` + one
+    ``searchsorted`` per group over cents keys, so both sides rank
+    identical integers."""
+    ds = _fixed_point(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        {"o_totalprice": 2}).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "o_orderpriority", "cents"]),
+        batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["cents"].to_numpy(np.int64)
+        vs = np.unique(v)  # sorted ascending, distinct
+        rnk = 1 + (len(vs) - np.searchsorted(vs, v, side="right"))
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": g["o_orderpriority"].to_numpy(),
+            "cents": v, "drank": rnk.astype(np.int64)})
+
+    return ds.groupby("o_orderpriority").map_groups(
+        rank, batch_format="pandas")
+
+
+DENSE_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+            AS BIGINT) AS drank
+FROM orders
+"""
+
+
+def first_last_order_per_customer(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition (per customer,
+    ordered by (order date, order key)) — expressed as a pure
+    COMMUTATIVE aggregate instead of a window sort: pack the ordering
+    key into one int64 composite (epoch_days·10^8 + orderkey), Min/Max
+    fold it through Ray's two-level partial aggregation, unpack the
+    payload with ``%``. No per-group sort, no map_groups — the
+    arg-min/arg-max-as-packed-scalar trick (same as pack.py's boundary
+    tokens)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                  "o_orderdate"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        comp = (us // 86_400_000_000) * 100_000_000 + keys
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "comp": pa.array(comp, pa.int64())})
+
+    agg = (ds.map_batches(composite, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Min("comp", alias_name="mn"),
+                      Max("comp", alias_name="mx"),
+                      Count(alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "first_key": pa.array(mn % 100_000_000, pa.int64()),
+            "last_key": pa.array(mx % 100_000_000, pa.int64()),
+            "n_orders": t["n_orders"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+FIRST_LAST_SQL = """
+WITH c AS (SELECT o_custkey,
+                  (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                    * 100000000 + o_orderkey AS comp
+           FROM orders)
+SELECT o_custkey,
+       CAST(min(comp) % 100000000 AS BIGINT) AS first_key,
+       CAST(max(comp) % 100000000 AS BIGINT) AS last_key,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY o_custkey
+"""
+
+
+def semdedup_drop_docs(sf_dir: str):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, public): k-means
+    clusters the embedding space (broadcast-centroid distributed fit),
+    then near-duplicate detection runs ONLY within each cluster —
+    ``groupby(cluster)`` co-locates candidates so the cosine check is
+    bounded by cluster size, never corpus size (SemDeDup's own design:
+    n_clusters grows with the corpus so clusters stay bounded; the
+    exact all-pairs twin is ``embedding_near_dup_exact``). Within a
+    cluster, pairs with cosine >= 0.95 union into groups and the min
+    vec_id survives. Output: (vec_id, cluster, keep_flag) for every
+    vector. Deterministic (hash-sampled k-means init); rows-only
+    (iterative k-means is not SQL-expressible); planted-duplicate
+    recovery pytested."""
+    from rendler_ray.functions.ann import (_normalize, batch_to_matrix,
+                                           kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, n_clusters=8, iters=6)
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(batch_to_matrix(t))
+        cl = np.argmax(m @ ray.get(cref).T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(cl, pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(np.stack(
+            g["embedding"].iloc[order].map(np.asarray)).astype(np.float64))
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(m @ m.T >= 0.95, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        # ids ascend with index, so root == self ⇔ min vec_id in group
+        keep = (roots == np.arange(len(ids))).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy(np.int64)[order],
+            "keep_flag": keep})
+
+    return assigned.groupby("cluster").map_groups(
+        dedup, batch_format="pandas")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3883,6 +4170,11 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_docs": bpe_encode_docs,
     "dedup_exact_docs": dedup_exact_docs,
+    "dup_span_stats_docs": dup_span_stats_docs,
+    "classifier_score_docs": classifier_score_docs,
+    "dense_rank_orders": dense_rank_orders,
+    "first_last_order_per_customer": first_last_order_per_customer,
+    "semdedup_drop_docs": semdedup_drop_docs,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -3984,6 +4276,10 @@ ORACLES = {
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "range_join_orders": RANGE_JOIN_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "dup_span_stats_docs": DUP_SPAN_SQL,
+    "classifier_score_docs": CLASSIFIER_SCORE_SQL,
+    "dense_rank_orders": DENSE_RANK_SQL,
+    "first_last_order_per_customer": FIRST_LAST_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
