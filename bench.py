@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "sliding_window_counts",
     "approx_distinct_users",
     "pack_training_sequences",  # r3: sequence-packing op family
+    "dup_span_stats_docs",      # r3: substring-dedup op family
+    "classifier_score_docs",    # r3: model-scoring inference family
 ]
 
 

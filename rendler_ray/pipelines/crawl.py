@@ -62,6 +62,7 @@ from rendler_ray.stages.extract import extract_edges
 from rendler_ray.stages.fetch import (
     Fetcher,
     fetch_batch,
+    inject_transient_failures,
     make_web_blobs,
     make_web_shards,
 )
@@ -120,6 +121,14 @@ class CrawlConfig:
     # no per-round actor-pool spin-up. "actors": per-worker-stateful
     # stage form (real HTTP sessions / browser engines).
     stage_mode: str = "tasks"
+    # deterministic transient fetch-failure model (the closed-world
+    # stand-in for HTTP timeouts): per-(url, attempt) hash coin, up to
+    # fetch_retries in-task retries, then status 598 = gave up (no
+    # spans / render / links, still seen — the reference's TASK_FAILED
+    # path). Off at 0.0; see stages/fetch.py::inject_transient_failures.
+    fetch_fail_rate: float = 0.0
+    fetch_fail_seed: int = 0
+    fetch_retries: int = 2
     # per-page enrichment (quality scores, lang-id, simhash) fused into
     # the fetch pass — the training-data half of the pipeline
     enrich: bool = False
@@ -728,6 +737,14 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=0.5,
                 )
+                if cfg.fetch_fail_rate:
+                    fetched = fetched.map_batches(
+                        inject_transient_failures,
+                        fn_kwargs={"fail_rate": cfg.fetch_fail_rate,
+                                   "fail_seed": cfg.fetch_fail_seed,
+                                   "retries": cfg.fetch_retries},
+                        batch_format="pyarrow", num_cpus=0.25,
+                    )
                 if cfg.enrich:
                     fetched = fetched.map_batches(
                         enrich_batch, fn_kwargs=enrich_kwargs,
@@ -746,6 +763,14 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     batch_size=max(cfg.batch_size, 16384),
                     num_cpus=1,
                 )
+                if cfg.fetch_fail_rate:
+                    fetched = fetched.map_batches(
+                        inject_transient_failures,
+                        fn_kwargs={"fail_rate": cfg.fetch_fail_rate,
+                                   "fail_seed": cfg.fetch_fail_seed,
+                                   "retries": cfg.fetch_retries},
+                        batch_format="pyarrow", num_cpus=0.25,
+                    )
                 if cfg.enrich:
                     # fused into the fetch pass (Ray Data operator fusion)
                     fetched = fetched.map_batches(

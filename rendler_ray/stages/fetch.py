@@ -190,6 +190,55 @@ def fetch_batch(batch: pa.Table, *, shards: list) -> pa.Table:
     return pa.concat_tables(parts, promote_options="default")
 
 
+def inject_transient_failures(t: pa.Table, *, fail_rate: float,
+                              fail_seed: int = 0,
+                              retries: int = 2) -> pa.Table:
+    """Deterministic transient-failure model for the fetch stage — the
+    closed-world stand-in for the HTTP timeouts / connection resets a
+    real fetcher sees. Each (url, attempt) draws an independent hash
+    coin: attempt ``a`` of url ``u`` fails iff
+    ``stable_hash64(f"{u}#a{a}#s{seed}") < fail_rate · 2^64``.
+
+    Retry semantics (what slots into the ``Fetcher`` seam for a real
+    deployment, where they differ from plasma lookups): transient
+    errors retry IN-TASK up to ``retries`` times with bounded attempts
+    — no re-enqueue into the frontier, no cross-round state; a url
+    still failing after the last attempt reports **status 598** with
+    no spans, so it is rendered-nothing / extracts-nothing / still
+    SEEN — exactly the reference's TASK_FAILED path (failure logged,
+    URL dropped, never refetched). Because failures here are purely
+    transient, a run with enough retries is bit-identical to a
+    failure-free run — pinned by tests/test_fetch_retries.py. Columns
+    and schema are unchanged whether the model is on or off.
+
+    Vectorized: one hash pass per attempt over only the
+    still-failing rows' draw; no Python per-row work."""
+    from rendler_ray.functions.canon import stable_hash64
+
+    if not fail_rate or t.num_rows == 0:
+        return t
+    lim = np.uint64(min(int(fail_rate * 2.0 ** 64), 2 ** 64 - 1))
+    urls = t["url"].to_numpy(zero_copy_only=False).astype(str)
+    failing = np.ones(len(urls), dtype=bool)
+    idx = np.arange(len(urls))
+    for a in range(retries + 1):
+        salted = np.char.add(urls[idx], f"#a{a}#s{fail_seed}")
+        idx = idx[stable_hash64(salted) < lim]
+        if idx.size == 0:
+            return t
+    failing[:] = False
+    failing[idx] = True
+    ok = t.filter(pa.array(~failing))
+    bad = t.filter(pa.array(failing))
+    bad = bad.set_column(
+        bad.schema.get_field_index("status"), "status",
+        pa.array(np.full(bad.num_rows, 598, np.int32)))
+    bad = bad.set_column(
+        bad.schema.get_field_index("spans"), "spans",
+        pa.array([[]] * bad.num_rows, type=pa.list_(SPAN_STRUCT)))
+    return pa.concat_tables([ok, bad], promote_options="default")
+
+
 def _with_fetch_columns(t: pa.Table, status: pa.Array, spans) -> pa.Table:
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
