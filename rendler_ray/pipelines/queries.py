@@ -4099,6 +4099,296 @@ def semdedup_drop_docs(sf_dir: str):
         dedup, batch_format="pandas")
 
 
+# ===================================== round-3 additions (third batch):
+# chunking, blocklist gating, window-family completion, split assignment,
+# two-pass histogram, CSV/JSONL source-format ingest.
+
+
+def chunk_docs_overlap(sf_dir: str):
+    """Document chunking with overlap — the RAG / context-window prep op
+    (fixed WINDOW-token chunks every STRIDE tokens, trailing partial
+    chunk kept): ONE stateless map pass, no shuffle at any corpus size.
+    Fully vectorized: the per-chunk token ranges are materialized as a
+    single gather-index array (repeat/cumsum trick), rebuilt into a
+    list array, and joined with ``pc.binary_join`` — no per-chunk
+    Python string work."""
+    W, S = 32, 24
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values  # raw (offset-aligned) token storage
+        n = np.diff(offs)
+        n_chunks = (n + S - 1) // S  # ceil(n / S); texts are non-empty
+        doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
+        base = np.cumsum(n_chunks) - n_chunks
+        chunk_idx = np.arange(len(doc_idx)) - base[doc_idx]
+        lo = chunk_idx * S
+        lens = np.minimum(lo + W, n[doc_idx]) - lo
+        glo = offs[doc_idx] + lo
+        cum = np.cumsum(lens) - lens
+        gather = np.repeat(glo - cum, lens) + np.arange(int(lens.sum()))
+        taken = pc.take(vals, pa.array(gather, pa.int64()))
+        loffs = np.concatenate([[0], np.cumsum(lens)])
+        larr = pa.LargeListArray.from_arrays(
+            pa.array(loffs, pa.int64()), taken)
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"],
+                              pa.array(doc_idx, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pc.binary_join(larr, " ")})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+CHUNK_DOCS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+s AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, n - 1, 24)) AS lo FROM t)
+SELECT doc_id, CAST(lo // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(lo + 32, n) - lo AS BIGINT) AS n_tokens,
+       array_to_string(array_slice(toks, lo + 1, least(lo + 32, n)), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+_BADWORDS = ["slow", "dup", "drop", "null"]
+
+
+def badwords_filter_docs(sf_dir: str):
+    """Blocklist gating (the C4 badwords filter, public): drop any doc
+    containing a blocklisted token. The list is tiny and broadcast by
+    closure capture; the check is one ``pc.is_in`` over the flat token
+    array + one bincount — stateless, shuffle-free, O(corpus) at any
+    scale. Output keeps every doc with its bad-token count and the gate
+    decision so downstream can audit what a drop would remove."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bw = pa.array(_BADWORDS, pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        bad = pc.is_in(flat, value_set=bw).to_numpy(zero_copy_only=False)
+        nb = np.bincount(par, weights=bad,
+                         minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bad": pa.array(nb, pa.int64()),
+            "keep_flag": pa.array((nb == 0).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+BADWORDS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+b AS (SELECT doc_id, count(*) AS nb FROM tok
+      WHERE token IN ({', '.join(repr(w) for w in _BADWORDS)})
+      GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(b.nb, 0) AS BIGINT) AS n_bad,
+       CAST(CASE WHEN coalesce(b.nb, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS keep_flag
+FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+"""
+
+
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK() and CUME_DIST() per priority (completes the
+    RANK / DENSE_RANK / NTILE window family): rank numerators come from
+    two ``searchsorted`` calls per group over cents keys, the divisions
+    (rank−1)/(n−1) and n_le/n are each a single IEEE op on identical
+    integers — so the doubles are bit-identical to DuckDB's and the
+    1e-9 fixed-pointing (same half-away rounding both sides) is
+    hash-exact."""
+    ds = _fixed_point(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        {"o_totalprice": 2}).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "o_orderpriority", "cents"]),
+        batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["cents"].to_numpy(np.int64)
+        n = len(v)
+        sv = np.sort(v)
+        lt = np.searchsorted(sv, v, side="left")
+        le = np.searchsorted(sv, v, side="right")
+        pr = lt / (n - 1) if n > 1 else np.zeros(n)
+        cd = le / n
+        fx = pc.RoundOptions(ndigits=0, round_mode="half_towards_infinity")
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(g["o_orderpriority"].to_numpy()),
+            "pr9": pc.cast(pc.round(pc.multiply(
+                pa.array(pr, pa.float64()), 1e9), options=fx), pa.int64()),
+            "cd9": pc.cast(pc.round(pc.multiply(
+                pa.array(cd, pa.float64()), 1e9), options=fx), pa.int64()),
+        }).to_pandas()
+
+    return ds.groupby("o_orderpriority").map_groups(
+        rank, batch_format="pandas")
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(percent_rank() OVER w * 1000000000.0) AS BIGINT) AS pr9,
+       CAST(round(cume_dist() OVER w * 1000000000.0) AS BIGINT) AS cd9
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+"""
+
+
+def train_val_test_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) by
+    content-independent hash — reproducible across runs, parallelism,
+    and re-partitioning (no RNG state, no shuffle), the property a
+    training-data split must have so a resumed run never leaks val docs
+    into train. Same md5-threshold trick as the samplers."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.array([int(hashlib.md5(f"{i}-split".encode())
+                          .hexdigest()[:15], 16) % 100 for i in ids])
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SPLIT_SQL = """
+WITH h AS (SELECT doc_id,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-split'), 1, 15)
+            AS BIGINT) % 100 AS hv
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN hv < 80 THEN 'train'
+            WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+FROM h
+"""
+
+
+def value_histogram_events(sf_dir: str):
+    """Equal-width numeric histogram with data-driven bounds — the
+    two-pass stats-then-transform pattern: pass 1 is a native min/max
+    aggregate (two scalars reach the driver), pass 2 re-streams the
+    column bucketing each value against the broadcast bounds, then one
+    20-row groupby. Bucket edges use the identical double expression on
+    both sides ((hi−lo)/20.0, floor((v−lo)/w), clamp) so the floats are
+    bit-equal; sums are per-row cents."""
+    ds = _read(sf_dir, "events", ["value"])
+    stats = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = stats["min(value)"], stats["max(value)"]
+    w = (hi - lo) / 20.0
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - lo) / w).astype(np.int64), 19)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                        AS BIGINT), 19) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, s)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bucket
+"""
+
+
+def _ingest_copy(sf_dir: str, fmt: str) -> str:
+    """Cache a CSV / JSONL copy of the events table (distributed
+    ``write_csv`` / ``write_json``, floats pre-converted to cents so no
+    text-float roundtrip can drift), keyed on the source parquet's
+    (mtime, size) so regenerated testdata invalidates the copy."""
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    out = f"/tmp/rendler_ray_ingest/{tag}/events_{fmt}"
+    if os.path.exists(out + ".done"):
+        return out
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    ds = rd.read_parquet(src, columns=["event_id", "ts", "user_id",
+                                       "event_type", "value"]
+                         ).map_batches(conv, batch_format="pyarrow")
+    shutil.rmtree(out, ignore_errors=True)
+    (ds.write_csv if fmt == "csv" else ds.write_json)(out)
+    open(out + ".done", "w").close()
+    return out
+
+
+def _ingest_agg(ds):
+    """Shared post-ingest aggregate: per event_type count / cents sum /
+    first-last timestamp — proves the re-read columns survive the
+    format roundtrip bit-exactly."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pc.cast(t["cents"], pa.int64()),
+                         "ts_us": pc.cast(t["ts_us"], pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents"),
+                       Min("ts_us", alias_name="first_us"),
+                       Max("ts_us", alias_name="last_us")))
+
+
+def events_csv_ingest(sf_dir: str):
+    """CSV source-format coverage: distributed ``write_csv`` of the
+    events table (cached) → ``ray.data.read_csv`` → grouped aggregate,
+    oracled against the original parquet — the ingest path a user
+    switching from CSV landing files runs."""
+    return _ingest_agg(rd.read_csv(_ingest_copy(sf_dir, "csv")))
+
+
+def events_jsonl_ingest(sf_dir: str):
+    """JSONL source-format coverage: distributed ``write_json`` (one
+    JSON object per line) → ``ray.data.read_json`` → the same grouped
+    aggregate, oracled against the original parquet."""
+    return _ingest_agg(rd.read_json(_ingest_copy(sf_dir, "json")))
+
+
+EVENTS_INGEST_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4175,6 +4465,13 @@ QUERIES = {
     "dense_rank_orders": dense_rank_orders,
     "first_last_order_per_customer": first_last_order_per_customer,
     "semdedup_drop_docs": semdedup_drop_docs,
+    "chunk_docs_overlap": chunk_docs_overlap,
+    "badwords_filter_docs": badwords_filter_docs,
+    "percent_rank_orders": percent_rank_orders,
+    "train_val_test_split": train_val_test_split,
+    "value_histogram_events": value_histogram_events,
+    "events_csv_ingest": events_csv_ingest,
+    "events_jsonl_ingest": events_jsonl_ingest,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -4280,6 +4577,13 @@ ORACLES = {
     "classifier_score_docs": CLASSIFIER_SCORE_SQL,
     "dense_rank_orders": DENSE_RANK_SQL,
     "first_last_order_per_customer": FIRST_LAST_SQL,
+    "chunk_docs_overlap": CHUNK_DOCS_SQL,
+    "badwords_filter_docs": BADWORDS_SQL,
+    "percent_rank_orders": PERCENT_RANK_SQL,
+    "train_val_test_split": SPLIT_SQL,
+    "value_histogram_events": VALUE_HISTOGRAM_SQL,
+    "events_csv_ingest": EVENTS_INGEST_SQL,
+    "events_jsonl_ingest": EVENTS_INGEST_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
