@@ -4389,6 +4389,221 @@ FROM events GROUP BY event_type
 """
 
 
+# per-worker memo: bigram -> hash bucket (the DSIR feature hasher)
+_DSIR_BCACHE: dict[str, int] = {}
+
+
+def _dsir_buckets(grams: np.ndarray, mod: int = 4096) -> np.ndarray:
+    """md5(gram) → bucket, memoized per worker process (callers pass
+    UNIQUE grams so each distinct bigram hashes once per worker)."""
+    import hashlib
+
+    out = np.empty(len(grams), np.int64)
+    for i, g in enumerate(grams):
+        b = _DSIR_BCACHE.get(g)
+        if b is None:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % mod
+            _DSIR_BCACHE[g] = b
+        out[i] = b
+    return out
+
+
+def dsir_importance_docs(sf_dir: str):
+    """DSIR-style importance scoring (Xie et al. NeurIPS'23 "Data
+    Selection for Language Models via Importance Resampling", public):
+    hashed word-bigram counts for the TARGET distribution (lang='en'
+    docs) vs the SOURCE (all docs) → a bounded bucket table of
+    importance ratios, broadcast once via ``ray.put`` → per-doc score
+    in one stateless pass. Integer-exact variant: per-bucket ratios are
+    fixed-point (c_t+1)·10^6 // (c_s+1) and the doc score sums them, so
+    the DuckDB oracle matches bit-for-bit (true log-ratio weights are a
+    one-line swap at deployment; the pipeline shape — distributed
+    count, ≤4096-row driver table, broadcast lookup — is identical).
+    Pass 1: explode → per-batch bincount partials → groupby(bucket)
+    sum; pass 2: score. Short-doc rule matches kgram_rows (docs with
+    < 2 tokens contribute their whole text as one gram)."""
+    B = 4096
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 2)
+        uniq, inv = np.unique(grams, return_inverse=True)
+        b = _dsir_buckets(uniq)[inv]
+        is_t = pc.equal(t["lang"], "en").to_numpy(
+            zero_copy_only=False)[gpar]
+        ct = np.bincount(b[is_t], minlength=B)
+        cs = np.bincount(b, minlength=B)
+        nz = np.flatnonzero(cs)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "ct": pa.array(ct[nz], pa.int64()),
+                         "cs": pa.array(cs[nz], pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("b").aggregate(Sum("ct", alias_name="ct"),
+                                   Sum("cs", alias_name="cs")))
+    ratio = np.zeros(B, np.int64)
+    for r in agg.take_all():  # bounded: <= 4096 rows
+        ratio[r["b"]] = ((r["ct"] + 1) * 1_000_000) // (r["cs"] + 1)
+    rref = ray.put(ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        rt = ray.get(rref)
+        grams, gpar, n = F_text.kgram_rows(t["text"].combine_chunks(), 2)
+        uniq, inv = np.unique(grams, return_inverse=True)
+        b = _dsir_buckets(uniq)[inv]
+        # integer weights, per-doc sums < 2^53 ⇒ float64 bincount exact
+        s = np.rint(np.bincount(gpar, weights=rt[b].astype(np.float64),
+                                minlength=n)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "dsir_score": pa.array(s, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DSIR_SQL = """
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+           FROM documents),
+gr AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram
+       FROM (SELECT doc_id, lang, toks,
+                    unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2)
+       UNION ALL
+       SELECT doc_id, lang, text AS gram FROM t WHERE len(toks) < 2),
+gb AS (SELECT doc_id, lang,
+              CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096 AS b
+       FROM gr),
+ct AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY b),
+cs AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+w AS (SELECT cs.b, ((coalesce(ct.c, 0) + 1) * 1000000) // (cs.c + 1) AS r
+      FROM cs LEFT JOIN ct ON cs.b = ct.b)
+SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS dsir_score
+FROM gb JOIN w ON gb.b = w.b GROUP BY gb.doc_id
+"""
+
+
+def event_transition_matrix(sf_dir: str):
+    """Markov transition counts between consecutive event types per
+    user (the sequential-pattern / session-flow op): per-user ordered
+    LAG pairs, counted globally. ``groupby(user).map_groups`` sorts
+    each user's bounded slice and emits its partial pair counts (at
+    most |types|² rows per user); one tiny groupby(from, to) sums
+    them — the second shuffle carries combiner output, not events."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return (pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+                .groupby(["from_type", "to_type"], sort=False).size()
+                .reset_index(name="n"))
+
+    part = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    return part.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+TRANSITION_SQL = """
+WITH o AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
+"""
+
+
+def customer_names_by_nation(sf_dir: str):
+    """STRING_AGG / LISTAGG with an explicit ORDER BY — grouped ordered
+    string aggregation (completes the §2.8 scalar/aggregate function
+    surface): per nation the '|'-joined customer names ordered by
+    custkey. Per-group pandas finisher; |nations| = 25 groups."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("c_custkey")
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "names": ["|".join(g["c_name"])],
+            "n_customers": [np.int64(len(g))]})
+
+    return ds.groupby("c_nationkey").map_groups(agg, batch_format="pandas")
+
+
+STRING_AGG_SQL = """
+SELECT c_nationkey,
+       string_agg(c_name, '|' ORDER BY c_custkey) AS names,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape (orders strictly above their own
+    customer's average order value), lowered exactly as a SQL optimizer
+    decorrelates it: per-key aggregate → hash-join back onto the fact
+    rows → filter. The comparison is all-integer (cents·n > sum_cents)
+    so no float average ever exists on either side."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    fact = _checkpoint(ds.map_batches(prep, batch_format="pyarrow"),
+                       "orders_cents")
+    agg = fact.groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="s"), Count(alias_name="n"))
+    joined = fact.join(agg, join_type="inner", num_partitions=16,
+                       on=("o_custkey",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.greater(pc.multiply(t["cents"], t["n"]), t["s"])
+        return t.filter(m).select(["o_orderkey", "o_custkey", "cents"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+ABOVE_AVG_SQL = """
+WITH c AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o JOIN c USING (o_custkey)
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * c.n > c.s
+"""
+
+
+def regex_extract_docs(sf_dir: str):
+    """REGEXP_EXTRACT scalar surface: the first ≥6-letter word per doc
+    ('' when none) — one vectorized ``pc.extract_regex`` pass. Both
+    sides run RE2, so match semantics are identical by construction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], r"\b(?P<m>[a-z]{6,})\b")
+        return pa.table({"doc_id": t["doc_id"],
+                         "first_long": pc.fill_null(
+                             pc.struct_field(m, "m"), "")})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+REGEX_EXTRACT_SQL = r"""
+SELECT doc_id, regexp_extract(text, '\b([a-z]{6,})\b', 1) AS first_long
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4472,6 +4687,11 @@ QUERIES = {
     "value_histogram_events": value_histogram_events,
     "events_csv_ingest": events_csv_ingest,
     "events_jsonl_ingest": events_jsonl_ingest,
+    "dsir_importance_docs": dsir_importance_docs,
+    "event_transition_matrix": event_transition_matrix,
+    "customer_names_by_nation": customer_names_by_nation,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "regex_extract_docs": regex_extract_docs,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -4584,6 +4804,11 @@ ORACLES = {
     "value_histogram_events": VALUE_HISTOGRAM_SQL,
     "events_csv_ingest": EVENTS_INGEST_SQL,
     "events_jsonl_ingest": EVENTS_INGEST_SQL,
+    "dsir_importance_docs": DSIR_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
+    "customer_names_by_nation": STRING_AGG_SQL,
+    "orders_above_customer_avg": ABOVE_AVG_SQL,
+    "regex_extract_docs": REGEX_EXTRACT_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,

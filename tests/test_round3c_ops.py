@@ -118,6 +118,113 @@ def test_value_histogram_partitions_all_rows():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dsir_importance_brute_force(tmp_path):
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog sat on the rug"),
+        (2, "de", "der hund sitzt auf dem teppich"),
+        (3, "fr", "le chat"),
+        (4, "zh", "solo"),          # short doc: whole text is the gram
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": [d[1] for d in docs],
+        "text": [d[2] for d in docs],
+    }), str(tmp_path / "documents.parquet"))
+
+    def grams(s):
+        t = s.split(" ")
+        return [" ".join(t[i:i + 2]) for i in range(len(t) - 1)] \
+            if len(t) >= 2 else [s]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 4096
+
+    ct, cs = {}, {}
+    for _, lang, s in docs:
+        for g in grams(s):
+            b = bucket(g)
+            cs[b] = cs.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    ratio = {b: ((ct.get(b, 0) + 1) * 1_000_000) // (c + 1)
+             for b, c in cs.items()}
+    want = {d: sum(ratio[bucket(g)] for g in grams(s))
+            for d, _, s in docs}
+
+    got = (QUERIES["dsir_importance_docs"](str(tmp_path)).to_pandas()
+           .set_index("doc_id")["dsir_score"].to_dict())
+    assert got == want
+    # target-language docs must outscore the non-target ones here
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transition_matrix_vs_pandas():
+    import pandas as pd
+    got = (QUERIES["event_transition_matrix"](SF).to_pandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    ev = (pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["user_id", "event_id", "ts",
+                                   "event_type"])
+          .sort_values(["user_id", "ts", "event_id"]))
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    pairs = (pd.DataFrame({"from_type": prev, "to_type": ev["event_type"]})
+             .dropna().groupby(["from_type", "to_type"]).size()
+             .reset_index(name="n")
+             .sort_values(["from_type", "to_type"])
+             .reset_index(drop=True))
+    assert got["from_type"].tolist() == pairs["from_type"].tolist()
+    assert got["to_type"].tolist() == pairs["to_type"].tolist()
+    assert got["n"].tolist() == pairs["n"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_agg_vs_pandas():
+    import pandas as pd
+    got = (QUERIES["customer_names_by_nation"](SF).to_pandas()
+           .sort_values("c_nationkey").reset_index(drop=True))
+    c = (pd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_nationkey", "c_custkey", "c_name"])
+         .sort_values("c_custkey"))
+    want = c.groupby("c_nationkey").agg(
+        names=("c_name", "|".join),
+        n_customers=("c_name", "size")).reset_index()
+    assert got["names"].tolist() == want["names"].tolist()
+    assert got["n_customers"].tolist() == want["n_customers"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_above_avg_vs_pandas():
+    import pandas as pd
+    got = (QUERIES["orders_above_customer_avg"](SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"])
+    o["cents"] = (o["o_totalprice"] * 100).round().astype(np.int64)
+    g = o.groupby("o_custkey")["cents"]
+    keep = o[o["cents"] * g.transform("size") > g.transform("sum")]
+    assert got["o_orderkey"].tolist() == sorted(keep["o_orderkey"])
+    assert len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_regex_extract_brute_force(tmp_path):
+    import re
+    texts = ["a bb ccc dddddd ee", "short toks here", "gigantic word",
+             "x"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()), "text": texts,
+    }), str(tmp_path / "documents.parquet"))
+    got = (QUERIES["regex_extract_docs"](str(tmp_path)).to_pandas()
+           .sort_values("doc_id"))
+    want = [(m.group(1) if (m := re.search(r"\b([a-z]{6,})\b", s))
+             else "") for s in texts]
+    assert got["first_long"].tolist() == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_csv_jsonl_ingest_match_parquet():
     csv = (QUERIES["events_csv_ingest"](SF).to_pandas()
            .sort_values("event_type").reset_index(drop=True))
