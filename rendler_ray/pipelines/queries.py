@@ -4604,6 +4604,122 @@ FROM documents
 """
 
 
+def token_cooccurrence_top100(sf_dir: str):
+    """Association mining: document co-occurrence counts over the
+    top-100 most-frequent tokens (the PMI / word-association building
+    block). Shape at 100 TB: distributed document-frequency groupby →
+    distributed sort + limit(100) (the vocab table, tiny) → vocab
+    broadcast ONCE via ``ray.put`` → per-batch boolean indicator matrix
+    and a single ``Mᵀ·M`` int64 matmul (one partial 100×100 matrix per
+    batch — the combiner) → groupby over ≤4,950 (i, j) keys. No
+    token-pair explode ever hits the shuffle. Pair order: vocab is
+    indexed in lexicographic order, so i < j ⇔ token_a < token_b,
+    matching the SQL's ``a.token < b.token`` exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def unique_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[par]
+        u = pd.DataFrame({"doc_id": ids, "token": flat}).drop_duplicates()
+        return pa.table({"doc_id": pa.array(u["doc_id"].to_numpy(np.int64)),
+                         "token": pa.array(u["token"].tolist(), pa.string())})
+
+    df = (ds.map_batches(unique_tokens, batch_format="pyarrow")
+          .groupby("token").aggregate(Count(alias_name="df")))
+    top = (df.sort(["df", "token"], descending=[True, False]).limit(100)
+           .take_all())  # bounded: <= 100 rows
+    vocab = sorted(r["token"] for r in top)
+    vref = ray.put(pa.array(vocab, pa.string()))
+    V = len(vocab)
+
+    def partials(t: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=vs)
+        ok = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        iv = idx.to_numpy(zero_copy_only=False)
+        m = np.zeros((len(t), V), bool)
+        m[par[ok], iv[ok].astype(np.int64)] = True
+        c = m.astype(np.int64).T @ m.astype(np.int64)
+        iu, ju = np.triu_indices(V, 1)
+        g = c[iu, ju]
+        nz = g > 0
+        return pa.table({"i": pa.array(iu[nz], pa.int64()),
+                         "j": pa.array(ju[nz], pa.int64()),
+                         "n_docs": pa.array(g[nz], pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["i", "j"]).aggregate(Sum("n_docs",
+                                              alias_name="n_docs")))
+
+    def name_pairs(t: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        return pa.table({"token_a": pc.take(vs, t["i"]),
+                         "token_b": pc.take(vs, t["j"]),
+                         "n_docs": t["n_docs"]})
+
+    return agg.map_batches(name_pairs, batch_format="pyarrow")
+
+
+COOCCURRENCE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+ut AS (SELECT DISTINCT doc_id, token FROM tok),
+df AS (SELECT token, count(*) AS df FROM ut GROUP BY token),
+top AS (SELECT token FROM df ORDER BY df DESC, token LIMIT 100),
+f AS (SELECT ut.doc_id, ut.token FROM ut JOIN top ON ut.token = top.token)
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+"""
+
+
+def embedding_gram_matrix(sf_dir: str):
+    """Distributed Gram / scatter matrix Σ xᵀx over the embedding
+    column — the reduction inside PCA, covariance estimation, and
+    linear-probe fitting. Each batch contributes ONE 64×64 int64
+    partial via a single matmul (B×64 fixed-point matrix, EᵀE);
+    partials flatten to upper-triangle (i, j, g) rows and a 2,080-key
+    groupby sums them — the classic tree-reduction shape, no driver
+    state beyond the final tiny table. Fixed point: values floor() to
+    1e-6 units in FLOAT64 (f32→f64 is exact and DuckDB promotes the
+    same way), so integer products make the sum order-free and the
+    oracle bit-exact. Indices are 1-based to match
+    ``generate_subscripts``."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        d = pc.list_value_length(emb)[0].as_py() if len(emb) else 64
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        e = np.floor(flat.astype(np.float64) * 1_000_000).astype(
+            np.int64).reshape(len(t), d)
+        g = e.T @ e
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "g": pa.array(g[iu, ju], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["i", "j"]).aggregate(Sum("g", alias_name="g")))
+
+
+GRAM_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS f
+           FROM embeddings)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.f * b.f) AS BIGINT) AS g
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4692,6 +4808,8 @@ QUERIES = {
     "customer_names_by_nation": customer_names_by_nation,
     "orders_above_customer_avg": orders_above_customer_avg,
     "regex_extract_docs": regex_extract_docs,
+    "token_cooccurrence_top100": token_cooccurrence_top100,
+    "embedding_gram_matrix": embedding_gram_matrix,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -4809,6 +4927,8 @@ ORACLES = {
     "customer_names_by_nation": STRING_AGG_SQL,
     "orders_above_customer_avg": ABOVE_AVG_SQL,
     "regex_extract_docs": REGEX_EXTRACT_SQL,
+    "token_cooccurrence_top100": COOCCURRENCE_SQL,
+    "embedding_gram_matrix": GRAM_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,

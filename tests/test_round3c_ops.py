@@ -245,3 +245,57 @@ def test_csv_jsonl_ingest_match_parquet():
     assert csv["sum_cents"].tolist() == g["sum_cents"].tolist()
     assert csv["first_us"].tolist() == g["first_us"].tolist()
     assert csv["last_us"].tolist() == g["last_us"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_brute_force(tmp_path):
+    from itertools import combinations
+    texts = ["the cat sat", "the cat ran", "a dog sat", "the dog",
+             "cat cat cat", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts,
+    }), str(tmp_path / "documents.parquet"))
+    docs = [set(s.split(" ")) for s in texts]
+    df = {}
+    for d in docs:
+        for t in d:
+            df[t] = df.get(t, 0) + 1
+    top = {t for t, _ in sorted(df.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:100]}
+    want = {}
+    for d in docs:
+        for a, b in combinations(sorted(d & top), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = QUERIES["token_cooccurrence_top100"](str(tmp_path)).to_pandas()
+    gmap = {(r.token_a, r.token_b): r.n_docs for r in got.itertuples()}
+    assert gmap == want
+    assert all(a < b for a, b in gmap)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_top100_cap():
+    got = QUERIES["token_cooccurrence_top100"](SF).to_pandas()
+    toks = set(got["token_a"]) | set(got["token_b"])
+    assert len(toks) <= 100
+    assert (got["n_docs"] >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_matrix_vs_numpy():
+    import pandas as pd
+    got = (QUERIES["embedding_gram_matrix"](SF).to_pandas()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding"])["embedding"]
+    e = np.floor(np.stack(emb.to_numpy()).astype(np.float64)
+                 * 1_000_000).astype(np.int64)
+    g = e.T @ e
+    d = e.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    iu, ju = np.triu_indices(d)
+    want = pd.DataFrame({"i": iu + 1, "j": ju + 1, "g": g[iu, ju]})
+    want = want.sort_values(["i", "j"]).reset_index(drop=True)
+    assert got["i"].tolist() == want["i"].tolist()
+    assert got["j"].tolist() == want["j"].tolist()
+    assert got["g"].tolist() == want["g"].tolist()
