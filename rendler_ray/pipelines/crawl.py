@@ -755,12 +755,20 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             else:
                 # larger batches than the block size: fewer tasks amortize
                 # the per-task shard-gather cost; num_cpus=1 avoids
-                # oversubscribing memory bandwidth on the gather-heavy path
+                # oversubscribing memory bandwidth on the gather-heavy
+                # path. Adaptive cap: a small round must still split into
+                # >= ~2 tasks per CPU or every core past the task count
+                # idles through the round — at a fixed 16384 a 20k-URL
+                # round is 2 tasks, i.e. serial time on any cluster size
+                # above 2 slots (measured: the round-3 scaling erosion).
+                ncpus = int(ray.cluster_resources().get("CPU", 8))
+                fetch_bs = int(min(max(cfg.batch_size, 16384),
+                                   max(2048, -(-n_frontier // (2 * ncpus)))))
                 fetched = admitted.map_batches(
                     fetch_batch,
                     fn_kwargs={"shards": web_shards},
                     batch_format="pyarrow",
-                    batch_size=max(cfg.batch_size, 16384),
+                    batch_size=fetch_bs,
                     num_cpus=1,
                 )
                 if cfg.fetch_fail_rate:
@@ -776,7 +784,7 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     fetched = fetched.map_batches(
                         enrich_batch, fn_kwargs=enrich_kwargs,
                         batch_format="pyarrow",
-                        batch_size=max(cfg.batch_size, 16384), num_cpus=1,
+                        batch_size=fetch_bs, num_cpus=1,
                     )
                 fetched = fetched.materialize()
         if os.environ.get("RENDLER_CRAWL_STATS"):
@@ -843,7 +851,9 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                     render_batch,
                     fn_kwargs={"round_no": r},
                     batch_format="pyarrow",
-                    batch_size=max(cfg.batch_size, 16384),
+                    # same adaptive sizing as fetch: small rounds must
+                    # still fan out across the cluster
+                    batch_size=fetch_bs,
                     num_cpus=1,
                 ).materialize()
         pages_rendered += renders.count()
