@@ -4389,8 +4389,11 @@ FROM events GROUP BY event_type
 """
 
 
-# per-worker memo: bigram -> hash bucket (the DSIR feature hasher)
+# per-worker memo: bigram -> hash bucket (the DSIR feature hasher).
+# Capped: at corpus scale the distinct-bigram space is unbounded, so the
+# memo stops inserting past the cap rather than growing with the stream.
 _DSIR_BCACHE: dict[str, int] = {}
+_DSIR_BCACHE_CAP = 1 << 21
 
 
 def _dsir_buckets(grams: np.ndarray, mod: int = 4096) -> np.ndarray:
@@ -4403,7 +4406,8 @@ def _dsir_buckets(grams: np.ndarray, mod: int = 4096) -> np.ndarray:
         b = _DSIR_BCACHE.get(g)
         if b is None:
             b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % mod
-            _DSIR_BCACHE[g] = b
+            if len(_DSIR_BCACHE) < _DSIR_BCACHE_CAP:
+                _DSIR_BCACHE[g] = b
         out[i] = b
     return out
 
@@ -4617,17 +4621,20 @@ def token_cooccurrence_top100(sf_dir: str):
     matching the SQL's ``a.token < b.token`` exactly."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def unique_tokens(t: pa.Table) -> pa.Table:
+    def df_partials(t: pa.Table) -> pa.Table:
+        # combiner: each doc lives in exactly one batch, so per-batch
+        # (token, n_docs) partials are exact — the df shuffle carries
+        # one row per distinct token per batch, not per (doc, token).
         toks = pc.split_pattern(t["text"].combine_chunks(), " ")
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)[par]
-        u = pd.DataFrame({"doc_id": ids, "token": flat}).drop_duplicates()
-        return pa.table({"doc_id": pa.array(u["doc_id"].to_numpy(np.int64)),
-                         "token": pa.array(u["token"].tolist(), pa.string())})
+        u = (pd.DataFrame({"doc_id": par, "token": flat}).drop_duplicates()
+             .groupby("token", sort=False).size().reset_index(name="df"))
+        return pa.table({"token": pa.array(u["token"].tolist(), pa.string()),
+                         "df": pa.array(u["df"].to_numpy(np.int64))})
 
-    df = (ds.map_batches(unique_tokens, batch_format="pyarrow")
-          .groupby("token").aggregate(Count(alias_name="df")))
+    df = (ds.map_batches(df_partials, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
     top = (df.sort(["df", "token"], descending=[True, False]).limit(100)
            .take_all())  # bounded: <= 100 rows
     vocab = sorted(r["token"] for r in top)
