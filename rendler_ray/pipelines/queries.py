@@ -4727,6 +4727,57 @@ GROUP BY a.i, b.i
 """
 
 
+def q6_pruned_revenue(sf_dir: str):
+    """TPC-H Q6 shape with the predicate pushed INTO the parquet read:
+    ``read_parquet(..., filter=<arrow dataset expression>)`` prunes at
+    the scan — row groups whose column statistics fail the filter are
+    never read, and surviving rows are filtered before they enter the
+    object store. At 100 TB this is the difference between scanning the
+    fact table and scanning ~2% of it; no downstream ``Dataset.filter``
+    pass exists at all. Revenue is fixed-pointed per row on BOTH sides
+    (cents × discount-percent, exact integers) before the sum."""
+    import datetime
+
+    import pyarrow.dataset as pds
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    expr = ((pds.field("l_shipdate") >= lo)
+            & (pds.field("l_shipdate") < hi)
+            & (pds.field("l_discount") >= 0.05)
+            & (pds.field("l_discount") <= 0.07)
+            & (pds.field("l_quantity") < 24))
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = (_cents(t["l_extendedprice"]).to_numpy()
+               * _cents(t["l_discount"]).to_numpy())
+        return pa.table({"revenue": pa.array([int(rev.sum())], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_rows", alias_name="n_rows")))
+    return pa.table({
+        "revenue": pa.array([int(agg.get("revenue") or 0)], pa.int64()),
+        "n_rows": pa.array([int(agg.get("n_rows") or 0)], pa.int64())})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4817,6 +4868,7 @@ QUERIES = {
     "regex_extract_docs": regex_extract_docs,
     "token_cooccurrence_top100": token_cooccurrence_top100,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "q6_pruned_revenue": q6_pruned_revenue,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -4936,6 +4988,7 @@ ORACLES = {
     "regex_extract_docs": REGEX_EXTRACT_SQL,
     "token_cooccurrence_top100": COOCCURRENCE_SQL,
     "embedding_gram_matrix": GRAM_SQL,
+    "q6_pruned_revenue": Q6_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,

@@ -299,3 +299,22 @@ def test_gram_matrix_vs_numpy():
     assert got["i"].tolist() == want["i"].tolist()
     assert got["j"].tolist() == want["j"].tolist()
     assert got["g"].tolist() == want["g"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q6_pushdown_vs_pandas():
+    import pandas as pd
+    got = QUERIES["q6_pruned_revenue"](SF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    m = ((li["l_shipdate"] >= "1996-01-01")
+         & (li["l_shipdate"] < "1997-01-01")
+         & (li["l_discount"] >= 0.05) & (li["l_discount"] <= 0.07)
+         & (li["l_quantity"] < 24))
+    sub = li[m]
+    cents = (sub["l_extendedprice"] * 100).round().astype(np.int64)
+    disc = (sub["l_discount"] * 100).round().astype(np.int64)
+    assert got["n_rows"][0].as_py() == len(sub) > 0
+    assert got["revenue"][0].as_py() == int((cents * disc).sum())
