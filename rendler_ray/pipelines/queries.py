@@ -4778,6 +4778,106 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def _ed_le1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact Levenshtein-distance-≤1 test over two aligned
+    string arrays (unit costs, no transposition — the same metric as
+    DuckDB ``levenshtein``). Equal lengths: ≤1 mismatching position.
+    Lengths off by one: with p = leading equal chars (left-aligned) and
+    q = trailing equal chars of short vs longer-shifted-by-one, the
+    distance is 1 iff p + q >= len(short). Everything else is > 1."""
+    out = np.zeros(len(a), dtype=bool)
+    la = np.char.str_len(a.astype(str))
+    lb = np.char.str_len(b.astype(str))
+    for sa, sb, swap in ((a, b, False), (b, a, True)):
+        ls, ll = (la, lb) if not swap else (lb, la)
+        for n in np.unique(ls):
+            sel = np.flatnonzero((ls == n) & (ll == n + 1))
+            if not len(sel):
+                continue
+            if n == 0:  # empty vs 1-char: one insertion, distance 1
+                out[sel] = True
+                continue
+            s = sa[sel].astype(f"U{n}").view("U1").reshape(len(sel), n)
+            l2 = sb[sel].astype(f"U{n + 1}").view("U1").reshape(
+                len(sel), n + 1)
+            eqp = s == l2[:, :n]
+            eqs = s == l2[:, 1:]
+            p = np.where(eqp.all(1), n, eqp.argmin(1))
+            q = np.where(eqs[:, ::-1].all(1), n, eqs[:, ::-1].argmin(1))
+            out[sel[p + q >= n]] = True
+    for n in np.unique(la):
+        sel = np.flatnonzero((la == n) & (lb == n))
+        if not len(sel):
+            continue
+        if n == 0:  # two empty strings: distance 0
+            out[sel] = True
+            continue
+        s = a[sel].astype(f"U{n}").view("U1").reshape(len(sel), n)
+        t = b[sel].astype(f"U{n}").view("U1").reshape(len(sel), n)
+        out[sel[(s != t).sum(1) <= 1]] = True
+    return out
+
+
+def fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy self-join (edit distance ≤ 1) over customer names — the
+    SymSpell / spelling-correction join, an operator Ray Data has no
+    native form of. Distributed shape: distinct names → each name emits
+    itself plus its single-deletion variants (a pair within distance 1
+    ALWAYS shares such a variant — banding is lossless upward) → hash
+    JOIN on the variant key co-locates candidates → vectorized exact
+    distance-≤1 verify kills the banding's false positives (e.g.
+    'ab'/'ba' share variant 'a' but have distance 2) → groupby dedup
+    (a true pair shares several variants). Candidate groups are bounded
+    by alphabet × name length, never all-pairs; the variant explode is
+    |names| × (len+1) rows. Verified against DuckDB ``levenshtein``."""
+    ds = _read(sf_dir, "customer", ["c_name"])
+    uniq = ds.groupby("c_name").aggregate(Count(alias_name="_n"))
+
+    def variants(t: pa.Table, col_out: str) -> pa.Table:
+        s = pd.Series(t["c_name"].to_numpy(zero_copy_only=False),
+                      dtype=object)
+        outs = [pd.DataFrame({"variant": s, col_out: s})]
+        maxlen = int(s.str.len().max()) if len(s) else 0
+        for d in range(maxlen):  # maxlen vectorized passes, no row loop
+            sub = s[s.str.len() > d]
+            outs.append(pd.DataFrame(
+                {"variant": sub.str[:d] + sub.str[d + 1:], col_out: sub}))
+        v = pd.concat(outs, ignore_index=True)
+        return pa.table({"variant": pa.array(v["variant"], pa.string()),
+                         col_out: pa.array(v[col_out], pa.string())})
+
+    left = uniq.map_batches(variants, fn_kwargs={"col_out": "name_a"},
+                            batch_format="pyarrow")
+    right = uniq.map_batches(variants, fn_kwargs={"col_out": "name_b"},
+                             batch_format="pyarrow")
+    cand = left.join(right, join_type="inner", num_partitions=16,
+                     on=("variant",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = pc.less(t["name_a"], t["name_b"]).to_numpy(
+            zero_copy_only=False)
+        a = t["name_a"].to_numpy(zero_copy_only=False)[m]
+        b = t["name_b"].to_numpy(zero_copy_only=False)[m]
+        keep = _ed_le1_mask(a, b)
+        return pa.table({"name_a": pa.array(a[keep], pa.string()),
+                         "name_b": pa.array(b[keep], pa.string())})
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    dedup = verified.groupby(["name_a", "name_b"]).aggregate(
+        Count(alias_name="_c"))
+    return dedup.map_batches(lambda t: t.select(["name_a", "name_b"]),
+                             batch_format="pyarrow")
+
+
+FUZZY_SQL = """
+WITH n AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM n a JOIN n b ON a.c_name < b.c_name
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4869,6 +4969,7 @@ QUERIES = {
     "token_cooccurrence_top100": token_cooccurrence_top100,
     "embedding_gram_matrix": embedding_gram_matrix,
     "q6_pruned_revenue": q6_pruned_revenue,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -4989,6 +5090,7 @@ ORACLES = {
     "token_cooccurrence_top100": COOCCURRENCE_SQL,
     "embedding_gram_matrix": GRAM_SQL,
     "q6_pruned_revenue": Q6_SQL,
+    "fuzzy_name_pairs": FUZZY_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,

@@ -318,3 +318,55 @@ def test_q6_pushdown_vs_pandas():
     disc = (sub["l_discount"] * 100).round().astype(np.int64)
     assert got["n_rows"][0].as_py() == len(sub) > 0
     assert got["revenue"][0].as_py() == int((cents * disc).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_brute_force(tmp_path):
+    names = ["cat", "bat", "cats", "ab", "ba", "bab", "", "x",
+             "cart", "caat", "hello", "hallo", "hell", "shell"]
+    pq.write_table(pa.table({"c_name": pa.array(names, pa.string())}),
+                   str(tmp_path / "customer.parquet"))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = sorted({tuple(sorted((a, b))) for i, a in enumerate(names)
+                   for b in names[i + 1:] if lev(a, b) <= 1})
+    got = (QUERIES["fuzzy_name_pairs"](str(tmp_path)).to_pandas()
+           .sort_values(["name_a", "name_b"]))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert ("ab", "ba") not in set(map(tuple, got.to_numpy()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_sf():
+    got = QUERIES["fuzzy_name_pairs"](SF).to_pandas()
+    assert len(got) > 0
+    assert (got["name_a"] < got["name_b"]).all()
+    # no duplicate pairs
+    assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_random_shuffle_training_export():
+    """Exercise ds.random_shuffle on the packed-sequence export path:
+    the shuffled dataset is an exact permutation of the unshuffled one
+    (rows intact, order changed). Order is NOT asserted stable across
+    invocations — Ray's shuffle seed does not pin block arrival order,
+    which is why the oracle-able exports use md5-hash ordering
+    instead (functions/pack.py)."""
+    from rendler_ray.pipelines.queries import QUERIES as Q
+    base = Q["pack_training_sequences"](SF)
+    plain = base.to_pandas().sort_values("seq_id").reset_index(drop=True)
+    s1 = base.random_shuffle(seed=7).to_pandas()
+    assert sorted(s1["seq_id"]) == plain["seq_id"].tolist()
+    assert s1["seq_id"].tolist() != plain["seq_id"].tolist()
+    # rows survive intact, not just ids: spot-check content equality
+    a = s1.sort_values("seq_id").reset_index(drop=True)
+    assert a["n_tokens"].tolist() == plain["n_tokens"].tolist()
