@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pack_training_sequences",  # r3: sequence-packing op family
     "dup_span_stats_docs",      # r3: substring-dedup op family
     "classifier_score_docs",    # r3: model-scoring inference family
+    "q6_pruned_revenue",        # r3: predicate-pushdown scan family
 ]
 
 

@@ -4878,6 +4878,79 @@ FROM n a JOIN n b ON a.c_name < b.c_name
 """
 
 
+def embedding_quantize_int8(sf_dir: str):
+    """Per-dimension int8 (0..255) vector quantization — the embedding
+    STORAGE op: at 100 TB a float32 vector column quantizes 4× before
+    it hits the ANN index. Two passes: (1) per-batch per-dim min/max
+    partials (64 rows per batch, one vectorized ``min(0)``/``max(0)``)
+    → a 64-row groupby → driver bounds table broadcast via ``ray.put``;
+    (2) stateless quantize ``floor((v − mn)·255 / (mx − mn))``. The
+    arithmetic is the same IEEE double chain on both sides (f32→f64 is
+    exact; numpy broadcasts elementwise left-to-right exactly as the
+    SQL expression), so the oracle is bit-exact with no fixed-point
+    dance. Output is per-vector integer stats of the quantized codes
+    (the full code table is the same map minus the aggregate)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        if not len(emb):
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        d = pc.list_value_length(emb)[0].as_py()
+        e = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), d)
+        return pa.table({"i": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "mn": pa.array(e.min(0), pa.float64()),
+                         "mx": pa.array(e.max(0), pa.float64())})
+
+    b = (ds.map_batches(bounds_partial, batch_format="pyarrow")
+         .groupby("i").aggregate(Min("mn", alias_name="mn"),
+                                 Max("mx", alias_name="mx"))
+         .take_all())  # bounded: one row per dimension
+    d = len(b)
+    mn = np.empty(d, np.float64)
+    mx = np.empty(d, np.float64)
+    for r in b:
+        mn[r["i"] - 1] = r["mn"]
+        mx[r["i"] - 1] = r["mx"]
+    bref = ray.put((mn, mx))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bref)
+        emb = t["embedding"].combine_chunks()
+        e = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(t), len(lo))
+        span = hi - lo
+        q = np.floor((e - lo[None, :]) * 255.0
+                     / np.where(span == 0, 1.0, span)[None, :])
+        q = np.where(span[None, :] == 0, 0.0, q).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "q_sum": pa.array(q.sum(1), pa.int64()),
+            "q_min": pa.array(q.min(1), pa.int64()),
+            "q_max": pa.array(q.max(1), pa.int64())})
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+QUANTIZE_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+b AS (SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i),
+q AS (SELECT e.vec_id,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE CAST(floor((e.v - b.mn) * 255 / (b.mx - b.mn))
+                            AS BIGINT) END AS q
+      FROM e JOIN b USING (i))
+SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+       CAST(min(q) AS BIGINT) AS q_min, CAST(max(q) AS BIGINT) AS q_max
+FROM q GROUP BY vec_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4970,6 +5043,7 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "q6_pruned_revenue": q6_pruned_revenue,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "contamination_check_docs": contamination_check_docs,
     "repetition_filter_docs": repetition_filter_docs,
     "domain_mix_sample": domain_mix_sample,
@@ -5091,6 +5165,7 @@ ORACLES = {
     "embedding_gram_matrix": GRAM_SQL,
     "q6_pruned_revenue": Q6_SQL,
     "fuzzy_name_pairs": FUZZY_SQL,
+    "embedding_quantize_int8": QUANTIZE_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "repetition_filter_docs": REPETITION_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,

@@ -370,3 +370,23 @@ def test_random_shuffle_training_export():
     # rows survive intact, not just ids: spot-check content equality
     a = s1.sort_values("seq_id").reset_index(drop=True)
     assert a["n_tokens"].tolist() == plain["n_tokens"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantize_int8_vs_numpy():
+    import pandas as pd
+    got = (QUERIES["embedding_quantize_int8"](SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    e = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = e.min(0), e.max(0)
+    span = np.where(hi - lo == 0, 1.0, hi - lo)
+    q = np.floor((e - lo[None, :]) * 255.0 / span[None, :])
+    q = np.where((hi - lo)[None, :] == 0, 0.0, q).astype(np.int64)
+    order = np.argsort(emb["vec_id"].to_numpy())
+    assert got["vec_id"].tolist() == emb["vec_id"].to_numpy()[order].tolist()
+    assert got["q_sum"].tolist() == q.sum(1)[order].tolist()
+    assert got["q_min"].tolist() == q.min(1)[order].tolist()
+    assert got["q_max"].tolist() == q.max(1)[order].tolist()
+    assert got["q_max"].max() == 255 and got["q_min"].min() == 0
