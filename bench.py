@@ -155,11 +155,12 @@ def scaling() -> None:
     fresh Ray processes: N=2 vs 4N=8 cpus. The pair sits below this
     sandbox VM's ~16-vCPU delivery ceiling (full 1..32 ladder + analysis
     in BASELINE.md), so it measures the ENGINE's scaling, not the
-    hypervisor's. The 8-cpu leg runs twice (shared-box variance), the
-    long 2-cpu leg once."""
+    hypervisor's. SYMMETRIC repeat policy (r4): best-of-2 on BOTH legs —
+    the earlier best-of-2-hi/single-lo asymmetry biased efficiency
+    upward (VERDICT r3 #5)."""
     lo, hi = 2, 8
     out = {}
-    for n, repeats in ((lo, 1), (hi, 2)):
+    for n, repeats in ((lo, 2), (hi, 2)):
         best = None
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)

@@ -244,13 +244,26 @@ def salt_hot_int_buckets(ds, key_col: str = "bucket_key",
              for b, n in hist.items() if n > max_bucket}
     if not n_sub:
         return ds
-    sub_ref = ray.put(n_sub)
+    # keys must fit 63−shift_bits bits once shifted — enforce, don't
+    # rely on the caller having read the docstring
+    max_key = max(abs(int(k)) for k in hist)
+    assert max_key < (1 << (63 - shift_bits)), (
+        f"bucket key {max_key} overflows {63 - shift_bits} bits under "
+        f"shift_bits={shift_bits}")
+    # sorted (hot key → n_sub) arrays: the per-batch lookup is one
+    # vectorized searchsorted instead of a per-row dict.get generator
+    hot_keys = np.array(sorted(n_sub), dtype=np.int64)
+    hot_nsub = np.array([n_sub[int(k)] for k in hot_keys],
+                        dtype=np.uint64)
+    sub_ref = ray.put((hot_keys, hot_nsub))
 
     def salt(t: pa.Table) -> pa.Table:
-        ns = ray.get(sub_ref)
+        hk, hn = ray.get(sub_ref)
         bk = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        subs = np.fromiter((ns.get(int(b), 1) for b in bk),
-                           dtype=np.uint64, count=len(bk))
+        pos = np.searchsorted(hk, bk)
+        pos_c = np.minimum(pos, len(hk) - 1)
+        is_hot = hk[pos_c] == bk
+        subs = np.where(is_hot, hn[pos_c], np.uint64(1))
         h = stable_hash64(t[id_col])
         salted = (bk << shift_bits) | (h % subs).astype(np.int64)
         return t.set_column(t.schema.get_field_index(key_col), key_col,

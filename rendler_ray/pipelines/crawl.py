@@ -137,13 +137,14 @@ class CrawlConfig:
     # token-budget column) to each fetched page. Broadcast once.
     enrich_bpe_merges: str | None = None
     # fetch each newly-seen host's /robots.txt from the (closed-world)
-    # web itself and fold it into the politeness policies. The
-    # known-host ledger is a driver set by default; set
-    # host_ledger_shards > 0 to keep it in sharded SeenShard actors
-    # instead (the 10^8-hosts form — the driver then only ever holds
-    # one round's distinct hosts).
+    # web itself and fold it into the politeness policies. With
+    # auto_robots the known-host ledger + parsed policies live in
+    # sharded actors BY DEFAULT (None → 4 shards — the 10^8-hosts form:
+    # the driver only ever holds one round's distinct hosts, never a
+    # cumulative ray.put(policies)); set host_ledger_shards=0 to
+    # explicitly opt into the driver-set form (small closed crawls).
     auto_robots: bool = False
-    host_ledger_shards: int = 0
+    host_ledger_shards: int | None = None
     # per-host budget thresholds broadcast as a dict up to this many
     # hosts; above it the gate becomes a hash join on host
     # (state/politeness.py::_budget_gate_join)
@@ -479,7 +480,11 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
     robots_known: set[str] = set(policies)
     host_ledger = None
     policy_shards = None
-    if cfg.auto_robots and cfg.host_ledger_shards > 0:
+    # None → sharded store by default under auto_robots (4 shards);
+    # 0 is the explicit driver-set opt-out
+    ledger_shards = (4 if cfg.host_ledger_shards is None
+                     else cfg.host_ledger_shards)
+    if cfg.auto_robots and ledger_shards > 0:
         # sharded known-host ledger + policy store: same actor infra as
         # the URL-seen set, keyed by host — the driver only ever sees
         # one round's distinct hosts (and their policies), never the
@@ -490,8 +495,8 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             policy_put,
         )
 
-        host_ledger = make_seen_shards(cfg.host_ledger_shards, "exact")
-        policy_shards = make_policy_shards(cfg.host_ledger_shards)
+        host_ledger = make_seen_shards(ledger_shards, "exact")
+        policy_shards = make_policy_shards(ledger_shards)
         if policies:
             seen_check_and_add(host_ledger, sorted(policies))
             policy_put(policy_shards, policies)

@@ -2720,18 +2720,40 @@ def simhash_docs(sf_dir: str):
         ["doc_id", "simhash"])
 
 
+_CKPT_ROOT = None
+
+
+def _ckpt_root() -> str:
+    """Per-process checkpoint root, created lazily and reaped at exit.
+
+    Keying by pid (not just tag) means two concurrent runs — bench +
+    check_correctness, or two sf dirs — can never rmtree each other's
+    checkpoint mid-read or silently consume the other scale factor's
+    data; the atexit hook keeps /tmp bounded (the old fixed-path scheme
+    reused one dir and was unsafe under concurrency; the scheme before
+    that used uuid suffixes and leaked)."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is None:
+        import atexit
+        import shutil
+
+        _CKPT_ROOT = f"/tmp/rendler_ray_ckpt/pid{os.getpid()}"
+        atexit.register(shutil.rmtree, _CKPT_ROOT, ignore_errors=True)
+    return _CKPT_ROOT
+
+
 def _checkpoint(ds, tag: str):
     """Spill an intermediate Dataset to /tmp parquet and return a lazy
     read-back — the scale-safe way to consume a computed stage twice
     (``.materialize()`` would pin every block in the object store for
     the whole query; a parquet checkpoint streams both passes).
 
-    The path is keyed by ``tag`` (unique per query) and REUSED — cleared
-    and rewritten on each call — so repeated gate runs never accumulate
-    /tmp usage (earlier uuid-named dirs leaked unboundedly)."""
+    The path is keyed by (process, tag) and REUSED — cleared and
+    rewritten on each call — so repeated gate runs never accumulate
+    /tmp usage while staying safe under concurrent processes."""
     import shutil
 
-    path = f"/tmp/rendler_ray_ckpt/{tag}"
+    path = f"{_ckpt_root()}/{tag}"
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
@@ -3206,23 +3228,34 @@ def crawl_prioritized(sf_dir: str):
     children of deferred pages are discovered later.
     Deterministic (fixed-point e9 scores, seq tie-break); rows-only
     (iterative scoring upstream)."""
-    import pyarrow.parquet as pq
+    import shutil
 
-    from rendler_ray.functions.graph import pagerank
+    from rendler_ray.functions.graph import pagerank_auto
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.sources.synthweb import default_seeds
 
     docs = _synth_docs_for(sf_dir)
     base = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
                              max_depth=4))
-    ranks = pagerank(base.edges, iters=5)
-    scores = pa.table({
-        "url": pa.array(ranks["url"], pa.string()),
-        "score": pa.array(
-            np.round(ranks["rank"].to_numpy() * 1e9).astype(np.int64),
-            pa.int64())})
+    # size-gated: broadcast below 1M nodes, distributed above — the
+    # gate is bit-invisible (tests/test_graph.py forced-threshold test).
+    # Scores stream straight to the parquet score table (a Dataset →
+    # write_parquet dir, never driver-materialized).
+    ranks = pagerank_auto(base.edges, iters=5)
+
+    def fixed_point(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "score": pa.array(
+                np.round(t["rank"].to_numpy(zero_copy_only=False)
+                         * 1e9).astype(np.int64), pa.int64())})
+
     spath = docs.replace(".parquet", "") + "_pr_scores.parquet"
-    pq.write_table(scores, spath)
+    if os.path.isfile(spath):    # pre-r4 runs wrote a single file here
+        os.remove(spath)
+    shutil.rmtree(spath, ignore_errors=True)
+    ranks.map_batches(fixed_point,
+                      batch_format="pyarrow").write_parquet(spath)
     res = crawl(CrawlConfig(docs_path=docs, seeds=default_seeds(1),
                             max_depth=4, priority_scores=spath,
                             priority_per_round=64))
@@ -3888,14 +3921,18 @@ GROUP BY doc_id
 """
 
 
-# per-worker memo: token -> integer weight (the model table lookup)
+# per-worker memo: token -> integer weight (the model table lookup).
+# Insertion-capped like _DSIR_BCACHE: distinct tokens grow with the
+# stream at corpus scale, so past the cap tokens still hash correctly —
+# they just stop being memoized (bounded worker memory).
 _CLF_WCACHE: dict[str, int] = {}
+_CLF_WCACHE_CAP = 1 << 21
 
 
 def _clf_weights(tokens: np.ndarray) -> np.ndarray:
     """Deterministic hashed-feature weights: md5(token) → bucket →
     integer weight (bucket % 1001) − 500. Memoized per worker process
-    (unique tokens only ever hash once per worker)."""
+    (unique tokens only ever hash once per worker, up to the cap)."""
     import hashlib
 
     out = np.empty(len(tokens), np.int64)
@@ -3904,7 +3941,8 @@ def _clf_weights(tokens: np.ndarray) -> np.ndarray:
         if w is None:
             h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
             w = h % 1001 - 500
-            _CLF_WCACHE[tok] = w
+            if len(_CLF_WCACHE) < _CLF_WCACHE_CAP:
+                _CLF_WCACHE[tok] = w
         out[i] = w
     return out
 
@@ -3994,11 +4032,14 @@ def first_last_order_per_customer(sf_dir: str):
     """FIRST_VALUE / LAST_VALUE over the full partition (per customer,
     ordered by (order date, order key)) — expressed as a pure
     COMMUTATIVE aggregate instead of a window sort: pack the ordering
-    key into one int64 composite (epoch_days·10^8 + orderkey), Min/Max
+    key into one int64 composite (epoch_days << 44 | orderkey), Min/Max
     fold it through Ray's two-level partial aggregation, unpack the
     payload with ``%``. No per-group sort, no map_groups — the
     arg-min/arg-max-as-packed-scalar trick (same as pack.py's boundary
-    tokens)."""
+    tokens). Bounds: orderkey < 2^44 holds to TPC-H sf ≈ 2.9M (keys are
+    6M·sf, sparse ×4) and epoch_days < 2^19 covers year 3000+, so
+    days·2^44 + key < 2^63 with headroom — the earlier 10^8 multiplier
+    silently corrupted keys ≥ 10^8 (sf ≳ 17)."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
                                   "o_orderdate"])
 
@@ -4006,7 +4047,8 @@ def first_last_order_per_customer(sf_dir: str):
         us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
             zero_copy_only=False)
         keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        comp = (us // 86_400_000_000) * 100_000_000 + keys
+        assert keys.max(initial=0) < (1 << 44), "orderkey overflows pack"
+        comp = ((us // 86_400_000_000) << 44) | keys
         return pa.table({"o_custkey": t["o_custkey"],
                          "comp": pa.array(comp, pa.int64())})
 
@@ -4021,8 +4063,8 @@ def first_last_order_per_customer(sf_dir: str):
         mx = t["mx"].to_numpy(zero_copy_only=False)
         return pa.table({
             "o_custkey": t["o_custkey"],
-            "first_key": pa.array(mn % 100_000_000, pa.int64()),
-            "last_key": pa.array(mx % 100_000_000, pa.int64()),
+            "first_key": pa.array(mn & ((1 << 44) - 1), pa.int64()),
+            "last_key": pa.array(mx & ((1 << 44) - 1), pa.int64()),
             "n_orders": t["n_orders"]})
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -4031,11 +4073,11 @@ def first_last_order_per_customer(sf_dir: str):
 FIRST_LAST_SQL = """
 WITH c AS (SELECT o_custkey,
                   (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
-                    * 100000000 + o_orderkey AS comp
+                    * 17592186044416 + o_orderkey AS comp
            FROM orders)
 SELECT o_custkey,
-       CAST(min(comp) % 100000000 AS BIGINT) AS first_key,
-       CAST(max(comp) % 100000000 AS BIGINT) AS last_key,
+       CAST(min(comp) % 17592186044416 AS BIGINT) AS first_key,
+       CAST(max(comp) % 17592186044416 AS BIGINT) AS last_key,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM c GROUP BY o_custkey
 """
@@ -4286,7 +4328,11 @@ def value_histogram_events(sf_dir: str):
     column bucketing each value against the broadcast bounds, then one
     20-row groupby. Bucket edges use the identical double expression on
     both sides ((hi−lo)/20.0, floor((v−lo)/w), clamp) so the floats are
-    bit-equal; sums are per-row cents."""
+    bit-equal; sums are per-row cents. Zero-width guard: a constant
+    column gives hi == lo → all rows to bucket 0 (mirrors
+    embedding_quantize_int8's span guard; the SQL special-cases it the
+    same way) — without it floor((v−lo)/0) is NaN and NaN→int64 is
+    undefined."""
     ds = _read(sf_dir, "events", ["value"])
     stats = ds.aggregate(Min("value"), Max("value"))
     lo, hi = stats["min(value)"], stats["max(value)"]
@@ -4294,7 +4340,10 @@ def value_histogram_events(sf_dir: str):
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
-        b = np.minimum(np.floor((v - lo) / w).astype(np.int64), 19)
+        if w == 0.0:
+            b = np.zeros(len(v), np.int64)
+        else:
+            b = np.minimum(np.floor((v - lo) / w).astype(np.int64), 19)
         return pa.table({"bucket": pa.array(b, pa.int64()),
                          "cents": _cents(t["value"])})
 
@@ -4306,8 +4355,9 @@ def value_histogram_events(sf_dir: str):
 
 VALUE_HISTOGRAM_SQL = """
 WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-b AS (SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
-                        AS BIGINT), 19) AS bucket,
+b AS (SELECT CASE WHEN hi = lo THEN 0
+             ELSE least(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                        AS BIGINT), 19) END AS bucket,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events, s)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,

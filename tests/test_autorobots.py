@@ -36,13 +36,14 @@ def test_auto_robots_fetched_from_web(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_sharded_host_ledger_identical(tmp_path):
-    """host_ledger_shards>0 keeps the known-host ledger in sharded
-    actors; the crawl must be identical to the driver-dict ledger."""
+    """The sharded host ledger (the auto_robots DEFAULT since r4;
+    host_ledger_shards=0 is the explicit driver-dict opt-out) must
+    crawl identically to the driver-dict ledger."""
     docs = docs_parquet(str(tmp_path / "docs_hl.parquet"), n_docs=300,
                         n_hosts=8, seed=42, p_host_robots=0.7)
     base = dict(docs_path=docs, seeds=default_seeds(1), max_depth=3,
                 num_seen_shards=2, num_web_shards=2, auto_robots=True)
-    drv = crawl(CrawlConfig(**base))
+    drv = crawl(CrawlConfig(**base, host_ledger_shards=0))
     shd = crawl(CrawlConfig(**base, host_ledger_shards=2))
     a = sorted(zip(table_from_ds(drv.fetched)["seq"].to_pylist(),
                    table_from_ds(drv.fetched)["url"].to_pylist()))
