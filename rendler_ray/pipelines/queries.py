@@ -3850,39 +3850,96 @@ def render_interleaved(sf_dir: str):
 # completions, semantic dedup.
 
 
-def dup_span_stats_docs(sf_dir: str):
+def dup_span_stats_docs(sf_dir: str, driver_max: int = 5_000_000):
     """Duplicate-substring statistics — the exact-substring training-data
     dedup shape (Lee et al. ACL'22 "Deduplicating Training Data Makes
     Language Models Better", public): a word 5-gram appearing in >= 2
     DISTINCT documents marks a duplicated span; per doc, count its gram
     instances lying in such spans, computed by COMPLEMENT:
     n_dup(doc) = Σ all gram instances − Σ instances of grams UNIQUE to
-    the doc. ONE explode pass emits per-batch-combined (gram, doc_id,
-    tf) rows (each doc lives in exactly one batch row, so pairs are
-    globally unique — a gram's group row-count IS its distinct-doc
-    count, and a unique gram's Min(doc_id)/Sum(tf) identify its sole
-    owner and instance count in the same aggregate); the unique-gram
-    rows re-enter NEGATED through a union and one groupby(doc_id) sums
-    both signs. Two gram/doc-keyed shuffles, no join, no broadcast of
-    the corpus-sized dup-gram set, no per-group Python. All-integer,
-    SQL-exact."""
+    the doc. ONE explode pass emits per-batch-combined
+    (g1, g2, doc_id, tf) rows — the gram is immediately replaced by a
+    128-bit hash (two independently-keyed SipHash64 halves,
+    ``pandas.util.hash_array``), so raw gram STRINGS never leave the
+    explode task: every downstream exchange carries four int64 columns
+    instead of ~30-byte text keys (~6× the corpus). Each doc lives in
+    exactly one batch row, so (hash, doc) pairs are globally unique —
+    a hash's group row-count IS its distinct-doc count, and a unique
+    gram's Min(doc_id)/Sum(tf) identify its sole owner and instance
+    count in the same fold. The POSITIVE side never touches the gram
+    table: a doc's total gram-instance count is max(n_tokens − 4, 1),
+    one cheap vectorized token-count scan.
+
+    Size-gated finish (the connected_components_auto / crawl key-rank
+    pattern): total gram instances ≤ ``driver_max`` → the combined
+    int64 partials fold on the driver through Arrow's C++ hash
+    aggregate (a ~16-byte/row table; 5M rows ≈ 160 MB, one bounded
+    pull) — no all-to-all at all; above the gate the identical
+    semantics run distributed (hash groupby → negated union →
+    groupby(doc_id), two int-keyed shuffles, no join, no corpus-sized
+    broadcast). Equality of the two forms is pytest-asserted.
+
+    Collision argument: distinct grams collide on BOTH 64-bit halves
+    with probability ≈ n²/2^129 — at 10^12 distinct grams (100-TB
+    corpus) that is ~1.5e-15, far below hardware error rates, and a
+    collision only perturbs one doc's count by a few grams.
+    All-integer, SQL-exact (verified at sf0.01 and sf0.1)."""
+    import pandas.util as pdu
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def gram_tf(t: pa.Table) -> pa.Table:
         grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 5)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
-        g = (pd.DataFrame({"gram": grams, "doc_id": ids})
-             .groupby(["gram", "doc_id"], sort=False).size()
+        garr = np.asarray(grams, dtype=object)
+        g1 = pdu.hash_array(garr, categorize=False).view(np.int64)
+        g2 = pdu.hash_array(garr, hash_key="rendlerdupspan2!",
+                            categorize=False).view(np.int64)
+        g = (pd.DataFrame({"g1": g1, "g2": g2, "doc_id": ids})
+             .groupby(["g1", "g2", "doc_id"], sort=False).size()
              .reset_index(name="tf"))
         return pa.table({
-            "gram": pa.array(g["gram"].to_numpy(object), pa.string()),
+            "g1": pa.array(g["g1"].to_numpy(np.int64), pa.int64()),
+            "g2": pa.array(g["g2"].to_numpy(np.int64), pa.int64()),
             "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
             "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64())})
 
-    # consumed twice (total counts + unique-gram counts): checkpoint
-    pairs = _checkpoint(ds.map_batches(gram_tf, batch_format="pyarrow"),
-                        "dupspan_pairs")
-    gagg = pairs.groupby("gram").aggregate(
+    def doc_totals(t: pa.Table) -> pa.Table:
+        # total gram instances per doc = max(n_tokens − 4, 1): the same
+        # whitespace tokenization as kgram_rows (docs under 5 tokens
+        # emit their whole text as one gram)
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "tf": pa.array(np.maximum(ntok - 4, 1),
+                                        pa.int64())})
+
+    pos = ds.map_batches(doc_totals, batch_format="pyarrow")
+    # gate scalar: one pruned aggregate scan (two ints to the driver)
+    tot = pos.aggregate(Sum("tf", alias_name="tot"))["tot"] or 0
+
+    pairs = ds.map_batches(gram_tf, batch_format="pyarrow")
+
+    if tot <= driver_max:
+        # bounded-driver fold: pull the batch-combined int partials and
+        # finish with two Arrow hash aggregates — zero shuffles
+        ptbl = pa.concat_tables(
+            pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+        gagg = pa.TableGroupBy(ptbl, ["g1", "g2"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min"), ("tf", "sum")])
+        uniq = gagg.filter(pc.equal(gagg["doc_id_count"], 1))
+        neg_t = pa.table({"doc_id": uniq["doc_id_min"],
+                          "tf": pc.negate(uniq["tf_sum"])})
+        pos_t = pa.concat_tables(
+            pos.iter_batches(batch_size=None, batch_format="pyarrow"))
+        both = pa.concat_tables([pos_t, neg_t])
+        out = pa.TableGroupBy(both, "doc_id").aggregate([("tf", "sum")])
+        out = out.filter(pc.greater(out["tf_sum"], 0))
+        return pa.table({"doc_id": out["doc_id"],
+                         "n_dup_grams": out["tf_sum"]})
+
+    gagg = pairs.groupby(["g1", "g2"]).aggregate(
         Count(alias_name="n_docs"),
         Min("doc_id", alias_name="doc_id"),
         Sum("tf", alias_name="tf"))
@@ -3893,8 +3950,6 @@ def dup_span_stats_docs(sf_dir: str):
                          "tf": pc.negate(u["tf"])})
 
     neg = gagg.map_batches(negate_unique, batch_format="pyarrow")
-    pos = pairs.map_batches(lambda t: t.select(["doc_id", "tf"]),
-                            batch_format="pyarrow")
     return (pos.union(neg)
             .groupby("doc_id").aggregate(
                 Sum("tf", alias_name="n_dup_grams"))

@@ -50,6 +50,22 @@ def test_dup_span_stats_brute_force(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dup_span_driver_gate_equals_distributed():
+    """The bounded-driver Arrow fold (default below 5M gram instances)
+    and the distributed two-shuffle form must agree exactly — the
+    connected_components_auto gate-invisibility contract."""
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import dup_span_stats_docs
+
+    a = (to_pandas(dup_span_stats_docs(SF))
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (to_pandas(dup_span_stats_docs(SF, driver_max=0))
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_classifier_score_brute_force(tmp_path):
     texts = ["the cat sat", "on the mat today", "zebra"]
     pq.write_table(pa.table({
