@@ -4138,24 +4138,44 @@ FROM c GROUP BY o_custkey
 """
 
 
-def semdedup_drop_docs(sf_dir: str):
+def semdedup_drop_docs(sf_dir: str, target_cluster: int = 2048,
+                       max_cluster: int = 4096):
     """Semantic dedup (SemDeDup, Abbas et al. 2023, public): k-means
     clusters the embedding space (broadcast-centroid distributed fit),
     then near-duplicate detection runs ONLY within each cluster —
     ``groupby(cluster)`` co-locates candidates so the cosine check is
-    bounded by cluster size, never corpus size (SemDeDup's own design:
-    n_clusters grows with the corpus so clusters stay bounded; the
-    exact all-pairs twin is ``embedding_near_dup_exact``). Within a
-    cluster, pairs with cosine >= 0.95 union into groups and the min
-    vec_id survives. Output: (vec_id, cluster, keep_flag) for every
-    vector. Deterministic (hash-sampled k-means init); rows-only
-    (iterative k-means is not SQL-expressible); planted-duplicate
-    recovery pytested."""
+    bounded by cluster size, never corpus size. Two scale bounds
+    (SemDeDup's own design — n_clusters grows with the corpus so
+    clusters stay bounded):
+
+    - ``n_clusters = clamp(n / target_cluster, 8, 4096)`` scales with
+      the corpus count (one parquet-metadata scalar), so the expected
+      in-cluster O(b²) cosine matrix stays ~target_cluster² long past
+      test scale (the 4096 ceiling keeps the driver-side sample
+      k-means init tractable; past n_clusters × max_cluster ≈ 16M
+      vectors the hard cap below carries the bound alone);
+    - a HARD per-cluster cap: clusters over ``max_cluster`` rows are
+      hash-of-id sub-bucket salted BEFORE the groupby
+      (``ann.salt_hot_int_buckets`` — the simhash-banding skew guard),
+      so no single task can ever materialize an unbounded m @ m.T.
+      Near-dup pairs crossing sub-buckets of an oversized cluster are
+      the deliberate Manku-style trade; when salting fires, the output
+      ``cluster`` ids are the salted keys (cluster << 20 | sub).
+
+    Within a cluster, pairs with cosine >= 0.95 union into groups and
+    the min vec_id survives. Output: (vec_id, cluster, keep_flag) for
+    every vector. Deterministic (hash-sampled k-means init); rows-only
+    (iterative k-means is not SQL-expressible); planted-duplicate +
+    adversarial one-giant-cluster recovery pytested."""
     from rendler_ray.functions.ann import (_normalize, batch_to_matrix,
-                                           kmeans_fit)
+                                           kmeans_fit,
+                                           salt_hot_int_buckets)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent = kmeans_fit(ds, n_clusters=8, iters=6)
+    n = ds.count()  # parquet metadata, no scan
+    n_clusters = int(min(max(8, n // target_cluster), 4096))
+    cent = kmeans_fit(ds, n_clusters=n_clusters, iters=6,
+                      sample_rows=max(2048, 2 * n_clusters))
     cref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -4164,6 +4184,11 @@ def semdedup_drop_docs(sf_dir: str):
         return t.append_column("cluster", pa.array(cl, pa.int64()))
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
+    # hard cap: sub-bucket-salt any cluster over max_cluster rows so
+    # the in-cluster cosine matrix is bounded at O(max_cluster²)
+    assigned = salt_hot_int_buckets(assigned, key_col="cluster",
+                                    id_col="vec_id",
+                                    max_bucket=max_cluster)
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy(np.int64)

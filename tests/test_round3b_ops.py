@@ -162,3 +162,37 @@ def test_semdedup_planted_duplicates(tmp_path):
         want_keep = {gids[i]: int(find(i) == i) for i in range(len(gids))}
         got_keep = grp.set_index("vec_id")["keep_flag"].to_dict()
         assert {int(k): int(v) for k, v in got_keep.items()} == want_keep
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_giant_cluster_bounded(tmp_path):
+    """Adversarial skew: 3000 near-identical vectors all land in ONE
+    k-means cluster. The hard per-cluster cap must sub-bucket-salt it
+    so no single dedup task sees an unbounded group — every OUTPUT
+    cluster stays a small multiple of max_cluster, keeps = one min-id
+    survivor per sub-bucket, and everything else is dropped."""
+    from rendler_ray.pipelines.queries import semdedup_drop_docs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    vecs = base + rng.normal(size=(3000, 16)) * 1e-4  # cosine ≈ 1.0
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(3000), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    df = (semdedup_drop_docs(str(tmp_path), max_cluster=256)
+          .to_pandas())
+    assert len(df) == 3000
+    sizes = df.groupby("cluster").size()
+    assert len(sizes) >= 2, "giant cluster was never split"
+    # hash sub-bucketing is uneven but bounded well below the corpus
+    assert sizes.max() <= 4 * 256, sizes.max()
+    # within every sub-bucket all vectors are mutual near-dups: exactly
+    # one survivor each, and it is the bucket's min vec_id
+    kept = df[df["keep_flag"] == 1]
+    assert len(kept) == len(sizes)
+    mins = df.groupby("cluster")["vec_id"].min()
+    assert sorted(kept["vec_id"]) == sorted(mins.tolist())
