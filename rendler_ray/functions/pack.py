@@ -179,6 +179,99 @@ def pack_sequences(docs_ds, seq_len: int = 128, id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def token_shard_partials_batch(t: pa.Table, *, seq_len: int,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> pa.Table:
+    """(id, n, off, text) rows → per-(doc, sequence) partial rows that
+    CARRY the token slice: (seq_id, lo, toks: list<string>). The
+    sibling of :func:`token_partials_batch` for shard export — instead
+    of boundary keys it ships each overlap's actual tokens, so one
+    groupby(seq_id) downstream can assemble the full sequence."""
+    toks_arr = pc.split_pattern(t[text_col].combine_chunks(), " ")
+    offs = t["off"].to_numpy(zero_copy_only=False)
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    out_s, out_lo, out_t = [], [], []
+    for i in range(t.num_rows):
+        toks = toks_arr[i].as_py()
+        toks.append(EOD)
+        off, n = int(offs[i]), int(ns[i])
+        for s, lo, hi in _seq_bounds(off, n, seq_len):
+            out_s.append(s)
+            out_lo.append(lo)
+            out_t.append(toks[lo - off:hi - off])
+    return pa.table({
+        "seq_id": pa.array(out_s, pa.int64()),
+        "lo": pa.array(out_lo, pa.int64()),
+        "toks": pa.array(out_t, pa.list_(pa.string()))})
+
+
+def _empty_token_seqs():
+    return ray.data.from_arrow(pa.table({
+        "seq_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "tokens": pa.array([], pa.list_(pa.string())),
+        "token_ids": pa.array([], pa.list_(pa.int32()))}))
+
+
+def pack_token_sequences(docs_ds, seq_len: int = 128,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         salt: str = "-pk", num_partitions: int = 8):
+    """documents → Dataset (seq_id, n_tokens, n_docs,
+    tokens: list<string>, token_ids: list<int32>) — the ACTUAL packed
+    training sequences a trainer loads, not just the manifest. Same
+    distributed shape as :func:`pack_sequences` (two-pass prefix sum,
+    text by hash join, ONE groupby(seq_id)); the per-sequence fold
+    sorts a handful of (doc, seq) token slices by global position and
+    concatenates — bounded by seq_len, never the corpus. ``token_ids``
+    is a deterministic 31-bit hash of each token (the vocab-lookup
+    seam: a real tokenizer swaps in a broadcast merge table, e.g.
+    functions/bpe.py, without changing the pipeline shape)."""
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    offs = assign_offsets(docs_ds, id_col=id_col, text_col=text_col,
+                          salt=salt)
+    offs = _nonempty_blocks(offs.materialize())
+    if offs is None:
+        return _empty_token_seqs()
+    joined = offs.join(docs_ds, join_type="inner",
+                       num_partitions=num_partitions, on=(id_col,))
+    parts = joined.map_batches(
+        token_shard_partials_batch,
+        fn_kwargs={"seq_len": seq_len, "id_col": id_col,
+                   "text_col": text_col},
+        batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("lo", kind="stable")
+        toks = [tok for lst in g["toks"] for tok in lst]
+        return pd.DataFrame({
+            "seq_id": [np.int64(g["seq_id"].iloc[0])],
+            "n_tokens": [np.int64(len(toks))],
+            "n_docs": [np.int64(len(g))],
+            "tokens": [toks]})
+
+    seqs = parts.groupby("seq_id").map_groups(fold, batch_format="pandas")
+
+    def add_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(
+                "token_ids", pa.array([], pa.list_(pa.int32())))
+        arr = t["tokens"].combine_chunks()
+        flat = arr.flatten()
+        ids = (stable_hash64(flat) % np.uint64(1 << 31)).astype(np.int32)
+        # rebuild offsets from lengths (arr.offsets need not start at 0
+        # after slicing) so values and offsets always align
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         pa.array(ids, pa.int32()))
+        return t.append_column("token_ids", lists)
+
+    return seqs.map_batches(add_ids, batch_format="pyarrow")
+
+
 def pack_manifest_by_counts(ds, seq_len: int, id_col: str, n_col: str,
                             salt: str = "-pk"):
     """Packing manifest from token COUNTS only (no token materialization

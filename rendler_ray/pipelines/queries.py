@@ -3575,6 +3575,69 @@ FROM tok GROUP BY seq_id
 """
 
 
+def pack_token_shards(sf_dir: str):
+    """Token-level training shards — the artifact a trainer actually
+    loads (closing r3's manifest-only last mile): documents are packed
+    into 128-token sequences carrying the FULL token arrays
+    (tokens: list<string> + token_ids: list<int32>,
+    functions/pack.py::pack_token_sequences), written as resumable
+    hash-bucketed parquet shards (storage.write_partitioned — stamped
+    buckets, crash-safe re-runs), then verified FROM THE WRITTEN
+    SHARDS: the returned rows (seq_id, n_tokens, n_docs, tokens_md5)
+    are computed off the read-back, so the oracle pins the on-disk
+    artifact token-exactly (DuckDB md5(string_agg(token ORDER BY
+    pos)) over the zipped-unnest reconstruction)."""
+    import hashlib
+    import shutil
+
+    from rendler_ray.functions.pack import pack_token_sequences
+    from rendler_ray.storage import write_partitioned
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    seqs = pack_token_sequences(ds, seq_len=128)
+    out = f"{_ckpt_root()}/token_shards"
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned(seqs, out, key_col="seq_id", num_buckets=8)
+
+    def verify_rows(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join(t["tokens"], " ")
+        md5s = [hashlib.md5(s.encode()).hexdigest()
+                for s in joined.to_pylist()]
+        return pa.table({
+            "seq_id": t["seq_id"],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "tokens_md5": pa.array(md5s, pa.string())})
+
+    return (rd.read_parquet(out)
+            .map_batches(verify_rows, batch_format="pyarrow"))
+
+
+PACK_TOKEN_SHARDS_SQL = """
+WITH d AS (
+  SELECT doc_id, list_append(string_split(text, ' '), '<|eod|>') AS toks,
+         len(string_split(text, ' ')) + 1 AS n,
+         md5(CAST(doc_id AS VARCHAR) || '-pk') AS hkey
+  FROM documents),
+o AS (
+  SELECT doc_id, toks, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY hkey, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM d),
+tok AS (
+  SELECT doc_id,
+         off + unnest(generate_series(1, n)) - 1 AS pos,
+         unnest(toks) AS token
+  FROM o)
+SELECT pos // 128 AS seq_id,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(token, ' ' ORDER BY pos)) AS tokens_md5
+FROM tok GROUP BY seq_id
+"""
+
+
 def crawl_content_dedup(sf_dir: str):
     """Training-data crawl with exact content dedup fused in: duplicate
     pages (same text fingerprint) are dropped before render/extract,
@@ -5201,6 +5264,7 @@ QUERIES = {
     "crawl_canonical_groups": crawl_canonical_groups,
     "training_data_pipeline": training_data_pipeline,
     "pack_training_sequences": pack_training_sequences,
+    "pack_token_shards": pack_token_shards,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -5307,4 +5371,5 @@ ORACLES = {
     "ann_topk": ANN_TOPK_SQL,
     "embedding_near_dup_exact": EMB_NEAR_DUP_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
+    "pack_token_shards": PACK_TOKEN_SHARDS_SQL,
 }

@@ -130,3 +130,47 @@ def test_streaming_split_covers_all_sequences():
     [t.join() for t in ts]
     assert sorted(got[0] + got[1]) == expected
     assert got[0] and got[1]  # both consumers actually received work
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_shards_reconstruct_every_doc(tmp_path):
+    """pack_token_sequences emits the REAL token arrays: written shards,
+    read back and concatenated in seq order, reproduce the exact global
+    token stream — splitting on <|eod|> recovers every document's text
+    in (md5 hash, doc_id) order; token_ids align 1:1 with tokens."""
+    import ray.data as rd
+
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.functions.pack import pack_token_sequences
+    from rendler_ray.storage import read_partitioned, write_partitioned
+
+    tbl = _docs(n=40, seed=3)
+    L = 16
+    seqs = pack_token_sequences(rd.from_arrow(tbl), seq_len=L).materialize()
+    out = str(tmp_path / "tok_shards")
+    write_partitioned(seqs, out, key_col="seq_id", num_buckets=4)
+
+    back = (read_partitioned(out).to_pandas()
+            .sort_values("seq_id").reset_index(drop=True))
+    # fixed length except the tail; ids align with tokens
+    assert (back["n_tokens"].iloc[:-1] == L).all()
+    for toks, ids in zip(back["tokens"], back["token_ids"]):
+        assert len(toks) == len(ids)
+        want = (stable_hash64(np.asarray(toks, object))
+                % np.uint64(1 << 31)).astype(np.int32)
+        assert list(ids) == list(want)
+
+    stream = [t for toks in back["tokens"] for t in toks]
+    docs, cur = [], []
+    for t in stream:
+        if t == "<|eod|>":
+            docs.append(" ".join(cur))
+            cur = []
+        else:
+            cur.append(t)
+    assert not cur  # stream ends on a doc boundary
+    texts = tbl["text"].to_pylist()
+    order = sorted(range(len(texts)),
+                   key=lambda i: (hashlib.md5(f"{i}-pk".encode()).hexdigest(),
+                                  i))
+    assert docs == [texts[i] for i in order]
