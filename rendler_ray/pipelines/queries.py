@@ -4021,6 +4021,233 @@ def dup_span_stats_docs(sf_dir: str, driver_max: int = 5_000_000):
                 batch_format="pyarrow"))
 
 
+def remove_dup_spans_docs(sf_dir: str, broadcast_max: int = 1_000_000,
+                          num_partitions: int = 8):
+    """Exact-substring dedup that REMOVES the duplicated spans — Lee et
+    al. ACL'22's actual output (``dup_span_stats_docs`` is the stats
+    half): every token covered by a word 5-gram occurring in ≥ 2
+    distinct documents is cut, and the cleaned document re-joined.
+    Output per AFFECTED doc: (doc_id, n_removed_tokens, cleaned_md5) —
+    md5 of the cleaned text (md5('') when nothing survives), so the
+    DuckDB oracle pins the cleaned BYTES, not just counts.
+
+    Distributed shape: the dup-gram set is computed as 128-bit hashed
+    keys (the dup_span_stats machinery — strings never shuffle). Dup
+    grams are the Zipf head, tiny next to the corpus, so up to
+    ``broadcast_max`` keys they broadcast once (``ray.put`` of two
+    sorted int64 arrays, ~16 MB at the cap) and ONE map pass over the
+    documents recomputes its grams locally, marks covered positions
+    via a vectorized structured-array ``searchsorted`` membership
+    test, and rebuilds the kept tokens with Arrow list offsets +
+    ``binary_join`` — no second corpus shuffle. Past the cap the same
+    semantics run as int-keyed joins: gram instances ⋈ dup keys →
+    per-doc covered starts (bounded lists) ⋈ documents → the same
+    vectorized cleaner. Both forms equality-pytested."""
+    import hashlib
+
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_inst(t: pa.Table) -> pa.Table:
+        """(doc_id, i, g1, g2) — one row per gram INSTANCE; within a
+        doc, gram j starts at token j (kgram_rows slides one token at
+        a time; short docs emit one whole-text gram at 0)."""
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 5)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
+        garr = np.asarray(grams, dtype=object)
+        g1 = pdu.hash_array(garr, categorize=False).view(np.int64)
+        g2 = pdu.hash_array(garr, hash_key="rendlerdupspan2!",
+                            categorize=False).view(np.int64)
+        # occurrence index within each doc == gram start position
+        starts = np.arange(len(gpar), dtype=np.int64)
+        if len(gpar):
+            first = np.concatenate([[0], np.flatnonzero(
+                np.diff(gpar)) + 1])
+            starts -= np.repeat(starts[first],
+                                np.diff(np.concatenate(
+                                    [first, [len(gpar)]])))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "i": pa.array(starts, pa.int64()),
+            "g1": pa.array(g1, pa.int64()),
+            "g2": pa.array(g2, pa.int64())})
+
+    inst = ds.map_batches(gram_inst, batch_format="pyarrow")
+
+    # dup keys: (g1, g2) pairs seen in >= 2 distinct docs. Instances of
+    # one doc may repeat a gram, so count distinct docs via per-batch
+    # (doc is whole in a batch) first-occurrence rows — reuse the
+    # dup_span combiner property: one (g1,g2,doc) row per doc per gram.
+    def first_per_doc(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g1": t["g1"].to_numpy(zero_copy_only=False),
+                           "g2": t["g2"].to_numpy(zero_copy_only=False),
+                           "doc_id": t["doc_id"].to_numpy(
+                               zero_copy_only=False)})
+        u = df.drop_duplicates()
+        return pa.table({"g1": pa.array(u["g1"].to_numpy(np.int64)),
+                         "g2": pa.array(u["g2"].to_numpy(np.int64)),
+                         "doc_id": pa.array(
+                             u["doc_id"].to_numpy(np.int64))})
+
+    dup_keys = (inst.map_batches(first_per_doc, batch_format="pyarrow")
+                .groupby(["g1", "g2"])
+                .aggregate(Count(alias_name="n_docs"))
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.greater_equal(t["n_docs"], 2)
+                    ).select(["g1", "g2"]),
+                    batch_format="pyarrow")).materialize()
+    n_dup = dup_keys.count()
+
+    def _clean_batch(t: pa.Table, dup_rec) -> pa.Table:
+        """Vectorized cleaner: mark covered token positions, rebuild
+        kept tokens per doc via list offsets + binary_join."""
+        texts = t["text"].combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grams, gpar, _ = F_text.kgram_rows(texts, 5)
+        garr = np.asarray(grams, dtype=object)
+        q = np.empty(len(garr), dtype=dup_rec.dtype)
+        q["a"] = pdu.hash_array(garr, categorize=False).view(np.int64)
+        q["b"] = pdu.hash_array(garr, hash_key="rendlerdupspan2!",
+                                categorize=False).view(np.int64)
+        if len(dup_rec):
+            idx_c = np.minimum(np.searchsorted(dup_rec, q),
+                               len(dup_rec) - 1)
+            hit = dup_rec[idx_c] == q
+        else:
+            hit = np.zeros(len(q), bool)
+        # within-doc start positions (occurrence index)
+        starts = np.arange(len(gpar), dtype=np.int64)
+        if len(gpar):
+            first = np.concatenate([[0], np.flatnonzero(
+                np.diff(gpar)) + 1])
+            starts -= np.repeat(starts[first],
+                                np.diff(np.concatenate(
+                                    [first, [len(gpar)]])))
+        doc_off = np.concatenate([[0], np.cumsum(nt)]).astype(np.int64)
+        hd, hs = gpar[hit], starts[hit]
+        n_flat = int(doc_off[-1])
+        covered = np.zeros(n_flat, bool)
+        for k in range(5):
+            p = doc_off[hd] + hs + k
+            ok = hs + k < nt[hd]
+            covered[p[ok]] = True
+        flat = pc.list_flatten(toks)
+        keep = ~covered
+        kept_per_doc = np.add.reduceat(
+            keep, doc_off[:-1]) if n_flat else np.zeros(len(nt), np.int64)
+        kept_per_doc = np.where(nt == 0, 0, kept_per_doc).astype(np.int64)
+        removed = nt - kept_per_doc
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]
+                              ).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), flat.filter(pa.array(keep)))
+        cleaned = pc.binary_join(kept_lists, " ").to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        aff = removed > 0
+        md5s = [hashlib.md5((cleaned[i] or "").encode()).hexdigest()
+                for i in np.flatnonzero(aff)]
+        return pa.table({
+            "doc_id": pa.array(ids[aff], pa.int64()),
+            "n_removed_tokens": pa.array(removed[aff], pa.int64()),
+            "cleaned_md5": pa.array(md5s, pa.string())})
+
+    if n_dup <= broadcast_max:
+        rec = np.empty(n_dup, dtype=[("a", "<i8"), ("b", "<i8")])
+        pos = 0
+        for b in dup_keys.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+            m = b.num_rows
+            rec["a"][pos:pos + m] = b["g1"].to_numpy(zero_copy_only=False)
+            rec["b"][pos:pos + m] = b["g2"].to_numpy(zero_copy_only=False)
+            pos += m
+        rec.sort()
+        rec_ref = ray.put(rec)
+        return ds.map_batches(
+            lambda t: _clean_batch(t, ray.get(rec_ref)),
+            batch_format="pyarrow")
+
+    # join fallback: instances ⋈ dup keys → per-doc covered starts →
+    # ⋈ documents → same cleaner semantics per joined row
+    cov = inst.join(dup_keys, join_type="inner",
+                    num_partitions=num_partitions, on=("g1", "g2"))
+
+    def fold_starts(g: pd.DataFrame) -> pd.DataFrame:
+        # comma-joined string: joins can't carry list/tensor payloads
+        s = ",".join(map(str, np.sort(g["i"].to_numpy(np.int64))))
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "starts": [s]})
+
+    starts_ds = cov.groupby("doc_id").map_groups(fold_starts,
+                                                 batch_format="pandas")
+    joined = starts_ds.join(ds, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("doc_id",))
+
+    def clean_joined(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_rm, out_md5 = [], [], []
+        for i in range(t.num_rows):
+            tk = toks[i].as_py()
+            covered = np.zeros(int(nt[i]), bool)
+            for s in map(int, t["starts"][i].as_py().split(",")):
+                covered[s:s + 5] = True
+            kept = [w for w, c in zip(tk, covered) if not c]
+            rm = int(covered.sum())
+            if rm == 0:
+                continue
+            out_id.append(int(ids[i]))
+            out_rm.append(rm)
+            out_md5.append(hashlib.md5(
+                " ".join(kept).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_removed_tokens": pa.array(out_rm, pa.int64()),
+            "cleaned_md5": pa.array(out_md5, pa.string())})
+
+    return joined.map_batches(clean_joined, batch_format="pyarrow")
+
+
+REMOVE_DUP_SPANS_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+g AS (SELECT doc_id, n, toks,
+             unnest(generate_series(1, n - 4)) AS i
+      FROM t WHERE n >= 5),
+gr AS (SELECT doc_id, n, i,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4] AS gram FROM g
+       UNION ALL
+       SELECT doc_id, n, 1 AS i, text AS gram FROM t WHERE n < 5),
+d AS (SELECT gram FROM gr GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT gr.doc_id, gr.i + ks.k AS pos
+        FROM gr JOIN d USING (gram),
+             (SELECT unnest(generate_series(0, 4)) AS k) ks
+        WHERE gr.i + ks.k <= gr.n),
+ap AS (SELECT doc_id, toks, unnest(generate_series(1, n)) AS pos
+       FROM t WHERE n > 0),
+kept AS (SELECT a.doc_id, a.pos, a.toks[a.pos] AS token
+         FROM ap a LEFT JOIN cov c
+           ON a.doc_id = c.doc_id AND a.pos = c.pos
+         WHERE c.pos IS NULL),
+rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_tokens
+       FROM cov GROUP BY doc_id)
+SELECT rm.doc_id, rm.n_removed_tokens,
+       coalesce(md5(string_agg(k.token, ' ' ORDER BY k.pos)), md5(''))
+         AS cleaned_md5
+FROM rm LEFT JOIN kept k ON rm.doc_id = k.doc_id
+GROUP BY rm.doc_id, rm.n_removed_tokens
+"""
+
+
 DUP_SPAN_SQL = """
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
            FROM documents),
@@ -5265,6 +5492,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "pack_training_sequences": pack_training_sequences,
     "pack_token_shards": pack_token_shards,
+    "remove_dup_spans_docs": remove_dup_spans_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -5372,4 +5600,5 @@ ORACLES = {
     "embedding_near_dup_exact": EMB_NEAR_DUP_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
     "pack_token_shards": PACK_TOKEN_SHARDS_SQL,
+    "remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL,
 }

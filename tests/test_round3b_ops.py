@@ -196,3 +196,47 @@ def test_semdedup_giant_cluster_bounded(tmp_path):
     assert len(kept) == len(sizes)
     mins = df.groupby("cluster")["vec_id"].min()
     assert sorted(kept["vec_id"]) == sorted(mins.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_dup_spans_brute_force(tmp_path):
+    """Cleaned text = tokens not covered by any duplicated 5-gram,
+    checked by hand on a fixture; affected-doc set == the stats op's;
+    broadcast and join-fallback forms agree."""
+    texts = {
+        0: "a b c d e f g",             # grams abcde/bcdef share w/ 1
+        1: "x a b c d e f y",
+        2: "one two three",             # short dup pair: fully removed
+        3: "one two three",
+        4: "totally unique words only here",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import (QUERIES,
+                                               remove_dup_spans_docs)
+
+    got = (to_pandas(remove_dup_spans_docs(str(tmp_path)))
+           .sort_values("doc_id").reset_index(drop=True))
+    # docs 0/1: grams 'a b c d e'+'b c d e f' duplicated -> tokens
+    # a..f covered in both; doc 0 keeps 'g', doc 1 keeps 'x'+'y'
+    want = {
+        0: (6, hashlib.md5(b"g").hexdigest()),
+        1: (6, hashlib.md5(b"x y").hexdigest()),
+        2: (3, hashlib.md5(b"").hexdigest()),
+        3: (3, hashlib.md5(b"").hexdigest()),
+    }
+    assert {int(r.doc_id): (int(r.n_removed_tokens), r.cleaned_md5)
+            for r in got.itertuples()} == want
+
+    stats = (to_pandas(QUERIES["dup_span_stats_docs"](str(tmp_path))))
+    assert sorted(stats["doc_id"]) == sorted(got["doc_id"])
+
+    fb = (to_pandas(remove_dup_spans_docs(str(tmp_path),
+                                          broadcast_max=0,
+                                          num_partitions=2))
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, fb)
