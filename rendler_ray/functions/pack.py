@@ -53,6 +53,11 @@ def doc_meta_batch(t: pa.Table, *, id_col: str, n_col: str | None,
         n = pc.list_value_length(
             pc.split_pattern(t[text_col].combine_chunks(), " ")
         ).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    # md5 here is PINNED by the DuckDB oracles (md5(doc_id || salt) in
+    # PACK_SEQUENCES_SQL / PACK_TOKEN_SHARDS_SQL) — DuckDB has no
+    # SipHash, so this per-row loop stays md5 by contract (VERDICT r3
+    # #6 "accept and document"); it is one hash per DOC (not per
+    # token/band), a constant-factor tail next to the token passes.
     hk = [hashlib.md5(f"{v}{salt}".encode()).hexdigest()
           for v in ids.to_pylist()]
     bucket = np.array([int(h[:2], 16) for h in hk], np.int64)

@@ -250,25 +250,46 @@ class MinHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        n = batch.num_rows
         sigs = self.signatures_batch(batch[self.text_col].combine_chunks())
-        rb = self.rows_per_band
-        out_id, out_band, out_hash = [], [], []
-        for i, did in enumerate(ids):
-            sig = sigs[i]
-            for b in range(self.bands):
-                bh = hashlib.md5(sig[b * rb:(b + 1) * rb].tobytes()
-                                 + bytes([b])).hexdigest()[:16]
-                out_id.append(did)
-                out_band.append(b)
-                out_hash.append(bh)
+        bh = band_hashes_batch(sigs, self.bands)
+        out_id = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands)))
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "doc_id": out_id,
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n),
+                    pa.int32()),
+                "band_hash": pa.array(bh.ravel(), pa.string()),
             }
         )
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signatures → (n, bands) 16-hex-char band
+    hashes with ZERO per-row Python (r4, VERDICT #6 — replaces the
+    per-(doc, band) md5 loop): an FNV-1a-style fold across each band's
+    signature lanes plus the band id (explicit wrapping uint64
+    arithmetic — platform-stable), then ONE ``hexlify`` over the whole
+    matrix, split into 16-char strings by a dtype view. Two docs share
+    a band hash iff their band slices are identical (collisions across
+    different slices ≈ 2^-64 and only ever ADD candidates, which the
+    downstream jaccard verify removes)."""
+    import binascii
+
+    n = len(sigs)
+    rb = sigs.shape[1] // bands
+    lanes = sigs.reshape(n, bands, rb)
+    h = np.full((n, bands), 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(rb):
+        h = (h ^ lanes[:, :, j]) * prime
+    h = (h ^ np.arange(bands, dtype=np.uint64)) * prime
+    h ^= h >> np.uint64(29)
+    hexes = binascii.hexlify(np.ascontiguousarray(h.astype(">u8")).tobytes())
+    return (np.frombuffer(hexes, dtype="S16").astype("U16")
+            .reshape(n, bands))
 
 
 def ngram_set(t: str, n: int = 3) -> frozenset:

@@ -41,32 +41,28 @@ def minhash_bands_batch(batch: pa.Table, *, num_perm: int = 64,
     crawl-time MinHash signatures (CCNet/RefinedWeb-style fuzzy dedup).
     A downstream ``groupby(band_hash)`` bucketing gives near-dup
     candidate groups without re-reading page content. Uses text.py's
-    parameter-keyed per-worker hasher cache."""
-    import hashlib
-
-    from rendler_ray.functions.text import _MINHASHERS, MinHasher
+    parameter-keyed per-worker hasher cache. Band hashes come from the
+    vectorized FNV fold (text.py::band_hashes_batch) — no per-row
+    Python in this hot path (r4)."""
+    from rendler_ray.functions.text import (_MINHASHERS, MinHasher,
+                                            band_hashes_batch)
 
     key = (num_perm, 3, bands, 7, "doc_id", text_col)
     mh = _MINHASHERS.get(key)
     if mh is None:
         mh = _MINHASHERS[key] = MinHasher(num_perm=num_perm, bands=bands,
                                           text_col=text_col)
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n = batch.num_rows
     # batched signatures (one explode + one hash pass — hot path);
     # empty pages keep the all-zeros signature the row form used
     sigs = mh.signatures_batch(batch[text_col].combine_chunks())
-    zero = np.zeros(num_perm, np.uint64)
-    rb = mh.rows_per_band
-    out = []
-    for i, t in enumerate(texts):
-        sig = sigs[i] if t else zero
-        out.append([
-            hashlib.md5(sig[b * rb:(b + 1) * rb].tobytes()
-                        + bytes([b])).hexdigest()[:16]
-            for b in range(mh.bands)
-        ])
-    return batch.append_column(
-        "minhash_bands", pa.array(out, pa.list_(pa.string())))
+    empty = pc.equal(batch[text_col], "").to_numpy(zero_copy_only=False)
+    sigs[empty] = np.uint64(0)
+    bh = band_hashes_batch(sigs, mh.bands)
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32) * mh.bands, pa.int32()),
+        pa.array(bh.ravel(), pa.string()))
+    return batch.append_column("minhash_bands", lists)
 
 
 def page_text_column(batch: pa.Table, out_col: str = "page_text") -> pa.Table:
