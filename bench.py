@@ -78,10 +78,20 @@ def run_crawl(sf_dir: str, big: bool = False) -> dict:
         # scaling-run web: large enough that parallel fetch/render/extract
         # work dominates the fixed per-round cost. Identical job at every
         # cluster size (shard counts fixed), only parallelism differs.
-        # realistic page weight: ~20 links and ~1-2 KB text per page
-        docs = docs_parquet("/tmp/rendler_ray_web/docs_scaling_1m5_heavy.parquet",
-                            n_docs=1_500_000, n_hosts=5000, seed=7,
-                            mean_links=20.0, words_per_span=120)
+        # realistic page weight: ~20 links and ~1-2 KB text per page.
+        # The memory-pressure leg (bench.py --memory) uses the 150k
+        # sibling: big enough to overflow its capped object store,
+        # small enough to finish quickly at 8 cpus.
+        if os.environ.get("RENDLER_BENCH_MEM_CORPUS"):
+            docs = docs_parquet(
+                "/tmp/rendler_ray_web/docs_scaling_150k_heavy.parquet",
+                n_docs=150_000, n_hosts=2000, seed=7,
+                mean_links=20.0, words_per_span=120)
+        else:
+            docs = docs_parquet(
+                "/tmp/rendler_ray_web/docs_scaling_1m5_heavy.parquet",
+                n_docs=1_500_000, n_hosts=5000, seed=7,
+                mean_links=20.0, words_per_span=120)
     else:
         docs = _synth_docs_for(sf_dir)  # built before timing starts
     # the closed-world web corpus is the simulated INTERNET, not crawler
@@ -111,6 +121,7 @@ def run_crawl(sf_dir: str, big: bool = False) -> dict:
         "seen": res.seen_count,
         "pages_per_s": round((res.pages_fetched + n_renders) / wall, 2),
         "frontier_urls_per_s": round(frontier_rows / wall, 2),
+        "spilled_mb": res.stats.get("spilled_mb"),
     }
 
 
@@ -118,8 +129,18 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        cap_mb = os.environ.get("RENDLER_BENCH_OBJECT_STORE_MB")
+        if cap_mb:  # memory-pressure leg (bench.py --memory subprocess)
+            kw["object_store_memory"] = int(cap_mb) * 1024 * 1024
         ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR", **kw)
+        blk_mb = os.environ.get("RENDLER_BENCH_BLOCK_MB")
+        if blk_mb:
+            from ray.data import DataContext
+
+            DataContext.get_current().target_max_block_size = (
+                int(blk_mb) * 1024 * 1024)
 
     if "--crawl-only" in sys.argv:
         stats = run_crawl(SF_DIR, big="--big" in sys.argv)
@@ -148,6 +169,42 @@ def main() -> None:
         "crawl": crawl_stats,
     }))
     ray.shutdown()
+
+
+def memory_pressure() -> None:
+    """100-TB posture evidence (VERDICT r3 #9): run the big scaling
+    crawl with the object store CAPPED far below the working set and
+    the target block size lowered, in a fresh subprocess. Completing
+    with a nonzero spill counter and the same page count as the
+    uncapped run proves rounds stream through checkpoints/spill
+    instead of pinning every block in plasma."""
+    runs = {}
+    for cap_mb in (None, 250):
+        env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=SF_DIR,
+                   RENDLER_BENCH_MEM_CORPUS="150k")
+        if cap_mb:
+            env["RENDLER_BENCH_OBJECT_STORE_MB"] = str(cap_mb)
+            env["RENDLER_BENCH_BLOCK_MB"] = "16"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only",
+             "--big"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0 or not proc.stdout.strip():
+            sys.stderr.write(
+                f"[memory] cap={cap_mb} run failed "
+                f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n")
+            raise RuntimeError("memory-pressure leg failed")
+        runs["uncapped" if cap_mb is None else f"{cap_mb}MB"] = (
+            json.loads(proc.stdout.strip().splitlines()[-1]))
+    pages = {k: v["pages_fetched"] for k, v in runs.items()}
+    print(json.dumps({
+        "metric": "150k-doc crawl, uncapped vs 250MB object store + "
+                  "16MB blocks",
+        "sf": SF_DIR,
+        "runs": runs,
+        "pages_identical": len(set(pages.values())) == 1,
+        "unit": "pages/s",
+    }))
 
 
 def scaling() -> None:
@@ -194,5 +251,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--memory" in sys.argv:
+        memory_pressure()
     else:
         main()

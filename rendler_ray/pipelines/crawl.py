@@ -1069,5 +1069,34 @@ def crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                "frontier_rows": frontier_rows_total,
                "seen_shards": seen_stats,
                "content_dups": content_dups_total,
-               "renders_reused": renders_reused},
+               "renders_reused": renders_reused,
+               "spilled_mb": _object_store_spilled_mb()},
     )
+
+
+def _object_store_spilled_mb() -> float | None:
+    """Best-effort object-store spill counter (MiB) — recorded in crawl
+    stats so a memory-capped run can prove it STREAMED (spilled and
+    completed) rather than pinned the whole crawl in plasma
+    (bench.py --memory; BASELINE.md). Read from the raylet log's
+    cumulative "Spilled N MiB" lines (the grpc-backed memory_summary
+    API needs the absent grpc wheel in this sandbox); the max across
+    lines is the running total at its latest report."""
+    try:
+        import glob
+        import re
+
+        import ray
+
+        node = ray._private.worker._global_node
+        if node is None:
+            return None
+        spilled = 0.0
+        logdir = os.path.join(node.get_session_dir_path(), "logs")
+        for f in glob.glob(os.path.join(logdir, "raylet*.out")):
+            with open(f, errors="replace") as fh:
+                for m in re.finditer(r"Spilled (\d+) MiB", fh.read()):
+                    spilled = max(spilled, float(m.group(1)))
+        return spilled
+    except Exception:  # noqa: BLE001 — telemetry only, never fail a crawl
+        return None
