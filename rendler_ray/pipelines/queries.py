@@ -1393,18 +1393,31 @@ FROM tfc JOIN freq USING (token) GROUP BY doc_id
 """
 
 
-def trigram_fluency_docs(sf_dir: str):
+def trigram_fluency_docs(sf_dir: str, driver_max: int = 5_000_000):
     """Corpus-trigram-LM fluency score per document — the LM
     quality-filter shape (CCNet-style: score text against a language
-    model built from the corpus itself), made integer-exact: trigram
-    counts and bigram-prefix counts come from two groupbys over the
-    locally-combined trigram-instance table; each document pools
-    Σ c(trigram) and Σ c(bigram-prefix) as order-free INTEGER sums and
-    the score is ONE final IEEE division fixed-pointed to e6 (tfidf's
-    determinism trick) — so the DuckDB oracle is hash-exact. The count
-    tables stay Datasets through hash joins (billion-n-gram safe).
-    Documents with < 3 tokens have no trigrams and drop out on both
-    sides."""
+    model built from the corpus itself), made integer-exact: each
+    document pools Σ c(trigram) and Σ c(bigram-prefix) as order-free
+    INTEGER sums and the score is ONE final IEEE division fixed-pointed
+    to e6 (tfidf's determinism trick) — so the DuckDB oracle is
+    hash-exact. Documents with < 3 tokens have no trigrams and drop out
+    on both sides.
+
+    Scale shape (the dup_span_stats_docs treatment): n-gram STRINGS
+    never leave the explode task — each trigram and its bigram prefix is
+    replaced by a 128-bit hash (two independently-keyed SipHash64
+    halves) in the per-batch combiner, so every downstream exchange
+    carries five int64 columns instead of ~25-byte text keys. Each doc
+    lives in exactly one batch, so the combined (doc, tri) rows are
+    already globally unique — no per-doc re-aggregation shuffle at all.
+    Below ``driver_max`` total trigram instances the int partials fold
+    on the driver through Arrow's C++ hash aggregate + hash join
+    (~40 bytes/row; zero shuffles); above it the identical semantics run
+    distributed (two count groupbys + two int-keyed hash joins +
+    groupby(doc_id)). Equality of the two forms is pytest-asserted.
+    Collision odds are ≈ n²/2^129 (see dup_span_stats_docs)."""
+    import pandas.util as pdu
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode_combine(t: pa.Table) -> pa.Table:
@@ -1418,29 +1431,76 @@ def trigram_fluency_docs(sf_dir: str):
         pos_in_doc = np.arange(len(flat)) - starts
         idx = np.flatnonzero(pos_in_doc < lens_rep - 2)
         big = (pd.Series(flat[idx], dtype=object) + " "
-               + pd.Series(flat[idx + 1], dtype=object))
-        tri = big + " " + pd.Series(flat[idx + 2], dtype=object)
+               + pd.Series(flat[idx + 1], dtype=object)).to_numpy(object)
+        tri = big + " " + flat[idx + 2]
+        t1 = pdu.hash_array(tri, categorize=False).view(np.int64)
+        t2 = pdu.hash_array(tri, hash_key="rendlertrigram2!",
+                            categorize=False).view(np.int64)
+        b1 = pdu.hash_array(big, categorize=False).view(np.int64)
+        b2 = pdu.hash_array(big, hash_key="rendlertrigram2!",
+                            categorize=False).view(np.int64)
         g = (pd.DataFrame({"doc_id": np.repeat(ids, np.maximum(lens - 2, 0)),
-                           "tri": tri.to_numpy(object),
-                           "big": big.to_numpy(object)})
-             .groupby(["doc_id", "tri", "big"], sort=False).size()
+                           "t1": t1, "t2": t2, "b1": b1, "b2": b2})
+             .groupby(["doc_id", "t1", "t2", "b1", "b2"], sort=False).size()
              .reset_index(name="n"))
-        return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
-            "tri": pa.array(g["tri"].tolist(), pa.string()),
-            "big": pa.array(g["big"].tolist(), pa.string()),
-            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+        return pa.table({c: pa.array(g[c].to_numpy(np.int64), pa.int64())
+                         for c in ("doc_id", "t1", "t2", "b1", "b2", "n")})
 
-    inst = (ds.map_batches(explode_combine, batch_format="pyarrow")
-            .groupby(["doc_id", "tri", "big"])
-            .aggregate(Sum("n", alias_name="n")))
-    inst = _checkpoint(inst, "trigram_inst")  # consumed 3×
-    tric = inst.groupby("tri").aggregate(Sum("n", alias_name="ct"))
-    bigc = inst.groupby("big").aggregate(Sum("n", alias_name="cb"))
+    inst = ds.map_batches(explode_combine, batch_format="pyarrow")
+
+    def _finish(per_doc: pa.Table) -> pa.Table:
+        f = (per_doc["s_tri"].to_numpy(zero_copy_only=False)
+             / per_doc["s_big"].to_numpy(zero_copy_only=False))
+        e6 = pc.cast(pc.round(pc.multiply(pa.array(f, pa.float64()), 1e6),
+                              options=pc.RoundOptions(
+                                  ndigits=0,
+                                  round_mode="half_towards_infinity")),
+                     pa.int64())
+        return pa.table({"doc_id": per_doc["doc_id"],
+                         "n_tri": per_doc["n_tri"],
+                         "s_tri": per_doc["s_tri"],
+                         "s_big": per_doc["s_big"],
+                         "fluency_e6": e6})
+
+    # gate scalar: one pruned vectorized scan (Σ max(n_tokens − 2, 0))
+    def tri_totals(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array(np.maximum(ntok - 2, 0), pa.int64())})
+
+    tot = (ds.map_batches(tri_totals, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="tot"))["tot"] or 0)
+
+    if tot <= driver_max:
+        # bounded-driver fold: Arrow C++ hash aggregate + hash join on
+        # the int partials — zero shuffles
+        ptbl = pa.concat_tables(
+            inst.iter_batches(batch_size=None, batch_format="pyarrow"))
+        tric = pa.TableGroupBy(ptbl, ["t1", "t2"]).aggregate([("n", "sum")])
+        tric = tric.rename_columns(["t1", "t2", "ct"])
+        bigc = pa.TableGroupBy(ptbl, ["b1", "b2"]).aggregate([("n", "sum")])
+        bigc = bigc.rename_columns(["b1", "b2", "cb"])
+        j = ptbl.join(tric, keys=["t1", "t2"]).join(bigc, keys=["b1", "b2"])
+        n = j["n"].to_numpy(zero_copy_only=False)
+        w = pa.table({
+            "doc_id": j["doc_id"], "n": j["n"],
+            "wt": pa.array(n * j["ct"].to_numpy(zero_copy_only=False),
+                           pa.int64()),
+            "wb": pa.array(n * j["cb"].to_numpy(zero_copy_only=False),
+                           pa.int64())})
+        per_doc = pa.TableGroupBy(w, "doc_id").aggregate(
+            [("n", "sum"), ("wt", "sum"), ("wb", "sum")])
+        per_doc = per_doc.rename_columns(
+            ["doc_id", "n_tri", "s_tri", "s_big"])
+        return _finish(per_doc)
+
+    tric = inst.groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="ct"))
+    bigc = inst.groupby(["b1", "b2"]).aggregate(Sum("n", alias_name="cb"))
     joined = (inst.join(tric, join_type="inner", num_partitions=8,
-                        on=("tri",))
+                        on=("t1", "t2"))
               .join(bigc, join_type="inner", num_partitions=8,
-                    on=("big",)))
+                    on=("b1", "b2")))
 
     def weight(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False)
@@ -1457,18 +1517,7 @@ def trigram_fluency_docs(sf_dir: str):
                .aggregate(Sum("n", alias_name="n_tri"),
                           Sum("wt", alias_name="s_tri"),
                           Sum("wb", alias_name="s_big")))
-
-    def ratio(t: pa.Table) -> pa.Table:
-        f = (t["s_tri"].to_numpy(zero_copy_only=False)
-             / t["s_big"].to_numpy(zero_copy_only=False))
-        return t.append_column("fluency", pa.array(f, pa.float64()))
-
-    out = _fixed_point(per_doc.map_batches(ratio, batch_format="pyarrow"),
-                       {"fluency": 6})
-    return out.map_batches(
-        lambda t: t.rename_columns(
-            ["doc_id", "n_tri", "s_tri", "s_big", "fluency_e6"]),
-        batch_format="pyarrow")
+    return per_doc.map_batches(_finish, batch_format="pyarrow")
 
 
 TRIGRAM_FLUENCY_SQL = """

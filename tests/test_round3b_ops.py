@@ -66,6 +66,22 @@ def test_dup_span_driver_gate_equals_distributed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_trigram_fluency_driver_gate_equals_distributed():
+    """trigram_fluency_docs' bounded-driver Arrow fold and its
+    distributed hash-join form must agree exactly (same contract as
+    dup_span_stats_docs — hashed n-gram keys, size-gated finish)."""
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import trigram_fluency_docs
+
+    a = (to_pandas(trigram_fluency_docs(SF))
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (to_pandas(trigram_fluency_docs(SF, driver_max=0))
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_classifier_score_brute_force(tmp_path):
     texts = ["the cat sat", "on the mat today", "zebra"]
     pq.write_table(pa.table({
