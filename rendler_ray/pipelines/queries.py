@@ -1275,13 +1275,17 @@ ORDER BY n DESC, bigram LIMIT 20
 """
 
 
-def tfidf_top_terms(sf_dir: str):
+def tfidf_top_terms(sf_dir: str, driver_max: int = 5_000_000):
     """Distributed TF-IDF top-3 terms per document: token explode →
-    per-(doc, token) tf groupby → per-token document-frequency groupby →
-    tf ⋈ df hash join on token → score → per-doc top-3. The vocabulary
-    (df table) stays a Dataset through a hash join — never broadcast,
-    never on the driver — so the shape holds when the vocabulary is
-    billions of tokens.
+    per-batch (doc, token) tf combine (each doc lives in one batch, so
+    the combined rows are already globally unique) → per-token
+    document-frequency groupby → tf ⋈ df hash join on token → score →
+    per-doc top-3. The vocabulary (df table) stays a Dataset through a
+    hash join — never broadcast, never on the driver — so the shape
+    holds when the vocabulary is billions of tokens. Below
+    ``driver_max`` total token instances the combined partials fold on
+    the driver (Arrow C++ hash aggregate + one pandas sort) — zero
+    shuffles; the two forms' equality is pytest-asserted.
 
     idf is the LINEAR N/df (not log): the score is then one IEEE
     division of exact integers, which DuckDB and numpy round
@@ -1311,8 +1315,51 @@ def tfidf_top_terms(sf_dir: str):
             "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
         })
 
-    tf = (ds.map_batches(explode_combine, batch_format="pyarrow")
-          .groupby(["doc_id", "token"]).aggregate(Sum("tf", alias_name="tf")))
+    # each doc lives in exactly one batch, so the per-batch combine
+    # already yields globally-unique (doc, token) rows — re-aggregating
+    # them was a no-op all-to-all of the widest table (removed r4)
+    tf = ds.map_batches(explode_combine, batch_format="pyarrow")
+
+    # gate scalar: one pruned vectorized token-count scan
+    def tok_totals(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array(n, pa.int64())})
+
+    tot = (ds.map_batches(tok_totals, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="tot"))["tot"] or 0)
+
+    if tot <= driver_max:
+        # bounded-driver fold: Arrow hash aggregate for df, one pandas
+        # sort + groupby-head for the top-3 — zero shuffles
+        ptbl = pa.concat_tables(
+            tf.iter_batches(batch_size=None, batch_format="pyarrow"))
+        dfc = pa.TableGroupBy(ptbl, "token").aggregate([("doc_id", "count")])
+        j = ptbl.join(dfc.rename_columns(["token", "df"]), keys=["token"])
+        s = ((j["tf"].to_numpy(zero_copy_only=False) * np.int64(n_docs))
+             .astype(np.float64)
+             / j["df"].to_numpy(zero_copy_only=False).astype(np.float64))
+        pdf = pd.DataFrame({
+            "doc_id": j["doc_id"].to_numpy(zero_copy_only=False),
+            "token": j["token"].to_numpy(zero_copy_only=False),
+            "tf": j["tf"].to_numpy(zero_copy_only=False),
+            "df": j["df"].to_numpy(zero_copy_only=False), "score": s})
+        top = (pdf.sort_values(["doc_id", "score", "token"],
+                               ascending=[True, False, True])
+               .groupby("doc_id", sort=False).head(3))
+        e6 = pc.cast(pc.round(pc.multiply(
+            pa.array(top["score"].to_numpy(), pa.float64()), 1e6),
+            options=pc.RoundOptions(ndigits=0,
+                                    round_mode="half_towards_infinity")),
+            pa.int64())
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(top["token"].tolist(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(np.int64), pa.int64()),
+            "df": pa.array(top["df"].to_numpy(np.int64), pa.int64()),
+            "score": e6})
+
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
     joined = tf.join(df, join_type="inner", num_partitions=8, on=("token",))
 
@@ -1360,8 +1407,9 @@ def doc_freq_score(sf_dir: str):
             "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
         })
 
-    tfc = (ds.map_batches(explode_combine, batch_format="pyarrow")
-           .groupby(["doc_id", "token"]).aggregate(Sum("tf", alias_name="tf")))
+    # per-batch combine already yields globally-unique (doc, token) rows
+    # (each doc lives in one batch) — no re-aggregation shuffle needed
+    tfc = ds.map_batches(explode_combine, batch_format="pyarrow")
     tfc = _checkpoint(tfc, "docfreq_tfc")  # consumed by freq AND the join
     freq = tfc.groupby("token").aggregate(Sum("tf", alias_name="freq"))
     joined = tfc.join(freq, join_type="inner", num_partitions=8,

@@ -82,6 +82,22 @@ def test_trigram_fluency_driver_gate_equals_distributed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tfidf_driver_gate_equals_distributed():
+    """tfidf_top_terms' bounded-driver fold and its distributed
+    join + map_groups form must agree exactly."""
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import tfidf_top_terms
+
+    key = ["doc_id", "token"]
+    a = (to_pandas(tfidf_top_terms(SF))
+         .sort_values(key).reset_index(drop=True))
+    b = (to_pandas(tfidf_top_terms(SF, driver_max=0))
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_classifier_score_brute_force(tmp_path):
     texts = ["the cat sat", "on the mat today", "zebra"]
     pq.write_table(pa.table({
