@@ -5485,6 +5485,126 @@ FROM q GROUP BY vec_id
 """
 
 
+def select_docs_token_budget(sf_dir: str, budget_div: int = 4,
+                             n_hist: int = 4096,
+                             driver_max: int = 5_000_000):
+    """Data selection under a global token budget — the "pick the best
+    quarter of the corpus" op every pretraining run performs (DCLM /
+    FineWeb shape: rank by classifier quality, keep the top-scored docs
+    until the token budget is spent). Rank = (clf_score DESC, doc_id
+    ASC); budget = total_tokens // ``budget_div``; a doc is kept iff the
+    running token total up to and including it stays within budget —
+    exactly SQL's ``sum(n_tokens) OVER (ORDER BY clf_score DESC,
+    doc_id) <= budget``.
+
+    Distributed shape — an ordered GLOBAL prefix-sum cut WITHOUT a
+    global sort: one stateless map pass scores every doc (the
+    classifier_score_docs kernel, shuffle-free), a ≤``n_hist``-bucket
+    score histogram of token totals folds on the driver, and the
+    cumulative histogram (descending score) locates the single
+    THRESHOLD bucket where the budget crosses. Every doc in a
+    higher-score bucket is kept by a distributed filter (no sort, no
+    shuffle); only the threshold bucket's docs — n/n_hist of the corpus
+    in expectation — are pulled, exactly sorted, and cut at the
+    remaining budget. Integer bucket math keeps both forms exact; the
+    scored table is checkpointed once so the 3 consumers never re-read
+    text. At 100 TB the threshold bucket can recurse on the same
+    histogram (score range bisection); here one level is plenty and
+    the pull is asserted ≤ ``driver_max`` rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score_ntok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)
+                    ).astype(np.int64)
+        ntok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "clf_score": pa.array(s, pa.int64()),
+                         "n_tokens": pa.array(ntok, pa.int64())})
+
+    scored = _checkpoint(ds.map_batches(score_ntok, batch_format="pyarrow"),
+                         "tokbudget_scored")
+    agg = scored.aggregate(Sum("n_tokens", alias_name="tot"),
+                           Min("clf_score", alias_name="lo"),
+                           Max("clf_score", alias_name="hi"))
+    tot, lo, hi = agg["tot"] or 0, agg["lo"], agg["hi"]
+    if not tot:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "clf_score": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    budget = tot // budget_div
+    width = int(hi) - int(lo) + 1  # zero-width-safe: >= 1 always
+
+    def bucket_of(s: np.ndarray) -> np.ndarray:
+        return (s.astype(np.int64) - int(lo)) * n_hist // width
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame(
+            {"b": b, "n": t["n_tokens"].to_numpy(zero_copy_only=False)})
+            .groupby("b", sort=False)["n"].sum().reset_index())
+        return pa.table({"b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    hist = (scored.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("b").aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: <= n_hist rows
+    hist.sort(key=lambda r: -r["b"])  # descending score order
+    cum_above = 0
+    thresh_b = None
+    for r in hist:
+        if cum_above + r["n"] > budget:
+            thresh_b = r["b"]
+            break
+        cum_above += r["n"]
+    if thresh_b is None:  # budget swallows everything
+        return scored
+
+    kept_high = scored.map_batches(
+        lambda t: t.filter(pa.array(
+            bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
+            > thresh_b)),
+        batch_format="pyarrow")
+
+    # threshold bucket: exact (score DESC, doc_id ASC) cut on the driver
+    tb = pa.concat_tables(scored.map_batches(
+        lambda t: t.filter(pa.array(
+            bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
+            == thresh_b)),
+        batch_format="pyarrow").iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+    assert tb.num_rows <= driver_max, \
+        f"threshold bucket {tb.num_rows} rows > driver_max (recurse)"
+    tb = tb.sort_by([("clf_score", "descending"), ("doc_id", "ascending")])
+    csum = np.cumsum(tb["n_tokens"].to_numpy(zero_copy_only=False))
+    tb_kept = tb.filter(pa.array(csum <= budget - cum_above))
+    if tb_kept.num_rows == 0:
+        return kept_high
+    return kept_high.union(rd.from_arrow(tb_kept))
+
+
+SELECT_TOKEN_BUDGET_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id),
+c AS (SELECT doc_id, clf_score, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY clf_score DESC, doc_id)
+                  AS BIGINT) AS cum
+      FROM s),
+b AS (SELECT sum(n_tokens) // 4 AS budget FROM s)
+SELECT doc_id, clf_score, n_tokens FROM c, b WHERE cum <= budget
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5607,6 +5727,7 @@ QUERIES = {
     "pack_training_sequences": pack_training_sequences,
     "pack_token_shards": pack_token_shards,
     "remove_dup_spans_docs": remove_dup_spans_docs,
+    "select_docs_token_budget": select_docs_token_budget,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -5715,4 +5836,5 @@ ORACLES = {
     "pack_training_sequences": PACK_SEQUENCES_SQL,
     "pack_token_shards": PACK_TOKEN_SHARDS_SQL,
     "remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL,
+    "select_docs_token_budget": SELECT_TOKEN_BUDGET_SQL,
 }
