@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "dup_span_stats_docs",      # r3: substring-dedup op family
     "classifier_score_docs",    # r3: model-scoring inference family
     "q6_pruned_revenue",        # r3: predicate-pushdown scan family
+    "pack_token_shards",        # r4: token-id training-shard export
+    "remove_dup_spans_docs",    # r4: substring-dedup removal pass
+    "semdedup_drop_docs",       # r4: semantic (embedding) dedup family
+    "select_docs_token_budget",  # r4: budgeted data-selection family
 ]
 
 
