@@ -5588,6 +5588,255 @@ def select_docs_token_budget(sf_dir: str, budget_div: int = 4,
     return kept_high.union(rd.from_arrow(tb_kept))
 
 
+def gram_containment_pairs(sf_dir: str, df_cap: int = 20,
+                           driver_max: int = 5_000_000):
+    """Quote / excerpt detection — asymmetric near-dup by n-gram
+    CONTAINMENT (|G(a) ∩ G(b)| / min(|G(a)|, |G(b)|) ≥ 0.5, word
+    5-grams, short docs contribute their whole text): finds a doc
+    mostly embedded in another even when Jaccard is low because the
+    host doc is much longer. Candidate generation is an INVERTED-INDEX
+    similarity join — distinct from the minhash-LSH family: a pair is
+    a candidate iff it shares a RARE gram (2 ≤ df ≤ ``df_cap``), the
+    standard stop-gram df-cap that keeps hot boilerplate grams from
+    exploding the index (both sides of the oracle apply the identical
+    rule, so the op is SQL-exact).
+
+    Scale shape: grams leave the explode task only as 128-bit hashes;
+    df comes from one int-keyed groupby; candidate rows (multi-
+    occupancy rare grams only — output-bounded) fold on the driver
+    below ``driver_max`` with a fully vectorized run-length pair
+    emit, else distribute via groupby(gram).map_groups (each group
+    ≤ df_cap rows). Verification is exact: candidate pairs hash-join
+    their two texts and re-shingle (memoized per batch), so hash
+    collisions cannot create a false positive — the integer filter
+    2·inter ≥ min(na, nb) and the single IEEE division make the
+    output hash-exact vs DuckDB. (The broadcast fast path folds the
+    two hash halves into one 64-bit is_in key; a fold collision can
+    only ADD a candidate whose containment is then computed from real
+    text — expected extras ≈ probes·|rare|/2^64, ~0.05 even at 10^12
+    grams.)"""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 5)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
+        garr = np.asarray(grams, dtype=object)
+        g1 = pdu.hash_array(garr, categorize=False).view(np.int64)
+        g2 = pdu.hash_array(garr, hash_key="rendlercontain2!",
+                            categorize=False).view(np.int64)
+        u = (pd.DataFrame({"g1": g1, "g2": g2, "doc_id": ids})
+             .drop_duplicates())  # DISTINCT per doc (set semantics)
+        return pa.table({c: pa.array(u[c].to_numpy(np.int64), pa.int64())
+                         for c in ("g1", "g2", "doc_id")})
+
+    g = _checkpoint(ds.map_batches(gram_rows, batch_format="pyarrow"),
+                    "contain_g")  # consumed by df AND the candidate pass
+    dfc = g.groupby(["g1", "g2"]).aggregate(Count(alias_name="n"))
+    rare = dfc.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["n"], 2),
+                                   pc.less_equal(t["n"], df_cap)))
+        .select(["g1", "g2"]),
+        batch_format="pyarrow").materialize()  # output-bounded key set
+
+    # candidate rows: gram rows in multi-occupancy rare grams. The
+    # rare-key side broadcasts while small (one is_in pass, no second
+    # shuffle — the _hot_bucket_candidates switch).
+    if rare.count() <= _HOT_BCAST_MAX:
+        rt = pa.concat_tables(
+            rare.iter_batches(batch_size=None, batch_format="pyarrow"))
+        # fold the two hash halves into one 128-bit-unique key for a
+        # single-column is_in (is_in has no multi-column form)
+        kref = ray.put(pc.bit_wise_xor(
+            pc.multiply(rt["g1"], pa.scalar(0x9E3779B1, pa.int64())),
+            rt["g2"]).combine_chunks())
+
+        def keep(t: pa.Table) -> pa.Table:
+            k = pc.bit_wise_xor(
+                pc.multiply(t["g1"], pa.scalar(0x9E3779B1, pa.int64())),
+                t["g2"])
+            return t.filter(pc.is_in(k, value_set=ray.get(kref)))
+
+        cand = g.map_batches(keep, batch_format="pyarrow")
+    else:
+        cand = g.join(rare, join_type="inner", num_partitions=8,
+                      on=("g1", "g2"))
+    cand = cand.materialize()  # output-bounded (rare multi-occupancy)
+
+    if cand.count() <= driver_max:
+        # driver fold: vectorized run-length pair emit over the sorted
+        # candidate rows (each gram's run is <= df_cap docs)
+        ct = pa.concat_tables(
+            cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if ct.num_rows == 0:
+            pairs_tbl = pa.table({"a": pa.array([], pa.int64()),
+                                  "b": pa.array([], pa.int64())})
+        else:
+            ct = ct.sort_by([("g1", "ascending"), ("g2", "ascending"),
+                             ("doc_id", "ascending")])
+            gg1 = ct["g1"].to_numpy(zero_copy_only=False)
+            gg2 = ct["g2"].to_numpy(zero_copy_only=False)
+            did = ct["doc_id"].to_numpy(zero_copy_only=False)
+            new = np.flatnonzero(
+                np.diff(gg1, prepend=gg1[0] - 1).astype(bool)
+                | np.diff(gg2, prepend=gg2[0] - 1).astype(bool))
+            lens = np.diff(np.append(new, len(did)))
+            # all (i < j) index pairs within each run, vectorized
+            ai, bi = [], []
+            for ln in np.unique(lens):
+                if ln < 2:
+                    continue
+                starts = new[lens == ln]
+                ii, jj = np.triu_indices(int(ln), k=1)
+                ai.append((starts[:, None] + ii[None, :]).ravel())
+                bi.append((starts[:, None] + jj[None, :]).ravel())
+            if ai:
+                ai = np.concatenate(ai)
+                bi = np.concatenate(bi)
+                a = np.minimum(did[ai], did[bi])
+                b = np.maximum(did[ai], did[bi])
+                uniq = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+                pairs_tbl = pa.table({
+                    "a": pa.array(uniq["a"].to_numpy(np.int64), pa.int64()),
+                    "b": pa.array(uniq["b"].to_numpy(np.int64), pa.int64())})
+            else:
+                pairs_tbl = pa.table({"a": pa.array([], pa.int64()),
+                                      "b": pa.array([], pa.int64())})
+        # texts for involved docs only (broadcast id set, one filter
+        # pass) — no join: Ray's hash join misbehaves when distinct
+        # keys < num_partitions (ROUND3_NOTES sparse-key rule), and the
+        # involved-doc set is output-bounded anyway
+        need = np.unique(np.concatenate([
+            pairs_tbl["a"].to_numpy(zero_copy_only=False),
+            pairs_tbl["b"].to_numpy(zero_copy_only=False)])) \
+            if pairs_tbl.num_rows else np.empty(0, np.int64)
+        nref = ray.put(pa.array(need, pa.int64()))
+        txt = pa.concat_tables(ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"],
+                                        value_set=ray.get(nref))),
+            batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        texts = dict(zip(txt["doc_id"].to_numpy(zero_copy_only=False),
+                         txt["text"].to_numpy(zero_copy_only=False)))
+        return _containment_verify_table(
+            pairs_tbl["a"].to_numpy(zero_copy_only=False),
+            pairs_tbl["b"].to_numpy(zero_copy_only=False),
+            [texts[i] for i in
+             pairs_tbl["a"].to_numpy(zero_copy_only=False)],
+            [texts[i] for i in
+             pairs_tbl["b"].to_numpy(zero_copy_only=False)])
+
+    def emit_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = (cand.groupby(["g1", "g2"])
+             .map_groups(emit_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["a", "b"]))
+
+    # exact verify from text: join both sides' texts onto the pairs
+    pa_txt = pairs.join(
+        ds.map_batches(lambda t: t.rename_columns(["a", "text_a"]),
+                       batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("a",))
+    pb_txt = pa_txt.join(
+        ds.map_batches(lambda t: t.rename_columns(["b", "text_b"]),
+                       batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        return _containment_verify_table(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["text_a"].to_numpy(zero_copy_only=False),
+            t["text_b"].to_numpy(zero_copy_only=False))
+
+    return pb_txt.map_batches(verify, batch_format="pyarrow")
+
+
+def _containment_verify_table(aa, bb, ta, tb) -> pa.Table:
+    """Exact containment over (a, b, text_a, text_b) rows: re-shingle
+    (memoized per call), keep pairs with 2·inter ≥ min(na, nb), fix the
+    single IEEE division to e6 (both query forms share this finisher,
+    so they are equal by construction)."""
+    memo: dict[str, frozenset] = {}
+
+    def gset(s: str) -> frozenset:
+        v = memo.get(s)
+        if v is None:
+            tk = s.split(" ")
+            v = (frozenset(" ".join(tk[i:i + 5])
+                           for i in range(len(tk) - 4))
+                 if len(tk) >= 5 else frozenset((s,)))
+            memo[s] = v
+        return v
+
+    rows = []
+    for i in range(len(aa)):
+        ga, gb = gset(ta[i]), gset(tb[i])
+        inter = len(ga & gb)
+        m = min(len(ga), len(gb))
+        if 2 * inter >= m:
+            rows.append((int(aa[i]), int(bb[i]), inter,
+                         len(ga), len(gb), inter / m))
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "inter": pa.array([], pa.int64()),
+                         "na": pa.array([], pa.int64()),
+                         "nb": pa.array([], pa.int64()),
+                         "containment_e6": pa.array([], pa.int64())})
+    cols = list(zip(*rows))
+    e6 = pc.cast(pc.round(pc.multiply(pa.array(cols[5], pa.float64()), 1e6),
+                          options=pc.RoundOptions(
+                              ndigits=0,
+                              round_mode="half_towards_infinity")),
+                 pa.int64())
+    return pa.table({
+        "a": pa.array(cols[0], pa.int64()),
+        "b": pa.array(cols[1], pa.int64()),
+        "inter": pa.array(cols[2], pa.int64()),
+        "na": pa.array(cols[3], pa.int64()),
+        "nb": pa.array(cols[4], pa.int64()),
+        "containment_e6": e6})
+
+
+GRAM_CONTAINMENT_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+gi AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 4)) AS i
+       FROM t WHERE len(toks) >= 5),
+g AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             || toks[i+3] || ' ' || toks[i+4] AS gram FROM gi
+      UNION
+      SELECT DISTINCT doc_id, text AS gram FROM t WHERE len(toks) < 5),
+df AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+rare AS (SELECT gram FROM df WHERE n BETWEEN 2 AND 20),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM g x JOIN rare USING (gram) JOIN g y USING (gram)
+         WHERE x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+       GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.a
+          JOIN g gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+          GROUP BY c.a, c.b)
+SELECT v.a, v.b, v.i AS inter, sa.n AS na, sb.n AS nb,
+       CAST(round(CAST(v.i AS DOUBLE) / least(sa.n, sb.n) * 1e6)
+            AS BIGINT) AS containment_e6
+FROM inter v
+JOIN sz sa ON sa.doc_id = v.a
+JOIN sz sb ON sb.doc_id = v.b
+WHERE 2 * v.i >= least(sa.n, sb.n)
+"""
+
+
 SELECT_TOKEN_BUDGET_SQL = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
              FROM documents),
@@ -5728,6 +5977,7 @@ QUERIES = {
     "pack_token_shards": pack_token_shards,
     "remove_dup_spans_docs": remove_dup_spans_docs,
     "select_docs_token_budget": select_docs_token_budget,
+    "gram_containment_pairs": gram_containment_pairs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -5837,4 +6087,5 @@ ORACLES = {
     "pack_token_shards": PACK_TOKEN_SHARDS_SQL,
     "remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL,
     "select_docs_token_budget": SELECT_TOKEN_BUDGET_SQL,
+    "gram_containment_pairs": GRAM_CONTAINMENT_SQL,
 }

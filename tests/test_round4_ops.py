@@ -67,6 +67,77 @@ def test_token_budget_identical_scores_zero_width(tmp_path):
     assert sorted(got["doc_id"]) == [0, 1]
 
 
+def _gset(s: str) -> frozenset:
+    tk = s.split(" ")
+    if len(tk) < 5:
+        return frozenset((s,))
+    return frozenset(" ".join(tk[i:i + 5]) for i in range(len(tk) - 4))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_containment_brute_force(tmp_path):
+    """Excerpt detection: doc 1 embeds all of doc 0 inside a longer
+    page (containment 1.0, Jaccard well under 0.5); docs 2/3 are
+    identical short docs; doc 4 is unrelated."""
+    from rendler_ray.pipelines.queries import gram_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta"
+    texts = {
+        0: quote,
+        1: ("intro words before the quote " + quote
+            + " and a very long tail of unrelated filler text "
+            + " ".join(f"w{i}" for i in range(40))),
+        2: "tiny doc",
+        3: "tiny doc",
+        4: "completely different content about other things entirely ok",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+
+    # brute force with the same rare-gram candidate rule (2 <= df <= 20)
+    gsets = {d: _gset(t) for d, t in texts.items()}
+    df: dict[str, set] = {}
+    for d, gs in gsets.items():
+        for g in gs:
+            df.setdefault(g, set()).add(d)
+    rare = {g for g, ds_ in df.items() if 2 <= len(ds_) <= 20}
+    cands = set()
+    for g in rare:
+        ds_ = sorted(df[g])
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                cands.add((ds_[i], ds_[j]))
+    want = {}
+    for a, b in cands:
+        inter = len(gsets[a] & gsets[b])
+        m = min(len(gsets[a]), len(gsets[b]))
+        if 2 * inter >= m:
+            want[(a, b)] = round(inter / m * 1e6)
+
+    got = to_pandas(gram_containment_pairs(str(tmp_path)))
+    got_d = {(r.a, r.b): r.containment_e6 for r in got.itertuples()}
+    assert got_d == want
+    assert (0, 1) in got_d and got_d[(0, 1)] == 1_000_000
+    assert (2, 3) in got_d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_containment_driver_gate_equals_distributed():
+    """Driver-fold pair emit + verify vs the distributed map_groups +
+    join form (same gate-invisibility contract as dup_span/trigram)."""
+    from rendler_ray.pipelines.queries import gram_containment_pairs
+
+    key = ["a", "b"]
+    x = (to_pandas(gram_containment_pairs(SF))
+         .sort_values(key).reset_index(drop=True))
+    y = (to_pandas(gram_containment_pairs(SF, driver_max=0))
+         .sort_values(key).reset_index(drop=True))
+    assert len(x) > 0
+    pd.testing.assert_frame_equal(x[sorted(x.columns)], y[sorted(y.columns)])
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_token_budget_div1_keeps_everything(tmp_path):
     """budget = total tokens → no bucket ever crosses → the
