@@ -45,7 +45,10 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
         sz = os.path.getsize(path)
     except OSError:
         sz = 1 << 30
-    if sz < (1 << 28):
+    if (1 << 20) <= sz < (1 << 28):
+        # sub-1MB files keep Ray's single block: forcing 16 blocks on a
+        # tiny table yields EMPTY blocks whose schema-less RefBundles
+        # crash the hash-join aggregator on sparse keys
         nb = int(min(256, max(16, sz >> 20)))
         return rd.read_parquet(path, columns=columns,
                                override_num_blocks=nb)
