@@ -5807,6 +5807,157 @@ def _containment_verify_table(aa, bb, ta, tb) -> pa.Table:
         "containment_e6": e6})
 
 
+def source_median_quality_gate(sf_dir: str, n_hist: int = 1024,
+                               driver_max: int = 5_000_000):
+    """Per-DOMAIN adaptive quality gating (the FineWeb/RefinedWeb
+    domain-level filtering shape): keep a doc iff its classifier score
+    is strictly above its OWN source's exact median — a per-group
+    order statistic, not a global threshold, so a low-quality domain
+    cannot hide behind a high-quality one.
+
+    Scale shape — grouped EXACT median WITHOUT per-group sorts (the
+    grouped generalization of select_docs_token_budget's histogram
+    bisection): one shuffle-free scoring pass; ONE shared
+    (source × ``n_hist``-bucket) count histogram (per-batch combined,
+    ≤ sources·n_hist rows to the driver); per-source cumulative ranks
+    locate each source's 1–2 threshold buckets; ONLY those buckets'
+    rows (≈ n_source/n_hist each) are pulled and exactly resolved; the
+    per-source median_x2 table (one row per source) broadcasts into a
+    stateless filter pass. Median is lo+hi middle ranks ×2 so
+    even-count groups stay in integer arithmetic (the
+    median_value_by_type convention) and the SQL oracle is hash-exact.
+    The driver state is O(sources · n_hist) and the exact-resolve pull
+    is asserted ≤ ``driver_max`` (recurse on the bucket range at real
+    scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)
+                    ).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "clf_score": pa.array(s, pa.int64())})
+
+    scored = _checkpoint(ds.map_batches(score_batch,
+                                        batch_format="pyarrow"),
+                         "srcmedian_scored")
+    agg = scored.aggregate(Min("clf_score", alias_name="lo"),
+                           Max("clf_score", alias_name="hi"),
+                           Count(alias_name="n"))
+    if not (agg["n"] or 0):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "source": pa.array([], pa.string()),
+                         "clf_score": pa.array([], pa.int64())})
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    width = hi - lo + 1  # zero-width-safe
+
+    def bucket_of(s: np.ndarray) -> np.ndarray:
+        return (s.astype(np.int64) - lo) * n_hist // width
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "b": bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))})
+            .groupby(["source", "b"], sort=False).size()
+            .reset_index(name="n"))
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    hist = (scored.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["source", "b"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: <= sources * n_hist rows
+    per_src: dict[str, list] = {}
+    for r in hist:
+        per_src.setdefault(r["source"], []).append((r["b"], r["n"]))
+    # per source: buckets holding ranks (n+1)//2 and n//2 + 1
+    need: set[tuple[str, int]] = set()
+    ranks: dict[str, tuple[int, int]] = {}
+    for src, bl in per_src.items():
+        bl.sort()
+        n = sum(x[1] for x in bl)
+        r_lo, r_hi = (n + 1) // 2, n // 2 + 1
+        ranks[src] = (r_lo, r_hi)
+        cum = 0
+        for b, cnt in bl:
+            if cum < r_lo <= cum + cnt:
+                need.add((src, b))
+            if cum < r_hi <= cum + cnt:
+                need.add((src, b))
+            cum += cnt
+    nref = ray.put(need)
+
+    def in_need(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        bs = bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
+        nd = ray.get(nref)
+        mask = np.fromiter(((s, b) in nd for s, b in zip(srcs, bs)),
+                           bool, len(srcs))
+        return t.filter(pa.array(mask))
+
+    tb = pa.concat_tables(
+        scored.map_batches(in_need, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert tb.num_rows <= driver_max, \
+        f"threshold buckets {tb.num_rows} rows > driver_max (recurse)"
+    # exact per-source resolve: rank within the pulled bucket = global
+    # rank minus the count below the bucket
+    med2: dict[str, int] = {}
+    tbp = pd.DataFrame({
+        "source": tb["source"].to_numpy(zero_copy_only=False),
+        "score": tb["clf_score"].to_numpy(zero_copy_only=False),
+        "b": bucket_of(tb["clf_score"].to_numpy(zero_copy_only=False))})
+    for src, grp in tbp.groupby("source", sort=False):
+        bl = per_src[src]
+        r_lo, r_hi = ranks[src]
+        vals: dict[int, int] = {}
+        for rank in (r_lo, r_hi):
+            cum = 0
+            for b, cnt in bl:
+                if cum < rank <= cum + cnt:
+                    sub = np.sort(
+                        grp.loc[grp["b"] == b, "score"].to_numpy(np.int64))
+                    vals[rank] = int(sub[rank - cum - 1])
+                    break
+                cum += cnt
+        med2[src] = vals[r_lo] + vals[r_hi]
+    mref = ray.put(med2)
+
+    def gate(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        sc = t["clf_score"].to_numpy(zero_copy_only=False)
+        m2 = np.fromiter((m[s] for s in srcs), np.int64, len(srcs))
+        return t.filter(pa.array(2 * sc > m2))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
+SOURCE_MEDIAN_GATE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+sc AS (SELECT doc_id,
+              CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                        % 1001) - 500) AS BIGINT) AS clf_score
+       FROM tok GROUP BY doc_id),
+s AS (SELECT d.doc_id, d.source, sc.clf_score
+      FROM documents d JOIN sc USING (doc_id)),
+m AS (SELECT source,
+             CAST((list(clf_score ORDER BY clf_score))[(count(*)+1)//2]
+                + (list(clf_score ORDER BY clf_score))[count(*)//2+1]
+                  AS BIGINT) AS m2
+      FROM s GROUP BY source)
+SELECT s.doc_id, s.source, s.clf_score
+FROM s JOIN m USING (source)
+WHERE 2 * s.clf_score > m.m2
+"""
+
+
 GRAM_CONTAINMENT_SQL = """
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
            FROM documents),
@@ -5981,6 +6132,7 @@ QUERIES = {
     "remove_dup_spans_docs": remove_dup_spans_docs,
     "select_docs_token_budget": select_docs_token_budget,
     "gram_containment_pairs": gram_containment_pairs,
+    "source_median_quality_gate": source_median_quality_gate,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -6091,4 +6243,5 @@ ORACLES = {
     "remove_dup_spans_docs": REMOVE_DUP_SPANS_SQL,
     "select_docs_token_budget": SELECT_TOKEN_BUDGET_SQL,
     "gram_containment_pairs": GRAM_CONTAINMENT_SQL,
+    "source_median_quality_gate": SOURCE_MEDIAN_GATE_SQL,
 }

@@ -139,6 +139,43 @@ def test_gram_containment_driver_gate_equals_distributed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_source_median_gate_brute_force(tmp_path):
+    """Per-source exact median gating vs brute force: odd and even
+    group sizes plus a singleton source (whose sole doc can never beat
+    its own median and must drop)."""
+    from rendler_ray.pipelines.queries import source_median_quality_gate
+
+    texts, sources = {}, {}
+    for i in range(9):            # odd-size source
+        texts[i] = f"alpha words number{i} for source one item{i}"
+        sources[i] = "s_odd"
+    for i in range(9, 15):        # even-size source
+        texts[i] = f"beta tokens item number{i} two {('x ' * (i % 4))}".strip()
+        sources[i] = "s_even"
+    texts[15] = "single doc in its own source"
+    sources[15] = "s_one"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+        "source": pa.array([sources[d] for d in texts], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    scores = {d: _clf_score(t) for d, t in texts.items()}
+    want = set()
+    for src in set(sources.values()):
+        vs = sorted(scores[d] for d in texts if sources[d] == src)
+        n = len(vs)
+        m2 = vs[(n + 1) // 2 - 1] + vs[n // 2]
+        want |= {d for d in texts
+                 if sources[d] == src and 2 * scores[d] > m2}
+
+    got = to_pandas(source_median_quality_gate(str(tmp_path)))
+    assert set(got["doc_id"]) == want
+    assert not any(got["source"] == "s_one")  # singleton always drops
+    assert len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_token_budget_div1_keeps_everything(tmp_path):
     """budget = total tokens → no bucket ever crosses → the
     keep-everything fast path returns every doc."""
