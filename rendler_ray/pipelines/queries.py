@@ -5502,18 +5502,21 @@ def select_docs_token_budget(sf_dir: str, budget_div: int = 4,
 
     Distributed shape — an ordered GLOBAL prefix-sum cut WITHOUT a
     global sort: one stateless map pass scores every doc (the
-    classifier_score_docs kernel, shuffle-free), a ≤``n_hist``-bucket
-    score histogram of token totals folds on the driver, and the
-    cumulative histogram (descending score) locates the single
-    THRESHOLD bucket where the budget crosses. Every doc in a
-    higher-score bucket is kept by a distributed filter (no sort, no
-    shuffle); only the threshold bucket's docs — n/n_hist of the corpus
-    in expectation — are pulled, exactly sorted, and cut at the
-    remaining budget. Integer bucket math keeps both forms exact; the
-    scored table is checkpointed once so the 3 consumers never re-read
-    text. At 100 TB the threshold bucket can recurse on the same
-    histogram (score range bisection); here one level is plenty and
-    the pull is asserted ≤ ``driver_max`` rows."""
+    classifier_score_docs kernel, shuffle-free); then ITERATIVE
+    histogram bisection — each level is one streaming pass that
+    histograms the current crossing range into ≤``n_hist`` sub-buckets
+    (token sums + row counts, O(n_hist) driver state), keeps every
+    higher-score sub-bucket wholesale via a scalar cut, and narrows to
+    the single crossing sub-bucket, until the residual fits
+    ``driver_max`` rows. If the range collapses to ONE score (massive
+    ties), a second bisection phase breaks the tie on doc_id ascending
+    with the same machinery — so there is NO driver-size assumption at
+    any corpus size: levels ≈ log_{n_hist}(score range) ≤ 3, each one
+    cheap pass over the checkpointed 3-int-column scored table. Only
+    the final ≤ driver_max residual rows are pulled, exactly sorted,
+    and cut at the remaining budget. Integer bucket math keeps all
+    paths exact; refinement-forced equality (driver_max=0) is
+    pytest-asserted."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def score_ntok(t: pa.Table) -> pa.Table:
@@ -5541,51 +5544,136 @@ def select_docs_token_budget(sf_dir: str, budget_div: int = 4,
                          "clf_score": pa.array([], pa.int64()),
                          "n_tokens": pa.array([], pa.int64())})
     budget = tot // budget_div
-    width = int(hi) - int(lo) + 1  # zero-width-safe: >= 1 always
 
-    def bucket_of(s: np.ndarray) -> np.ndarray:
-        return (s.astype(np.int64) - int(lo)) * n_hist // width
+    def range_hist(col: str, rlo: int, rhi: int, tie_score: int | None):
+        """One pass over `scored`: per-sub-bucket (token sum, row count)
+        for rows with ``col`` in [rlo, rhi] (and clf_score == tie_score
+        when set). Returns a b-ascending list of (b, tokens, rows) and
+        the sub-bucket span."""
+        span = rhi - rlo + 1
+        nb = min(n_hist, span)
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        b = bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
-        g = (pd.DataFrame(
-            {"b": b, "n": t["n_tokens"].to_numpy(zero_copy_only=False)})
-            .groupby("b", sort=False)["n"].sum().reset_index())
-        return pa.table({"b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
-                         "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+        def hp(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            m = (v >= rlo) & (v <= rhi)
+            if tie_score is not None:
+                m &= (t["clf_score"].to_numpy(zero_copy_only=False)
+                      == tie_score)
+            v = v[m]
+            ntk = t["n_tokens"].to_numpy(zero_copy_only=False)[m]
+            b = (v - rlo) * nb // span
+            g = (pd.DataFrame({"b": b, "n": ntk})
+                 .groupby("b", sort=False)
+                 .agg(n=("n", "sum"), c=("n", "size")).reset_index())
+            return pa.table({
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64())})
 
-    hist = (scored.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("b").aggregate(Sum("n", alias_name="n"))
-            .take_all())  # bounded: <= n_hist rows
-    hist.sort(key=lambda r: -r["b"])  # descending score order
-    cum_above = 0
-    thresh_b = None
-    for r in hist:
-        if cum_above + r["n"] > budget:
-            thresh_b = r["b"]
+        rows = (scored.map_batches(hp, batch_format="pyarrow")
+                .groupby("b").aggregate(Sum("n", alias_name="n"),
+                                        Sum("c", alias_name="c"))
+                .take_all())  # bounded: <= nb rows
+        rows.sort(key=lambda r: r["b"])
+        return rows, span, nb
+
+    def sub_range(rlo: int, span: int, nb: int, b: int):
+        """Exact integer value range of sub-bucket ``b``."""
+        s0 = rlo + -(-(b * span) // nb)
+        s1 = rlo + -(-((b + 1) * span) // nb) - 1
+        return s0, s1
+
+    # ---- phase 1: bisect on score (descending). Invariant: every doc
+    # with clf_score > keep_above is kept wholesale; `rem` is the
+    # budget left for docs at or below keep_above; the crossing point
+    # lies in [rlo, rhi]. Each level shrinks the range ~n_hist× with
+    # ONE streaming pass and O(n_hist) driver state — no driver-size
+    # assumption anywhere.
+    rlo, rhi = int(lo), int(hi)
+    rem = budget
+    keep_above = None
+    cur_rows = None
+    while True:
+        h, span, nb = range_hist("clf_score", rlo, rhi, None)
+        crossed = False
+        for r in reversed(h):  # descending score order
+            if rem < r["n"]:
+                rlo, rhi = sub_range(rlo, span, nb, int(r["b"]))
+                cur_rows = int(r["c"])
+                keep_above = rhi
+                crossed = True
+                break
+            rem -= int(r["n"])
+        if not crossed:  # budget swallows everything (from this range up)
+            if keep_above is None:
+                return scored
             break
-        cum_above += r["n"]
-    if thresh_b is None:  # budget swallows everything
-        return scored
+        if cur_rows <= driver_max or rlo == rhi:
+            break
 
-    kept_high = scored.map_batches(
-        lambda t: t.filter(pa.array(
-            bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
-            > thresh_b)),
-        batch_format="pyarrow")
+    tie_docid_below = None
+    s_star = None
+    if crossed and cur_rows > driver_max:
+        # ---- phase 2: all crossing docs share one score (doc_id is
+        # unique, so the range CAN collapse only via ties) — bisect the
+        # doc_id tie-break ascending with the same machinery
+        s_star = rlo
+        dagg = scored.map_batches(
+            lambda t: t.filter(pa.array(
+                t["clf_score"].to_numpy(zero_copy_only=False) == s_star)),
+            batch_format="pyarrow").aggregate(
+            Min("doc_id", alias_name="dlo"), Max("doc_id", alias_name="dhi"))
+        dlo, dhi = int(dagg["dlo"]), int(dagg["dhi"])
+        tie_docid_below = dlo
+        while True:
+            h, span, nb = range_hist("doc_id", dlo, dhi, s_star)
+            crossed2 = False
+            for r in h:  # ascending doc_id order
+                if rem < r["n"]:
+                    dlo, dhi = sub_range(dlo, span, nb, int(r["b"]))
+                    cur_rows = int(r["c"])
+                    tie_docid_below = dlo
+                    crossed2 = True
+                    break
+                rem -= int(r["n"])
+            if not crossed2 or cur_rows <= driver_max or dlo == dhi:
+                break
 
-    # threshold bucket: exact (score DESC, doc_id ASC) cut on the driver
-    tb = pa.concat_tables(scored.map_batches(
-        lambda t: t.filter(pa.array(
-            bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
-            == thresh_b)),
-        batch_format="pyarrow").iter_batches(batch_size=None,
-                                             batch_format="pyarrow"))
-    assert tb.num_rows <= driver_max, \
-        f"threshold bucket {tb.num_rows} rows > driver_max (recurse)"
+    def keep_wholesale(t: pa.Table) -> pa.Table:
+        s = t["clf_score"].to_numpy(zero_copy_only=False)
+        m = s > keep_above
+        if s_star is not None:
+            m |= (s == s_star) & (
+                t["doc_id"].to_numpy(zero_copy_only=False)
+                < tie_docid_below)
+        return t.filter(pa.array(m))
+
+    kept_high = scored.map_batches(keep_wholesale, batch_format="pyarrow")
+
+    # residual crossing region: exact (score DESC, doc_id ASC) cut on
+    # the driver — now provably <= driver_max rows (or a collapsed
+    # single-value range, bounded by distinct-doc uniqueness)
+    if s_star is None:
+        flo, fhi = rlo, rhi
+
+        def in_resid(t: pa.Table) -> pa.Table:
+            s = t["clf_score"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((s >= flo) & (s <= fhi)))
+    else:
+        fdlo, fdhi = tie_docid_below, dhi
+
+        def in_resid(t: pa.Table) -> pa.Table:
+            s = t["clf_score"].to_numpy(zero_copy_only=False)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(
+                (s == s_star) & (d >= fdlo) & (d <= fdhi)))
+
+    tb = pa.concat_tables(
+        scored.map_batches(in_resid, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
     tb = tb.sort_by([("clf_score", "descending"), ("doc_id", "ascending")])
     csum = np.cumsum(tb["n_tokens"].to_numpy(zero_copy_only=False))
-    tb_kept = tb.filter(pa.array(csum <= budget - cum_above))
+    tb_kept = tb.filter(pa.array(csum <= rem))
     if tb_kept.num_rows == 0:
         return kept_high
     return kept_high.union(rd.from_arrow(tb_kept))

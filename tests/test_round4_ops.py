@@ -139,6 +139,30 @@ def test_gram_containment_driver_gate_equals_distributed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_token_budget_refinement_equals_direct(tmp_path):
+    """driver_max=0 forces full histogram bisection down to single
+    values — including the doc_id tie-break phase when every doc shares
+    one score — and must match both the direct form and brute force."""
+    from rendler_ray.pipelines.queries import select_docs_token_budget
+
+    texts = {i: "same words every time" for i in range(12)}  # all tied
+    texts.update({100 + i: f"unique text number{i} with filler "
+                           f"{'pad ' * (i % 5)}".strip()
+                  for i in range(20)})
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+
+    a = (to_pandas(select_docs_token_budget(str(tmp_path)))
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (to_pandas(select_docs_token_budget(str(tmp_path), driver_max=0))
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert set(a["doc_id"]) == _brute(texts, 4)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_source_median_gate_brute_force(tmp_path):
     """Per-source exact median gating vs brute force: odd and even
     group sizes plus a singleton source (whose sole doc can never beat
