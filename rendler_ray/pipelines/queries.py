@@ -5895,28 +5895,27 @@ def _containment_verify_table(aa, bb, ta, tb) -> pa.Table:
         "containment_e6": e6})
 
 
-def source_median_quality_gate(sf_dir: str, n_hist: int = 1024,
-                               driver_max: int = 5_000_000):
+def source_median_quality_gate(sf_dir: str, n_hist: int = 1024):
     """Per-DOMAIN adaptive quality gating (the FineWeb/RefinedWeb
     domain-level filtering shape): keep a doc iff its classifier score
     is strictly above its OWN source's exact median — a per-group
     order statistic, not a global threshold, so a low-quality domain
     cannot hide behind a high-quality one.
 
-    Scale shape — grouped EXACT median WITHOUT per-group sorts (the
-    grouped generalization of select_docs_token_budget's histogram
-    bisection): one shuffle-free scoring pass; ONE shared
-    (source × ``n_hist``-bucket) count histogram (per-batch combined,
-    ≤ sources·n_hist rows to the driver); per-source cumulative ranks
-    locate each source's 1–2 threshold buckets; ONLY those buckets'
-    rows (≈ n_source/n_hist each) are pulled and exactly resolved; the
-    per-source median_x2 table (one row per source) broadcasts into a
-    stateless filter pass. Median is lo+hi middle ranks ×2 so
-    even-count groups stay in integer arithmetic (the
-    median_value_by_type convention) and the SQL oracle is hash-exact.
-    The driver state is O(sources · n_hist) and the exact-resolve pull
-    is asserted ≤ ``driver_max`` (recurse on the bucket range at real
-    scale)."""
+    Scale shape — grouped EXACT order statistic WITHOUT per-group
+    sorts and WITHOUT pulling any data rows: iterative VALUE bisection
+    on count histograms. Each level is ONE streaming pass that
+    histograms every still-unresolved (source, rank) target's current
+    value range into ≤``n_hist`` sub-buckets of row counts
+    (per-batch combined; ≤ 2·sources·n_hist rows to the driver); the
+    per-target ascending cumulative walk narrows each range to the
+    sub-bucket containing its rank, until every range collapses to the
+    exact value — levels ≈ log_{n_hist}(score range) ≤ 3, driver state
+    O(sources), nothing ever pulled. The per-source median_x2 table
+    (one row per source) then broadcasts into a stateless filter pass.
+    Median is lo+hi middle ranks ×2 so even-count groups stay in
+    integer arithmetic (the median_value_by_type convention) and the
+    SQL oracle is hash-exact at any corpus size."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def score_batch(t: pa.Table) -> pa.Table:
@@ -5941,79 +5940,87 @@ def source_median_quality_gate(sf_dir: str, n_hist: int = 1024,
                          "source": pa.array([], pa.string()),
                          "clf_score": pa.array([], pa.int64())})
     lo, hi = int(agg["lo"]), int(agg["hi"])
-    width = hi - lo + 1  # zero-width-safe
 
-    def bucket_of(s: np.ndarray) -> np.ndarray:
-        return (s.astype(np.int64) - lo) * n_hist // width
+    # bisection state per (source, which-median-rank): value range
+    # [rlo, rhi] + remaining rank WITHIN the range (1-based)
+    cnts = (scored.groupby("source")
+            .aggregate(Count(alias_name="n")).take_all())
+    state: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        state[(r["source"], 0)] = [lo, hi, (n + 1) // 2]
+        state[(r["source"], 1)] = [lo, hi, n // 2 + 1]
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = (pd.DataFrame({
-            "source": t["source"].to_numpy(zero_copy_only=False),
-            "b": bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))})
-            .groupby(["source", "b"], sort=False).size()
-            .reset_index(name="n"))
-        return pa.table({
-            "source": pa.array(g["source"].tolist(), pa.string()),
-            "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
-            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+    def _sub(rlo: int, span: int, nb: int, b: int) -> tuple[int, int]:
+        s0 = rlo + -(-(b * span) // nb)
+        s1 = rlo + -(-((b + 1) * span) // nb) - 1
+        return s0, s1
 
-    hist = (scored.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["source", "b"]).aggregate(Sum("n", alias_name="n"))
-            .take_all())  # bounded: <= sources * n_hist rows
-    per_src: dict[str, list] = {}
-    for r in hist:
-        per_src.setdefault(r["source"], []).append((r["b"], r["n"]))
-    # per source: buckets holding ranks (n+1)//2 and n//2 + 1
-    need: set[tuple[str, int]] = set()
-    ranks: dict[str, tuple[int, int]] = {}
-    for src, bl in per_src.items():
-        bl.sort()
-        n = sum(x[1] for x in bl)
-        r_lo, r_hi = (n + 1) // 2, n // 2 + 1
-        ranks[src] = (r_lo, r_hi)
-        cum = 0
-        for b, cnt in bl:
-            if cum < r_lo <= cum + cnt:
-                need.add((src, b))
-            if cum < r_hi <= cum + cnt:
-                need.add((src, b))
-            cum += cnt
-    nref = ray.put(need)
+    while True:
+        pend = {k: v for k, v in state.items() if v[0] < v[1]}
+        if not pend:
+            break
+        # {source: [(which, rlo, rhi, nb)]} for the streaming pass
+        bysrc: dict[str, list] = {}
+        for (src, w), (rlo, rhi, _) in pend.items():
+            nb = min(n_hist, rhi - rlo + 1)
+            bysrc.setdefault(src, []).append((w, rlo, rhi, nb))
+        tref = ray.put(bysrc)
 
-    def in_need(t: pa.Table) -> pa.Table:
-        srcs = t["source"].to_numpy(zero_copy_only=False)
-        bs = bucket_of(t["clf_score"].to_numpy(zero_copy_only=False))
-        nd = ray.get(nref)
-        mask = np.fromiter(((s, b) in nd for s, b in zip(srcs, bs)),
-                           bool, len(srcs))
-        return t.filter(pa.array(mask))
+        def level(t: pa.Table) -> pa.Table:
+            tg = ray.get(tref)
+            srcs = t["source"].to_numpy(zero_copy_only=False)
+            sc = t["clf_score"].to_numpy(zero_copy_only=False)
+            out_s, out_w, out_b = [], [], []
+            df = pd.DataFrame({"src": srcs, "sc": sc})
+            for src, grp in df.groupby("src", sort=False):
+                tl = tg.get(src)
+                if not tl:
+                    continue
+                v = grp["sc"].to_numpy(np.int64)
+                for w, rlo, rhi, nb in tl:
+                    m = (v >= rlo) & (v <= rhi)
+                    if not m.any():
+                        continue
+                    b = (v[m] - rlo) * nb // (rhi - rlo + 1)
+                    bs, cs = np.unique(b, return_counts=True)
+                    out_s.extend([src] * len(bs))
+                    out_w.extend([w] * len(bs))
+                    out_b.extend(zip(bs.tolist(), cs.tolist()))
+            if not out_b:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "w": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            bb, nn = zip(*out_b)
+            return pa.table({"source": pa.array(out_s, pa.string()),
+                             "w": pa.array(out_w, pa.int64()),
+                             "b": pa.array(bb, pa.int64()),
+                             "n": pa.array(nn, pa.int64())})
 
-    tb = pa.concat_tables(
-        scored.map_batches(in_need, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    assert tb.num_rows <= driver_max, \
-        f"threshold buckets {tb.num_rows} rows > driver_max (recurse)"
-    # exact per-source resolve: rank within the pulled bucket = global
-    # rank minus the count below the bucket
-    med2: dict[str, int] = {}
-    tbp = pd.DataFrame({
-        "source": tb["source"].to_numpy(zero_copy_only=False),
-        "score": tb["clf_score"].to_numpy(zero_copy_only=False),
-        "b": bucket_of(tb["clf_score"].to_numpy(zero_copy_only=False))})
-    for src, grp in tbp.groupby("source", sort=False):
-        bl = per_src[src]
-        r_lo, r_hi = ranks[src]
-        vals: dict[int, int] = {}
-        for rank in (r_lo, r_hi):
+        hl = (scored.map_batches(level, batch_format="pyarrow")
+              .groupby(["source", "w", "b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())  # bounded: <= 2 * sources * n_hist rows
+        per_t: dict[tuple[str, int], list] = {}
+        for r in hl:
+            per_t.setdefault((r["source"], int(r["w"])), []).append(
+                (int(r["b"]), int(r["n"])))
+        for key, bl in per_t.items():
+            bl.sort()
+            rlo, rhi, rank = state[key]
+            nb = min(n_hist, rhi - rlo + 1)
+            span = rhi - rlo + 1
             cum = 0
             for b, cnt in bl:
                 if cum < rank <= cum + cnt:
-                    sub = np.sort(
-                        grp.loc[grp["b"] == b, "score"].to_numpy(np.int64))
-                    vals[rank] = int(sub[rank - cum - 1])
+                    s0, s1 = _sub(rlo, span, nb, b)
+                    state[key] = [s0, s1, rank - cum]
                     break
                 cum += cnt
-        med2[src] = vals[r_lo] + vals[r_hi]
+
+    med2 = {src: state[(src, 0)][0] + state[(src, 1)][0]
+            for src, _ in {(k[0], 0) for k in state}}
     mref = ray.put(med2)
 
     def gate(t: pa.Table) -> pa.Table:

@@ -198,6 +198,11 @@ def test_source_median_gate_brute_force(tmp_path):
     assert not any(got["source"] == "s_one")  # singleton always drops
     assert len(want) > 0
 
+    # n_hist=2 forces the deepest possible value bisection (one bit per
+    # level) — must agree with the wide-histogram form exactly
+    got2 = to_pandas(source_median_quality_gate(str(tmp_path), n_hist=2))
+    assert set(got2["doc_id"]) == want
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_token_budget_div1_keeps_everything(tmp_path):
