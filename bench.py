@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "remove_dup_spans_docs",    # r4: substring-dedup removal pass
     "semdedup_drop_docs",       # r4: semantic (embedding) dedup family
     "select_docs_token_budget",  # r4: budgeted data-selection family
+    "gram_containment_pairs",    # r4: inverted-index similarity join
+    "source_median_quality_gate",  # r4: grouped order-statistic gate
 ]
 
 

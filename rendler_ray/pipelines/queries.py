@@ -6020,7 +6020,7 @@ def source_median_quality_gate(sf_dir: str, n_hist: int = 1024):
                 cum += cnt
 
     med2 = {src: state[(src, 0)][0] + state[(src, 1)][0]
-            for src, _ in {(k[0], 0) for k in state}}
+            for src in {k[0] for k in state}}
     mref = ray.put(med2)
 
     def gate(t: pa.Table) -> pa.Table:
