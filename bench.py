@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "select_docs_token_budget",  # r4: budgeted data-selection family
     "gram_containment_pairs",    # r4: inverted-index similarity join
     "source_median_quality_gate",  # r4: grouped order-statistic gate
+    "paragraph_dedup_docs",        # r4b: paragraph/segment dedup family
+    "epoch_shuffle_docs",          # r4b: seeded global-permutation sort
+    "near_dup_keep_best_docs",     # r4b: quality-aware near-dup dedup
+    "ann_pq_topk",                 # r4b: product-quantization ANN scan
+    "semantic_decontam_docs",      # r4b: embedding decontamination
 ]
 
 

@@ -428,6 +428,138 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
         topk_reduce(k), batch_format="pandas")
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int = 13,
+               iters: int = 10) -> np.ndarray:
+    """Deterministic L2 k-means on a driver-side sample (the PQ
+    sub-codebook trainer — NOT spherical: subspace blocks of a unit
+    vector are not unit vectors themselves)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)),
+                     replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = (-2.0 * (sample @ cent.T)
+              + (cent ** 2).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = sample[a == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(ds, m: int = 4, ks: int = 32, sample_rows: int = 4096,
+             seed: int = 13) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. TPAMI'11, public):
+    normalize, split the dimension into ``m`` subspaces, train an
+    independent ``ks``-centroid L2 codebook per subspace on a
+    deterministic sample. Returns (m, ks, dim/m) — a few KB that
+    broadcasts once; the corpus itself never leaves its blocks."""
+    head = _deterministic_sample(ds, "vec_id", sample_rows)
+    x = _normalize(np.stack([np.asarray(v, np.float64)
+                             for v in head["embedding"].to_pylist()]))
+    d = x.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    return np.stack([
+        _kmeans_l2(x[:, s * sub:(s + 1) * sub], ks, seed=seed + s)
+        for s in range(m)])
+
+
+class PqScore:
+    """``map_batches`` actor stage for PQ ANN: encode each vector to its
+    per-subspace nearest codeword, then score every query against the
+    CODES via an ADC lookup table (query·codeword partial dots) — the
+    100-TB ANN scan shape: the full-precision corpus matmul is replaced
+    by m table gathers per vector, codebooks + LUT resolve from plasma
+    once per actor.
+
+    Emits a parallelism-robust partial top-k per query per batch: all
+    rows tying the batch's k-th ROUNDED score survive (PQ scores tie in
+    droves — every vector sharing a code word scores identically — so a
+    plain argpartition cut would make the output depend on how rows
+    land in batches)."""
+
+    def __init__(self, cent_ref, queries_ref, k: int,
+                 rerank_mult: int = 4):
+        self.cent = ray.get(cent_ref)          # (m, ks, sub)
+        q = ray.get(queries_ref)
+        self.qids = np.array(sorted(q))
+        self.qm = _normalize(np.stack([np.asarray(q[i], np.float64)
+                                       for i in self.qids]))
+        m, ks, sub = self.cent.shape
+        self.lut = np.stack([self.qm[:, s * sub:(s + 1) * sub]
+                             @ self.cent[s].T
+                             for s in range(m)], axis=1)   # (Q, m, ks)
+        self.k = k
+        self.rerank = k * rerank_mult
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        x = _normalize(batch_to_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m, ks, sub = self.cent.shape
+        codes = np.empty((len(x), m), np.int64)
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            d2 = (-2.0 * (xs @ self.cent[s].T)
+                  + (self.cent[s] ** 2).sum(axis=1)[None, :])
+            codes[:, s] = np.argmin(d2, axis=1)
+        scores = np.zeros((len(self.qids), len(x)))
+        for s in range(m):
+            scores += self.lut[:, s, codes[:, s]]
+        se6 = np.round(scores * 1e6).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            row = se6[qi]
+            kk = min(self.rerank, len(row))
+            thr = np.partition(row, len(row) - kk)[len(row) - kk]
+            keep = row >= thr
+            # exact re-rank of the ADC survivors ONLY (a handful of
+            # rows — never the whole batch): emitted scores are true
+            # cosines, so only cross-batch prefilter misses cost recall
+            exact = self.qm[qi] @ x[keep].T
+            out_q.extend([int(self.qids[qi])] * int(keep.sum()))
+            out_v.extend(ids[keep].tolist())
+            out_s.extend(exact.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+_PQ_CACHE: dict = {}
+
+
+def pq_score_batch(batch: pa.Table, *, cent_ref, queries_ref,
+                   k: int) -> pa.Table:
+    from rendler_ray.util import lru_get
+
+    return lru_get(_PQ_CACHE, (cent_ref.hex(), queries_ref.hex(), k),
+                   lambda: PqScore(cent_ref, queries_ref, k))(batch)
+
+
+def pq_topk(ds, queries: dict[int, np.ndarray], k: int, m: int = 4,
+            ks: int = 32, sample_rows: int = 4096, seed: int = 13):
+    """PQ ANN end-to-end: train sub-codebooks on a deterministic sample
+    (driver), broadcast codebooks + ADC LUTs once, ONE stateless scan
+    that encodes and scores per batch, then the shared per-query
+    fixed-point top-k reduce. Approximate by construction — recall
+    bounds are pytested against the brute-force oracle."""
+    cent_ref = ray.put(pq_train(ds, m=m, ks=ks, sample_rows=sample_rows,
+                                seed=seed))
+    qref = ray.put(queries)
+    cands = ds.map_batches(
+        pq_score_batch,
+        fn_kwargs={"cent_ref": cent_ref, "queries_ref": qref, "k": k},
+        batch_format="pyarrow", num_cpus=1)
+    return cands.groupby("query_id").map_groups(
+        topk_reduce(k), batch_format="pandas")
+
+
 def _deterministic_sample(ds, id_col: str, sample_rows: int) -> pa.Table:
     """One-pass deterministic sample by stable hash threshold on the id —
     no global sort/shuffle (scale path for training samples)."""

@@ -2488,6 +2488,90 @@ def ann_ivf_topk(sf_dir: str):
     return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
 
 
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou TPAMI'11) — the memory-bound
+    100-TB scan shape: each 64-dim vector compresses to 16 codebook
+    bytes (32× vs float64), query scoring is 16 ADC table gathers
+    instead of a full-precision matmul, and only the per-batch ADC
+    survivors (4k rows) get an exact cosine re-rank — so the emitted
+    scores are true cosines and recall loss comes only from cross-batch
+    prefilter misses (measured 1.0 at both test scales). Codebooks
+    train on a deterministic driver sample and broadcast once; ONE
+    stateless encode+score pass; the shared fixed-point top-k reduce.
+    Approximate by construction: golden-pinned, recall vs brute force
+    asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qtbl["vec_id"].to_pylist(),
+                               qtbl["embedding"].to_pylist())}
+    return F_ann.pq_topk(ds, queries, k=10, m=16, ks=64)
+
+
+def semantic_decontam_docs(sf_dir: str):
+    """Embedding-space benchmark DECONTAMINATION — the modern
+    complement to n-gram ``contamination_check_docs`` (paraphrased eval
+    leakage that token overlap misses): flag every corpus vector whose
+    cosine similarity to ANY benchmark vector (vec_id < 16 = the
+    held-out eval set) reaches 0.3. ONE stateless map pass at any
+    corpus size: the benchmark matrix broadcasts once via ``ray.put``
+    (eval sets are tiny), each batch does a single matmul against it —
+    no shuffle, no join. Scores fixed-point e6 (the ann_topk rounding
+    convention) so the DuckDB ``list_cosine_similarity`` oracle is
+    hash-exact. Emits (vec_id, n_matches, max_sim_e6) per flagged
+    vector."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 16)),
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    qm = F_ann._normalize(np.stack(
+        [np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()]))
+    qref = ray.put(qm)
+
+    def flag(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64()),
+                          "max_sim_e6": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        corp = ids >= 16
+        if not corp.any():
+            return empty
+        m = F_ann._normalize(F_ann.batch_to_matrix(t))[corp]
+        se6 = np.round((ray.get(qref) @ m.T) * 1e6).astype(np.int64)
+        nm = (se6 >= 300_000).sum(axis=0).astype(np.int64)
+        mx = se6.max(axis=0)
+        hit = nm > 0
+        return pa.table({
+            "vec_id": pa.array(ids[corp][hit], pa.int64()),
+            "n_matches": pa.array(nm[hit], pa.int64()),
+            "max_sim_e6": pa.array(mx[hit], pa.int64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SEMANTIC_DECONTAM_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id < 16),
+s AS (SELECT e.vec_id,
+             CAST(round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.qv AS DOUBLE[])) * 1000000) AS BIGINT) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 16)
+SELECT vec_id,
+       CAST(count(*) FILTER (WHERE sim >= 300000) AS BIGINT)
+         AS n_matches,
+       CAST(max(sim) AS BIGINT) AS max_sim_e6
+FROM s GROUP BY vec_id
+HAVING count(*) FILTER (WHERE sim >= 300000) > 0
+"""
+
+
 def kmeans_embedding_clusters(sf_dir: str):
     """Distributed k-means over the embeddings table (iterative
     broadcast-centroids / partial-sums algorithm — the canonical
@@ -3110,6 +3194,90 @@ def near_dup_dedup_docs(sf_dir: str):
                          "cluster": pa.array(cl[keep], pa.int64())})
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+def near_dup_keep_best_docs(sf_dir: str):
+    """QUALITY-AWARE near-dup dedup: same MinHash-LSH → Jaccard-verify
+    → connected-components clustering as ``near_dup_dedup_docs``, but
+    the survivor per cluster is the BEST doc (max ``n_chars``, tie min
+    doc_id) instead of min doc_id — the form real curation uses (keep
+    the longest/highest-quality copy, FineWeb/RefinedWeb practice).
+
+    Scale shape: cluster argmax runs as ONE native Max aggregate over a
+    packed key ``(n_chars << 40) | (2^40-1 − doc_id)`` (max-quality
+    then min-id in a single int64; bounds n_chars < 2^23,
+    doc_id < 2^40 — far above any per-doc char count and the testdata
+    id space), never a per-cluster sort or pandas group; non-members
+    stream straight through the left-outer marker join. Deterministic;
+    golden-pinned + brute-force union-find pytest."""
+    pairs = _verified_jaccard_pairs(sf_dir, "dedup_banded_best")
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array([f"{x:012d}" for x in a], pa.string()),
+            "dst": pa.array([f"{x:012d}" for x in b], pa.string())})
+
+    from rendler_ray.functions import graph as F_graph
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    cc = F_graph.connected_components_auto(
+        pairs.map_batches(pair_edges, batch_format="pyarrow"))
+    members = cc.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "cluster": pc.cast(t["component"], pa.int64())}),
+        batch_format="pyarrow")
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    members = _nonempty_blocks(members)
+    if members is None:
+        return docs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "cluster": t["doc_id"],
+                                "n_chars": t["n_chars"]}),
+            batch_format="pyarrow")
+    joined = docs.join(members, join_type="left_outer", num_partitions=8,
+                       on=("doc_id",))
+
+    _ID_MASK = (1 << 40) - 1
+
+    def split_streams(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)  # float w/ NaN
+        member = ~np.isnan(cl)
+        cl = np.where(member, cl, doc).astype(np.int64)
+        packed = np.where(member,
+                          (nc << 40) | (_ID_MASK - doc), np.int64(-1))
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "n_chars": pa.array(nc, pa.int64()),
+                         "member": pa.array(member),
+                         "packed": pa.array(packed, pa.int64())})
+
+    marked = _checkpoint(joined.map_batches(split_streams,
+                                            batch_format="pyarrow"),
+                         "neardup_best_marked")
+    loners = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["member"])).select(
+            ["doc_id", "cluster", "n_chars"]),
+        batch_format="pyarrow")
+    winners = (marked.map_batches(
+        lambda t: t.filter(t["member"]).select(["cluster", "packed"]),
+        batch_format="pyarrow")
+        .groupby("cluster").aggregate(Max("packed", alias_name="w")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(_ID_MASK - (w & _ID_MASK), pa.int64()),
+            "cluster": t["cluster"],
+            "n_chars": pa.array(w >> 40, pa.int64())})
+
+    return loners.union(winners.map_batches(unpack,
+                                            batch_format="pyarrow"))
 
 
 def ann_topk(sf_dir: str):
@@ -4362,6 +4530,262 @@ SELECT rm.doc_id, rm.n_removed_tokens,
          AS cleaned_md5
 FROM rm LEFT JOIN kept k ON rm.doc_id = k.doc_id
 GROUP BY rm.doc_id, rm.n_removed_tokens
+"""
+
+
+_PARA_SEG_TOKENS = 20
+
+
+def _doc_segments(texts: pa.Array, seg_tokens: int = _PARA_SEG_TOKENS):
+    """Tile each doc's tokens into consecutive ``seg_tokens``-token
+    SEGMENTS (the paragraph unit for corpora without newlines; the last
+    tile may be short). Fully vectorized: one split, numpy offset
+    arithmetic, one ListArray rebuild, one binary_join. Returns
+    (seg_strings object-ndarray, seg_doc doc-index per segment,
+    seg_cum per-doc first-segment index, toks ListArray, nt per-doc
+    token counts)."""
+    toks = pc.split_pattern(texts, " ")
+    nt = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(nt)])
+    nseg = -(-nt // seg_tokens)
+    seg_cum = np.concatenate([[0], np.cumsum(nseg)])
+    total = int(seg_cum[-1])
+    seg_doc = np.repeat(np.arange(len(nt)), nseg)
+    seg_idx = np.arange(total, dtype=np.int64) - seg_cum[seg_doc]
+    starts = doc_off[seg_doc] + seg_idx * seg_tokens
+    offs = np.append(starts, doc_off[-1]).astype(np.int32)
+    seg_lists = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pc.list_flatten(toks))
+    segs = pc.binary_join(seg_lists, " ").to_numpy(zero_copy_only=False)
+    return segs, seg_doc, seg_cum, toks, nt
+
+
+def paragraph_dedup_docs(sf_dir: str, broadcast_max: int = 1_000_000,
+                         num_partitions: int = 8):
+    """Paragraph-level dedup (the RefinedWeb / FineWeb line-dedup
+    shape, distinct from Lee ACL'22 span REMOVAL): a document is tiled
+    into disjoint 20-token segments (the corpus has no newlines — the
+    tile is the paragraph unit) and every segment whose exact text
+    occurs in ≥ 2 distinct documents is dropped; the survivors re-join
+    in order. Output per AFFECTED doc: (doc_id, n_removed_segments,
+    cleaned_md5) — md5 of the cleaned text (md5('') when nothing
+    survives) so the DuckDB oracle pins the cleaned BYTES.
+
+    Distributed shape mirrors ``remove_dup_spans_docs``: segment keys
+    are 128-bit hashes (two independently-keyed SipHash64 halves —
+    strings never shuffle); the dup-segment set is the Zipf head, tiny
+    next to the corpus, so up to ``broadcast_max`` keys it broadcasts
+    once and ONE map pass re-segments locally and rebuilds kept tokens
+    with Arrow list offsets + ``binary_join``. Past the cap the same
+    semantics run as int-keyed joins (covered segment indexes fold to a
+    bounded per-doc list that joins back to the text)."""
+    import hashlib
+
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        segs, seg_doc, _, _, _ = _doc_segments(t["text"].combine_chunks())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[seg_doc]
+        h1 = pdu.hash_array(segs, categorize=False).view(np.int64)
+        h2 = pdu.hash_array(segs, hash_key="rendlerparadup2!",
+                            categorize=False).view(np.int64)
+        # docs are whole within a batch: per-batch distinct
+        # (h1, h2, doc) rows are globally distinct
+        df = pd.DataFrame({"g1": h1, "g2": h2, "doc_id": ids}
+                          ).drop_duplicates()
+        return pa.table({"g1": pa.array(df["g1"].to_numpy(np.int64)),
+                         "g2": pa.array(df["g2"].to_numpy(np.int64)),
+                         "doc_id": pa.array(
+                             df["doc_id"].to_numpy(np.int64))})
+
+    keys = ds.map_batches(seg_keys, batch_format="pyarrow")
+    dup_keys = (keys.groupby(["g1", "g2"])
+                .aggregate(Count(alias_name="n_docs"))
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.greater_equal(t["n_docs"], 2)
+                    ).select(["g1", "g2"]),
+                    batch_format="pyarrow")).materialize()
+    n_dup = dup_keys.count()
+
+    def _clean(t: pa.Table, covered_seg: np.ndarray, seg_doc, seg_cum,
+               toks, nt) -> pa.Table:
+        doc_off = np.concatenate([[0], np.cumsum(nt)]).astype(np.int64)
+        n_flat = int(doc_off[-1])
+        tok_doc = np.repeat(np.arange(len(nt)), nt)
+        within = np.arange(n_flat, dtype=np.int64) - doc_off[tok_doc]
+        tok_seg = seg_cum[tok_doc] + within // _PARA_SEG_TOKENS
+        keep = ~covered_seg[tok_seg]
+        kept_per_doc = (np.add.reduceat(keep, doc_off[:-1])
+                        if n_flat else np.zeros(len(nt), np.int64))
+        kept_per_doc = np.where(nt == 0, 0, kept_per_doc).astype(np.int64)
+        rm_seg = (np.add.reduceat(covered_seg, seg_cum[:-1])
+                  if len(covered_seg) else np.zeros(len(nt), np.int64))
+        rm_seg = np.where(np.diff(seg_cum) == 0, 0, rm_seg).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]
+                              ).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pc.list_flatten(toks).filter(pa.array(keep)))
+        cleaned = pc.binary_join(kept_lists, " ").to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        aff = rm_seg > 0
+        md5s = [hashlib.md5((cleaned[i] or "").encode()).hexdigest()
+                for i in np.flatnonzero(aff)]
+        return pa.table({
+            "doc_id": pa.array(ids[aff], pa.int64()),
+            "n_removed_segments": pa.array(rm_seg[aff], pa.int64()),
+            "cleaned_md5": pa.array(md5s, pa.string())})
+
+    if n_dup <= broadcast_max:
+        rec = np.empty(n_dup, dtype=[("a", "<i8"), ("b", "<i8")])
+        pos = 0
+        for b in dup_keys.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+            m = b.num_rows
+            rec["a"][pos:pos + m] = b["g1"].to_numpy(zero_copy_only=False)
+            rec["b"][pos:pos + m] = b["g2"].to_numpy(zero_copy_only=False)
+            pos += m
+        rec.sort()
+        rec_ref = ray.put(rec)
+
+        def clean_bcast(t: pa.Table) -> pa.Table:
+            dup_rec = ray.get(rec_ref)
+            segs, seg_doc, seg_cum, toks, nt = _doc_segments(
+                t["text"].combine_chunks())
+            q = np.empty(len(segs), dtype=dup_rec.dtype)
+            q["a"] = pdu.hash_array(segs, categorize=False).view(np.int64)
+            q["b"] = pdu.hash_array(segs, hash_key="rendlerparadup2!",
+                                    categorize=False).view(np.int64)
+            if len(dup_rec):
+                idx = np.minimum(np.searchsorted(dup_rec, q),
+                                 len(dup_rec) - 1)
+                covered = dup_rec[idx] == q
+            else:
+                covered = np.zeros(len(q), bool)
+            return _clean(t, covered, seg_doc, seg_cum, toks, nt)
+
+        return ds.map_batches(clean_bcast, batch_format="pyarrow")
+
+    # join fallback: per-doc covered segment indexes fold to a bounded
+    # comma-joined list that joins back to the text — identical
+    # semantics, equality-pytested against the broadcast form
+    def seg_inst(t: pa.Table) -> pa.Table:
+        segs, seg_doc, seg_cum, _, _ = _doc_segments(
+            t["text"].combine_chunks())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[seg_doc]
+        h1 = pdu.hash_array(segs, categorize=False).view(np.int64)
+        h2 = pdu.hash_array(segs, hash_key="rendlerparadup2!",
+                            categorize=False).view(np.int64)
+        segi = (np.arange(len(seg_doc), dtype=np.int64)
+                - seg_cum[seg_doc])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "i": pa.array(segi, pa.int64()),
+                         "g1": pa.array(h1, pa.int64()),
+                         "g2": pa.array(h2, pa.int64())})
+
+    inst = ds.map_batches(seg_inst, batch_format="pyarrow")
+    # sparse-key guard: more partitions than distinct dup keys leaves
+    # empty schema-less partitions that crash the join aggregator
+    np_eff = max(1, min(num_partitions, n_dup))
+    cov = inst.join(dup_keys, join_type="inner",
+                    num_partitions=np_eff, on=("g1", "g2"))
+
+    def fold_segs(g: pd.DataFrame) -> pd.DataFrame:
+        s = ",".join(map(str, np.sort(np.unique(
+            g["i"].to_numpy(np.int64)))))
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "segs": [s]})
+
+    segs_ds = cov.groupby("doc_id").map_groups(fold_segs,
+                                               batch_format="pandas")
+    joined = segs_ds.join(ds, join_type="inner",
+                          num_partitions=np_eff,
+                          on=("doc_id",))
+
+    def clean_joined(t: pa.Table) -> pa.Table:
+        segs, seg_doc, seg_cum, toks, nt = _doc_segments(
+            t["text"].combine_chunks())
+        covered = np.zeros(len(segs), bool)
+        for i in range(t.num_rows):
+            for s in map(int, t["segs"][i].as_py().split(",")):
+                covered[seg_cum[i] + s] = True
+        return _clean(t, covered, seg_doc, seg_cum, toks, nt)
+
+    return joined.map_batches(clean_joined, batch_format="pyarrow")
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+tok AS (SELECT doc_id, pos, toks[pos] AS token, (pos - 1) // 20 AS seg
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, n)) AS pos
+              FROM t WHERE n > 0)),
+segs AS (SELECT doc_id, seg,
+                string_agg(token, ' ' ORDER BY pos) AS segtext
+         FROM tok GROUP BY doc_id, seg),
+d AS (SELECT segtext FROM segs GROUP BY segtext
+      HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT s.doc_id, s.seg, s.segtext,
+                  (d.segtext IS NOT NULL) AS dup
+           FROM segs s LEFT JOIN d USING (segtext))
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE dup) AS BIGINT)
+         AS n_removed_segments,
+       coalesce(md5(string_agg(segtext, ' ' ORDER BY seg)
+                    FILTER (WHERE NOT dup)), md5('')) AS cleaned_md5
+FROM marked GROUP BY doc_id
+HAVING count(*) FILTER (WHERE dup) > 0
+"""
+
+
+def epoch_shuffle_docs(sf_dir: str):
+    """Deterministic seeded EPOCH SHUFFLE — the reproducible global
+    permutation a training run needs so every worker/restart sees the
+    same example order (``random_shuffle`` is neither seeded across
+    runs nor oracle-able). The permutation key is a 31-bit
+    multiplicative xorshift mix of doc_id in plain int64 arithmetic
+    (every intermediate < 2^63, so DuckDB BIGINT reproduces it
+    verbatim); the shuffle itself is the honest at-scale shape: one
+    stateless key pass, ONE global range-partitioned sort on
+    (shuffle_key, doc_id), and a distributed zip-with-index
+    (``with_row_seq`` — per-block counts from metadata only) for the
+    dense ``epoch_rank``. The mix is not injective after the xor folds,
+    so doc_id tie-breaks in both engines."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k1 = (d * 2654435761) % 2147483648
+        k2 = (np.bitwise_xor(k1, k1 // 4096) * 2654435761) % 2147483648
+        k3 = np.bitwise_xor(k2, k2 // 4096)
+        return pa.table({"doc_id": t["doc_id"],
+                         "shuffle_key": pa.array(k3, pa.int64())})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    return with_row_seq(keyed, ["shuffle_key", "doc_id"], start=1,
+                        column="epoch_rank")
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH k1 AS (SELECT doc_id,
+                   (doc_id * 2654435761) % 2147483648 AS k1
+            FROM documents),
+k2 AS (SELECT doc_id,
+              (xor(k1, k1 // 4096) * 2654435761) % 2147483648 AS k2
+       FROM k1),
+k3 AS (SELECT doc_id, xor(k2, k2 // 4096) AS shuffle_key FROM k2)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) AS epoch_rank
+FROM k3
 """
 
 
@@ -5895,6 +6319,95 @@ def _containment_verify_table(aa, bb, ta, tb) -> pa.Table:
         "containment_e6": e6})
 
 
+def _grouped_value_bisect(scored, group_col: str, val_col: str,
+                          state: dict, n_hist: int = 1024) -> dict:
+    """Grouped EXACT rank selection (k-th smallest per group) WITHOUT
+    per-group sorts and WITHOUT pulling any data rows: iterative VALUE
+    bisection on count histograms. Each level is ONE streaming pass
+    that histograms every still-unresolved (group, rank) target's
+    current value range into ≤ ``n_hist`` sub-buckets of row counts
+    (per-batch combined; ≤ targets·n_hist rows to the driver); the
+    per-target ascending cumulative walk narrows each range to the
+    sub-bucket containing its rank, until every range collapses to the
+    exact value — levels ≈ log_{n_hist}(value range), driver state
+    O(targets), nothing ever pulled.
+
+    ``state``: {(group, which): [rlo, rhi, rank]} — inclusive int value
+    range + remaining 1-based ascending rank WITHIN the range. Mutated
+    in place until every range collapses; returns
+    {(group, which): exact_value}. ``scored`` must carry int64
+    ``group_col`` (string) and ``val_col`` columns."""
+
+    def _sub(rlo: int, span: int, nb: int, b: int) -> tuple[int, int]:
+        s0 = rlo + -(-(b * span) // nb)
+        s1 = rlo + -(-((b + 1) * span) // nb) - 1
+        return s0, s1
+
+    while True:
+        pend = {k: v for k, v in state.items() if v[0] < v[1]}
+        if not pend:
+            break
+        # {group: [(which, rlo, rhi, nb)]} for the streaming pass
+        bysrc: dict[str, list] = {}
+        for (src, w), (rlo, rhi, _) in pend.items():
+            nb = min(n_hist, rhi - rlo + 1)
+            bysrc.setdefault(src, []).append((w, rlo, rhi, nb))
+        tref = ray.put(bysrc)
+
+        def level(t: pa.Table) -> pa.Table:
+            tg = ray.get(tref)
+            srcs = t[group_col].to_numpy(zero_copy_only=False)
+            sc = t[val_col].to_numpy(zero_copy_only=False)
+            out_s, out_w, out_b = [], [], []
+            df = pd.DataFrame({"src": srcs, "sc": sc})
+            for src, grp in df.groupby("src", sort=False):
+                tl = tg.get(src)
+                if not tl:
+                    continue
+                v = grp["sc"].to_numpy(np.int64)
+                for w, rlo, rhi, nb in tl:
+                    m = (v >= rlo) & (v <= rhi)
+                    if not m.any():
+                        continue
+                    b = (v[m] - rlo) * nb // (rhi - rlo + 1)
+                    bs, cs = np.unique(b, return_counts=True)
+                    out_s.extend([src] * len(bs))
+                    out_w.extend([w] * len(bs))
+                    out_b.extend(zip(bs.tolist(), cs.tolist()))
+            if not out_b:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "w": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            bb, nn = zip(*out_b)
+            return pa.table({"source": pa.array(out_s, pa.string()),
+                             "w": pa.array(out_w, pa.int64()),
+                             "b": pa.array(bb, pa.int64()),
+                             "n": pa.array(nn, pa.int64())})
+
+        hl = (scored.map_batches(level, batch_format="pyarrow")
+              .groupby(["source", "w", "b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())  # bounded: <= targets * n_hist rows
+        per_t: dict[tuple[str, int], list] = {}
+        for r in hl:
+            per_t.setdefault((r["source"], int(r["w"])), []).append(
+                (int(r["b"]), int(r["n"])))
+        for key, bl in per_t.items():
+            bl.sort()
+            rlo, rhi, rank = state[key]
+            nb = min(n_hist, rhi - rlo + 1)
+            span = rhi - rlo + 1
+            cum = 0
+            for b, cnt in bl:
+                if cum < rank <= cum + cnt:
+                    s0, s1 = _sub(rlo, span, nb, b)
+                    state[key] = [s0, s1, rank - cum]
+                    break
+                cum += cnt
+    return {k: v[0] for k, v in state.items()}
+
+
 def source_median_quality_gate(sf_dir: str, n_hist: int = 1024):
     """Per-DOMAIN adaptive quality gating (the FineWeb/RefinedWeb
     domain-level filtering shape): keep a doc iff its classifier score
@@ -5951,75 +6464,9 @@ def source_median_quality_gate(sf_dir: str, n_hist: int = 1024):
         state[(r["source"], 0)] = [lo, hi, (n + 1) // 2]
         state[(r["source"], 1)] = [lo, hi, n // 2 + 1]
 
-    def _sub(rlo: int, span: int, nb: int, b: int) -> tuple[int, int]:
-        s0 = rlo + -(-(b * span) // nb)
-        s1 = rlo + -(-((b + 1) * span) // nb) - 1
-        return s0, s1
-
-    while True:
-        pend = {k: v for k, v in state.items() if v[0] < v[1]}
-        if not pend:
-            break
-        # {source: [(which, rlo, rhi, nb)]} for the streaming pass
-        bysrc: dict[str, list] = {}
-        for (src, w), (rlo, rhi, _) in pend.items():
-            nb = min(n_hist, rhi - rlo + 1)
-            bysrc.setdefault(src, []).append((w, rlo, rhi, nb))
-        tref = ray.put(bysrc)
-
-        def level(t: pa.Table) -> pa.Table:
-            tg = ray.get(tref)
-            srcs = t["source"].to_numpy(zero_copy_only=False)
-            sc = t["clf_score"].to_numpy(zero_copy_only=False)
-            out_s, out_w, out_b = [], [], []
-            df = pd.DataFrame({"src": srcs, "sc": sc})
-            for src, grp in df.groupby("src", sort=False):
-                tl = tg.get(src)
-                if not tl:
-                    continue
-                v = grp["sc"].to_numpy(np.int64)
-                for w, rlo, rhi, nb in tl:
-                    m = (v >= rlo) & (v <= rhi)
-                    if not m.any():
-                        continue
-                    b = (v[m] - rlo) * nb // (rhi - rlo + 1)
-                    bs, cs = np.unique(b, return_counts=True)
-                    out_s.extend([src] * len(bs))
-                    out_w.extend([w] * len(bs))
-                    out_b.extend(zip(bs.tolist(), cs.tolist()))
-            if not out_b:
-                return pa.table({"source": pa.array([], pa.string()),
-                                 "w": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64())})
-            bb, nn = zip(*out_b)
-            return pa.table({"source": pa.array(out_s, pa.string()),
-                             "w": pa.array(out_w, pa.int64()),
-                             "b": pa.array(bb, pa.int64()),
-                             "n": pa.array(nn, pa.int64())})
-
-        hl = (scored.map_batches(level, batch_format="pyarrow")
-              .groupby(["source", "w", "b"])
-              .aggregate(Sum("n", alias_name="n"))
-              .take_all())  # bounded: <= 2 * sources * n_hist rows
-        per_t: dict[tuple[str, int], list] = {}
-        for r in hl:
-            per_t.setdefault((r["source"], int(r["w"])), []).append(
-                (int(r["b"]), int(r["n"])))
-        for key, bl in per_t.items():
-            bl.sort()
-            rlo, rhi, rank = state[key]
-            nb = min(n_hist, rhi - rlo + 1)
-            span = rhi - rlo + 1
-            cum = 0
-            for b, cnt in bl:
-                if cum < rank <= cum + cnt:
-                    s0, s1 = _sub(rlo, span, nb, b)
-                    state[key] = [s0, s1, rank - cum]
-                    break
-                cum += cnt
-
-    med2 = {src: state[(src, 0)][0] + state[(src, 1)][0]
+    sel = _grouped_value_bisect(scored, "source", "clf_score",
+                                state, n_hist)
+    med2 = {src: sel[(src, 0)] + sel[(src, 1)]
             for src in {k[0] for k in state}}
     mref = ray.put(med2)
 
@@ -6050,6 +6497,58 @@ m AS (SELECT source,
 SELECT s.doc_id, s.source, s.clf_score
 FROM s JOIN m USING (source)
 WHERE 2 * s.clf_score > m.m2
+"""
+
+
+def source_quartiles(sf_dir: str, n_hist: int = 1024):
+    """Per-source exact quartiles (p25 / p50 / p75 of doc length) — the
+    corpus-profiling order statistics a data curator reads before
+    setting per-domain filter thresholds. Grouped EXACT rank selection
+    via the shared histogram-bisection helper (``_grouped_value_bisect``
+    — no per-group sorts, no data pulled to the driver, O(sources)
+    driver state, ≈ log_{n_hist}(length range) streaming passes for ALL
+    3·sources targets at once).
+
+    Quantile convention: the element at 1-based ascending rank
+    ``(n-1)·q // 1 + 1`` (the "lower" element — integer-exact, matched
+    verbatim by the SQL oracle's list-indexing)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    agg = ds.aggregate(Min("n_chars", alias_name="lo"),
+                       Max("n_chars", alias_name="hi"),
+                       Count(alias_name="n"))
+    if not (agg["n"] or 0):
+        return pa.table({"source": pa.array([], pa.string()),
+                         "p25": pa.array([], pa.int64()),
+                         "p50": pa.array([], pa.int64()),
+                         "p75": pa.array([], pa.int64())})
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+
+    cnts = (ds.groupby("source")
+            .aggregate(Count(alias_name="n")).take_all())
+    state: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        for w, q in enumerate((25, 50, 75)):
+            state[(r["source"], w)] = [lo, hi, (n - 1) * q // 100 + 1]
+
+    sel = _grouped_value_bisect(ds, "source", "n_chars", state, n_hist)
+    srcs = sorted({k[0] for k in state})
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "p25": pa.array([sel[(s, 0)] for s in srcs], pa.int64()),
+        "p50": pa.array([sel[(s, 1)] for s in srcs], pa.int64()),
+        "p75": pa.array([sel[(s, 2)] for s in srcs], pa.int64())})
+
+
+SOURCE_QUARTILES_SQL = """
+SELECT source,
+       CAST((list(n_chars ORDER BY n_chars))
+            [(count(*) - 1) * 25 // 100 + 1] AS BIGINT) AS p25,
+       CAST((list(n_chars ORDER BY n_chars))
+            [(count(*) - 1) * 50 // 100 + 1] AS BIGINT) AS p50,
+       CAST((list(n_chars ORDER BY n_chars))
+            [(count(*) - 1) * 75 // 100 + 1] AS BIGINT) AS p75
+FROM documents GROUP BY source
 """
 
 
@@ -6228,6 +6727,12 @@ QUERIES = {
     "select_docs_token_budget": select_docs_token_budget,
     "gram_containment_pairs": gram_containment_pairs,
     "source_median_quality_gate": source_median_quality_gate,
+    "source_quartiles": source_quartiles,
+    "paragraph_dedup_docs": paragraph_dedup_docs,
+    "epoch_shuffle_docs": epoch_shuffle_docs,
+    "near_dup_keep_best_docs": near_dup_keep_best_docs,
+    "ann_pq_topk": ann_pq_topk,
+    "semantic_decontam_docs": semantic_decontam_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -6339,4 +6844,8 @@ ORACLES = {
     "select_docs_token_budget": SELECT_TOKEN_BUDGET_SQL,
     "gram_containment_pairs": GRAM_CONTAINMENT_SQL,
     "source_median_quality_gate": SOURCE_MEDIAN_GATE_SQL,
+    "source_quartiles": SOURCE_QUARTILES_SQL,
+    "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
+    "epoch_shuffle_docs": EPOCH_SHUFFLE_SQL,
+    "semantic_decontam_docs": SEMANTIC_DECONTAM_SQL,
 }

@@ -59,6 +59,8 @@ GOLDEN_QUERIES = [
     "host_graph_stats",
     "scrub_url_tokens",
     "doc_fingerprint_winnow",
+    "near_dup_keep_best_docs",
+    "ann_pq_topk",
     "media_features",
     "media_thumbnails",
     "media_frame_samples",

@@ -1,0 +1,221 @@
+"""Round-4b ops: paragraph/segment dedup, per-source quartiles,
+deterministic epoch shuffle, quality-aware near-dup dedup — each
+checked against an independent brute-force recomputation (and, for the
+size-gated dedup, two-form equality broadcast vs join fallback)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rendler_ray.goldenhash import to_pandas
+from rendler_ray.pipelines.queries import (
+    _PARA_SEG_TOKENS,
+    QUERIES,
+    epoch_shuffle_docs,
+    near_dup_keep_best_docs,
+    paragraph_dedup_docs,
+    source_quartiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_para(texts: dict[int, str]):
+    """Python-loop reference for the segment dedup: tile, count distinct
+    docs per segment text, drop dup segments, rejoin."""
+    segs = {}
+    for d, t in texts.items():
+        tk = t.split(" ")
+        segs[d] = [" ".join(tk[i:i + _PARA_SEG_TOKENS])
+                   for i in range(0, len(tk), _PARA_SEG_TOKENS)]
+    ndocs = {}
+    for d, ss in segs.items():
+        for s in set(ss):
+            ndocs[s] = ndocs.get(s, 0) + 1
+    out = {}
+    for d, ss in segs.items():
+        kept = [s for s in ss if ndocs[s] < 2]
+        rm = len(ss) - len(kept)
+        if rm:
+            out[d] = (rm, hashlib.md5(
+                " ".join(kept).encode()).hexdigest())
+    return out
+
+
+def _para_fixture(tmp_path) -> dict[int, str]:
+    shared = " ".join(f"w{i}" for i in range(_PARA_SEG_TOKENS))
+    shared2 = " ".join(f"x{i}" for i in range(_PARA_SEG_TOKENS))
+    texts = {
+        0: shared + " " + " ".join(f"a{i}" for i in range(30)),
+        1: shared + " " + " ".join(f"b{i}" for i in range(7)),
+        2: shared,                        # everything removed -> md5('')
+        3: " ".join(f"c{i}" for i in range(45)),  # untouched
+        4: shared2 + " " + shared,        # two dup segments
+        5: shared2 + " tail words here",
+        # same SHORT tail in two docs (tail tiles compare by text too)
+        6: " ".join(f"d{i}" for i in range(25)) + " common short tail",
+        7: " ".join(f"e{i}" for i in range(25)) + " common short tail",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+    return texts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_brute_force(tmp_path):
+    texts = _para_fixture(tmp_path)
+    got = to_pandas(paragraph_dedup_docs(str(tmp_path)))
+    exp = _brute_para(texts)
+    assert len(exp) >= 4, "fixture must have affected docs"
+    got_d = {int(r.doc_id): (int(r.n_removed_segments), r.cleaned_md5)
+             for r in got.itertuples()}
+    assert got_d == exp
+    # doc 2 loses everything -> md5 of empty string
+    assert got_d[2][1] == hashlib.md5(b"").hexdigest()
+    assert 3 not in got_d  # untouched docs are not emitted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_join_equals_broadcast(tmp_path):
+    """broadcast_max=0 forces the int-keyed join fallback — identical
+    output to the broadcast form on the same corpus."""
+    _para_fixture(tmp_path)
+    a = to_pandas(paragraph_dedup_docs(str(tmp_path))).sort_values(
+        "doc_id").reset_index(drop=True)
+    b = to_pandas(paragraph_dedup_docs(str(tmp_path), broadcast_max=0)
+                  ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_quartiles_brute_force(tmp_path):
+    rng = np.random.default_rng(7)
+    rows = []
+    for s, n in (("a", 1), ("b", 2), ("c", 7), ("d", 100)):
+        for v in rng.integers(0, 5000, n):
+            rows.append((s, int(v)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = to_pandas(source_quartiles(str(tmp_path))).set_index("source")
+    df = pd.DataFrame(rows, columns=["source", "n_chars"])
+    for s, g in df.groupby("source"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
+            assert int(got.loc[s, col]) == int(v[(n - 1) * q // 100]), (
+                s, col)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_shuffle_is_seeded_permutation():
+    got = to_pandas(epoch_shuffle_docs(SF)).sort_values("epoch_rank")
+    n = len(got)
+    # dense 1..n rank, every doc exactly once
+    assert list(got["epoch_rank"]) == list(range(1, n + 1))
+    assert got["doc_id"].is_unique
+    # rank order == sort by (mix(doc_id), doc_id): recompute the mix
+    d = got["doc_id"].to_numpy(np.int64)
+    k1 = (d * 2654435761) % 2147483648
+    k2 = (np.bitwise_xor(k1, k1 // 4096) * 2654435761) % 2147483648
+    k3 = np.bitwise_xor(k2, k2 // 4096)
+    assert (k3 == got["shuffle_key"].to_numpy(np.int64)).all()
+    order = np.lexsort((d, k3))
+    assert (order == np.arange(n)).all()
+    # it actually shuffles: the permutation is far from identity
+    assert (got["doc_id"].to_numpy() != np.sort(d)).mean() > 0.9
+    # deterministic across runs
+    again = to_pandas(epoch_shuffle_docs(SF)).sort_values("epoch_rank")
+    assert list(again["doc_id"]) == list(got["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_keep_best_matches_union_find():
+    """Keep-best dedup must equal a driver union-find over the same
+    verified pair set with the argmax(n_chars, -doc_id) survivor rule."""
+    pairs = QUERIES["ngram_jaccard_pairs"](SF).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    nchars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    clusters: dict[int, list[int]] = {}
+    for d in nchars:
+        clusters.setdefault(find(d) if d in parent else d, []).append(d)
+    expected = sorted(
+        (max(ms, key=lambda d: (nchars[d], -d)), c, )
+        for c, ms in clusters.items())
+    expected = [(d, c, nchars[d]) for d, c in expected]
+
+    gdf = to_pandas(near_dup_keep_best_docs(SF))
+    got = sorted(zip(gdf["doc_id"].astype(int), gdf["cluster"].astype(int),
+                     gdf["n_chars"].astype(int)))
+    assert len(expected) < len(nchars), "fixture corpus has no near-dups"
+    assert got == expected
+    # the rule differs from min-doc-id on this corpus (the test bites)
+    mins = sorted((min(ms), c) for c, ms in clusters.items())
+    assert [g[:2] for g in got] != mins
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_pq_topk_recall():
+    """PQ + exact re-rank must recover (nearly) the brute-force top-10:
+    measured 1.0 mean recall at both test scales; the bound leaves room
+    for codebook drift without letting a broken encoder pass."""
+    from rendler_ray.pipelines.queries import ann_pq_topk, ann_topk
+
+    bf = ann_topk(SF).to_pandas()
+    pq = to_pandas(ann_pq_topk(SF))
+    recs = []
+    for q in sorted(bf["query_id"].unique()):
+        b = set(bf[bf.query_id == q]["vec_id"])
+        p = set(pq[pq.query_id == q]["vec_id"])
+        recs.append(len(b & p) / len(b))
+    assert np.mean(recs) >= 0.8, recs
+    assert min(recs) >= 0.5, recs
+    # per-query output is exactly k ranked rows with exact-cosine scores
+    assert (pq.groupby("query_id").size() == 10).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_decontam_brute_force():
+    from rendler_ray.pipelines.queries import semantic_decontam_docs
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.stack([np.asarray(v, np.float64)
+                  for v in t["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qm, cm = m[ids < 16], m[ids >= 16]
+    cids = ids[ids >= 16]
+    se6 = np.round((qm @ cm.T) * 1e6).astype(np.int64)
+    nm = (se6 >= 300_000).sum(axis=0)
+    exp = {int(c): (int(n), int(mx))
+           for c, n, mx in zip(cids, nm, se6.max(axis=0)) if n > 0}
+    got = to_pandas(semantic_decontam_docs(SF))
+    got_d = {int(r.vec_id): (int(r.n_matches), int(r.max_sim_e6))
+             for r in got.itertuples()}
+    assert len(exp) > 0, "fixture has no contaminated vectors"
+    assert got_d == exp
