@@ -1969,6 +1969,59 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-s1'), 1, 2) < '1a'
 """
 
 
+def sample_docs_exact_k(sf_dir: str, k: int = 100):
+    """EXACTLY-k uniform sample without replacement — the reservoir
+    shape a Bernoulli sample can't give (its size is binomial, not k) —
+    as a distributed TOP-K on a seeded integer mix, never a global
+    sort: the k globally-smallest mix keys ARE a uniform k-subset.
+    Per-batch partial top-k (each batch keeps its own k smallest, so
+    every global winner survives its batch), then one constant-group
+    ``map_groups`` finisher over the ≤ k·n_blocks survivors ranks the
+    winners — no driver pull, no all-to-all of the corpus. The mix is
+    int64-safe multiplicative-xorshift (a sibling of the epoch-shuffle
+    mix with an independent multiplier) reproduced verbatim by the SQL
+    oracle; doc_id tie-breaks both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k1 = (d * 2246822519) % 2147483648
+        k2 = (np.bitwise_xor(k1, k1 // 4096) * 2246822519) % 2147483648
+        key = np.bitwise_xor(k2, k2 // 4096)
+        if len(d) > k:
+            order = np.lexsort((d, key))[:k]
+            d, key = d[order], key[order]
+        return pa.table({"g": pa.array(np.zeros(len(d), np.int64)),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "sample_key": pa.array(key, pa.int64())})
+
+    winners = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sample_key", "doc_id"]).head(k)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "sample_key": g["sample_key"].to_numpy(np.int64),
+            "sample_rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return winners.groupby("g").map_groups(fin, batch_format="pandas")
+
+
+SAMPLE_EXACT_K_SQL = """
+WITH k1 AS (SELECT doc_id,
+                   (doc_id * 2246822519) % 2147483648 AS k1
+            FROM documents),
+k2 AS (SELECT doc_id,
+              (xor(k1, k1 // 4096) * 2246822519) % 2147483648 AS k2
+       FROM k1),
+key AS (SELECT doc_id, xor(k2, k2 // 4096) AS sample_key FROM k2)
+SELECT doc_id, sample_key,
+       row_number() OVER (ORDER BY sample_key, doc_id) AS sample_rank
+FROM key
+QUALIFY sample_rank <= 100
+"""
+
+
 def stratified_sample_docs(sf_dir: str):
     """Stratified sampling: exactly k=20 docs per ``source`` stratum,
     chosen by deterministic hash rank (md5 of doc_id + salt) — the
@@ -2236,6 +2289,50 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
 FROM sess GROUP BY user_id, session_id
+"""
+
+
+def dedup_events_window(sf_dir: str):
+    """Streaming windowed dedup (the at-ingest idempotency /
+    debounce filter every event pipeline runs): an event is a duplicate
+    — and dropped — iff ANOTHER event with the same (user_id,
+    event_type) key precedes it within 1 hour. Bounded-stream shape:
+    ``groupby(user_id)`` co-locates each key's stream once, the
+    per-group check is one vectorized sort + diff (no per-event state
+    store, no driver pass); at 100 TB the same op shards by key hash
+    exactly like sessionization. Strict LAG semantics (vs the previous
+    RAW event) so the SQL window oracle is exact; microsecond-integer
+    comparison on both sides."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    win_us = 3600 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"],
+                          kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        keep = np.ones(len(g), bool)
+        if len(g) > 1:
+            same = et[1:] == et[:-1]
+            keep[1:] = ~same | (np.diff(ts) > win_us)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "user_id": g["user_id"].to_numpy(np.int64)[keep],
+            "event_type": et[keep],
+            "ts_us": ts[keep]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+DEDUP_EVENTS_WINDOW_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR ts - prev > INTERVAL 1 HOUR
 """
 
 
@@ -6733,6 +6830,8 @@ QUERIES = {
     "near_dup_keep_best_docs": near_dup_keep_best_docs,
     "ann_pq_topk": ann_pq_topk,
     "semantic_decontam_docs": semantic_decontam_docs,
+    "dedup_events_window": dedup_events_window,
+    "sample_docs_exact_k": sample_docs_exact_k,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -6848,4 +6947,6 @@ ORACLES = {
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
     "epoch_shuffle_docs": EPOCH_SHUFFLE_SQL,
     "semantic_decontam_docs": SEMANTIC_DECONTAM_SQL,
+    "dedup_events_window": DEDUP_EVENTS_WINDOW_SQL,
+    "sample_docs_exact_k": SAMPLE_EXACT_K_SQL,
 }

@@ -219,3 +219,58 @@ def test_semantic_decontam_brute_force():
              for r in got.itertuples()}
     assert len(exp) > 0, "fixture has no contaminated vectors"
     assert got_d == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_events_window_brute_force(tmp_path):
+    """Debounce semantics vs a python loop, incl. the exact-3600s
+    boundary (strictly-greater keeps) and cross-type independence."""
+    from rendler_ray.pipelines.queries import dedup_events_window
+
+    rows = [  # (event_id, us, user, type)
+        (1, 0, 7, "view"),
+        (2, 10, 7, "view"),            # dup (10us later)
+        (3, 3_600_000_000, 7, "view"),  # exactly 3600s after #1: dup
+        (4, 3_600_000_011, 7, "view"),  # 11us after #3 (the LAG): dup
+        (5, 5, 7, "click"),             # other type: kept
+        (6, 0, 8, "view"),              # other user: kept
+        (7, 0, 9, "buy"),
+        (8, 7_300_000_000, 9, "buy"),   # > 2h later: kept
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    got = to_pandas(dedup_events_window(str(tmp_path)))
+    kept = {}
+    for eid, us, u, t in sorted(rows, key=lambda r: (r[2], r[3], r[1], r[0])):
+        prev = kept.get(("last", u, t))
+        keep = prev is None or us - prev > 3_600_000_000
+        kept[("last", u, t)] = us  # LAG vs previous RAW event
+        if keep:
+            kept[eid] = us
+    exp = sorted(e for e in kept if isinstance(e, int))
+    assert sorted(got["event_id"]) == exp == [1, 5, 6, 7, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_exact_k_is_uniform_top_k():
+    from rendler_ray.pipelines.queries import sample_docs_exact_k
+
+    got = to_pandas(sample_docs_exact_k(SF)).sort_values("sample_rank")
+    assert len(got) == 100 and got["doc_id"].is_unique
+    # equals the numpy top-100 of the same mix over all doc_ids
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    d = np.asarray(t["doc_id"].to_pylist(), np.int64)
+    k1 = (d * 2246822519) % 2147483648
+    k2 = (np.bitwise_xor(k1, k1 // 4096) * 2246822519) % 2147483648
+    key = np.bitwise_xor(k2, k2 // 4096)
+    order = np.lexsort((d, key))[:100]
+    assert list(got["doc_id"]) == d[order].tolist()
+    # k larger than the corpus: every row, dense ranks
+    allr = to_pandas(sample_docs_exact_k(SF, k=10**6))
+    assert len(allr) == len(d)
+    assert sorted(allr["sample_rank"]) == list(range(1, len(d) + 1))
