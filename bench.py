@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "near_dup_keep_best_docs",     # r4b: quality-aware near-dup dedup
     "ann_pq_topk",                 # r4b: product-quantization ANN scan
     "semantic_decontam_docs",      # r4b: embedding decontamination
+    "media_text_match",            # r4b: cross-modal retrieval chain
 ]
 
 

@@ -51,9 +51,14 @@ class CosineTopK:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # id/query types follow the inputs (ints for vec_id corpora,
+        # strings for media_ref / doc_id-string corpora)
+        qt = (pa.string() if self.qids.dtype.kind in "OU"
+              else pa.int64())
+        vt = batch.schema.field(self.id_col).type
         if batch.num_rows == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
+            return pa.table({"query_id": pa.array([], qt),
+                             "vec_id": pa.array([], vt),
                              "score": pa.array([], pa.float64())})
         m = _normalize(batch_to_matrix(batch, self.col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -64,11 +69,14 @@ class CosineTopK:
         out_q, out_v, out_s = [], [], []
         for qi in range(scores.shape[0]):
             sel = part[qi]
-            out_q.extend([int(self.qids[qi])] * len(sel))
+            qid = self.qids[qi]
+            # query ids may be ints (vec_id) or strings (media_ref)
+            qid = qid.item() if isinstance(qid, np.generic) else qid
+            out_q.extend([qid] * len(sel))
             out_v.extend(ids[sel].tolist())
             out_s.extend(scores[qi, sel].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
+        return pa.table({"query_id": pa.array(out_q, qt),
+                         "vec_id": pa.array(out_v, vt),
                          "score": pa.array(out_s, pa.float64())})
 
 

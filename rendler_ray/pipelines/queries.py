@@ -4199,6 +4199,55 @@ def media_features(sf_dir: str):
                                "width", "height"])
 
 
+def media_text_match(sf_dir: str):
+    """Cross-modal retrieval — the CLIP-style dual-encoder shape a
+    multimodal training pipeline runs to pair images with captions:
+    TEXT tower = the actor-pool ``TextEmbedder`` over the interleaved
+    docs (64-d, model-load-once); IMAGE tower = the media decode
+    stub's 8-d features lifted into the SAME 64-d space by a seeded
+    projection (stands in for the image encoder; swap in a real model
+    per the media.py contract, nothing else changes). The 16
+    lexicographically-first media_refs are the query images; matching
+    is the shared broadcast-queries → per-batch partial top-k →
+    fixed-point reduce chain (ann_topk's shape — the text corpus
+    streams, nothing all-pairs). Deterministic; rows-only,
+    golden-pinned (stub embeddings aren't SQL-expressible)."""
+    from rendler_ray.stages.embed import embed_text_ds
+    from rendler_ray.stages.enrich import page_text_column
+
+    docs = rd.read_parquet(_synth_docs_for(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = page_text_column(t)
+        return pa.table({"vec_id": out["doc_id"],
+                         "page_text": out["page_text"]})
+
+    emb = embed_text_ds(docs.map_batches(prep, batch_format="pyarrow"),
+                        text_col="page_text")
+
+    media = F_media.media_pipeline(docs)
+    feats = pa.concat_tables(
+        media.map_batches(
+            lambda t: t.select(["media_ref", "feature"]),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    order = np.argsort(np.asarray(feats["media_ref"].to_pylist(),
+                                  dtype=object))[:16]
+    refs = [feats["media_ref"][int(i)].as_py() for i in order]
+    f8 = np.stack([np.asarray(feats["feature"][int(i)].as_py(),
+                              np.float64) for i in order])
+    proj = np.random.default_rng(99).standard_normal((8, 64))
+    qmat = f8 @ proj  # brute_force_topk normalizes queries itself
+    queries = {r: qmat[i] for i, r in enumerate(refs)}
+
+    out = F_ann.brute_force_topk(emb, queries, k=3).select_columns(
+        ["query_id", "vec_id", "score_e6", "rank"])
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["media_ref", "doc_id", "score_e6", "rank"]),
+        batch_format="pyarrow")
+
+
 def media_thumbnails(sf_dir: str):
     """Decode → resize chain (geometry real, payload stubbed): returns
     (doc_id, media_ref, thumb_w, thumb_h, thumb_bytes)."""
@@ -6832,6 +6881,7 @@ QUERIES = {
     "semantic_decontam_docs": semantic_decontam_docs,
     "dedup_events_window": dedup_events_window,
     "sample_docs_exact_k": sample_docs_exact_k,
+    "media_text_match": media_text_match,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

@@ -61,6 +61,7 @@ GOLDEN_QUERIES = [
     "doc_fingerprint_winnow",
     "near_dup_keep_best_docs",
     "ann_pq_topk",
+    "media_text_match",
     "media_features",
     "media_thumbnails",
     "media_frame_samples",

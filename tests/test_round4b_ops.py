@@ -274,3 +274,46 @@ def test_sample_exact_k_is_uniform_top_k():
     allr = to_pandas(sample_docs_exact_k(SF, k=10**6))
     assert len(allr) == len(d)
     assert sorted(allr["sample_rank"]) == list(range(1, len(d) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_text_match_brute_force():
+    """The distributed cross-modal chain (actor-pool text tower +
+    projected image features + partial-top-k matching) must equal a
+    driver recomputation with the same stub encoders."""
+    from rendler_ray.functions.ann import _normalize
+    from rendler_ray.pipelines.queries import (_synth_docs_for,
+                                               media_text_match)
+    from rendler_ray.stages.embed import TextEmbedder
+    from rendler_ray.stages.enrich import page_text_column
+    from rendler_ray.functions import media as F_media
+
+    got = to_pandas(media_text_match(SF))
+    assert got["media_ref"].nunique() == 16
+    assert sorted(got.groupby("media_ref")["rank"].apply(list).iloc[0]) \
+        == [1, 2, 3]
+
+    docs = pq.read_table(_synth_docs_for(SF))
+    texts = page_text_column(docs)
+    emb_t = TextEmbedder(text_col="page_text")(
+        texts.select(["doc_id", "page_text"]))
+    tm = np.stack([np.asarray(v, np.float64)
+                   for v in emb_t["embedding"].to_pylist()])
+    tids = emb_t["doc_id"].to_pylist()
+
+    media = F_media.explode_media_spans(docs)
+    dec = F_media.MediaDecoder()(media)
+    refs_all = dec["media_ref"].to_pylist()
+    order = np.argsort(np.asarray(refs_all, dtype=object))[:16]
+    proj = np.random.default_rng(99).standard_normal((8, 64))
+    exp_rows = {}
+    for i in order:
+        r = refs_all[int(i)]
+        q = np.asarray(dec["feature"][int(i)].as_py(), np.float64) @ proj
+        s = _normalize(q[None, :])[0] @ _normalize(tm).T
+        se6 = np.round(s * 1e6).astype(np.int64)
+        top = sorted(zip(-se6, tids))[:3]
+        exp_rows[r] = [(d, int(-ns)) for ns, d in top]
+    for r, rows in exp_rows.items():
+        g = got[got.media_ref == r].sort_values("rank")
+        assert list(zip(g["doc_id"], g["score_e6"])) == rows, r
