@@ -1658,6 +1658,144 @@ FROM td GROUP BY token
 """
 
 
+# fixed 2-term retrieval queries over the corpus vocabulary. TWO terms
+# on purpose: a 2-addend float sum is IEEE-commutative, so the Ray and
+# DuckDB per-doc scores are bit-identical regardless of term order
+# (3+ addends would be association-order-dependent in the last ulp).
+_BM25_QUERIES = {0: ("hash", "join"), 1: ("sort", "merge"),
+                 2: ("window", "stream"), 3: ("table", "scan")}
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search_docs(sf_dir: str, k: int = 10):
+    """BM25 top-k retrieval (Robertson's Okapi weighting, Lucene's
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) variant) for a fixed query set —
+    the text-retrieval op a curation pipeline runs for benchmark-
+    similarity mining or targeted corpus search. Scale shape: corpus
+    stats (N, Σdl) from one tiny aggregate; per-term df from a
+    distinct-(term, doc) combiner pass (query terms only — rows ≤
+    terms × docs/batch); idf computed ON THE DRIVER with ``math.log``
+    (libm — numpy's SIMD log can differ from DuckDB's in the last ulp)
+    and broadcast; then ONE stateless scoring pass with per-batch
+    tie-inclusive partial top-k (the PQ pattern) and a constant-group
+    finisher. No shuffle ever touches the corpus."""
+    import math
+
+    terms = sorted({t for q in _BM25_QUERIES.values() for t in q})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dl_pass(t: pa.Table) -> pa.Table:
+        return pa.table({"dl": pc.list_value_length(
+            pc.split_pattern(t["text"].combine_chunks(), " "))})
+
+    st = ds.map_batches(dl_pass, batch_format="pyarrow").aggregate(
+        Sum("dl", alias_name="sdl"), Count(alias_name="n"))
+    n, sdl = int(st["n"]), int(st["sdl"])
+    avgdl = sdl / n  # same float op as the SQL's sdl / n
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        out_t, out_c = [], []
+        for term in terms:
+            hit = np.unique(par[flat == term])
+            out_t.append(term)
+            out_c.append(len(hit))  # docs whole per batch: safe partial
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    dfs = {term: 0 for term in terms}
+    for r in (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("c", alias_name="df"))
+              .take_all()):  # bounded: <= len(terms) rows
+        dfs[r["term"]] = int(r["df"])
+    idf = {term: math.log(1.0 + (n - dfs[term] + 0.5)
+                          / (dfs[term] + 0.5)) for term in terms}
+    bref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(bref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nr = t.num_rows
+        tf = {term: np.bincount(par[flat == term], minlength=nr
+                                ).astype(np.float64) for term in terms}
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl_))
+        out_q, out_v, out_s = [], [], []
+        for qid, qt in _BM25_QUERIES.items():
+            s = np.zeros(nr)
+            for term in qt:  # exactly the SQL's per-row weight tree
+                s = s + idf_[term] * (tf[term] * (_BM25_K1 + 1.0)) \
+                    / (tf[term] + norm)
+            se6 = np.round(s * 1e6).astype(np.int64)
+            pos = (np.asarray([tf[term] for term in qt]).sum(axis=0)
+                   > 0)
+            if not pos.any():
+                continue
+            kk = min(k, int(pos.sum()))
+            cand = se6[pos]
+            thr = np.partition(cand, len(cand) - kk)[len(cand) - kk]
+            keep = pos & (se6 >= thr)  # tie-inclusive partial
+            out_q.extend([qid] * int(keep.sum()))
+            out_v.extend(ids[keep].tolist())
+            out_s.extend(se6[keep].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_v, pa.int64()),
+                         "score_e6": pa.array(out_s, pa.int64())})
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_e6", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(fin,
+                                                batch_format="pandas")
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"({q}, '{t}')"
+                     for q, ts in _BM25_QUERIES.items() for t in ts)
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS dl
+           FROM documents),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM p),
+q(query_id, term) AS (VALUES {vals}),
+tf AS (SELECT p.doc_id, q.query_id, q.term, p.dl,
+              len(list_filter(p.toks, x -> x = q.term)) AS tf
+       FROM p CROSS JOIN q),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE tf > 0 GROUP BY term),
+sc AS (SELECT t.doc_id, t.query_id,
+              CAST(round(sum(
+                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * (t.tf * {_BM25_K1 + 1.0})
+                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * (t.dl / (CAST(s.sdl AS DOUBLE)
+                                            / s.n))))
+              ) * 1000000) AS BIGINT) AS score_e6
+       FROM tf t JOIN df d USING (term), stats s
+       WHERE t.tf > 0
+       GROUP BY t.doc_id, t.query_id)
+SELECT query_id, doc_id, score_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_e6 DESC, doc_id) AS rank
+FROM sc
+QUALIFY rank <= 10
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+
 def last_event_per_user(sf_dir: str):
     """A2-shape last-write-wins per key (renderResults[url]=x semantics):
     latest event per user, tiebreak on event_id."""
@@ -6882,6 +7020,7 @@ QUERIES = {
     "dedup_events_window": dedup_events_window,
     "sample_docs_exact_k": sample_docs_exact_k,
     "media_text_match": media_text_match,
+    "bm25_search_docs": bm25_search_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -6999,4 +7138,5 @@ ORACLES = {
     "semantic_decontam_docs": SEMANTIC_DECONTAM_SQL,
     "dedup_events_window": DEDUP_EVENTS_WINDOW_SQL,
     "sample_docs_exact_k": SAMPLE_EXACT_K_SQL,
+    "bm25_search_docs": BM25_SEARCH_SQL,
 }

@@ -317,3 +317,62 @@ def test_media_text_match_brute_force():
     for r, rows in exp_rows.items():
         g = got[got.media_ref == r].sort_values("rank")
         assert list(zip(g["doc_id"], g["score_e6"])) == rows, r
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_brute_force(tmp_path):
+    """BM25 vs an independent per-doc loop (Lucene idf variant), on a
+    corpus where tf saturation and length normalization both bite."""
+    import math
+
+    from rendler_ray.pipelines.queries import (_BM25_B, _BM25_K1,
+                                               _BM25_QUERIES,
+                                               bm25_search_docs)
+
+    texts = {
+        0: "hash join hash join hash",           # high tf, short
+        1: "hash join " + "filler " * 40,        # low density, long
+        2: "hash " + "pad " * 5,                 # one term only
+        3: "join",                               # one term, tiny dl
+        4: "sort merge sort",                    # other query
+        5: "nothing relevant here at all",       # no hits
+        6: "window stream window stream window stream",
+        7: "table scan table scan",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    exp = {}
+    for qid, qt in _BM25_QUERIES.items():
+        rows = []
+        for d, tk in toks.items():
+            s = 0.0
+            hit = False
+            for term in qt:
+                tf = tk.count(term)
+                if tf:
+                    hit = True
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                norm = _BM25_K1 * (1.0 - _BM25_B
+                                   + _BM25_B * (len(tk) / avgdl))
+                s += idf * (tf * (_BM25_K1 + 1.0)) / (tf + norm)
+            if hit:
+                rows.append((-int(np.round(s * 1e6)), d))
+        rows.sort()
+        exp[qid] = [(d, -ns, r + 1) for r, (ns, d) in enumerate(rows[:10])]
+
+    got = to_pandas(bm25_search_docs(str(tmp_path)))
+    for qid in _BM25_QUERIES:
+        g = got[got.query_id == qid].sort_values("rank")
+        assert (list(zip(g["doc_id"], g["score_e6"], g["rank"]))
+                == exp[qid]), qid
+    # saturation sanity: 5 hash-terms in 5 tokens beats 2 in 42
+    q0 = got[got.query_id == 0].set_index("doc_id")
+    assert q0.loc[0, "rank"] < q0.loc[1, "rank"]
+    assert 5 not in set(got["doc_id"])  # no-hit doc never appears
