@@ -371,6 +371,68 @@ def connected_components_star(edges_ds, max_iters: int = 30,
                 batch_format="pyarrow"))
 
 
+def label_propagation_ds(edges_ds, iters: int = 5,
+                         num_partitions: int = 8):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, public): every node starts with its own id and, each
+    round, adopts the most frequent label among its neighbors (tie:
+    lexicographically smallest). A fixed iteration count + synchronous
+    updates make the result deterministic (the classic async variant is
+    visit-order-dependent, useless as a pinned fixture); communities
+    denser than the round count stabilize, which is the curation
+    use-case (site/community-level corpus mixing).
+
+    Fully distributed rounds over the symmetrized distinct edge list:
+    labels ⋈ edges hash join on ``src`` → (dst, neighbor label) rows →
+    ``groupby(dst, label)`` count (the all-to-all carries one row per
+    distinct (node, label), not per edge) → per-node mode via a small
+    ``map_groups`` finisher (rows per group = distinct neighbor labels,
+    bounded by degree). Driver state: none."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"]))
+    sym = (distinct.union(distinct.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow"))
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])).materialize()
+    sym = _nonempty_blocks(sym)
+    if sym is None:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "label": pa.array([], pa.string())}))
+
+    labels = (sym.select_columns(["src"])
+              .groupby("src").aggregate(Count(alias_name="_n"))
+              .map_batches(lambda t: pa.table(
+                  {"url": t["src"], "label": t["src"]}),
+                  batch_format="pyarrow")).materialize()
+    # sparse-key guard: more join partitions than nodes/4 leaves empty
+    # schema-less partitions that crash the hash-join aggregator
+    num_partitions = max(1, min(num_partitions, labels.count() // 4))
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "label"], ascending=[False, True])
+        return pd.DataFrame({"url": [g["dst"].iloc[0]],
+                             "label": [g["label"].iloc[0]]})
+
+    for _ in range(iters):
+        cand = sym.join(labels, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("src",), right_on=("url",))
+        counts = (cand.map_batches(
+            lambda t: pa.table({"dst": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow")
+            .groupby(["dst", "label"])
+            .aggregate(Count(alias_name="n")))
+        labels = counts.groupby("dst").map_groups(
+            mode, batch_format="pandas").materialize()
+    return labels
+
+
 def connected_components_ds(edges_ds, max_iters: int = 50,
                             num_partitions: int = 16):
     """Connected components of the (undirected view of the) crawl graph:

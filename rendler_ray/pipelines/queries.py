@@ -2123,6 +2123,7 @@ def sample_docs_exact_k(sf_dir: str, k: int = 100):
 
     def partial(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert not len(d) or int(d.max()) < (1 << 31)  # see epoch mix
         k1 = (d * 2246822519) % 2147483648
         k2 = (np.bitwise_xor(k1, k1 // 4096) * 2246822519) % 2147483648
         key = np.bitwise_xor(k2, k2 // 4096)
@@ -3481,6 +3482,8 @@ def near_dup_keep_best_docs(sf_dir: str):
     def split_streams(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nc):  # packing bounds (docstring): fail loud, not wrong
+            assert int(nc.max()) < (1 << 23) and int(doc.max()) < (1 << 40)
         cl = t["cluster"].to_numpy(zero_copy_only=False)  # float w/ NaN
         member = ~np.isnan(cl)
         cl = np.where(member, cl, doc).astype(np.int64)
@@ -4311,6 +4314,23 @@ def bpe_encode_docs(sf_dir: str):
         batch_format="pyarrow").select_columns(["doc_id", "n_bpe_pieces"])
 
 
+def label_prop_crawl(sf_dir: str):
+    """Community detection over the crawl graph: 5 rounds of
+    synchronous label propagation (functions/graph.py::
+    label_propagation_ds — deterministic sync variant, distributed
+    join + count + per-node mode per round). Communities are the
+    site/cluster granularity a corpus-mixing pass balances over —
+    finer than connected components, coarser than pages. Rows-only
+    (iterative), golden-pinned + driver-recompute pytest."""
+    from rendler_ray.functions.graph import label_propagation_ds
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return label_propagation_ds(res.edges)
+
+
 def connected_components_crawl(sf_dir: str):
     """Connected components of the crawl graph (undirected view):
     alternating large-star / small-star contraction (Kiveris SoCC'14,
@@ -5048,6 +5068,9 @@ def epoch_shuffle_docs(sf_dir: str):
 
     def key(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # d·2654435761 must stay < 2^63 (numpy would wrap silently
+        # where DuckDB BIGINT errors — the mismatch would be silent)
+        assert not len(d) or int(d.max()) < (1 << 31)
         k1 = (d * 2654435761) % 2147483648
         k2 = (np.bitwise_xor(k1, k1 // 4096) * 2654435761) % 2147483648
         k3 = np.bitwise_xor(k2, k2 // 4096)
@@ -7021,6 +7044,7 @@ QUERIES = {
     "sample_docs_exact_k": sample_docs_exact_k,
     "media_text_match": media_text_match,
     "bm25_search_docs": bm25_search_docs,
+    "label_prop_crawl": label_prop_crawl,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

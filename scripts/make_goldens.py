@@ -62,6 +62,7 @@ GOLDEN_QUERIES = [
     "near_dup_keep_best_docs",
     "ann_pq_topk",
     "media_text_match",
+    "label_prop_crawl",
     "media_features",
     "media_thumbnails",
     "media_frame_samples",

@@ -376,3 +376,47 @@ def test_bm25_brute_force(tmp_path):
     q0 = got[got.query_id == 0].set_index("doc_id")
     assert q0.loc[0, "rank"] < q0.loc[1, "rank"]
     assert 5 not in set(got["doc_id"])  # no-hit doc never appears
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_reference():
+    """Distributed sync LPA == a pure-python synchronous recompute on a
+    two-community barbell graph (and the communities separate)."""
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import label_propagation_ds
+
+    def reference(edges, iters=5):
+        adj: dict[str, set] = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v in adj:
+                cnt: dict[str, int] = {}
+                for nb in adj[v]:
+                    cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+                new[v] = sorted(cnt, key=lambda l: (-cnt[l], l))[0]
+            lab = new
+        return lab
+
+    def run(edges):
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string())}))
+        return {r["url"]: r["label"]
+                for r in label_propagation_ds(ds, iters=5).take_all()}
+
+    # barbell: two triangles bridged by one edge
+    barbell = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+               ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+               ("a1", "b1")]
+    assert run(barbell) == reference(barbell)
+    # hub-and-spokes plus a dense clique hanging off one spoke —
+    # asymmetric degrees exercise the count-vs-tie mode path
+    star = [("h", f"s{i}") for i in range(5)] + \
+        [("s0", "c1"), ("s0", "c2"), ("c1", "c2"),
+         ("c1", "c3"), ("c2", "c3"), ("s0", "c3")]
+    assert run(star) == reference(star)
