@@ -6909,6 +6909,268 @@ SELECT doc_id, clf_score, n_tokens FROM c, b WHERE cum <= budget
 """
 
 
+def corpus_stats_by_source(sf_dir: str):
+    """Dataset-card statistics per source — the summary table a corpus
+    release ships (docs, total/max whitespace tokens, chars, exact
+    vocabulary size per source). Scale shape: ONE map pass emits two
+    partial streams — per-batch scalar partials (O(sources) rows per
+    batch) and per-batch-distinct (source, token) vocab rows — so the
+    shuffles carry O(sources) scalars and O(per-source vocab) tokens,
+    never the corpus text. The final vocab-count table is one row per
+    source (sources are a metadata-scale dimension — a dataset card
+    enumerates them by definition), folded on the driver and mapped
+    onto the scalar aggregate; no sparse-key hash join (see CLAUDE.md
+    on empty-block joins when distinct keys < num_partitions)."""
+    ds = _read(sf_dir, "documents", ["text", "source", "n_chars"])
+
+    def scal_partial(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "nt": toks.str.len().to_numpy(np.int64),
+            "nc": t["n_chars"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("nt", "size"), n_tokens=("nt", "sum"),
+            max_tokens=("nt", "max"), sum_chars=("nc", "sum"))
+        g = g.reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+            "max_tokens": pa.array(g["max_tokens"].to_numpy(np.int64)),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64)),
+        })
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "source": np.repeat(
+                t["source"].to_numpy(zero_copy_only=False), lens),
+            "token": np.concatenate(
+                [np.array(x, dtype=object) for x in toks]),
+        }).drop_duplicates()
+        return pa.table({
+            "source": pa.array(df["source"].tolist(), pa.string()),
+            "token": pa.array(df["token"].tolist(), pa.string()),
+        })
+
+    scal = (ds.map_batches(scal_partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Max("max_tokens", alias_name="max_tokens"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+    vocab = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby(["source", "token"]).aggregate(Count(alias_name="_c"))
+             .groupby("source").aggregate(Count(alias_name="n_vocab")))
+    vmap = {r["source"]: r["n_vocab"] for r in vocab.take_all()}
+    vref = ray.put(vmap)
+
+    def attach(t: pa.Table) -> pa.Table:
+        vm = ray.get(vref)
+        nv = [vm[s] for s in t["source"].to_pylist()]
+        return t.append_column("n_vocab", pa.array(nv, pa.int64()))
+
+    return scal.map_batches(attach, batch_format="pyarrow")
+
+
+CORPUS_STATS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_vocab
+  FROM tok GROUP BY source
+), scal AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source
+)
+SELECT scal.source, n_docs, n_tokens, max_tokens, sum_chars, n_vocab
+FROM scal JOIN vocab USING (source)
+"""
+
+
+def doc_length_buckets(sf_dir: str):
+    """Sequence-length distribution for length-bucketed batching (the
+    histogram a trainer uses to size packing buckets): docs bucketed by
+    the bit-length of their whitespace token count (power-of-2 ceiling
+    buckets), with doc and token totals per bucket. Shuffle-free map
+    pass + an O(buckets)-row groupby (≤ ~40 buckets exist for any
+    corpus — bit_length of a 2^40-token doc is 40). ``bit_length`` is
+    reproduced in SQL as ``length(bin(n))`` — exact integer bit math on
+    both sides, no float log2 boundary risk; n ≥ 1 always (splitting
+    '' yields one empty token)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                       dtype=object).str.split(" ").str.len() \
+            .to_numpy(np.int64)
+        # bit_length via frexp-free integer route: 64 - clz
+        bucket = np.zeros(len(nt), np.int64)
+        nz = nt > 0
+        bucket[nz] = np.floor(np.log2(nt[nz])).astype(np.int64) + 1
+        # float log2 can misfloor near 2^k boundaries: correct exactly
+        bucket[nz] -= (nt[nz] < (1 << np.maximum(bucket[nz] - 1, 0))) \
+            .astype(np.int64)
+        bucket[nz] += (nt[nz] >= (1 << bucket[nz])).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "nt": nt})
+        g = df.groupby("bucket", sort=False).agg(
+            n_docs=("nt", "size"), n_tokens=("nt", "sum")).reset_index()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))
+
+
+DOC_LENGTH_BUCKETS_SQL = """
+WITH s AS (
+  SELECT CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT)
+           AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM s GROUP BY bucket
+"""
+
+
+def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
+    """Tokenizer-coverage audit: per-doc out-of-vocabulary token count
+    against the corpus's own top-``vocab_k`` vocabulary (frequency
+    desc, token asc tie-break — a deterministic cut). The frequency
+    pass shuffles per-batch-combined (token, count) partials (vocab-
+    sized, never the corpus); the top-K fold is a sort+limit over the
+    vocab table whose K-row result is a broadcast-sized artifact BY
+    DEFINITION (that is what a vocabulary is), shipped once via
+    ``ray.put``; the scoring pass is shuffle-free. All-integer output
+    (doc_id, n_tokens, n_oov) — hash-exact vs SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
+            .value_counts(sort=False)
+        return pa.table({
+            "token": pa.array(vc.index.tolist(), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    freq = (ds.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("c", alias_name="c")))
+    top = freq.sort(["c", "token"], descending=[True, False]) \
+        .limit(vocab_k).take_all()
+    vocab = frozenset(r["token"] for r in top)
+    vref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks()
+        toks = pc.split_pattern(arr, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        inv = pd.Series(flat.to_numpy(zero_copy_only=False)) \
+            .isin(ray.get(vref)).to_numpy()
+        n = t.num_rows
+        n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+        n_oov = np.bincount(parents, weights=~inv,
+                            minlength=n).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tok),
+                         "n_oov": pa.array(n_oov)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+OOV_RATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), vocab AS (
+  SELECT token FROM freq ORDER BY c DESC, token LIMIT 1000
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM tok LEFT JOIN vocab v USING (token) GROUP BY doc_id
+"""
+
+
+def temperature_mix_docs(sf_dir: str):
+    """Temperature-reweighted source mixture (the Gopher/PaLM data-
+    mixing shape at alpha = 0.5): per-source quota = min(n_s,
+    4 * isqrt(n_s)), so over-represented sources are down-sampled
+    toward sqrt scale while small sources survive whole. Membership is
+    a deterministic per-source hash rank (md5 hex of the salted
+    doc_id — the stratified-sample convention), so every worker/run
+    agrees with the SQL oracle bit-for-bit. Scale shape: the per-source
+    count table is O(sources) driver state (a mixing config IS a
+    per-source table); each batch pre-prunes to its local per-source
+    quota so the final groupby(source) finisher sees ≤ quota rows per
+    batch, never the corpus. SQL ``floor(sqrt(n))`` equals
+    ``math.isqrt(n)`` for n < 2^52 (correctly-rounded double sqrt can
+    only misfloor when the 1/(2*sqrt(n)) gap drops under half an ulp,
+    i.e. n >= 2^52) — asserted."""
+    import hashlib
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    cnt = ds.groupby("source").aggregate(Count(alias_name="n")).take_all()
+    assert all(r["n"] < (1 << 52) for r in cnt)
+    quota = {r["source"]: min(r["n"], 4 * math.isqrt(r["n"]))
+             for r in cnt}
+    qref = ray.put(quota)
+
+    def rank_filter(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(f"{i}-mx1".encode()).hexdigest())
+        df = df.assign(_h=h)
+        rk = df.groupby("source", sort=False)["_h"].rank(method="first")
+        return df[rk <= df["source"].map(qm)]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_filter(g)[["doc_id", "source"]]
+
+    pruned = ds.map_batches(rank_filter, batch_format="pandas")
+    return pruned.groupby("source").map_groups(finish,
+                                               batch_format="pandas")
+
+
+TEMPERATURE_MIX_SQL = """
+WITH cnt AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), q AS (
+  SELECT source,
+         least(n, 4 * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+           AS quota
+  FROM cnt
+)
+SELECT doc_id, source FROM (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '-mx1')) AS rn
+  FROM documents d JOIN q USING (source))
+WHERE rn <= quota
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -7045,6 +7307,10 @@ QUERIES = {
     "media_text_match": media_text_match,
     "bm25_search_docs": bm25_search_docs,
     "label_prop_crawl": label_prop_crawl,
+    "corpus_stats_by_source": corpus_stats_by_source,
+    "doc_length_buckets": doc_length_buckets,
+    "oov_rate_docs": oov_rate_docs,
+    "temperature_mix_docs": temperature_mix_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -7163,4 +7429,8 @@ ORACLES = {
     "dedup_events_window": DEDUP_EVENTS_WINDOW_SQL,
     "sample_docs_exact_k": SAMPLE_EXACT_K_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
+    "corpus_stats_by_source": CORPUS_STATS_SQL,
+    "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
+    "oov_rate_docs": OOV_RATE_SQL,
+    "temperature_mix_docs": TEMPERATURE_MIX_SQL,
 }
