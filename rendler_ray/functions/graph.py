@@ -508,3 +508,147 @@ def connected_components_ds(edges_ds, max_iters: int = 50,
     return labels.map_batches(
         lambda t: pa.table({"url": t["url"], "component": t["label"]}),
         batch_format="pyarrow")
+
+
+def hits(edges_ds, iters: int = 10, _prep=None) -> pd.DataFrame:
+    """Broadcast-state HITS hubs/authorities (Kleinberg JACM'99) over
+    the deduped edge table: auth = E^T·hub, hub = E·auth per iteration,
+    each MAX-normalized — max is an order-independent float reduction
+    (unlike a sum-norm), so both execution forms and any parallelism
+    level divide by the bit-identical scalar. Driver holds the two
+    O(nodes) score dicts (same ceiling as :func:`pagerank`); the edge
+    table stays distributed, one ``map_batches`` partial-combine pass +
+    one ``groupby.sum`` per half-step."""
+    distinct, _deg, nodes_ds = (_prep if _prep is not None
+                                else _distinct_edges_and_degrees(edges_ds))
+    nodes = sorted(
+        u
+        for b in nodes_ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")
+        for u in b["url"].to_pylist())
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"url": [], "hub": [], "auth": []})
+    hub = {u: 1.0 for u in nodes}
+    auth = {u: 0.0 for u in nodes}
+
+    def _half(scores: dict, key_col: str, out_col: str) -> dict:
+        ref = ray.put(scores)
+
+        def contrib(t: pa.Table, ref=ref) -> pa.Table:
+            s = ray.get(ref)
+            w = np.array([s[x] for x in t[key_col].to_pylist()],
+                         dtype=np.float64)
+            df = pd.DataFrame({"url": t[out_col].to_pylist(), "w": w}) \
+                .groupby("url", sort=False)["w"].sum().reset_index()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (distinct.map_batches(contrib, batch_format="pyarrow")
+               .groupby("url").aggregate(Sum("w", alias_name="w")))
+        raw = {r["url"]: r["w"] for r in agg.take_all()}
+        mx = max(raw.values(), default=0.0)
+        return {u: (raw.get(u, 0.0) / mx if mx > 0 else 0.0)
+                for u in nodes}
+
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    return pd.DataFrame({"url": nodes,
+                         "hub": [hub[u] for u in nodes],
+                         "auth": [auth[u] for u in nodes]})
+
+
+def hits_ds(edges_ds, iters: int = 10, num_partitions: int = 16,
+            _prep=None):
+    """Fully distributed HITS: scores live as Datasets; each half-step
+    hash-joins scores ⋈ edges, groups contributions by the opposite
+    endpoint, unions the zero-score node table (no-inflow nodes stay 0)
+    and divides by the global max (``Dataset.max`` — an exact,
+    order-independent reduction). Driver state is O(1) scalars — the
+    past-driver-RAM form of :func:`hits`."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct, _deg, nodes_ds = (_prep if _prep is not None
+                                else _distinct_edges_and_degrees(edges_ds))
+    nodes_ds = nodes_ds.materialize()
+    if nodes_ds.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64())}))
+    distinct = _nonempty_blocks(distinct.materialize())
+
+    def const_col(v: float):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "w", pa.array(np.full(t.num_rows, v), pa.float64()))
+        return fn
+
+    hub = nodes_ds.map_batches(const_col(1.0),
+                               batch_format="pyarrow").materialize()
+    zeros = nodes_ds.map_batches(const_col(0.0),
+                                 batch_format="pyarrow").materialize()
+    auth = zeros
+
+    def _half(scores, key_col: str, out_col: str):
+        joined = distinct.join(
+            scores, join_type="inner", num_partitions=num_partitions,
+            on=(key_col,), right_on=("url",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table({"url": t[out_col], "w": t["w"]})
+
+        raw = (joined.map_batches(contrib, batch_format="pyarrow")
+               .groupby("url").aggregate(Sum("w", alias_name="w"))
+               .union(zeros)
+               .groupby("url").aggregate(Sum("w", alias_name="w"))
+               .materialize())
+        mx = raw.max("w") or 0.0
+
+        def norm(t: pa.Table, m=mx) -> pa.Table:
+            w = t["w"].to_numpy(zero_copy_only=False)
+            out = w / m if m > 0 else np.zeros(len(w))
+            return pa.table({"url": t["url"],
+                             "w": pa.array(out, pa.float64())})
+
+        return _nonempty_blocks(
+            raw.map_batches(norm, batch_format="pyarrow").materialize())
+
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+
+    pad_h = hub.map_batches(
+        lambda t: pa.table({"url": t["url"], "hub": t["w"],
+                            "auth": pa.array(np.zeros(t.num_rows),
+                                             pa.float64())}),
+        batch_format="pyarrow")
+    pad_a = auth.map_batches(
+        lambda t: pa.table({"url": t["url"],
+                            "hub": pa.array(np.zeros(t.num_rows),
+                                            pa.float64()),
+                            "auth": t["w"]}),
+        batch_format="pyarrow")
+    return (pad_h.union(pad_a).groupby("url")
+            .aggregate(Sum("hub", alias_name="hub"),
+                       Sum("auth", alias_name="auth")))
+
+
+def hits_auto(edges_ds, iters: int = 10, driver_max: int = 1_000_000,
+              num_partitions: int = 16):
+    """Size-gated HITS, always returning a Dataset (url, hub, auth):
+    broadcast-state :func:`hits` while the node table fits driver RAM,
+    fully distributed :func:`hits_ds` past it — the
+    :func:`pagerank_auto` pattern. Two-form agreement is
+    pytest-asserted."""
+    prep = _distinct_edges_and_degrees(edges_ds)
+    nodes_ds = prep[2].materialize()
+    prep = (prep[0], prep[1], nodes_ds)
+    if nodes_ds.count() > driver_max:
+        return hits_ds(edges_ds, iters=iters,
+                       num_partitions=num_partitions, _prep=prep)
+    df = hits(edges_ds, iters=iters, _prep=prep)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "hub": pa.array(df["hub"].to_numpy(np.float64), pa.float64()),
+        "auth": pa.array(df["auth"].to_numpy(np.float64), pa.float64())}))

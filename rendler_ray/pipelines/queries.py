@@ -3285,12 +3285,66 @@ def ngram_jaccard_pairs(sf_dir: str):
     return _verified_jaccard_pairs(sf_dir, "jaccard_banded")
 
 
-def _verified_jaccard_pairs(sf_dir: str, tag: str):
+# verify runs on the driver while the candidate table (bucket_key,
+# doc_id — NOT the corpus; buckets of size >= 2 only) fits this many
+# rows: below it the distributed verify's three exchanges (text hash
+# join + bucket groupby + pair-dedup groupby) cost more in fixed
+# per-block latency than the whole candidate set costs to verify in one
+# vectorized process (measured 11s -> ~4s at sf0.1/32cpus). Above the
+# gate the distributed form runs unchanged; two-form equality pytested.
+_VERIFY_DRIVER_MAX = 262_144
+
+
+def _verified_jaccard_pairs(sf_dir: str, tag: str,
+                            driver_max: int | None = None):
+    if driver_max is None:  # late-bound so tests can force either form
+        driver_max = _VERIFY_DRIVER_MAX
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
     banded = _pin_banded(_banded_with_key(ds, num_perm=64, bands=8),
                          n_docs * 8, tag)
-    cand = _hot_bucket_candidates(banded)
+    cand = _hot_bucket_candidates(banded).materialize()
+    if cand.count() <= driver_max:
+        ct = pa.concat_tables(
+            cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+        ids_arr = pc.unique(ct["doc_id"].combine_chunks())
+        idref = ray.put(ids_arr)
+        # texts of CANDIDATE docs only, filtered distributed — the
+        # collected table is bounded by the gate, never the corpus
+        txt = pa.concat_tables(
+            ds.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"],
+                                            value_set=ray.get(idref))),
+                batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        texts = dict(zip(txt["doc_id"].to_pylist(),
+                         txt["text"].to_pylist()))
+        grams: dict[int, frozenset] = {}
+        best: dict[tuple[int, int], float] = {}
+        cdf = pd.DataFrame({
+            "bucket_key": ct["bucket_key"].to_numpy(zero_copy_only=False),
+            "doc_id": ct["doc_id"].to_numpy(zero_copy_only=False)})
+        for _, g in cdf.groupby("bucket_key", sort=False):
+            ids_b = sorted(set(g["doc_id"]))
+            if len(ids_b) < 2:
+                continue
+            for i in ids_b:
+                if i not in grams:
+                    grams[i] = F_text.ngram_set(texts[i])
+            for x in range(len(ids_b)):
+                for y in range(x + 1, len(ids_b)):
+                    k = (ids_b[x], ids_b[y])
+                    if k in best:
+                        continue  # same exact-jaccard from any band
+                    jac = F_text.jaccard_sets(grams[k[0]], grams[k[1]])
+                    if jac >= 0.5:
+                        best[k] = round(jac, 6)
+        keys = sorted(best)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([k[0] for k in keys], pa.int64()),
+            "b": pa.array([k[1] for k in keys], pa.int64()),
+            "jaccard": pa.array([best[k] for k in keys], pa.float64()),
+        }))
     cand_txt = cand.join(ds, join_type="inner", num_partitions=8,
                          on=("doc_id",))
 
@@ -3474,10 +3528,53 @@ def near_dup_keep_best_docs(sf_dir: str):
                                 "cluster": t["doc_id"],
                                 "n_chars": t["n_chars"]}),
             batch_format="pyarrow")
+    _ID_MASK = (1 << 40) - 1
+
+    if members.count() <= _VERIFY_DRIVER_MAX:
+        # driver finisher: the members table is bounded by the verified
+        # pair graph (tiny next to the corpus); one broadcast filter
+        # pass replaces the outer join + checkpoint + Max + union chain
+        # whose per-stage fixed latency dominates at this size. Same
+        # packed-key argmax, same output; distributed form below is the
+        # above-gate path (goldens pin both — gate is value-invisible).
+        mt = pa.concat_tables(
+            members.iter_batches(batch_size=None, batch_format="pyarrow"))
+        mref = ray.put(mt["doc_id"].combine_chunks())
+        md = pa.concat_tables(
+            docs.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"],
+                                            value_set=ray.get(mref))),
+                batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        nc_map = dict(zip(md["doc_id"].to_pylist(),
+                          md["n_chars"].to_pylist()))
+        doc = mt["doc_id"].to_numpy(zero_copy_only=False)
+        cl = mt["cluster"].to_numpy(zero_copy_only=False)
+        nc = np.array([nc_map[i] for i in doc], np.int64)
+        if len(nc):  # packing bounds (docstring): fail loud, not wrong
+            assert int(nc.max()) < (1 << 23) and int(doc.max()) < (1 << 40)
+        packed = (nc << 40) | (_ID_MASK - doc)
+        wdf = pd.DataFrame({"cluster": cl, "packed": packed}) \
+            .groupby("cluster", sort=False)["packed"].max().reset_index()
+        w = wdf["packed"].to_numpy(np.int64)
+        winners_tbl = pa.table({
+            "doc_id": pa.array(_ID_MASK - (w & _ID_MASK), pa.int64()),
+            "cluster": pa.array(wdf["cluster"].to_numpy(np.int64),
+                                pa.int64()),
+            "n_chars": pa.array(w >> 40, pa.int64())})
+
+        def loners_pass(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"],
+                                            value_set=ray.get(mref))))
+            return pa.table({"doc_id": t["doc_id"],
+                             "cluster": t["doc_id"],
+                             "n_chars": t["n_chars"]})
+
+        return (docs.map_batches(loners_pass, batch_format="pyarrow")
+                .union(rd.from_arrow(winners_tbl)))
+
     joined = docs.join(members, join_type="left_outer", num_partitions=8,
                        on=("doc_id",))
-
-    _ID_MASK = (1 << 40) - 1
 
     def split_streams(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -4263,6 +4360,35 @@ def pagerank_crawl_graph(sf_dir: str):
         return pa.table({"url": t["url"], "rank_e9": e9})
 
     return ranks.map_batches(fixed, batch_format="pyarrow")
+
+
+def hits_crawl_graph(sf_dir: str):
+    """HITS hubs/authorities over the crawl's edge table (Kleinberg
+    JACM'99) — the link-analysis complement to PageRank (authorities =
+    heavily-cited pages, hubs = good link indexes; a crawl scheduler
+    prioritizes by either). Runs the size-gated form
+    (functions/graph.py::hits_auto): broadcast power iteration under
+    the driver-RAM gate, per-iteration-join ``hits_ds`` above it.
+    MAX-normalized each half-step — an order-independent float
+    reduction, so scores are parallelism-stable. Fixed-point e9;
+    rows-only (iterative), golden-pinned + two-form agreement pytest."""
+    from rendler_ray.functions.graph import hits_auto
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    scores = hits_auto(res.edges, iters=10)
+
+    def fixed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "hub_e9": pc.cast(pc.round(pc.multiply(t["hub"], 1e9)),
+                              pa.int64()),
+            "auth_e9": pc.cast(pc.round(pc.multiply(t["auth"], 1e9)),
+                               pa.int64())})
+
+    return scores.map_batches(fixed, batch_format="pyarrow")
 
 
 def pagerank_joined_crawl(sf_dir: str):
@@ -7307,6 +7433,7 @@ QUERIES = {
     "media_text_match": media_text_match,
     "bm25_search_docs": bm25_search_docs,
     "label_prop_crawl": label_prop_crawl,
+    "hits_crawl_graph": hits_crawl_graph,
     "corpus_stats_by_source": corpus_stats_by_source,
     "doc_length_buckets": doc_length_buckets,
     "oov_rate_docs": oov_rate_docs,

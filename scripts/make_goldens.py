@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
     "pagerank_crawl_graph",
+    "hits_crawl_graph",
     "pagerank_joined_crawl",
     "connected_components_crawl",
     "bpe_train_merges",

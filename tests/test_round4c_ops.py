@@ -99,3 +99,93 @@ def test_temperature_mix_docs(ray_session):
     kept = got.groupby("source").size()
     for src, ids in by_src.items():
         assert kept[src] == min(len(ids), 4 * math.isqrt(len(ids)))
+
+
+def _hits_reference(edges, iters=10):
+    """Dense numpy HITS with max-normalization (the implementation's
+    documented variant) over distinct edges."""
+    import numpy as np
+
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    E = np.zeros((n, n))
+    for s, d in es:
+        E[idx[s], idx[d]] = 1.0
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = E.T @ hub
+        m = auth.max()
+        auth = auth / m if m > 0 else auth * 0.0
+        hub = E @ auth
+        m = hub.max()
+        hub = hub / m if m > 0 else hub * 0.0
+    return nodes, hub, auth
+
+
+def test_hits_broadcast_matches_dense_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "b")]  # dup a->b counts once
+    tbl = pa.table({"src": [s for s, _ in edges],
+                    "dst": [d for _, d in edges]})
+    df = hits(rd.from_arrow(tbl), iters=10)
+    nodes, hub, auth = _hits_reference(edges)
+    assert list(df["url"]) == nodes
+    assert np.allclose(df["hub"].to_numpy(), hub, atol=1e-12)
+    assert np.allclose(df["auth"].to_numpy(), auth, atol=1e-12)
+    # c is cited by a, b, d: the top authority; a links to top
+    # authorities: the top hub
+    got = df.set_index("url")
+    assert got.loc["c", "auth"] == 1.0
+    assert got.loc["a", "hub"] == 1.0
+
+
+def test_hits_ds_matches_broadcast_form(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.functions.graph import hits, hits_ds
+
+    rng = __import__("numpy").random.default_rng(7)
+    src = rng.integers(0, 80, 500)
+    dst = rng.integers(0, 80, 500)
+    tbl = pa.table({"src": pa.array([f"u{i}" for i in src]),
+                    "dst": pa.array([f"u{i}" for i in dst])})
+    a = hits(rd.from_arrow(tbl), iters=6).sort_values(
+        "url").reset_index(drop=True)
+    b = pd.DataFrame(hits_ds(rd.from_arrow(tbl), iters=6,
+                             num_partitions=4).take_all()).sort_values(
+        "url").reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"])
+    for col in ("hub", "auth"):
+        ae9 = np.round(a[col].to_numpy() * 1e9).astype(np.int64)
+        be9 = np.round(b[col].to_numpy() * 1e9).astype(np.int64)
+        assert (ae9 == be9).all()
+
+
+def test_verify_driver_fold_matches_distributed(ray_session, monkeypatch):
+    """The size-gated driver verify (and the keep-best driver finisher)
+    must emit exactly the distributed forms' rows — gate invisible."""
+    import rendler_ray.pipelines.queries as Q
+
+    def snap(ds):
+        df = to_pandas(ds)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a_pairs = snap(Q._verified_jaccard_pairs(SF, "tfdrv"))
+    a_best = snap(Q.near_dup_keep_best_docs(SF))
+    monkeypatch.setattr(Q, "_VERIFY_DRIVER_MAX", -1)
+    b_pairs = snap(Q._verified_jaccard_pairs(SF, "tfdist"))
+    b_best = snap(Q.near_dup_keep_best_docs(SF))
+    assert a_pairs.equals(b_pairs)
+    assert a_best.equals(b_best)
