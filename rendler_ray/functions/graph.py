@@ -202,17 +202,26 @@ def connected_components_auto(edges_ds, driver_max: int = 1_000_000,
     dense-seq key rank (pipelines/crawl.py::_number_winners)."""
     from rendler_ray.state.politeness import _nonempty_blocks
 
-    distinct = (edges_ds.select_columns(["src", "dst"])
-                .groupby(["src", "dst"])
-                .aggregate(Count(alias_name="_n"))
-                .select_columns(["src", "dst"])).materialize()
-    distinct = _nonempty_blocks(distinct)
-    if distinct is None:
+    edges = edges_ds.select_columns(["src", "dst"]).materialize()
+    n_raw = edges.count()  # >= distinct count: a conservative gate
+    if n_raw == 0:
         return ray.data.from_arrow(pa.table({
             "url": pa.array([], pa.string()),
             "component": pa.array([], pa.string())}))
-    if distinct.count() > driver_max:
+    if n_raw > driver_max:
+        # the distinct groupby only pays off on the star path (it
+        # shrinks every contraction round); union-find absorbs
+        # duplicate edges natively, so the driver path skips it
+        distinct = (edges.groupby(["src", "dst"])
+                    .aggregate(Count(alias_name="_n"))
+                    .select_columns(["src", "dst"])).materialize()
+        distinct = _nonempty_blocks(distinct)
+        if distinct is None:
+            return ray.data.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "component": pa.array([], pa.string())}))
         return connected_components_star(distinct, **kw)
+    distinct = edges
 
     parent: dict = {}
 
