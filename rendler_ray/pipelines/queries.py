@@ -4510,10 +4510,20 @@ def media_text_match(sf_dir: str):
                         text_col="page_text")
 
     media = F_media.media_pipeline(docs)
+
+    def prune16(t: pa.Table) -> pa.Table:
+        # each batch keeps its own 16 lexicographically-first refs, so
+        # every global winner survives its batch — the driver fold sees
+        # <= 16 * n_blocks rows, never the media table
+        t = t.select(["media_ref", "feature"])
+        if t.num_rows > 16:
+            idx = np.argsort(np.asarray(t["media_ref"].to_pylist(),
+                                        dtype=object))[:16]
+            t = t.take(pa.array(np.sort(idx), pa.int64()))
+        return t
+
     feats = pa.concat_tables(
-        media.map_batches(
-            lambda t: t.select(["media_ref", "feature"]),
-            batch_format="pyarrow")
+        media.map_batches(prune16, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow"))
     order = np.argsort(np.asarray(feats["media_ref"].to_pylist(),
                                   dtype=object))[:16]
