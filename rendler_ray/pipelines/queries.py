@@ -7307,6 +7307,153 @@ WHERE rn <= quota
 """
 
 
+def prefix_dup_source_matrix(sf_dir: str, k: int = 8):
+    """Cross-source duplicate-leakage matrix on the opening-``k``-token
+    fingerprint — the shared-boilerplate diagnostic a multi-source
+    corpus card ships (template headers/openings that bridge source A
+    and source B vs repeat inside one source; whole-doc md5 is the
+    degenerate k=∞ case). Never materializes pairs: per-batch
+    (md5(prefix), source, n) partials → groupby([fp, source]).sum →
+    per-fingerprint ``map_groups`` whose group is AT MOST one row per
+    source (bounded by the source dimension, not the duplicate count)
+    emits pair counts COMBINATORIALLY (n_a·n_b cross-source, C(n,2)
+    within) → one O(sources²) groupby. A fingerprint with a million
+    copies costs one integer multiply, not 10^12 pair rows.
+    All-integer, hash-exact vs SQL (DuckDB list slice [1:k] ==
+    Python [:k])."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        fps = [hashlib.md5(
+            " ".join(x.split(" ")[:k]).encode("utf-8")).hexdigest()
+            for x in texts]
+        df = pd.DataFrame({
+            "fp": fps,
+            "source": t["source"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["fp", "source"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({
+            "fp": pa.array(g["fp"].tolist(), pa.string()),
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["fp", "source"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src)
+        src, n = src[order], n[order]
+        out_a, out_b, out_n = [], [], []
+        within = n * (n - 1) // 2
+        keep = within > 0
+        out_a.extend(src[keep])
+        out_b.extend(src[keep])
+        out_n.extend(within[keep])
+        if len(src) > 1:
+            iu, ju = np.triu_indices(len(src), k=1)
+            out_a.extend(src[iu])
+            out_b.extend(src[ju])
+            out_n.extend(n[iu] * n[ju])
+        return pa.table({
+            "src_a": pa.array(list(out_a), pa.string()),
+            "src_b": pa.array(list(out_b), pa.string()),
+            "np": pa.array([int(x) for x in out_n], pa.int64())})
+
+    return (counts.groupby("fp").map_groups(emit_pairs,
+                                            batch_format="pyarrow")
+            .groupby(["src_a", "src_b"])
+            .aggregate(Sum("np", alias_name="n_pairs")))
+
+
+PREFIX_DUP_MATRIX_SQL = """
+WITH c AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+         source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY fp, source
+), p AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n * b.n AS np
+  FROM c a JOIN c b USING (fp) WHERE a.source < b.source
+  UNION ALL
+  SELECT source, source, n * (n - 1) // 2 FROM c WHERE n >= 2
+)
+SELECT src_a, src_b, CAST(sum(np) AS BIGINT) AS n_pairs
+FROM p GROUP BY src_a, src_b
+"""
+
+
+def near_dup_source_matrix(sf_dir: str):
+    """NEAR-dup leakage across sources: the verified jaccard pair set
+    (MinHash-LSH candidates → exact 3-gram jaccard ≥ 0.5, the
+    size-gated chain) mapped to canonical (src_a ≤ src_b) source pairs
+    and counted. The pair table is bounded by the verified graph (tiny
+    next to the corpus); endpoint sources arrive by a distributed
+    ``is_in`` filter over the docs table folded on the driver (bounded
+    by 2·pairs), never a corpus pull. Deterministic; rows-only
+    (LSH banding is not SQL-expressible), golden + brute pytest. Above
+    the verify gate the source lookup switches to two hash joins
+    (pairs ⋈ docs on each endpoint) — same output, no driver pull."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    pairs = _verified_jaccard_pairs(sf_dir, "srcmat_banded") \
+        .select_columns(["a", "b"]).materialize()
+    if pairs.count() > _VERIFY_DRIVER_MAX:
+        j = pairs.join(docs, join_type="inner", num_partitions=8,
+                       on=("a",), right_on=("doc_id",))
+        j = j.map_batches(
+            lambda t: pa.table({"b": t["b"], "sa": t["source"]}),
+            batch_format="pyarrow")
+        j = j.join(docs, join_type="inner", num_partitions=8,
+                   on=("b",), right_on=("doc_id",))
+
+        def canon(t: pa.Table) -> pa.Table:
+            sa = t["sa"].to_numpy(zero_copy_only=False).astype(object)
+            sb = t["source"].to_numpy(zero_copy_only=False).astype(object)
+            return pa.table({
+                "src_a": pa.array(np.minimum(sa, sb).tolist(),
+                                  pa.string()),
+                "src_b": pa.array(np.maximum(sa, sb).tolist(),
+                                  pa.string())})
+
+        return (j.map_batches(canon, batch_format="pyarrow")
+                .groupby(["src_a", "src_b"])
+                .aggregate(Count(alias_name="n_pairs")))
+    pt = pa.concat_tables(
+        pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if pt.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64())}))
+    a = pt["a"].to_numpy(zero_copy_only=False)
+    b = pt["b"].to_numpy(zero_copy_only=False)
+    need = np.unique(np.concatenate([a, b]))
+    nref = ray.put(pa.array(need, pa.int64()))
+    st = pa.concat_tables(
+        docs.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"],
+                                        value_set=ray.get(nref))),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    smap = dict(zip(st["doc_id"].to_pylist(), st["source"].to_pylist()))
+    sa = np.array([smap[i] for i in a], dtype=object)
+    sb = np.array([smap[i] for i in b], dtype=object)
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    df = pd.DataFrame({"src_a": lo, "src_b": hi}) \
+        .groupby(["src_a", "src_b"], sort=True).size() \
+        .reset_index(name="n_pairs")
+    return rd.from_arrow(pa.table({
+        "src_a": pa.array(df["src_a"].tolist(), pa.string()),
+        "src_b": pa.array(df["src_b"].tolist(), pa.string()),
+        "n_pairs": pa.array(df["n_pairs"].to_numpy(np.int64)),
+    }))
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -7448,6 +7595,8 @@ QUERIES = {
     "doc_length_buckets": doc_length_buckets,
     "oov_rate_docs": oov_rate_docs,
     "temperature_mix_docs": temperature_mix_docs,
+    "prefix_dup_source_matrix": prefix_dup_source_matrix,
+    "near_dup_source_matrix": near_dup_source_matrix,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -7570,4 +7719,5 @@ ORACLES = {
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "oov_rate_docs": OOV_RATE_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
+    "prefix_dup_source_matrix": PREFIX_DUP_MATRIX_SQL,
 }

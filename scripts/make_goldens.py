@@ -32,6 +32,7 @@ GOLDEN_QUERIES = [
     "kmeans_embedding_clusters",
     "pagerank_crawl_graph",
     "hits_crawl_graph",
+    "near_dup_source_matrix",
     "pagerank_joined_crawl",
     "connected_components_crawl",
     "bpe_train_merges",

@@ -189,3 +189,38 @@ def test_verify_driver_fold_matches_distributed(ray_session, monkeypatch):
     b_best = snap(Q.near_dup_keep_best_docs(SF))
     assert a_pairs.equals(b_pairs)
     assert a_best.equals(b_best)
+
+
+def test_prefix_dup_matrix_brute(ray_session):
+    """Combinatorial pair counts must equal the enumerated pair count
+    over a brute-force fingerprint index."""
+    import itertools
+
+    from rendler_ray.pipelines.queries import prefix_dup_source_matrix
+
+    rows = _docs()
+    fp = {}
+    for r in rows:
+        key = hashlib.md5(
+            " ".join(r["text"].split(" ")[:8]).encode()).hexdigest()
+        fp.setdefault(key, []).append(r["source"])
+    exp = collections.Counter()
+    for srcs in fp.values():
+        for a, b in itertools.combinations(srcs, 2):
+            exp[(min(a, b), max(a, b))] += 1
+    got = to_pandas(prefix_dup_source_matrix(SF))
+    gm = {(r.src_a, r.src_b): r.n_pairs for r in got.itertuples()}
+    assert gm == dict(exp)
+
+
+def test_near_dup_source_matrix_two_forms(ray_session, monkeypatch):
+    """Driver fold vs double-hash-join source lookup: identical rows."""
+    import rendler_ray.pipelines.queries as Q
+
+    def snap(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a = snap(to_pandas(Q.near_dup_source_matrix(SF)))
+    monkeypatch.setattr(Q, "_VERIFY_DRIVER_MAX", -1)
+    b = snap(to_pandas(Q.near_dup_source_matrix(SF)))
+    assert len(a) and a.equals(b)
