@@ -7454,6 +7454,247 @@ def near_dup_source_matrix(sf_dir: str):
     }))
 
 
+def rrf_hybrid_search_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
+                           rrf_k: int = 60):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack & Clarke,
+    SIGIR'09) — the modern two-tower search shape a curation pipeline
+    runs for benchmark mining: the SAME information need expressed
+    lexically (BM25 over text, `_BM25_QUERIES`) and densely (cosine
+    over embeddings; query q's dense form is the embedding of
+    vec_id = q), each leg ranked top-``k_leg``, fused by
+    RRF(d) = Σ_legs 1/(rrf_k + rank_leg(d)).
+
+    Exactness: the fused score is kept as an EXACT int64 rational
+    (rrf_num / rrf_den) — both-legs docs get (2·K + ra + rb,
+    (K+ra)(K+rb)), single-leg docs (1, K+r) — so no float ever crosses
+    the Ray/DuckDB boundary as data. The final ordering divides once in
+    IEEE double on BOTH sides: distinct fractions here differ by
+    ≥ 1/(K+k_leg)⁴ ≈ 2e-8 while double rounding error is ≤ ~6e-16, so
+    the sort (and the doc_id tie-break on exactly-equal fractions) is
+    bit-identical across engines.
+
+    Scale shape: each leg is a shuffle-free scoring pass with per-batch
+    partial top-k and a constant-group finisher (the corpus is never
+    shuffled); the fusion folds ≤ 2·k_leg·|Q| rows on the driver."""
+    lex_rows = bm25_search_docs(sf_dir, k=k_leg).take_all()
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], len(_BM25_QUERIES))),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qtbl["vec_id"].to_pylist(),
+                               qtbl["embedding"].to_pylist())}
+    den_rows = F_ann.brute_force_topk(ds, queries, k=k_leg).take_all()
+
+    lexr = {(int(r["query_id"]), int(r["doc_id"])): int(r["rank"])
+            for r in lex_rows}
+    denr = {(int(r["query_id"]), int(r["vec_id"])): int(r["rank"])
+            for r in den_rows}
+    out_q, out_d, out_n, out_dn, out_r = [], [], [], [], []
+    for qid in sorted({q for q, _ in lexr} | {q for q, _ in denr}):
+        fused = []
+        for key in {d for qq, d in lexr if qq == qid} \
+                | {d for qq, d in denr if qq == qid}:
+            ra, rb = lexr.get((qid, key)), denr.get((qid, key))
+            if ra is not None and rb is not None:
+                num, den = 2 * rrf_k + ra + rb, \
+                    (rrf_k + ra) * (rrf_k + rb)
+            else:
+                num, den = 1, rrf_k + (ra if ra is not None else rb)
+            fused.append((-(num / den), key, num, den))
+        fused.sort()
+        for rank, (_, did, num, den) in enumerate(fused[:k], 1):
+            out_q.append(qid)
+            out_d.append(did)
+            out_n.append(num)
+            out_dn.append(den)
+            out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "rrf_num": pa.array(out_n, pa.int64()),
+                     "rrf_den": pa.array(out_dn, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
+def _rrf_sql(k_leg: int = 20, k: int = 10, rrf_k: int = 60) -> str:
+    vals = ", ".join(f"({q}, '{t}')"
+                     for q, ts in _BM25_QUERIES.items() for t in ts)
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS dl
+           FROM documents),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM p),
+q(query_id, term) AS (VALUES {vals}),
+tf AS (SELECT p.doc_id, q.query_id, q.term, p.dl,
+              len(list_filter(p.toks, x -> x = q.term)) AS tf
+       FROM p CROSS JOIN q),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE tf > 0 GROUP BY term),
+sc AS (SELECT t.doc_id, t.query_id,
+              CAST(round(sum(
+                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * (t.tf * {_BM25_K1 + 1.0})
+                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * (t.dl / (CAST(s.sdl AS DOUBLE)
+                                            / s.n))))
+              ) * 1000000) AS BIGINT) AS score_e6
+       FROM tf t JOIN df d USING (term), stats s
+       WHERE t.tf > 0
+       GROUP BY t.doc_id, t.query_id),
+ltop AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_e6 DESC, doc_id)
+                    AS rank
+         FROM sc QUALIFY rank <= {k_leg}),
+dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id < {nq}),
+dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
+               CAST(round(list_cosine_similarity(
+                 CAST(dq.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 * 1000000) AS BIGINT) AS score_e6
+        FROM dq CROSS JOIN embeddings e),
+dtop AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_e6 DESC, doc_id)
+                    AS rank
+         FROM dsc QUALIFY rank <= {k_leg}),
+fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                 COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 CAST(CASE WHEN l.rank IS NOT NULL
+                            AND d.rank IS NOT NULL
+                      THEN {2 * rrf_k} + l.rank + d.rank
+                      ELSE 1 END AS BIGINT) AS rrf_num,
+                 CAST(CASE WHEN l.rank IS NOT NULL
+                            AND d.rank IS NOT NULL
+                      THEN ({rrf_k} + l.rank) * ({rrf_k} + d.rank)
+                      ELSE {rrf_k} + COALESCE(l.rank, d.rank)
+                      END AS BIGINT) AS rrf_den
+          FROM ltop l FULL OUTER JOIN dtop d
+            ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT query_id, doc_id, rrf_num, rrf_den,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY CAST(rrf_num AS DOUBLE) / rrf_den
+                                   DESC, doc_id) AS rank
+FROM fused QUALIFY rank <= {k}
+"""
+
+
+RRF_HYBRID_SQL = _rrf_sql()
+
+
+def ccnet_perplexity_buckets(sf_dir: str, n_hist: int = 1024):
+    """CCNet-style per-LANGUAGE quality bucketing (Wenzek et al.,
+    LREC'20): split each language's documents into head / middle / tail
+    by terciles of the corpus-trigram-LM fluency score — CCNet buckets
+    on LM perplexity per language so that a low-resource language is
+    never graded against a high-resource one's distribution. Here
+    higher fluency ≡ lower perplexity, so the TOP tercile is ``head``.
+
+    Scale shape: the fluency table reuses ``trigram_fluency_docs``
+    (hashed n-gram keys, per-batch combine, size-gated driver fold),
+    joins the doc→lang column once (int-keyed hash join), checkpoints,
+    and then the per-language tercile thresholds come from the shared
+    ``_grouped_value_bisect`` engine — EXACT grouped order statistics
+    via ≈ log₁₀₂₄(score range) streaming histogram passes, O(langs)
+    driver state, no per-group sort, no data pulled. The one-row-per-
+    language threshold table broadcasts into a stateless bucket-assign
+    pass. Tercile convention: ascending rank (n−1)·q // 100 + 1 (the
+    ``source_quartiles`` "lower element" convention), docs with < 3
+    tokens have no trigrams and drop out on both sides."""
+    f = trigram_fluency_docs(sf_dir)
+    if isinstance(f, pa.Table):
+        fds = rd.from_arrow(f.select(["doc_id", "fluency_e6"]))
+    else:
+        fds = f.select_columns(["doc_id", "fluency_e6"])
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    scored = _checkpoint(
+        fds.join(langs, join_type="inner", num_partitions=8,
+                 on=("doc_id",)), "ccnet_scored")
+
+    agg = scored.aggregate(Min("fluency_e6", alias_name="lo"),
+                           Max("fluency_e6", alias_name="hi"),
+                           Count(alias_name="n"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "fluency_e6": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.string())})
+    if not (agg["n"] or 0):
+        return empty
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+
+    cnts = (scored.groupby("lang")
+            .aggregate(Count(alias_name="n")).take_all())
+    state: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        for w, q in enumerate((33, 66)):
+            state[(r["lang"], w)] = [lo, hi, (n - 1) * q // 100 + 1]
+
+    sel = _grouped_value_bisect(scored, "lang", "fluency_e6",
+                                state, n_hist)
+    th = {lang: (sel[(lang, 0)], sel[(lang, 1)])
+          for lang in {k[0] for k in state}}
+    tref = ray.put(th)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(tref)
+        lg = t["lang"].to_numpy(zero_copy_only=False)
+        fl = t["fluency_e6"].to_numpy(zero_copy_only=False)
+        t33 = np.fromiter((m[x][0] for x in lg), np.int64, len(lg))
+        t66 = np.fromiter((m[x][1] for x in lg), np.int64, len(lg))
+        bucket = np.where(fl <= t33, "tail",
+                          np.where(fl <= t66, "middle", "head"))
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "fluency_e6": t["fluency_e6"],
+            "bucket": pa.array(bucket.astype(object), pa.string())})
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+CCNET_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+tri AS (
+  SELECT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS tri,
+         a.token || ' ' || b.token AS big
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2),
+tric AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri GROUP BY tri),
+bigc AS (SELECT big, CAST(count(*) AS BIGINT) AS cb FROM tri GROUP BY big),
+doc AS (
+  SELECT t.doc_id,
+         CAST(sum(ct) AS BIGINT) AS s_tri,
+         CAST(sum(cb) AS BIGINT) AS s_big
+  FROM tri t JOIN tric USING (tri) JOIN bigc USING (big)
+  GROUP BY t.doc_id),
+f AS (SELECT doc_id,
+             CAST(round(s_tri / s_big * 1000000) AS BIGINT) AS fluency_e6
+      FROM doc),
+j AS (SELECT d.doc_id, d.lang, f.fluency_e6
+      FROM documents d JOIN f USING (doc_id)),
+th AS (SELECT lang,
+              CAST((list(fluency_e6 ORDER BY fluency_e6))
+                   [(count(*) - 1) * 33 // 100 + 1] AS BIGINT) AS t33,
+              CAST((list(fluency_e6 ORDER BY fluency_e6))
+                   [(count(*) - 1) * 66 // 100 + 1] AS BIGINT) AS t66
+       FROM j GROUP BY lang)
+SELECT j.doc_id, j.lang, j.fluency_e6,
+       CASE WHEN j.fluency_e6 <= th.t33 THEN 'tail'
+            WHEN j.fluency_e6 <= th.t66 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM j JOIN th USING (lang)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -7597,6 +7838,8 @@ QUERIES = {
     "temperature_mix_docs": temperature_mix_docs,
     "prefix_dup_source_matrix": prefix_dup_source_matrix,
     "near_dup_source_matrix": near_dup_source_matrix,
+    "rrf_hybrid_search_docs": rrf_hybrid_search_docs,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -7720,4 +7963,6 @@ ORACLES = {
     "oov_rate_docs": OOV_RATE_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "prefix_dup_source_matrix": PREFIX_DUP_MATRIX_SQL,
+    "rrf_hybrid_search_docs": RRF_HYBRID_SQL,
+    "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
 }

@@ -1,0 +1,156 @@
+"""Round-4d ops: RRF hybrid retrieval and CCNet-style per-language
+perplexity buckets — each checked against an independent brute-force
+recomputation over the sf0.001 tables (the DuckDB oracle is checked
+separately by scripts/check_correctness.py; these tests must not
+depend on it)."""
+
+import collections
+import fractions
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from rendler_ray.goldenhash import to_pandas
+from rendler_ray.pipelines.queries import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_QUERIES,
+    ccnet_perplexity_buckets,
+    rrf_hybrid_search_docs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(cols):
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=cols).to_pylist()
+
+
+def _bm25_topn(n):
+    """Brute-force BM25 leg: same formula, same float-op order as the
+    op (term-order numpy adds == Python float adds)."""
+    rows = _docs(["doc_id", "text"])
+    toks = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    ndocs = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / ndocs
+    out = {}
+    for qid, terms in _BM25_QUERIES.items():
+        dfs = {t: sum(1 for tk in toks.values() if t in tk)
+               for t in terms}
+        idf = {t: math.log(1.0 + (ndocs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+               for t in terms}
+        scored = []
+        for did, tk in toks.items():
+            tf = collections.Counter(tk)
+            if not any(tf[t] for t in terms):
+                continue
+            dl = len(tk)
+            norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl))
+            s = np.float64(0.0)
+            for t in terms:
+                s = s + idf[t] * (tf[t] * (_BM25_K1 + 1.0)) \
+                    / (tf[t] + norm)
+            scored.append((int(np.round(s * 1e6)), did))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out[qid] = [did for _, did in scored[:n]]
+    return out
+
+
+def _dense_topn(n):
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pylist()
+    m = np.stack([np.asarray(r["embedding"], np.float64) for r in emb])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.array([r["vec_id"] for r in emb])
+    out = {}
+    for qid in _BM25_QUERIES:
+        qv = m[np.flatnonzero(ids == qid)[0]]
+        se6 = np.round(m @ qv * 1e6).astype(np.int64)
+        order = sorted(zip(-se6, ids))
+        out[qid] = [int(i) for _, i in order[:n]]
+    return out
+
+
+def test_rrf_hybrid_search_docs(ray_session):
+    k_leg, k, kk = 20, 10, 60
+    lex, den = _bm25_topn(k_leg), _dense_topn(k_leg)
+    got = to_pandas(rrf_hybrid_search_docs(SF))
+    for qid in _BM25_QUERIES:
+        lr = {d: r for r, d in enumerate(lex[qid], 1)}
+        dr = {d: r for r, d in enumerate(den[qid], 1)}
+        fused = []
+        for d in set(lr) | set(dr):
+            # exact rational RRF — Fraction ordering independently
+            # validates the op's double-division sort
+            f = fractions.Fraction(0)
+            num, dn = 1, None
+            if d in lr:
+                f += fractions.Fraction(1, kk + lr[d])
+            if d in dr:
+                f += fractions.Fraction(1, kk + dr[d])
+            if d in lr and d in dr:
+                num = 2 * kk + lr[d] + dr[d]
+                dn = (kk + lr[d]) * (kk + dr[d])
+            else:
+                dn = kk + (lr.get(d) or dr[d])
+            assert f == fractions.Fraction(num, dn)
+            fused.append((f, d, num, dn))
+        fused.sort(key=lambda x: (-x[0], x[1]))
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert len(g) == min(k, len(fused))
+        for row, (f, d, num, dn) in zip(g.itertuples(), fused[:k]):
+            assert (row.doc_id, row.rrf_num, row.rrf_den) == (d, num, dn)
+
+
+def test_ccnet_perplexity_buckets(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rows = _docs(["doc_id", "text", "lang"])
+    tric, bigc = collections.Counter(), collections.Counter()
+    per_doc = {}
+    for r in rows:
+        tk = r["text"].split(" ")
+        tris = [" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)]
+        bigs = [" ".join(tk[i:i + 2]) for i in range(len(tk) - 2)]
+        if tris:
+            per_doc[r["doc_id"]] = (tris, bigs, r["lang"])
+        tric.update(tris)
+        bigc.update(bigs)
+    flu = {}
+    for did, (tris, bigs, lang) in per_doc.items():
+        s_tri = sum(tric[t] for t in tris)
+        s_big = sum(bigc[b] for b in bigs)
+        e6 = pc.cast(pc.round(
+            pc.multiply(pa.array([s_tri / s_big], pa.float64()), 1e6),
+            options=pc.RoundOptions(
+                ndigits=0, round_mode="half_towards_infinity")),
+            pa.int64())[0].as_py()
+        flu[did] = (e6, lang)
+
+    bylang = collections.defaultdict(list)
+    for e6, lang in flu.values():
+        bylang[lang].append(e6)
+    th = {}
+    for lang, vals in bylang.items():
+        vals.sort()
+        n = len(vals)
+        th[lang] = (vals[(n - 1) * 33 // 100], vals[(n - 1) * 66 // 100])
+
+    got = to_pandas(ccnet_perplexity_buckets(SF))
+    assert len(got) == len(flu)
+    for row in got.itertuples():
+        e6, lang = flu[row.doc_id]
+        assert (row.lang, row.fluency_e6) == (lang, e6)
+        t33, t66 = th[lang]
+        exp = ("tail" if e6 <= t33 else
+               "middle" if e6 <= t66 else "head")
+        assert row.bucket == exp
+    # every language with >= 3 docs must populate all three buckets
+    counts = got.groupby(["lang", "bucket"]).size()
+    for lang, vals in bylang.items():
+        if len(set(vals)) >= len(vals) >= 3:
+            for b in ("head", "middle", "tail"):
+                assert counts.get((lang, b), 0) > 0
