@@ -7695,6 +7695,190 @@ FROM j JOIN th USING (lang)
 """
 
 
+def bpe_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility by language — pre-tokenizer tokens per
+    whitespace word, the standard tokenizer-evaluation metric (a
+    fertility ≫ 1 language is being over-segmented and will train
+    slower per byte; cf. the multilingual-tokenizer analyses in XLM-R /
+    NLLB). Integer partials (Σ regex-pretokens, Σ words, doc count) per
+    (batch, lang) combine into ONE tiny groupby(lang); the ratio is a
+    single IEEE division fixed-pointed to e6 (the trigram-fluency
+    determinism trick) so the DuckDB oracle is hash-exact. Shuffle-free
+    over the corpus — the only exchange carries one row per (batch,
+    lang)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nb = F_text.token_count_bpe_batch(t)["n_bpe_tokens"] \
+            .to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(pc.split_pattern(
+            t["text"].combine_chunks(), " ")) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "nb": nb.astype(np.int64), "nw": nw.astype(np.int64)})
+            .groupby("lang", sort=False)
+            .agg(nb=("nb", "sum"), nw=("nw", "sum"), nd=("nb", "size"))
+            .reset_index())
+        return pa.table({
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "nb": pa.array(g["nb"].to_numpy(np.int64)),
+            "nw": pa.array(g["nw"].to_numpy(np.int64)),
+            "nd": pa.array(g["nd"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("nb", alias_name="n_bpe_tokens"),
+                      Sum("nw", alias_name="n_words"),
+                      Sum("nd", alias_name="n_docs")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        f = (t["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+             / t["n_words"].to_numpy(zero_copy_only=False))
+        e6 = pc.cast(pc.round(pc.multiply(pa.array(f, pa.float64()), 1e6),
+                              options=pc.RoundOptions(
+                                  ndigits=0,
+                                  round_mode="half_towards_infinity")),
+                     pa.int64())
+        return pa.table({"lang": t["lang"], "n_docs": t["n_docs"],
+                         "n_bpe_tokens": t["n_bpe_tokens"],
+                         "n_words": t["n_words"], "fertility_e6": e6})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+BPE_FERTILITY_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(
+         text, '[A-Za-z0-9_]+|[^A-Za-z0-9_[:space:]]+'))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(round(CAST(sum(len(regexp_extract_all(
+              text, '[A-Za-z0-9_]+|[^A-Za-z0-9_[:space:]]+')))
+              AS DOUBLE)
+            / sum(len(string_split(text, ' '))) * 1000000) AS BIGINT)
+         AS fertility_e6
+FROM documents GROUP BY lang
+"""
+
+
+def hard_negative_mining_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
+                              max_sim_e6: int = 100_000):
+    """Hard-negative mining for retrieval training (the DPR / contrastive
+    fine-tuning data op): for each query, the documents that score HIGH
+    lexically (BM25 top-``k_leg``) but LOW semantically (cosine to the
+    query embedding < ``max_sim_e6``/1e6) — lexical confusers, the most
+    informative negatives. Query q's dense form is embedding vec_id = q
+    (the ``rrf_hybrid_search_docs`` pairing).
+
+    Scale shape: the BM25 leg is the shuffle-free scoring pass with
+    per-batch partial top-k (corpus never shuffled); the candidate set
+    is then ≤ k_leg·|Q| (query, doc) pairs, whose embeddings arrive by
+    a distributed ``is_in`` filter folded on the driver (bounded by
+    k_leg·|Q| + |Q| rows — never a corpus pull); the cosine check runs
+    on the driver over that bounded set."""
+    lex_rows = bm25_search_docs(sf_dir, k=k_leg).take_all()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "bm25_rank": pa.array([], pa.int64()),
+                      "dense_sim_e6": pa.array([], pa.int64()),
+                      "hn_rank": pa.array([], pa.int64())})
+    if not lex_rows:
+        return empty
+    need = sorted({int(r["doc_id"]) for r in lex_rows}
+                  | {int(q) for q in _BM25_QUERIES})
+    nref = ray.put(pa.array(need, pa.int64()))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    et = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"],
+                                        value_set=ray.get(nref))),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    vecs = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(et["vec_id"].to_pylist(),
+                            et["embedding"].to_pylist())}
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+
+    out_q, out_d, out_b, out_s, out_r = [], [], [], [], []
+    byq: dict[int, list] = {}
+    for r in lex_rows:
+        byq.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["doc_id"])))
+    for qid in sorted(byq):
+        qv = unit.get(qid)
+        if qv is None:
+            continue
+        kept = []
+        for rank, did in sorted(byq[qid]):
+            if did not in unit:
+                continue
+            se6 = int(np.round(float(unit[did] @ qv) * 1e6))
+            if se6 < max_sim_e6:
+                kept.append((rank, did, se6))
+        for hn, (rank, did, se6) in enumerate(kept[:k], 1):
+            out_q.append(qid)
+            out_d.append(did)
+            out_b.append(rank)
+            out_s.append(se6)
+            out_r.append(hn)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "bm25_rank": pa.array(out_b, pa.int64()),
+                     "dense_sim_e6": pa.array(out_s, pa.int64()),
+                     "hn_rank": pa.array(out_r, pa.int64())})
+
+
+def _hard_negative_sql(k_leg: int = 20, k: int = 10,
+                       max_sim_e6: int = 100_000) -> str:
+    vals = ", ".join(f"({q}, '{t}')"
+                     for q, ts in _BM25_QUERIES.items() for t in ts)
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS dl
+           FROM documents),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM p),
+q(query_id, term) AS (VALUES {vals}),
+tf AS (SELECT p.doc_id, q.query_id, q.term, p.dl,
+              len(list_filter(p.toks, x -> x = q.term)) AS tf
+       FROM p CROSS JOIN q),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE tf > 0 GROUP BY term),
+sc AS (SELECT t.doc_id, t.query_id,
+              CAST(round(sum(
+                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * (t.tf * {_BM25_K1 + 1.0})
+                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * (t.dl / (CAST(s.sdl AS DOUBLE)
+                                            / s.n))))
+              ) * 1000000) AS BIGINT) AS score_e6
+       FROM tf t JOIN df d USING (term), stats s
+       WHERE t.tf > 0
+       GROUP BY t.doc_id, t.query_id),
+ltop AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_e6 DESC, doc_id)
+                    AS bm25_rank
+         FROM sc QUALIFY bm25_rank <= {k_leg}),
+sel AS (SELECT l.query_id, l.doc_id, l.bm25_rank,
+               CAST(round(list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ed.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+                 AS dense_sim_e6
+        FROM ltop l
+        JOIN embeddings eq ON eq.vec_id = l.query_id
+        JOIN embeddings ed ON ed.vec_id = l.doc_id)
+SELECT query_id, doc_id, bm25_rank, dense_sim_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY bm25_rank) AS hn_rank
+FROM sel WHERE dense_sim_e6 < {max_sim_e6}
+QUALIFY hn_rank <= {k}
+"""
+
+
+HARD_NEGATIVE_SQL = _hard_negative_sql()
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -7840,6 +8024,8 @@ QUERIES = {
     "near_dup_source_matrix": near_dup_source_matrix,
     "rrf_hybrid_search_docs": rrf_hybrid_search_docs,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
+    "hard_negative_mining_docs": hard_negative_mining_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -7965,4 +8151,6 @@ ORACLES = {
     "prefix_dup_source_matrix": PREFIX_DUP_MATRIX_SQL,
     "rrf_hybrid_search_docs": RRF_HYBRID_SQL,
     "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
+    "bpe_fertility_by_lang": BPE_FERTILITY_SQL,
+    "hard_negative_mining_docs": HARD_NEGATIVE_SQL,
 }

@@ -16,7 +16,9 @@ from rendler_ray.pipelines.queries import (
     _BM25_B,
     _BM25_K1,
     _BM25_QUERIES,
+    bpe_fertility_by_lang,
     ccnet_perplexity_buckets,
+    hard_negative_mining_docs,
     rrf_hybrid_search_docs,
 )
 
@@ -154,3 +156,51 @@ def test_ccnet_perplexity_buckets(ray_session):
         if len(set(vals)) >= len(vals) >= 3:
             for b in ("head", "middle", "tail"):
                 assert counts.get((lang, b), 0) > 0
+
+
+def test_bpe_fertility_by_lang(ray_session):
+    import re
+
+    from rendler_ray.functions.text import BPE_ISH_RE
+
+    rows = _docs(["lang", "text"])
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    rx = re.compile(BPE_ISH_RE)
+    for r in rows:
+        a = agg[r["lang"]]
+        a[0] += len(rx.findall(r["text"]))
+        a[1] += len(r["text"].split(" "))
+        a[2] += 1
+    got = to_pandas(bpe_fertility_by_lang(SF)).set_index("lang")
+    assert len(got) == len(agg)
+    for lang, (nb, nw, nd) in agg.items():
+        g = got.loc[lang]
+        assert (int(g["n_bpe_tokens"]), int(g["n_words"]),
+                int(g["n_docs"])) == (nb, nw, nd)
+        assert int(g["fertility_e6"]) == int(
+            np.floor(np.float64(nb) / nw * 1e6 + 0.5))
+
+
+def test_hard_negative_mining_docs(ray_session):
+    lex = _bm25_topn(20)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pylist()
+    unit = {}
+    for r in emb:
+        v = np.asarray(r["embedding"], np.float64)
+        unit[r["vec_id"]] = v / np.linalg.norm(v)
+    got = to_pandas(hard_negative_mining_docs(SF))
+    for qid in _BM25_QUERIES:
+        exp = []
+        for rank, did in enumerate(lex[qid], 1):
+            se6 = int(np.round(float(unit[did] @ unit[qid]) * 1e6))
+            if se6 < 100_000:
+                exp.append((did, rank, se6))
+        exp = exp[:10]
+        g = got[got["query_id"] == qid].sort_values("hn_rank")
+        assert [(r.doc_id, r.bm25_rank, r.dense_sim_e6)
+                for r in g.itertuples()] == exp
+        assert list(g["hn_rank"]) == list(range(1, len(exp) + 1))
+        # hard negatives are lexical confusers: every kept doc is
+        # semantically BELOW the gate while lexically top-20
+        assert (g["dense_sim_e6"] < 100_000).all()
