@@ -106,6 +106,88 @@ def rolling_hash_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
     return "-".join(f"{int(x):016x}" for x in smallest)
 
 
+# ------------------------------------------------------------ CDC chunks
+
+_GEAR: np.ndarray | None = None
+_CDC_WINDOW = 64  # bytes of history in the gear hash (uint64 shift-out)
+
+
+def gear_table() -> np.ndarray:
+    """256-entry Gear table (FastCDC's per-byte random constants),
+    derived from md5 so it is bit-identical across numpy/pandas
+    versions (goldens pin the downstream chunk hashes)."""
+    global _GEAR
+    if _GEAR is None:
+        _GEAR = np.array(
+            [int.from_bytes(hashlib.md5(bytes([v])).digest()[:8], "big")
+             for v in range(256)], dtype=np.uint64)
+    return _GEAR
+
+
+def cdc_chunk_batch(batch: pa.Table, col: str = "text",
+                    mask: int = 0xFF, id_col: str = "doc_id") -> pa.Table:
+    """Content-defined chunking (Gear rolling hash — the LBFS SOSP'01 /
+    FastCDC ATC'16 shape): a chunk boundary falls wherever the 64-byte
+    rolling hash of the CONTENT has its low bits zero (`mask`), so an
+    edit early in a document shifts byte OFFSETS but leaves every later
+    chunk's bytes — and therefore its md5 identity — intact. That
+    realignment property (pytest-asserted) is why CDC, not fixed-size
+    blocking, is the storage-dedup unit.
+
+    Vectorized across the whole batch: all texts concatenate into ONE
+    uint8 buffer and the gear hash H[i] = Σ_{s<64} G[b[i−s]]·2^s
+    (mod 2^64) is 64 shifted vector adds over that buffer — no per-byte
+    Python. A position is boundary-eligible only when its full window
+    lies inside its own doc (pos ≥ 63), which doubles as the min-chunk
+    guard and keeps the concatenation contamination-free. Expected
+    chunk size is 256 B (mask 0xFF) + the 64 B floor. The per-chunk md5
+    is the op's inherent fingerprint cost."""
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "start": pa.array([], pa.int64()),
+                      "length": pa.array([], pa.int64()),
+                      "chunk_md5": pa.array([], pa.string())})
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    enc = [t.encode("utf-8")
+           for t in batch[col].to_numpy(zero_copy_only=False)]
+    lens = np.array([len(b) for b in enc], np.int64)
+    n = int(lens.sum())
+    if n == 0:
+        return empty
+    buf = np.frombuffer(b"".join(enc), np.uint8)
+    g = gear_table()[buf]
+    h = np.zeros(n, np.uint64)
+    for s in range(_CDC_WINDOW):
+        np.add(h[s:], g[:n - s] << np.uint64(s), out=h[s:],
+               casting="unsafe")  # uint64 wraparound == mod 2^64
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    bidx = np.flatnonzero(((h & np.uint64(mask)) == 0)
+                          & (pos >= _CDC_WINDOW - 1))
+    split_at = np.searchsorted(bidx, starts)
+    out_i, out_c, out_s, out_l, out_m = [], [], [], [], []
+    for i in range(len(enc)):
+        if lens[i] == 0:
+            continue
+        ends = (bidx[split_at[i]:split_at[i + 1] if i + 1 < len(enc)
+                     else len(bidx)] - starts[i]).tolist()
+        if not ends or ends[-1] != lens[i] - 1:
+            ends.append(int(lens[i]) - 1)
+        prev = 0
+        for ci, e in enumerate(ends):
+            out_i.append(int(ids[i]))
+            out_c.append(ci)
+            out_s.append(prev)
+            out_l.append(e + 1 - prev)
+            out_m.append(hashlib.md5(enc[i][prev:e + 1]).hexdigest())
+            prev = e + 1
+    return pa.table({id_col: pa.array(out_i, pa.int64()),
+                     "chunk_idx": pa.array(out_c, pa.int64()),
+                     "start": pa.array(out_s, pa.int64()),
+                     "length": pa.array(out_l, pa.int64()),
+                     "chunk_md5": pa.array(out_m, pa.string())})
+
+
 _BIT_W = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 _BIT_IDX = np.arange(64, dtype=np.uint64)
 

@@ -7879,6 +7879,46 @@ QUALIFY hn_rank <= {k}
 HARD_NEGATIVE_SQL = _hard_negative_sql()
 
 
+def cdc_chunk_docs(sf_dir: str):
+    """Content-defined chunking over the corpus (see
+    ``functions.text.cdc_chunk_batch`` — Gear rolling hash, FastCDC
+    shape): the storage-dedup unit table (doc_id, chunk_idx, start,
+    length, chunk_md5). ONE stateless vectorized pass, no shuffle.
+    Rows-only (a 64-byte rolling hash is not SQL-expressible);
+    golden-pinned + brute-force/realignment pytests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(F_text.cdc_chunk_batch, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(sf_dir: str):
+    """Chunk-level dedup accounting over the CDC chunk table — the
+    number a storage/dedup system actually reports: total vs unique
+    chunks and bytes (unique = distinct chunk_md5). The only exchange
+    is the exact-dedup groupby on the 16-byte chunk hash (the
+    ``dedup_exact_docs`` shape — hash-partitioned, combiner-friendly);
+    the final fold is a 1-row aggregate."""
+    chunks = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(F_text.cdc_chunk_batch, batch_format="pyarrow")
+              .select_columns(["chunk_md5", "length"]))
+    uniq = chunks.groupby("chunk_md5").aggregate(
+        Count(alias_name="n"), Min("length", alias_name="length"))
+
+    def widen(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ln = t["length"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": t["n"], "length": t["length"],
+                         "tot_bytes": pa.array(n * ln, pa.int64())})
+
+    agg = (uniq.map_batches(widen, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="total_chunks"),
+                      Count(alias_name="unique_chunks"),
+                      Sum("tot_bytes", alias_name="total_bytes"),
+                      Sum("length", alias_name="unique_bytes")))
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("total_chunks", "unique_chunks",
+                               "total_bytes", "unique_bytes")})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -8026,6 +8066,8 @@ QUERIES = {
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "hard_negative_mining_docs": hard_negative_mining_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
+    "cdc_dedup_stats": cdc_dedup_stats,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

@@ -70,6 +70,8 @@ GOLDEN_QUERIES = [
     "media_frame_samples",
     "media_audio_segments",
     "render_interleaved",
+    "cdc_chunk_docs",
+    "cdc_dedup_stats",
 ]
 
 

@@ -6,6 +6,7 @@ depend on it)."""
 
 import collections
 import fractions
+import hashlib
 import math
 
 import numpy as np
@@ -204,3 +205,81 @@ def test_hard_negative_mining_docs(ray_session):
         # hard negatives are lexical confusers: every kept doc is
         # semantically BELOW the gate while lexically top-20
         assert (g["dense_sim_e6"] < 100_000).all()
+
+
+def _brute_cdc(text, mask=0xFF):
+    """Independent sequential gear-hash recompute: h_i = (h_{i-1}<<1 +
+    G[b_i]) mod 2^64 — the textbook recurrence the vectorized
+    64-shift-convolution form must equal (shifts >= 64 drop out
+    mod 2^64)."""
+    import hashlib as hl
+
+    G = [int.from_bytes(hl.md5(bytes([v])).digest()[:8], "big")
+         for v in range(256)]
+    b = text.encode("utf-8")
+    h, ends = 0, []
+    for i, byte in enumerate(b):
+        h = ((h << 1) + G[byte]) & ((1 << 64) - 1)
+        if i >= 63 and (h & mask) == 0:
+            ends.append(i)
+    if not b:
+        return []
+    if not ends or ends[-1] != len(b) - 1:
+        ends.append(len(b) - 1)
+    out, prev = [], 0
+    for ci, e in enumerate(ends):
+        out.append((ci, prev, e + 1 - prev,
+                    hl.md5(b[prev:e + 1]).hexdigest()))
+        prev = e + 1
+    return out
+
+
+def test_cdc_chunk_batch_matches_sequential_gear():
+    import pyarrow as pa
+
+    from rendler_ray.functions.text import cdc_chunk_batch
+
+    rows = _docs(["doc_id", "text"])[:200]
+    t = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                  "text": [r["text"] for r in rows]})
+    got = cdc_chunk_batch(t).to_pylist()
+    byid = collections.defaultdict(list)
+    for r in got:
+        byid[r["doc_id"]].append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_md5"]))
+    n_multi = 0
+    for r in rows:
+        exp = _brute_cdc(r["text"])
+        assert byid.get(r["doc_id"], []) == exp
+        n_multi += len(exp) > 1
+    assert n_multi > 0  # corpus long enough that boundaries exist
+
+
+def test_cdc_realignment_property():
+    """An insertion at the head shifts offsets but preserves every
+    chunk identity after the first content-defined boundary — the
+    property fixed-size blocking lacks."""
+    import pyarrow as pa
+
+    from rendler_ray.functions.text import cdc_chunk_batch
+
+    rows = _docs(["doc_id", "text"])
+    # pick docs that chunk into >= 3 pieces so the suffix is nontrivial
+    picked = [r["text"] for r in rows if len(_brute_cdc(r["text"])) >= 3]
+    assert picked
+    for text in picked[:5]:
+        prefix = "INSERTED NEW HEAD CONTENT " * 4  # > 63 bytes
+        t = pa.table({"doc_id": [0, 1], "text": [text, prefix + text]})
+        ch = cdc_chunk_batch(t).to_pylist()
+        orig = [r["chunk_md5"] for r in ch if r["doc_id"] == 0]
+        mod = [r["chunk_md5"] for r in ch if r["doc_id"] == 1]
+        # everything after the original's first boundary realigns
+        assert mod[-(len(orig) - 1):] == orig[1:]
+        # fixed-size blocking would keep NO block hash: every 256-byte
+        # frame shifts by len(prefix) % 256 != 0
+        b0, b1 = text.encode(), (prefix + text).encode()
+        fixed0 = {hashlib.md5(b0[i:i + 256]).hexdigest()
+                  for i in range(0, len(b0), 256)}
+        fixed1 = {hashlib.md5(b1[i:i + 256]).hexdigest()
+                  for i in range(0, len(b1), 256)}
+        assert not (fixed0 & fixed1) or len(fixed0 & fixed1) < len(orig) - 1
