@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "ann_pq_topk",                 # r4b: product-quantization ANN scan
     "semantic_decontam_docs",      # r4b: embedding decontamination
     "media_text_match",            # r4b: cross-modal retrieval chain
+    "rrf_hybrid_search_docs",      # r4d: hybrid lexical+dense retrieval
+    "ccnet_perplexity_buckets",    # r4d: per-lang LM quality buckets
+    "cdc_chunk_docs",              # r4d: content-defined chunking
 ]
 
 

@@ -7586,7 +7586,8 @@ FROM fused QUALIFY rank <= {k}
 RRF_HYBRID_SQL = _rrf_sql()
 
 
-def ccnet_perplexity_buckets(sf_dir: str, n_hist: int = 1024):
+def ccnet_perplexity_buckets(sf_dir: str, n_hist: int = 1024,
+                             driver_max: int = 5_000_000):
     """CCNet-style per-LANGUAGE quality bucketing (Wenzek et al.,
     LREC'20): split each language's documents into head / middle / tail
     by terciles of the corpus-trigram-LM fluency score — CCNet buckets
@@ -7604,13 +7605,44 @@ def ccnet_perplexity_buckets(sf_dir: str, n_hist: int = 1024):
     language threshold table broadcasts into a stateless bucket-assign
     pass. Tercile convention: ascending rank (n−1)·q // 100 + 1 (the
     ``source_quartiles`` "lower element" convention), docs with < 3
-    tokens have no trigrams and drop out on both sides."""
-    f = trigram_fluency_docs(sf_dir)
-    if isinstance(f, pa.Table):
-        fds = rd.from_arrow(f.select(["doc_id", "fluency_e6"]))
-    else:
-        fds = f.select_columns(["doc_id", "fluency_e6"])
+    tokens have no trigrams and drop out on both sides.
+
+    Below the fluency chain's ``driver_max`` gate (the fold already
+    returned a driver Arrow table) the lang join, the per-language
+    terciles, and the bucket assignment all fold on the driver too —
+    one Arrow hash join + a numpy sort per language — instead of
+    paying a Ray join, a checkpoint, and 3–4 streaming bisect passes
+    for a table the gate already bounded. Two-form equality is
+    pytest-asserted."""
+    f = trigram_fluency_docs(sf_dir, driver_max=driver_max)
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "fluency_e6": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.string())})
+    if isinstance(f, pa.Table):
+        lt = pa.concat_tables(
+            langs.iter_batches(batch_size=None, batch_format="pyarrow"))
+        j = f.select(["doc_id", "fluency_e6"]).join(lt, keys="doc_id")
+        if j.num_rows == 0:
+            return empty
+        ids = j["doc_id"].to_numpy(zero_copy_only=False)
+        fl = j["fluency_e6"].to_numpy(zero_copy_only=False)
+        lg = np.asarray(j["lang"].to_pylist(), dtype=object)
+        bucket = np.empty(len(ids), dtype=object)
+        for lang in np.unique(lg):
+            m = lg == lang
+            v = np.sort(fl[m])
+            n = len(v)
+            t33, t66 = v[(n - 1) * 33 // 100], v[(n - 1) * 66 // 100]
+            bucket[m] = np.where(
+                fl[m] <= t33, "tail",
+                np.where(fl[m] <= t66, "middle", "head"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": pa.array(lg.tolist(), pa.string()),
+                         "fluency_e6": pa.array(fl, pa.int64()),
+                         "bucket": pa.array(bucket.tolist(), pa.string())})
+    fds = f.select_columns(["doc_id", "fluency_e6"])
     scored = _checkpoint(
         fds.join(langs, join_type="inner", num_partitions=8,
                  on=("doc_id",)), "ccnet_scored")
@@ -7618,10 +7650,6 @@ def ccnet_perplexity_buckets(sf_dir: str, n_hist: int = 1024):
     agg = scored.aggregate(Min("fluency_e6", alias_name="lo"),
                            Max("fluency_e6", alias_name="hi"),
                            Count(alias_name="n"))
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "lang": pa.array([], pa.string()),
-                      "fluency_e6": pa.array([], pa.int64()),
-                      "bucket": pa.array([], pa.string())})
     if not (agg["n"] or 0):
         return empty
     lo, hi = int(agg["lo"]), int(agg["hi"])

@@ -283,3 +283,14 @@ def test_cdc_realignment_property():
         fixed1 = {hashlib.md5(b1[i:i + 256]).hexdigest()
                   for i in range(0, len(b1), 256)}
         assert not (fixed0 & fixed1) or len(fixed0 & fixed1) < len(orig) - 1
+
+
+def test_ccnet_two_forms_agree(ray_session):
+    """Driver fast-path (fluency fold below the gate) vs fully
+    distributed path (gate forced to 0): identical output."""
+    a = to_pandas(ccnet_perplexity_buckets(SF)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = to_pandas(ccnet_perplexity_buckets(SF, driver_max=0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "lang", "fluency_e6", "bucket"]].equals(
+        b[["doc_id", "lang", "fluency_e6", "bucket"]])
