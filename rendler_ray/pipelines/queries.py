@@ -7947,6 +7947,86 @@ def cdc_dedup_stats(sf_dir: str):
                                "total_bytes", "unique_bytes")})
 
 
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def profile_orders_columns(sf_dir: str):
+    """Dataset profiling (the data-card / ingest-quality-report
+    staple): per column — row count, null count, EXACT distinct count.
+    Scale shape: null/row partials fold per (batch, column) into a
+    groupby(col_name) of O(batches·cols) rows; the exact distinct
+    count shuffles one row per (column, DISTINCT value) — per-batch
+    deduped first so hot values collapse before the exchange (the
+    inverted-index combiner shape). Values cross the exchange as
+    strings, cast identically to the SQL oracle's VARCHAR."""
+    ds = _read(sf_dir, "orders", list(_PROFILE_COLS))
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": pa.array(list(_PROFILE_COLS), pa.string()),
+            "nr": pa.array([t.num_rows] * len(_PROFILE_COLS), pa.int64()),
+            "nn": pa.array([t[c].null_count for c in _PROFILE_COLS],
+                           pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in _PROFILE_COLS:
+            u = pc.unique(pc.drop_null(
+                pc.cast(t[c].combine_chunks(), pa.string())))
+            names.extend([c] * len(u))
+            vals.extend(u.to_pylist())
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "val": pa.array(vals, pa.string())})
+
+    srows = (ds.map_batches(stats, batch_format="pyarrow")
+             .groupby("col_name")
+             .aggregate(Sum("nr", alias_name="n_rows"),
+                        Sum("nn", alias_name="n_null"))
+             .take_all())  # bounded: one row per profiled column
+    drows = (ds.map_batches(distinct, batch_format="pyarrow")
+             .groupby(["col_name", "val"]).aggregate(Count(alias_name="x"))
+             .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
+             .take_all())  # bounded likewise
+    dmap = {r["col_name"]: int(r["n_distinct"]) for r in drows}
+    srows.sort(key=lambda r: r["col_name"])
+    return pa.table({
+        "col_name": pa.array([r["col_name"] for r in srows], pa.string()),
+        "n_rows": pa.array([int(r["n_rows"]) for r in srows], pa.int64()),
+        "n_null": pa.array([int(r["n_null"]) for r in srows], pa.int64()),
+        "n_distinct": pa.array([dmap.get(r["col_name"], 0)
+                                for r in srows], pa.int64())})
+
+
+PROFILE_ORDERS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS)
+
+
+def docs_jsonl_export_roundtrip(sf_dir: str):
+    """Sink coverage: export the documents table to newline-delimited
+    JSON shards (one file per block — the resumable layout) and read
+    them back. The round-trip returning the source table bit-exactly
+    (oracle: SELECT the same columns from documents) verifies the JSON
+    sink preserves int64 ids, counts, and unicode text. Streaming on
+    both legs — the table is never driver-materialized."""
+    import shutil
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+    path = f"{_ckpt_root()}/jsonl_export"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_json(path)
+    return rd.read_json(path).select_columns(cols)
+
+
+DOCS_JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -8096,6 +8176,8 @@ QUERIES = {
     "hard_negative_mining_docs": hard_negative_mining_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
     "cdc_dedup_stats": cdc_dedup_stats,
+    "profile_orders_columns": profile_orders_columns,
+    "docs_jsonl_export_roundtrip": docs_jsonl_export_roundtrip,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -8223,4 +8305,6 @@ ORACLES = {
     "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
     "bpe_fertility_by_lang": BPE_FERTILITY_SQL,
     "hard_negative_mining_docs": HARD_NEGATIVE_SQL,
+    "profile_orders_columns": PROFILE_ORDERS_SQL,
+    "docs_jsonl_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
 }

@@ -294,3 +294,34 @@ def test_ccnet_two_forms_agree(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert a[["doc_id", "lang", "fluency_e6", "bucket"]].equals(
         b[["doc_id", "lang", "fluency_e6", "bucket"]])
+
+
+def test_profile_orders_columns(ray_session):
+    from rendler_ray.pipelines.queries import (
+        _PROFILE_COLS,
+        profile_orders_columns,
+    )
+
+    tbl = pq.read_table(f"{SF}/orders.parquet",
+                        columns=list(_PROFILE_COLS))
+    got = to_pandas(profile_orders_columns(SF)).set_index("col_name")
+    assert len(got) == len(_PROFILE_COLS)
+    for c in _PROFILE_COLS:
+        col = tbl[c]
+        g = got.loc[c]
+        assert int(g["n_rows"]) == tbl.num_rows
+        assert int(g["n_null"]) == col.null_count
+        assert int(g["n_distinct"]) == len(
+            {v for v in col.to_pylist() if v is not None})
+
+
+def test_docs_jsonl_export_roundtrip(ray_session):
+    from rendler_ray.pipelines.queries import docs_jsonl_export_roundtrip
+
+    src = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = to_pandas(docs_jsonl_export_roundtrip(SF)) \
+        .sort_values("doc_id").reset_index(drop=True)[src.columns]
+    assert got.equals(src)
