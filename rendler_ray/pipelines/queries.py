@@ -1684,32 +1684,36 @@ def bm25_search_docs(sf_dir: str, k: int = 10):
     terms = sorted({t for q in _BM25_QUERIES.values() for t in q})
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def dl_pass(t: pa.Table) -> pa.Table:
-        return pa.table({"dl": pc.list_value_length(
-            pc.split_pattern(t["text"].combine_chunks(), " "))})
-
-    st = ds.map_batches(dl_pass, batch_format="pyarrow").aggregate(
-        Sum("dl", alias_name="sdl"), Count(alias_name="n"))
-    n, sdl = int(st["n"]), int(st["sdl"])
-    avgdl = sdl / n  # same float op as the SQL's sdl / n
-
-    def df_partial(t: pa.Table) -> pa.Table:
+    def stats_partial(t: pa.Table) -> pa.Table:
+        # ONE fused stats pass: per-term df partials PLUS the corpus
+        # (doc count, Σdl) totals as a sentinel "" row — one corpus
+        # scan instead of two, one tiny groupby of ≤ terms+1 keys per
+        # batch. Integer partials, so fusion is value-identical.
         toks = pc.split_pattern(t["text"].combine_chunks(), " ")
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        out_t, out_c = [], []
+        out_t, out_c = [""], [int(t.num_rows)]
+        out_d = [int(pc.sum(pc.list_value_length(toks)).as_py() or 0)]
         for term in terms:
             hit = np.unique(par[flat == term])
             out_t.append(term)
             out_c.append(len(hit))  # docs whole per batch: safe partial
+            out_d.append(0)
         return pa.table({"term": pa.array(out_t, pa.string()),
-                         "c": pa.array(out_c, pa.int64())})
+                         "c": pa.array(out_c, pa.int64()),
+                         "d": pa.array(out_d, pa.int64())})
 
     dfs = {term: 0 for term in terms}
-    for r in (ds.map_batches(df_partial, batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("c", alias_name="df"))
-              .take_all()):  # bounded: <= len(terms) rows
-        dfs[r["term"]] = int(r["df"])
+    n = sdl = 0
+    for r in (ds.map_batches(stats_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("c", alias_name="df"),
+                                         Sum("d", alias_name="sdl"))
+              .take_all()):  # bounded: <= len(terms)+1 rows
+        if r["term"] == "":
+            n, sdl = int(r["df"]), int(r["sdl"])
+        else:
+            dfs[r["term"]] = int(r["df"])
+    avgdl = sdl / n  # same float op as the SQL's sdl / n
     idf = {term: math.log(1.0 + (n - dfs[term] + 0.5)
                           / (dfs[term] + 0.5)) for term in terms}
     bref = ray.put((idf, avgdl))
@@ -1760,7 +1764,11 @@ def bm25_search_docs(sf_dir: str, k: int = 10):
                                                 batch_format="pandas")
 
 
-def _bm25_sql() -> str:
+def _bm25_cte() -> str:
+    """Shared BM25 scoring CTE block (p/stats/q/tf/df/sc) — one
+    expression tree reused verbatim by the BM25, RRF-hybrid, and
+    hard-negative oracles so all three stay bit-identical to the Ray
+    scoring pass."""
     vals = ", ".join(f"({q}, '{t}')"
                      for q, ts in _BM25_QUERIES.items() for t in ts)
     return f"""
@@ -1784,7 +1792,11 @@ sc AS (SELECT t.doc_id, t.query_id,
               ) * 1000000) AS BIGINT) AS score_e6
        FROM tf t JOIN df d USING (term), stats s
        WHERE t.tf > 0
-       GROUP BY t.doc_id, t.query_id)
+       GROUP BY t.doc_id, t.query_id)"""
+
+
+def _bm25_sql() -> str:
+    return f"""{_bm25_cte()}
 SELECT query_id, doc_id, score_e6,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY score_e6 DESC, doc_id) AS rank
@@ -7520,31 +7532,8 @@ def rrf_hybrid_search_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
 
 
 def _rrf_sql(k_leg: int = 20, k: int = 10, rrf_k: int = 60) -> str:
-    vals = ", ".join(f"({q}, '{t}')"
-                     for q, ts in _BM25_QUERIES.items() for t in ts)
     nq = len(_BM25_QUERIES)
-    return f"""
-WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                  len(string_split(text, ' ')) AS dl
-           FROM documents),
-stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM p),
-q(query_id, term) AS (VALUES {vals}),
-tf AS (SELECT p.doc_id, q.query_id, q.term, p.dl,
-              len(list_filter(p.toks, x -> x = q.term)) AS tf
-       FROM p CROSS JOIN q),
-df AS (SELECT term, count(*) AS df FROM tf
-       WHERE tf > 0 GROUP BY term),
-sc AS (SELECT t.doc_id, t.query_id,
-              CAST(round(sum(
-                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * (t.tf * {_BM25_K1 + 1.0})
-                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                     + {_BM25_B} * (t.dl / (CAST(s.sdl AS DOUBLE)
-                                            / s.n))))
-              ) * 1000000) AS BIGINT) AS score_e6
-       FROM tf t JOIN df d USING (term), stats s
-       WHERE t.tf > 0
-       GROUP BY t.doc_id, t.query_id),
+    return f"""{_bm25_cte()},
 ltop AS (SELECT query_id, doc_id,
                 row_number() OVER (PARTITION BY query_id
                                    ORDER BY score_e6 DESC, doc_id)
@@ -7859,30 +7848,7 @@ def hard_negative_mining_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
 
 def _hard_negative_sql(k_leg: int = 20, k: int = 10,
                        max_sim_e6: int = 100_000) -> str:
-    vals = ", ".join(f"({q}, '{t}')"
-                     for q, ts in _BM25_QUERIES.items() for t in ts)
-    return f"""
-WITH p AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                  len(string_split(text, ' ')) AS dl
-           FROM documents),
-stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM p),
-q(query_id, term) AS (VALUES {vals}),
-tf AS (SELECT p.doc_id, q.query_id, q.term, p.dl,
-              len(list_filter(p.toks, x -> x = q.term)) AS tf
-       FROM p CROSS JOIN q),
-df AS (SELECT term, count(*) AS df FROM tf
-       WHERE tf > 0 GROUP BY term),
-sc AS (SELECT t.doc_id, t.query_id,
-              CAST(round(sum(
-                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * (t.tf * {_BM25_K1 + 1.0})
-                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                     + {_BM25_B} * (t.dl / (CAST(s.sdl AS DOUBLE)
-                                            / s.n))))
-              ) * 1000000) AS BIGINT) AS score_e6
-       FROM tf t JOIN df d USING (term), stats s
-       WHERE t.tf > 0
-       GROUP BY t.doc_id, t.query_id),
+    return f"""{_bm25_cte()},
 ltop AS (SELECT query_id, doc_id,
                 row_number() OVER (PARTITION BY query_id
                                    ORDER BY score_e6 DESC, doc_id)
