@@ -3308,7 +3308,13 @@ _VERIFY_DRIVER_MAX = 262_144
 
 
 def _verified_jaccard_pairs(sf_dir: str, tag: str,
-                            driver_max: int | None = None):
+                            driver_max: int | None = None,
+                            cross_parity: bool = False):
+    """``cross_parity=True`` restricts candidate pairs to opposite
+    doc_id parity BEFORE the exact-jaccard verify — the incremental
+    dedup shape (arriving shard vs standing corpus): within-side pairs
+    are never shingled or verified, which is the work the incremental
+    form saves."""
     if driver_max is None:  # late-bound so tests can force either form
         driver_max = _VERIFY_DRIVER_MAX
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3340,12 +3346,16 @@ def _verified_jaccard_pairs(sf_dir: str, tag: str,
             ids_b = sorted(set(g["doc_id"]))
             if len(ids_b) < 2:
                 continue
+            if cross_parity and len({i % 2 for i in ids_b}) < 2:
+                continue  # single-side bucket: nothing to verify
             for i in ids_b:
                 if i not in grams:
                     grams[i] = F_text.ngram_set(texts[i])
             for x in range(len(ids_b)):
                 for y in range(x + 1, len(ids_b)):
                     k = (ids_b[x], ids_b[y])
+                    if cross_parity and (k[0] + k[1]) % 2 == 0:
+                        continue  # same side: not verified incrementally
                     if k in best:
                         continue  # same exact-jaccard from any band
                     jac = F_text.jaccard_sets(grams[k[0]], grams[k[1]])
@@ -3369,10 +3379,16 @@ def _verified_jaccard_pairs(sf_dir: str, tag: str,
         texts = dict(zip(g["doc_id"], g["text"]))
         # shingle each doc ONCE per group (pairwise re-shingling costs
         # O(bucket) redundant tokenizations per doc)
+        if cross_parity and len({i % 2 for i in ids}) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
         grams = {i: F_text.ngram_set(texts[i]) for i in ids}
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
+                if cross_parity and (ids[i] + ids[j]) % 2 == 0:
+                    continue  # same side: not verified incrementally
                 jac = F_text.jaccard_sets(grams[ids[i]], grams[ids[j]])
                 if jac >= 0.5:
                     out_a.append(ids[i])
@@ -7916,6 +7932,36 @@ def cdc_dedup_stats(sf_dir: str):
 _PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority")
 
 
+def near_dup_incremental_docs(sf_dir: str, driver_max: int | None = None):
+    """Incremental near-dup dedup — the production SHARD-ARRIVAL
+    shape: an arriving shard (odd doc_id) is deduped against the
+    standing corpus (even doc_id) WITHOUT re-clustering the corpus.
+    The band table is the standing LSH index (at scale it persists
+    across arrivals; here it is rebuilt deterministically — the
+    sandbox has no cross-run store), candidate buckets must contain
+    BOTH sides, and only cross-side pairs are shingled and verified
+    (exact 3-gram jaccard ≥ 0.5) — within-shard and within-corpus
+    pairs are never even constructed, which is exactly the work the
+    incremental form saves over the full ``ngram_jaccard_pairs``
+    chain. Output: (new_id, old_id, jaccard) verified matches, the
+    rows an ingest gate would drop-or-link on. Approximate like the
+    full chain (LSH recall); golden + brute/containment pytests."""
+    pairs = _verified_jaccard_pairs(sf_dir, "incr_banded",
+                                    driver_max=driver_max,
+                                    cross_parity=True)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        odd_a = a % 2 == 1
+        return pa.table({
+            "new_id": pa.array(np.where(odd_a, a, b), pa.int64()),
+            "old_id": pa.array(np.where(odd_a, b, a), pa.int64()),
+            "jaccard": t["jaccard"]})
+
+    return pairs.map_batches(orient, batch_format="pyarrow")
+
+
 def profile_orders_columns(sf_dir: str):
     """Dataset profiling (the data-card / ingest-quality-report
     staple): per column — row count, null count, EXACT distinct count.
@@ -8144,6 +8190,7 @@ QUERIES = {
     "cdc_dedup_stats": cdc_dedup_stats,
     "profile_orders_columns": profile_orders_columns,
     "docs_jsonl_export_roundtrip": docs_jsonl_export_roundtrip,
+    "near_dup_incremental_docs": near_dup_incremental_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

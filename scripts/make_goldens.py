@@ -72,6 +72,7 @@ GOLDEN_QUERIES = [
     "render_interleaved",
     "cdc_chunk_docs",
     "cdc_dedup_stats",
+    "near_dup_incremental_docs",
 ]
 
 

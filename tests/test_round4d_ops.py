@@ -325,3 +325,52 @@ def test_docs_jsonl_export_roundtrip(ray_session):
     got = to_pandas(docs_jsonl_export_roundtrip(SF)) \
         .sort_values("doc_id").reset_index(drop=True)[src.columns]
     assert got.equals(src)
+
+
+def _shingles(t, n=3):
+    toks = t.split(" ")
+    if len(toks) < n:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+
+
+def test_near_dup_incremental_docs(ray_session):
+    from rendler_ray.goldenhash import to_pandas as tp
+    from rendler_ray.pipelines.queries import (
+        near_dup_incremental_docs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = {r["doc_id"]: r["text"] for r in _docs(["doc_id", "text"])}
+    got = tp(near_dup_incremental_docs(SF))
+    assert len(got) > 0
+    for row in got.itertuples():
+        # orientation: new = arriving shard (odd), old = corpus (even)
+        assert row.new_id % 2 == 1 and row.old_id % 2 == 0
+        # independent exact-jaccard recheck of every emitted pair
+        ga, gb = _shingles(texts[row.new_id]), _shingles(texts[row.old_id])
+        inter = len(ga & gb)
+        jac = inter / (len(ga) + len(gb) - inter)
+        # the chain emits round(jac, 6)
+        assert jac >= 0.5 and abs(jac - row.jaccard) <= 5e-7
+
+    # equivalence: the incremental op finds EXACTLY the cross-parity
+    # subset of the full chain (same LSH index, same verify)
+    full = tp(ngram_jaccard_pairs(SF))
+    cross = full[(full["a"] + full["b"]) % 2 == 1]
+    exp = {(a if a % 2 == 1 else b, b if a % 2 == 1 else a, j)
+           for a, b, j in zip(cross["a"], cross["b"], cross["jaccard"])}
+    assert {(r.new_id, r.old_id, r.jaccard)
+            for r in got.itertuples()} == exp
+
+
+def test_near_dup_incremental_two_forms(ray_session):
+    from rendler_ray.goldenhash import to_pandas as tp
+    from rendler_ray.pipelines.queries import near_dup_incremental_docs
+
+    a = tp(near_dup_incremental_docs(SF)) \
+        .sort_values(["new_id", "old_id"]).reset_index(drop=True)
+    b = tp(near_dup_incremental_docs(SF, driver_max=0)) \
+        .sort_values(["new_id", "old_id"]).reset_index(drop=True)
+    assert a.equals(b)
