@@ -157,7 +157,7 @@ def cdc_chunk_batch(batch: pa.Table, col: str = "text",
     buf = np.frombuffer(b"".join(enc), np.uint8)
     g = gear_table()[buf]
     h = np.zeros(n, np.uint64)
-    for s in range(_CDC_WINDOW):
+    for s in range(min(_CDC_WINDOW, n)):  # s >= n: both slices empty
         np.add(h[s:], g[:n - s] << np.uint64(s), out=h[s:],
                casting="unsafe")  # uint64 wraparound == mod 2^64
     starts = np.cumsum(lens) - lens

@@ -374,3 +374,40 @@ def test_near_dup_incremental_two_forms(ray_session):
     b = tp(near_dup_incremental_docs(SF, driver_max=0)) \
         .sort_values(["new_id", "old_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cdc_partition_property():
+    """Hypothesis: for ANY unicode text batch, CDC chunks exactly
+    partition each doc's bytes (contiguous, non-overlapping, full
+    cover) and concatenating chunk bytes reproduces the text."""
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rendler_ray.functions.text import cdc_chunk_batch
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(st.text(min_size=0, max_size=600), min_size=1,
+                          max_size=8))
+    def run(texts):
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        ch = cdc_chunk_batch(t).to_pylist()
+        byid = collections.defaultdict(list)
+        for r in ch:
+            byid[r["doc_id"]].append(r)
+        for i, txt in enumerate(texts):
+            b = txt.encode("utf-8")
+            rows = sorted(byid.get(i, []), key=lambda r: r["chunk_idx"])
+            if not b:
+                assert rows == []
+                continue
+            pos = 0
+            for r in rows:
+                assert r["start"] == pos and r["length"] >= 1
+                seg = b[r["start"]:r["start"] + r["length"]]
+                assert hashlib.md5(seg).hexdigest() == r["chunk_md5"]
+                pos += r["length"]
+            assert pos == len(b)
+
+    run()
