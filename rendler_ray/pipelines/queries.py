@@ -55,6 +55,24 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def _query_vecs(sf_dir: str, n: int) -> dict[int, "np.ndarray"]:
+    """The fixed query/benchmark vectors (vec_id < n) via a PUSHED-DOWN
+    filtered read: row groups whose vec_id statistics exclude the first
+    n ids are never read. At 100 TB the alternative — streaming the
+    whole embedding table through a ``Dataset.filter`` to fetch a
+    handful of rows — scans the corpus to build a constant."""
+    import pyarrow.dataset as pds
+
+    t = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filter=pds.field("vec_id") < n)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    return {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(t["vec_id"].to_pylist(),
+                            t["embedding"].to_pylist())}
+
+
 def _fixed_point(ds, cols: dict[str, int]):
     """Convert float columns to fixed-point int64 (value * 10^scale,
     rounded). Float sums are order-dependent in the last ulps AND
@@ -2726,13 +2744,7 @@ def ann_ivf_topk(sf_dir: str):
     partitions per query. Approximate: rows-only here; recall vs brute
     force is asserted in tests."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
-                       batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    queries = {int(i): np.asarray(v, dtype=np.float64)
-               for i, v in zip(qtbl["vec_id"].to_pylist(),
-                               qtbl["embedding"].to_pylist())}
+    queries = _query_vecs(sf_dir, 8)
     return F_ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
 
 
@@ -2749,13 +2761,7 @@ def ann_pq_topk(sf_dir: str):
     Approximate by construction: golden-pinned, recall vs brute force
     asserted in tests."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
-                       batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    queries = {int(i): np.asarray(v, dtype=np.float64)
-               for i, v in zip(qtbl["vec_id"].to_pylist(),
-                               qtbl["embedding"].to_pylist())}
+    queries = _query_vecs(sf_dir, 8)
     return F_ann.pq_topk(ds, queries, k=10, m=16, ks=64)
 
 
@@ -2772,12 +2778,8 @@ def semantic_decontam_docs(sf_dir: str):
     hash-exact. Emits (vec_id, n_matches, max_sim_e6) per flagged
     vector."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 16)),
-                       batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    qm = F_ann._normalize(np.stack(
-        [np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()]))
+    qv = _query_vecs(sf_dir, 16)
+    qm = F_ann._normalize(np.stack([qv[i] for i in sorted(qv)]))
     qref = ray.put(qm)
 
     def flag(t: pa.Table) -> pa.Table:
@@ -3648,13 +3650,7 @@ def ann_topk(sf_dir: str):
     broadcast query matrix → per-batch matmul partial top-k → per-query
     reduce. Scores rounded to 6 so the SQL oracle agrees exactly."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)),
-                       batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    queries = {int(i): np.asarray(v, dtype=np.float64)
-               for i, v in zip(qtbl["vec_id"].to_pylist(),
-                               qtbl["embedding"].to_pylist())}
+    queries = _query_vecs(sf_dir, 8)
     out = F_ann.brute_force_topk(ds, queries, k=10)
     return out.select_columns(["query_id", "vec_id", "score_e6", "rank"])
 
@@ -7507,14 +7503,7 @@ def rrf_hybrid_search_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
     lex_rows = bm25_search_docs(sf_dir, k=k_leg).take_all()
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qtbl = pa.concat_tables(
-        ds.map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], len(_BM25_QUERIES))),
-            batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    queries = {int(i): np.asarray(v, dtype=np.float64)
-               for i, v in zip(qtbl["vec_id"].to_pylist(),
-                               qtbl["embedding"].to_pylist())}
+    queries = _query_vecs(sf_dir, len(_BM25_QUERIES))
     den_rows = F_ann.brute_force_topk(ds, queries, k=k_leg).take_all()
 
     lexr = {(int(r["query_id"]), int(r["doc_id"])): int(r["rank"])
@@ -7818,15 +7807,16 @@ def hard_negative_mining_docs(sf_dir: str, k_leg: int = 20, k: int = 10,
                       "hn_rank": pa.array([], pa.int64())})
     if not lex_rows:
         return empty
+    import pyarrow.dataset as pds
+
     need = sorted({int(r["doc_id"]) for r in lex_rows}
                   | {int(q) for q in _BM25_QUERIES})
-    nref = ray.put(pa.array(need, pa.int64()))
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pushed-down isin read: only row groups whose vec_id statistics
+    # overlap the bounded candidate set are scanned at all
     et = pa.concat_tables(
-        ds.map_batches(
-            lambda t: t.filter(pc.is_in(t["vec_id"],
-                                        value_set=ray.get(nref))),
-            batch_format="pyarrow")
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filter=pds.field("vec_id").isin(need))
         .iter_batches(batch_size=None, batch_format="pyarrow"))
     vecs = {int(i): np.asarray(v, np.float64)
             for i, v in zip(et["vec_id"].to_pylist(),
