@@ -661,3 +661,169 @@ def hits_auto(edges_ds, iters: int = 10, driver_max: int = 1_000_000,
         "url": pa.array(df["url"].tolist(), pa.string()),
         "hub": pa.array(df["hub"].to_numpy(np.float64), pa.float64()),
         "auth": pa.array(df["auth"].to_numpy(np.float64), pa.float64())}))
+
+
+def kcore(edges_ds, _sym=None) -> pd.DataFrame:
+    """k-core decomposition (coreness per node) of the undirected view
+    of the edge table — DRIVER form: exact iterative peeling (Batagelj
+    & Zaveršnik 2003 semantics: a node removed while peeling at level k
+    belongs to the (k-1)-core but not the k-core, so coreness = k-1).
+    The adjacency set lives on the driver — the small-graph fast path
+    behind :func:`kcore_auto`'s gate. Deterministic: coreness is a
+    property of the graph, independent of removal order. Returns a
+    pandas DataFrame (url, core) sorted by url."""
+    sym = _sym if _sym is not None else _symmetric_edges(edges_ds)
+    adj: dict[str, set] = {}
+    if sym is not None:
+        for b in sym.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"):
+            for a, c in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                adj.setdefault(a, set()).add(c)
+    deg = {u: len(ns) for u, ns in adj.items()}
+    remaining = set(adj)
+    core: dict[str, int] = {}
+    k = 0
+    while remaining:
+        k += 1
+        stack = [u for u in remaining if deg[u] < k]
+        while stack:
+            u = stack.pop()
+            if u not in remaining:
+                continue
+            core[u] = k - 1
+            remaining.discard(u)
+            for w in adj[u]:
+                if w in remaining:
+                    deg[w] -= 1
+                    if deg[w] < k:
+                        stack.append(w)
+    urls = sorted(core)
+    return pd.DataFrame({"url": urls,
+                         "core": np.array([core[u] for u in urls],
+                                          dtype=np.int64)})
+
+
+def _symmetric_edges(edges_ds):
+    """Distinct symmetrized self-loop-free undirected edge list
+    (src, dst) — both orientations present, so groupby(src).count IS
+    the undirected degree. None when empty."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    distinct = edges_ds.select_columns(["src", "dst"])
+    sym = (distinct.union(distinct.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow"))
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"]))
+    sym = sym.map_batches(
+        lambda t: t.filter(pa.compute.invert(
+            pa.compute.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow").materialize()
+    return _nonempty_blocks(sym)
+
+
+def kcore_ds(edges_ds, num_partitions: int = 8, _sym=None):
+    """Fully DISTRIBUTED k-core decomposition: Dataset (url, core).
+
+    Phase k peels nodes of degree < k to a fixpoint, then k increments;
+    a peeled node's coreness is k-1. Per inner round: degrees via a
+    union-groupby over (edge rows → 1) ∪ (alive nodes → 0) — the
+    zero-pad trick gives degree 0 to nodes whose last edge vanished
+    with a removed neighbor, with NO anti-join; the surviving-node set
+    then inner-joins back against both edge endpoints (the edge set
+    only ever shrinks). Driver state: two scalars (k, removed-count).
+    Removed nodes accumulate as a lazy union of per-phase Datasets.
+    Output equals :func:`kcore` exactly (two-form equality is
+    pytest-asserted)."""
+    sym = _sym if _sym is not None else _symmetric_edges(edges_ds)
+    out_parts = []
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "core": pa.array([], pa.int64())}))
+    if sym is None:
+        return empty
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    alive = (sym.select_columns(["src"])
+             .groupby("src").aggregate(Count(alias_name="_n"))
+             .select_columns(["src"])).materialize()
+    k = 1
+    while sym is not None:
+        ones = sym.map_batches(
+            lambda t: pa.table({"src": t["src"],
+                                "d": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow")
+        zeros = alive.map_batches(
+            lambda t: pa.table({"src": t["src"],
+                                "d": pa.array(np.zeros(t.num_rows,
+                                                       np.int64))}),
+            batch_format="pyarrow")
+        deg = (ones.union(zeros).groupby("src")
+               .aggregate(Sum("d", alias_name="deg"))).materialize()
+        def peel(t: pa.Table, kk=k) -> pa.Table:
+            sel = t.filter(pa.compute.less(t["deg"], kk))
+            return pa.table({
+                "url": sel["src"],
+                "core": pa.array(np.full(sel.num_rows, kk - 1,
+                                         np.int64))})
+
+        removed = deg.map_batches(peel,
+                                  batch_format="pyarrow").materialize()
+        if removed.count() == 0:
+            k += 1
+            continue
+        out_parts.append(removed)
+        alive = (deg.map_batches(
+            lambda t, kk=k: t.filter(
+                pa.compute.greater_equal(t["deg"], kk)),
+            batch_format="pyarrow").select_columns(["src"])).materialize()
+        alive = _nonempty_blocks(alive)
+        if alive is None:
+            break
+        # sparse-key guard (see label_propagation_ds)
+        nparts = max(1, min(num_partitions, alive.count() // 4))
+        keep_u = alive.map_batches(
+            lambda t: t.rename_columns(["ku"]), batch_format="pyarrow")
+        sym = (sym.join(keep_u, join_type="inner",
+                        num_partitions=nparts,
+                        on=("src",), right_on=("ku",))
+               .select_columns(["src", "dst"]))
+        sym = (sym.join(keep_u, join_type="inner",
+                        num_partitions=nparts,
+                        on=("dst",), right_on=("ku",))
+               .select_columns(["src", "dst"])).materialize()
+        sym = _nonempty_blocks(sym)
+        if sym is None:
+            # survivors' remaining edges all vanished: they peel at
+            # the CURRENT level next round (degree 0 < k)
+            out_parts.append(alive.map_batches(
+                lambda t, kk=k: pa.table({
+                    "url": t["src"],
+                    "core": pa.array(np.full(t.num_rows, kk - 1,
+                                             np.int64))}),
+                batch_format="pyarrow"))
+            break
+    res = empty
+    for p in out_parts:
+        res = res.union(p)
+    return res
+
+
+def kcore_auto(edges_ds, driver_max: int = 1_000_000,
+               num_partitions: int = 8):
+    """Size-gated k-core decomposition, always returning a Dataset
+    (url, core): raw edge counts ≤ ``driver_max`` run the driver
+    peeling (one pass, no per-round shuffles), bigger graphs the
+    distributed :func:`kcore_ds` (degree union-groupby + semi-join
+    rounds). Identical output (equality pytest-asserted) — the
+    :func:`connected_components_auto` pattern."""
+    n_raw = edges_ds.select_columns(["src", "dst"]).count()
+    sym = _symmetric_edges(edges_ds)
+    if n_raw > driver_max:
+        return kcore_ds(edges_ds, num_partitions=num_partitions,
+                        _sym=sym)
+    df = kcore(edges_ds, _sym=sym)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "core": pa.array(df["core"].to_numpy(np.int64), pa.int64())}))

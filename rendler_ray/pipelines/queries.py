@@ -8029,6 +8029,297 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def kcore_crawl_graph(sf_dir: str):
+    """k-core decomposition of the crawl graph (coreness per page) —
+    the graph-density complement to PageRank/HITS a crawl curator uses
+    to separate densely interlinked cores (boilerplate link farms, nav
+    meshes) from tree-like periphery. Size-gated
+    ``functions/graph.py::kcore_auto``: driver peeling (one pass)
+    under the gate, distributed degree-peel rounds (zero-pad degree
+    union-groupby + endpoint semi-joins) above it; two-form equality
+    pytest-asserted. Deterministic (coreness is order-free); rows-only
+    (iterative), golden-pinned."""
+    from rendler_ray.functions.graph import kcore_auto
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return kcore_auto(res.edges)
+
+
+def pca_project_embeddings(sf_dir: str, n_components: int = 4):
+    """Distributed PCA over the embedding column — the dimensionality
+    reduction every embedding-curation stack runs before clustering /
+    visualization / whitening. Scale shape: ONE stats pass where each
+    batch emits a single flattened partial — (0,0)→count, (i,0)→column
+    sums, (i,j) i≤j → Gram entries, all INTEGER (values floor to 1e-6
+    fixed point first, the ``embedding_gram_matrix`` convention) — so
+    the ≤2,145-key groupby-sum is exact and the covariance the driver
+    assembles is bit-identical at any parallelism; the 64×64 eigh runs
+    on the driver (O(d³), d=64) and the components broadcast into a
+    stateless projection pass (per-row dot products — batching cannot
+    change them). Eigenvector sign is fixed (largest-|component|
+    positive) so the output is well-defined. Rows-only (eigh is not
+    SQL); golden-pinned + orthonormality/variance/brute pytests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        emb = t["embedding"].combine_chunks()
+        d = pc.list_value_length(emb)[0].as_py()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        e = np.floor(flat.astype(np.float64) * 1_000_000).astype(
+            np.int64).reshape(len(emb), d)
+        iu, ju = np.triu_indices(d)
+        i_out = np.concatenate([[0], np.arange(1, d + 1), iu + 1])
+        j_out = np.concatenate([[0], np.zeros(d, np.int64), ju + 1])
+        g_out = np.concatenate([[t.num_rows], e.sum(axis=0),
+                                (e.T @ e)[iu, ju]])
+        return pa.table({"i": pa.array(i_out, pa.int64()),
+                         "j": pa.array(j_out, pa.int64()),
+                         "g": pa.array(g_out, pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["i", "j"]).aggregate(Sum("g", alias_name="g"))
+            .take_all())  # bounded: ≤ 1 + d + d(d+1)/2 keys
+    n = sum(int(r["g"]) for r in rows if r["i"] == 0 and r["j"] == 0)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64())})
+    d = max(int(r["i"]) for r in rows)
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in rows:
+        i, j, g = int(r["i"]), int(r["j"]), int(r["g"])
+        if i == 0:
+            continue
+        if j == 0:
+            s[i - 1] = g
+        else:
+            G[i - 1, j - 1] = G[j - 1, i - 1] = g
+    mean = s / 1e6 / n
+    cov = G / 1e12 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :n_components].copy()
+    for c in range(W.shape[1]):  # sign convention: max-|w| positive
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+    state = ray.put((mean, W))
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {"vec_id": t["vec_id"]}
+        mu, w = ray.get(state)
+        if t.num_rows:
+            emb = t["embedding"].combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            e = np.floor(flat.astype(np.float64) * 1_000_000) / 1e6
+            y = (e.reshape(t.num_rows, -1) - mu) @ w
+        else:
+            y = np.zeros((0, w.shape[1]))
+        for c in range(w.shape[1]):
+            cols[f"pc{c + 1}_e6"] = pa.array(
+                np.round(y[:, c] * 1e6).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def mmr_rerank_docs(sf_dir: str, k_cand: int = 40, k: int = 10,
+                    n_queries: int = 4):
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein SIGIR'98) — the de-dup re-rank RAG/retrieval stacks run
+    so the top-k isn't k near-copies of one passage: greedily pick the
+    candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked, λ=½ (integer form: rel_e6 − maxsim_e6, tie → min vec_id).
+    Scale shape: the DISTRIBUTED part is the exact dense top-``k_cand``
+    candidate pass (broadcast query matrix, per-batch partial top-k —
+    the corpus is never shuffled); the greedy loop is inherently
+    sequential but runs on the ≤ |Q|·k_cand candidate set, whose
+    vectors arrive by a pushed-down ``isin`` read — never a corpus
+    pull. Corpus = vec_id ≥ 16 (the decontam convention: low ids are
+    the held-out query/eval set). Rows-only (iterative greedy);
+    golden-pinned + independent-brute pytest."""
+    import pyarrow.dataset as pds
+
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") >= 16)
+    queries = _query_vecs(sf_dir, n_queries)
+    cand = F_ann.brute_force_topk(corpus, queries, k=k_cand).take_all()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rel_e6": pa.array([], pa.int64()),
+                      "mmr_e6": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    if not cand:
+        return empty
+    need = sorted({int(r["vec_id"]) for r in cand})
+    et = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filter=pds.field("vec_id").isin(need))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    unit = {int(i): (lambda v: v / np.linalg.norm(v))(
+        np.asarray(v, np.float64))
+        for i, v in zip(et["vec_id"].to_pylist(),
+                        et["embedding"].to_pylist())}
+
+    byq: dict[int, list] = {}
+    for r in cand:
+        byq.setdefault(int(r["query_id"]), []).append(
+            (int(r["vec_id"]), int(r["score_e6"])))
+    out = {c: [] for c in ("query_id", "vec_id", "rel_e6",
+                           "mmr_e6", "rank")}
+    for qid in sorted(byq):
+        ids = np.array([v for v, _ in sorted(byq[qid])], np.int64)
+        rel = np.array([s for _, s in sorted(byq[qid])], np.int64)
+        m = np.stack([unit[int(v)] for v in ids])
+        sim_e6 = np.round((m @ m.T) * 1e6).astype(np.int64)
+        picked: list[int] = []
+        maxsim = np.full(len(ids), np.iinfo(np.int64).min, np.int64)
+        avail = np.ones(len(ids), bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            score = rel if not picked else rel - maxsim
+            sc = np.where(avail, score, np.iinfo(np.int64).min)
+            best = int(np.flatnonzero(sc == sc.max())[0])  # tie: min id
+            out["query_id"].append(qid)
+            out["vec_id"].append(int(ids[best]))
+            out["rel_e6"].append(int(rel[best]))
+            out["mmr_e6"].append(int(sc[best]) if picked
+                                 else int(rel[best]))
+            out["rank"].append(rank)
+            avail[best] = False
+            picked.append(best)
+            maxsim = np.maximum(maxsim, sim_e6[best])
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+
+_LANG_PRIORITY = {"en": 0, "de": 1, "es": 2, "fr": 3, "zh": 4}
+
+
+def priority_dedup_docs(sf_dir: str):
+    """Exact dedup with a SOURCE-PRIORITY survivor rule — the
+    Pile/Dolma convention that when the same text appears in multiple
+    cuts, the highest-priority copy survives (here: language rank
+    en<de<es<fr<zh, tie → min doc_id) rather than an arbitrary one.
+    Same scale shape as ``dedup_exact_docs`` (hash-partitioned groupby
+    on the content md5) with the survivor chosen by a packed-key
+    native Min — priority·2⁴⁸ + doc_id, one int64, no map_groups
+    (doc_id < 2⁴⁸ asserted; the ``first_last_order_per_customer``
+    packing trick, mirrored exactly in the SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        assert did.size == 0 or int(did.max()) < (1 << 48)
+        langs = t["lang"].to_pylist()
+        prio = np.array([_LANG_PRIORITY.get(x, 9) for x in langs],
+                        np.int64)
+        ft = F_text.md5_fingerprint_batch(t)
+        return pa.table({"fingerprint": ft["fingerprint"],
+                         "packed": pa.array((prio << 48) + did,
+                                            pa.int64())})
+
+    win = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("fingerprint")
+           .aggregate(Min("packed", alias_name="packed")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({"fingerprint": t["fingerprint"],
+                         "doc_id": pa.array(p & ((1 << 48) - 1),
+                                            pa.int64()),
+                         "lang_rank": pa.array(p >> 48, pa.int64())})
+
+    return win.map_batches(unpack, batch_format="pyarrow")
+
+
+PRIORITY_DEDUP_SQL = """
+WITH p AS (SELECT md5(text) AS fingerprint,
+                  CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                            WHEN 'es' THEN 2 WHEN 'fr' THEN 3
+                            WHEN 'zh' THEN 4 ELSE 9 END
+                  * 281474976710656 + doc_id AS packed
+           FROM documents),
+w AS (SELECT fingerprint, min(packed) AS packed FROM p
+      GROUP BY fingerprint)
+SELECT fingerprint, packed % 281474976710656 AS doc_id,
+       packed // 281474976710656 AS lang_rank
+FROM w
+"""
+
+
+def source_token_concentration(sf_dir: str):
+    """Training-mix concentration diagnostics: per-source token share
+    and the Lorenz-curve cumulative share (sources ranked tokens-desc)
+    — the table behind "the top 2 sources are 40% of the tokens"
+    dataset-card lines and Gini-style mix audits. Scale shape: token
+    counts fold per batch (one row per (batch, source)), the groupby
+    moves O(batches·sources) rows, and the one-row-per-source result
+    ranks on the driver. Shares are EXACT integer arithmetic
+    (n·10⁹ // total — no float division crosses the engine boundary),
+    matching the SQL's HUGEINT division exactly."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ntok = pc.add(pc.count_substring(t["text"], " "), 1)
+        return (pa.table({"source": t["source"],
+                          "n_tokens": pc.cast(ntok, pa.int64())})
+                .group_by("source").aggregate([("n_tokens", "sum")])
+                .rename_columns(["source", "n_tokens"]))
+
+    per = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("n_tokens",
+                                            alias_name="n_tokens"))
+           .take_all())  # bounded: one row per source
+    if not per:
+        return pa.table({"source": pa.array([], pa.string())})
+    per.sort(key=lambda r: (-int(r["n_tokens"]), r["source"]))
+    total = sum(int(r["n_tokens"]) for r in per)
+    cum = 0
+    rows = {c: [] for c in ("source", "n_tokens", "share_e9",
+                            "cum_share_e9", "rank")}
+    for rank, r in enumerate(per, 1):
+        ntok = int(r["n_tokens"])
+        cum += ntok
+        rows["source"].append(r["source"])
+        rows["n_tokens"].append(ntok)
+        rows["share_e9"].append(ntok * 1_000_000_000 // total)
+        rows["cum_share_e9"].append(cum * 1_000_000_000 // total)
+        rows["rank"].append(rank)
+    return pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        "share_e9": pa.array(rows["share_e9"], pa.int64()),
+        "cum_share_e9": pa.array(rows["cum_share_e9"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64())})
+
+
+SOURCE_TOKEN_CONC_SQL = """
+WITH s AS (SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+           FROM documents GROUP BY source),
+r AS (SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, source)
+                 AS rank,
+             CAST(sum(n_tokens) OVER () AS HUGEINT) AS total,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                  AS HUGEINT) AS cum
+      FROM s)
+SELECT source, n_tokens,
+       CAST(CAST(n_tokens AS HUGEINT) * 1000000000 // total AS BIGINT)
+           AS share_e9,
+       CAST(cum * 1000000000 // total AS BIGINT) AS cum_share_e9,
+       CAST(rank AS BIGINT) AS rank
+FROM r
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -8181,6 +8472,11 @@ QUERIES = {
     "profile_orders_columns": profile_orders_columns,
     "docs_jsonl_export_roundtrip": docs_jsonl_export_roundtrip,
     "near_dup_incremental_docs": near_dup_incremental_docs,
+    "kcore_crawl_graph": kcore_crawl_graph,
+    "pca_project_embeddings": pca_project_embeddings,
+    "mmr_rerank_docs": mmr_rerank_docs,
+    "priority_dedup_docs": priority_dedup_docs,
+    "source_token_concentration": source_token_concentration,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -8310,4 +8606,6 @@ ORACLES = {
     "hard_negative_mining_docs": HARD_NEGATIVE_SQL,
     "profile_orders_columns": PROFILE_ORDERS_SQL,
     "docs_jsonl_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
+    "priority_dedup_docs": PRIORITY_DEDUP_SQL,
+    "source_token_concentration": SOURCE_TOKEN_CONC_SQL,
 }

@@ -65,6 +65,9 @@ GOLDEN_QUERIES = [
     "ann_pq_topk",
     "media_text_match",
     "label_prop_crawl",
+    "kcore_crawl_graph",
+    "pca_project_embeddings",
+    "mmr_rerank_docs",
     "media_features",
     "media_thumbnails",
     "media_frame_samples",

@@ -1,0 +1,241 @@
+"""Round-4e ops: k-core decomposition, distributed PCA, MMR
+diversified re-rank, priority dedup, source-token concentration —
+each checked against an independent brute-force recomputation (the
+DuckDB oracles are checked separately by scripts/check_correctness.py;
+these tests must not depend on them)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rendler_ray.goldenhash import to_pandas
+from rendler_ray.pipelines.queries import (
+    _LANG_PRIORITY,
+    mmr_rerank_docs,
+    pca_project_embeddings,
+    priority_dedup_docs,
+    source_token_concentration,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- k-core
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.string()),
+        "dst": pa.array([b for _, b in pairs], pa.string())}))
+
+
+KNOWN = [("a", "b"), ("b", "c"), ("a", "c"),          # triangle: core 2
+         ("c", "d"), ("d", "e"),                      # tail: core 1
+         ("f", "g"), ("f", "h"), ("f", "i"),          # K4: core 3
+         ("g", "h"), ("g", "i"), ("h", "i"),
+         ("a", "b"), ("e", "e")]                      # dup + self-loop
+KNOWN_CORE = {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1,
+              "f": 3, "g": 3, "h": 3, "i": 3}
+
+
+def test_kcore_known_graph(ray_session):
+    from rendler_ray.functions.graph import kcore
+
+    df = kcore(_edges_ds(KNOWN))
+    assert dict(zip(df["url"], df["core"])) == KNOWN_CORE
+
+
+def test_kcore_two_form_equality(ray_session):
+    """Driver peeling == distributed peel rounds, on the known graph
+    AND on a crawl graph (directed, has dangling/redirect edges)."""
+    from rendler_ray.functions.graph import kcore, kcore_auto, kcore_ds
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.pipelines.queries import _synth_docs_for
+    from rendler_ray.sources.synthweb import default_seeds
+
+    for edges in (_edges_ds(KNOWN),
+                  crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                                    seeds=default_seeds(1),
+                                    max_depth=3)).edges):
+        drv = kcore(edges).reset_index(drop=True)
+        dist = (kcore_ds(edges).to_pandas()
+                .sort_values("url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(drv, dist)
+        # the gate picks the driver form here; same answer either way
+        auto = (kcore_auto(edges).to_pandas()
+                .sort_values("url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(drv, auto)
+
+
+def test_kcore_empty(ray_session):
+    from rendler_ray.functions.graph import kcore_auto
+
+    out = kcore_auto(_edges_ds([])).to_pandas()
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_pca_matches_driver_brute(ray_session):
+    """The distributed two-pass PCA equals a single-process numpy PCA
+    over the same fixed-point input — exact row equality (integer
+    outputs; per-row dot products are batching-invariant)."""
+    out = to_pandas(pca_project_embeddings(SF)).sort_values(
+        "vec_id").reset_index(drop=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    e = np.floor(m * 1e6)  # the op's fixed-point convention
+    n = len(e)
+    mean = e.sum(axis=0) / 1e6 / n
+    G = (e.astype(np.int64).T @ e.astype(np.int64))
+    cov = G / 1e12 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :4].copy()
+    for c in range(4):
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+    y = np.round(((e / 1e6 - mean) @ W) * 1e6).astype(np.int64)
+
+    order = np.argsort(ids)
+    for c in range(4):
+        assert (out[f"pc{c + 1}_e6"].to_numpy()
+                == y[order, c]).all(), f"pc{c + 1} mismatch"
+    # variance along components is non-increasing (eigh ordering held)
+    vs = [out[f"pc{c + 1}_e6"].to_numpy(np.float64).var()
+          for c in range(4)]
+    assert all(vs[i] >= vs[i + 1] - 1e-6 for i in range(3))
+    # projections are centered (means were subtracted): |mean| small
+    for c in range(4):
+        assert abs(out[f"pc{c + 1}_e6"].mean()) < 1000  # < 1e-3 in e6
+
+
+# ---------------------------------------------------------------- MMR
+
+
+def test_mmr_matches_independent_brute(ray_session):
+    """Independent greedy recomputation: full cosine matrix over the
+    corpus, top-40 candidates by (score_e6 desc, id asc), per-step
+    max-sim recomputed from scratch (the op keeps a running max)."""
+    out = to_pandas(mmr_rerank_docs(SF))
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qs = {int(i): m[k] for k, i in enumerate(ids) if i < 4}
+    corp = ids >= 16
+    cids, cm = ids[corp], m[corp]
+
+    got_rows = out.sort_values(["query_id", "rank"]).to_numpy().tolist()
+    exp_rows = []
+    for qid in sorted(qs):
+        rel = np.round((cm @ qs[qid]) * 1e6).astype(np.int64)
+        order = sorted(range(len(cids)),
+                       key=lambda i: (-rel[i], cids[i]))[:40]
+        cand = [(int(cids[i]), int(rel[i])) for i in order]
+        cand.sort()  # the op iterates candidates in id order
+        picked = []
+        for rank in range(1, 11):
+            best = None
+            for vid, r in cand:
+                if vid in (p[0] for p in picked):
+                    continue
+                if picked:
+                    u = cm[np.flatnonzero(cids == vid)[0]]
+                    ms = max(int(np.round(
+                        float(u @ cm[np.flatnonzero(cids == p)[0]])
+                        * 1e6)) for p, _ in picked)
+                    sc = r - ms
+                else:
+                    sc = r
+                if best is None or sc > best[2]:
+                    best = (vid, r, sc)
+            picked.append((best[0], best[1]))
+            exp_rows.append([qid, best[0], best[1], best[2], rank])
+    assert got_rows == exp_rows
+
+
+def test_mmr_properties(ray_session):
+    out = to_pandas(mmr_rerank_docs(SF))
+    for qid, g in out.groupby("query_id"):
+        assert g["vec_id"].is_unique
+        g = g.sort_values("rank")
+        # rank 1 is the pure-relevance argmax (mmr == rel there)
+        assert g.iloc[0]["mmr_e6"] == g.iloc[0]["rel_e6"]
+        assert (g["vec_id"] >= 16).all()
+
+
+# ------------------------------------------------------ priority dedup
+
+
+def test_priority_dedup_planted(ray_session, tmp_path):
+    """Planted cross-language duplicates: the en copy survives even
+    when a zh copy has the smaller doc_id; ties break on doc_id."""
+    rows = [
+        (10, "alpha beta", "zh"), (11, "alpha beta", "en"),
+        (12, "alpha beta", "de"),            # en wins despite id 11>10
+        (20, "gamma", "fr"), (21, "gamma", "fr"),   # tie: min doc_id
+        (30, "delta", "xx"),                 # unknown lang, alone
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = to_pandas(priority_dedup_docs(str(tmp_path)))
+    by_fp = {hashlib.md5(t.encode()).hexdigest(): t
+             for _, t, _ in rows}
+    got = {by_fp[r.fingerprint]: (r.doc_id, r.lang_rank)
+           for r in out.itertuples()}
+    assert got == {"alpha beta": (11, _LANG_PRIORITY["en"]),
+                   "gamma": (20, _LANG_PRIORITY["fr"]),
+                   "delta": (30, 9)}
+
+
+def test_priority_dedup_no_dups_is_identity(ray_session):
+    """sf0.001 has no duplicate texts: every doc survives, priority =
+    its own lang rank."""
+    out = to_pandas(priority_dedup_docs(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pylist()
+    assert len(out) == len(docs)
+    ranks = {r["doc_id"]: _LANG_PRIORITY.get(r["lang"], 9)
+             for r in docs}
+    for r in out.itertuples():
+        assert ranks[r.doc_id] == r.lang_rank
+
+
+# -------------------------------------------- source concentration
+
+
+def test_source_concentration_brute(ray_session):
+    out = to_pandas(source_token_concentration(SF)).sort_values(
+        "rank").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text", "source"]).to_pylist()
+    agg: dict[str, int] = {}
+    for r in docs:
+        agg[r["source"]] = agg.get(r["source"], 0) \
+            + len(r["text"].split(" "))
+    total = sum(agg.values())
+    exp = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(out["source"]) == [s for s, _ in exp]
+    assert list(out["n_tokens"]) == [n for _, n in exp]
+    cum = np.cumsum([n for _, n in exp])
+    assert list(out["share_e9"]) == [n * 10**9 // total for _, n in exp]
+    assert list(out["cum_share_e9"]) == [int(c) * 10**9 // total
+                                         for c in cum]
+    # Lorenz invariants: monotone, ends exactly at 1e9
+    assert out["cum_share_e9"].is_monotonic_increasing
+    assert out["cum_share_e9"].iloc[-1] == 10**9
