@@ -674,3 +674,122 @@ def kmeans_cluster_sizes(ds, n_clusters: int = 8, iters: int = 10,
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster").aggregate(Count(alias_name="n_members")))
+
+
+# ------------------------------------------------------ exact kNN graph
+
+
+def _ref_to_matrix(tb: pa.Table):
+    ids = tb["vec_id"].to_numpy(zero_copy_only=False)
+    unit = tb["unit"].combine_chunks()
+    m = unit.flatten().to_numpy(zero_copy_only=False).reshape(
+        len(tb), -1)
+    return ids, m
+
+
+class BlockKnnScan:
+    """Exact k-NN graph, blocked-scan form: each ``map_batches`` task
+    holds ONE query block and streams the (normalized, materialized)
+    corpus blocks from the object store, keeping a RUNNING top-k per
+    query row. This is the honest exact baseline — O(n²/p) similarity
+    work spread over p tasks with O(one block + k·rows) memory per
+    task, corpus stored once per node in plasma (shared-memory
+    ``ray.get``, zero-copy Arrow) — while the in-tree IVF / LSH / PQ
+    stages are the approximate scale paths on the same layout. The
+    ranking key is the single int64 ``sim_e6·2³² − nbr_id`` (ids
+    asserted < 2³²): a TOTAL order, so the running merge is
+    block-order- and parallelism-invariant and tie-stable against the
+    SQL oracle's (sim_e6 DESC, nbr_id ASC)."""
+
+    def __init__(self, block_refs, k: int, exclude_self: bool = True,
+                 cross_side: bool = False):
+        self.refs = block_refs
+        self.k = k
+        self.exclude_self = exclude_self
+        self.cross_side = cross_side  # neighbors from the OTHER side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "sim_e6": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        q_ids, qm = _ref_to_matrix(batch)
+        q_side = (batch["side"].to_numpy(zero_copy_only=False)
+                  if self.cross_side else None)
+        nq = len(q_ids)
+        # negation-safe sentinel: np.iinfo(int64).min wraps under
+        # unary minus (-min == min), which would make masked
+        # entries WIN the argpartition(-key) selection
+        sentinel = -(1 << 62)
+        pool_key = np.full((nq, 0), sentinel, np.int64)
+        for ref in self.refs:
+            tb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            if tb.num_rows == 0:
+                continue
+            b_ids, bm = _ref_to_matrix(tb)
+            assert int(b_ids.max()) < (1 << 32)
+            sims = qm @ bm.T
+            key = (np.round(sims * 1e6).astype(np.int64) << 32) - b_ids
+            if self.exclude_self:
+                key[q_ids[:, None] == b_ids[None, :]] = sentinel
+            if self.cross_side:
+                b_side = tb["side"].to_numpy(zero_copy_only=False)
+                key[q_side[:, None] == b_side[None, :]] = sentinel
+            kk = min(self.k, key.shape[1])
+            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            cand = np.take_along_axis(key, part, axis=1)
+            pool_key = np.concatenate([pool_key, cand], axis=1)
+            if pool_key.shape[1] > self.k:
+                sel = np.argpartition(-pool_key, self.k - 1,
+                                      axis=1)[:, :self.k]
+                pool_key = np.take_along_axis(pool_key, sel, axis=1)
+        pool_key = -np.sort(-pool_key, axis=1)  # rank order per row
+        valid = pool_key > sentinel
+        nbr = (-pool_key) & ((1 << 32) - 1)
+        sim = (pool_key + nbr) >> 32
+        ranks = np.broadcast_to(
+            np.arange(1, pool_key.shape[1] + 1, dtype=np.int64),
+            pool_key.shape)
+        qq = np.broadcast_to(q_ids[:, None], pool_key.shape)
+        v = valid.ravel()
+        return pa.table({
+            "vec_id": pa.array(qq.ravel()[v], pa.int64()),
+            "nbr_id": pa.array(nbr.ravel()[v], pa.int64()),
+            "sim_e6": pa.array(sim.ravel()[v], pa.int64()),
+            "rank": pa.array(ranks.ravel()[v], pa.int64())})
+
+
+def knn_graph(ds, k: int = 4, id_col: str = "vec_id",
+              col: str = "embedding", side_col: str | None = None,
+              concurrency=(1, 8)):
+    """Exact cosine k-NN graph over an embedding Dataset:
+    (vec_id, nbr_id, sim_e6, rank). The corpus is normalized ONCE and
+    materialized; the same materialized blocks serve as both the query
+    stream and the broadcast-scanned index. ``side_col`` restricts
+    neighbors to the OPPOSITE side (cross-lingual / cross-modal
+    mining)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {"vec_id": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float64()))}
+            if side_col:
+                cols["side"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        m = _normalize(batch_to_matrix(t, col))
+        out = {"vec_id": t[id_col],
+               "unit": pa.FixedSizeListArray.from_arrays(
+                   pa.array(m.ravel(), pa.float64()), m.shape[1])}
+        if side_col:
+            out["side"] = t[side_col]
+        return pa.table(out)
+
+    mat = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    refs = list(mat.to_arrow_refs())
+    return mat.map_batches(
+        BlockKnnScan,
+        fn_constructor_kwargs={"block_refs": refs, "k": k,
+                               "cross_side": side_col is not None},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -8320,6 +8320,226 @@ FROM r
 """
 
 
+def knn_graph_embeddings(sf_dir: str, k: int = 4):
+    """EXACT cosine k-NN graph over the embedding table — the
+    all-pairs primitive under SemDeDup clustering, graph-based dedup,
+    UMAP-style layout and label propagation over embeddings. Blocked
+    scan (``functions/ann.py::BlockKnnScan``): the corpus normalizes
+    once into materialized Arrow blocks; each task holds one query
+    block, streams the block list from plasma (stored once per node),
+    and keeps a RUNNING top-k per row keyed by the total-order int64
+    ``sim_e6·2³² − nbr_id`` — O(n²/p) work, O(block) memory, no
+    shuffle. This is the exact baseline; IVF/LSH/PQ in-tree are the
+    approximate paths past ~10⁷ vectors. Oracle: DuckDB cross join +
+    window top-k, hash-exact (ties break on nbr_id in both)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return F_ann.knn_graph(ds, k=k)
+
+
+def _knn_sql(k: int = 4) -> str:
+    return f"""
+WITH s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                  CAST(round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) * 1000000)
+                      AS BIGINT) AS sim_e6
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id != b.vec_id)
+SELECT vec_id, nbr_id, sim_e6,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim_e6 DESC, nbr_id) AS rank
+FROM s QUALIFY rank <= {k}
+"""
+
+
+KNN_GRAPH_SQL = _knn_sql()
+
+
+def bitext_mine_pairs(sf_dir: str, k: int = 4, tau_pct: int = 105):
+    """Margin-based bitext/parallel-pair mining (Artetxe & Schwenk
+    ACL'19, the LASER/CCMatrix shape): sides A = label < 5 and
+    B = label ≥ 5 stand in for two languages; for each x the best
+    CROSS-side neighbor y is kept iff the ratio margin
+    2·cos(x,y) / (avgₖ(x) + avgₖ(y)) ≥ τ — neighbors that are close in
+    absolute terms but not *relatively* closer than either side's
+    local density are hubness artifacts, the failure mode raw cosine
+    thresholds have in mined bitext. EXACT integer form: with sums
+    sax = Σ top-k sim_e6(x), kx = |top-k(x)|, the test is
+    100·(2·sim·kx·ky) ≥ τ%·(sax·ky + say·kx) — no float division
+    crosses the engine boundary (the ``rrf`` rational convention);
+    margins emit as (margin_num, margin_den).
+
+    Scale shape: the cross-side exact k-NN graph (blocked scan, see
+    ``knn_graph_embeddings``) feeds a groupby(vec_id) sum + two hash
+    joins (best-edge ⋈ per-node sums) — all relational after the scan;
+    at real scale the scan swaps for the in-tree IVF/LSH candidate
+    paths, margins unchanged."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def sideify(t: pa.Table) -> pa.Table:
+        lbl = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": t["vec_id"], "embedding": t["embedding"],
+            "side": pa.array((lbl >= 5).astype(np.int64), pa.int64())})
+
+    knn = F_ann.knn_graph(ds.map_batches(sideify, batch_format="pyarrow"),
+                          k=k, side_col="side").materialize()
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in ("src_id", "dst_id", "sim_e6",
+                                "margin_num", "margin_den")})
+    if knn.count() == 0:
+        return empty
+    sums = (knn.groupby("vec_id")
+            .aggregate(Sum("sim_e6", alias_name="ssum"),
+                       Count(alias_name="kn"))).materialize()
+    best = knn.map_batches(
+        lambda t: (lambda f: pa.table({"src_id": f["vec_id"],
+                                       "dst_id": f["nbr_id"],
+                                       "sim_e6": f["sim_e6"]}))(
+            t.filter(pc.equal(t["rank"], 1))),
+        batch_format="pyarrow")
+    nparts = max(1, min(8, sums.count() // 4))
+    j = best.join(sums, join_type="inner", num_partitions=nparts,
+                  on=("src_id",), right_on=("vec_id",))
+    j = j.join(sums, join_type="inner", num_partitions=nparts,
+               on=("dst_id",), right_on=("vec_id",),
+               right_suffix="_y")
+
+    def margin(t: pa.Table, tau=tau_pct) -> pa.Table:
+        sim = t["sim_e6"].to_numpy(zero_copy_only=False)
+        sax = t["ssum"].to_numpy(zero_copy_only=False)
+        kx = t["kn"].to_numpy(zero_copy_only=False)
+        say = t["ssum_y"].to_numpy(zero_copy_only=False)
+        ky = t["kn_y"].to_numpy(zero_copy_only=False)
+        num = 2 * sim * kx * ky
+        den = sax * ky + say * kx
+        keep = (den > 0) & (100 * num >= tau * den)
+        return pa.table({
+            "src_id": pa.array(
+                t["src_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "dst_id": pa.array(
+                t["dst_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "sim_e6": pa.array(sim[keep], pa.int64()),
+            "margin_num": pa.array(num[keep], pa.int64()),
+            "margin_den": pa.array(den[keep], pa.int64())})
+
+    return j.map_batches(margin, batch_format="pyarrow")
+
+
+def _bitext_sql(k: int = 4, tau_pct: int = 105) -> str:
+    return f"""
+WITH s AS (SELECT a.vec_id AS x, b.vec_id AS y,
+                  CAST(round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) * 1000000)
+                      AS BIGINT) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON (a.label >= 5) != (b.label >= 5)),
+r AS (SELECT x, y, sim, row_number() OVER (PARTITION BY x
+                                           ORDER BY sim DESC, y) AS rnk
+      FROM s),
+kk AS (SELECT * FROM r WHERE rnk <= {k}),
+agg AS (SELECT x, CAST(sum(sim) AS BIGINT) AS ssum,
+               CAST(count(*) AS BIGINT) AS kn
+        FROM kk GROUP BY x),
+best AS (SELECT x, y, sim FROM kk WHERE rnk = 1)
+SELECT b.x AS src_id, b.y AS dst_id, b.sim AS sim_e6,
+       2 * b.sim * ax.kn * ay.kn AS margin_num,
+       ax.ssum * ay.kn + ay.ssum * ax.kn AS margin_den
+FROM best b JOIN agg ax ON ax.x = b.x JOIN agg ay ON ay.x = b.y
+WHERE ax.ssum * ay.kn + ay.ssum * ax.kn > 0
+  AND 100 * (2 * b.sim * ax.kn * ay.kn)
+      >= {tau_pct} * (ax.ssum * ay.kn + ay.ssum * ax.kn)
+"""
+
+
+BITEXT_SQL = _bitext_sql()
+
+
+def source_percentile_scores(sf_dir: str):
+    """Per-source PERCENTILE normalization of classifier scores — the
+    cross-source calibration step before a global quality cut (raw
+    fastText scores aren't comparable across domains; CCNet/FineWeb
+    filter per-source). Exact percent-rank WITHOUT per-group sorts or
+    group materialization: the same shuffle-free scoring pass as
+    ``classifier_score_docs``, ONE global range-partitioned sort on
+    (source, clf_score, doc_id) with a distributed zip-with-index
+    (``with_row_seq`` — block counts from metadata), and a
+    one-row-per-source offset table folded on the driver and broadcast
+    into a stateless finisher. Percentiles are exact integers
+    ((rank−1)·10⁹ // (n−1), the HUGEINT-division convention), so the
+    SQL window oracle is hash-exact."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.bincount(par, weights=w, minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "clf_score": pa.array(np.rint(s).astype(np.int64),
+                                  pa.int64())})
+
+    keyed = ds.map_batches(score, batch_format="pyarrow")
+    ranked = with_row_seq(keyed, ["source", "clf_score", "doc_id"],
+                          start=1, column="grank")
+    counts = (keyed.groupby("source").aggregate(Count(alias_name="n"))
+              .take_all())  # bounded: one row per source
+    counts.sort(key=lambda r: r["source"])  # with_row_seq's sort order
+    offs, ns, cum = {}, {}, 0
+    for r in counts:
+        offs[r["source"]] = cum
+        ns[r["source"]] = int(r["n"])
+        cum += int(r["n"])
+    state = ray.put((offs, ns))
+
+    def finish(t: pa.Table) -> pa.Table:
+        o, n = ray.get(state)
+        srcs = t["source"].to_pylist()
+        g = t["grank"].to_numpy(zero_copy_only=False)
+        off = np.array([o[s] for s in srcs], np.int64)
+        nn = np.array([n[s] for s in srcs], np.int64)
+        rank = g - off
+        pctl = np.where(nn > 1, (rank - 1) * 1_000_000_000
+                        // np.maximum(nn - 1, 1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "clf_score": t["clf_score"],
+            "src_rank": pa.array(rank, pa.int64()),
+            "pctl_e9": pa.array(pctl, pa.int64())})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SOURCE_PCTL_SQL = """
+WITH tok AS (SELECT doc_id, source,
+                    unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id, source,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id, source)
+SELECT doc_id, source, clf_score,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY clf_score, doc_id) AS src_rank,
+       CASE WHEN count(*) OVER (PARTITION BY source) > 1
+            THEN CAST(CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY clf_score, doc_id) - 1
+                           AS HUGEINT) * 1000000000
+                      // (count(*) OVER (PARTITION BY source) - 1)
+                      AS BIGINT)
+            ELSE 0 END AS pctl_e9
+FROM s
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -8477,6 +8697,9 @@ QUERIES = {
     "mmr_rerank_docs": mmr_rerank_docs,
     "priority_dedup_docs": priority_dedup_docs,
     "source_token_concentration": source_token_concentration,
+    "knn_graph_embeddings": knn_graph_embeddings,
+    "bitext_mine_pairs": bitext_mine_pairs,
+    "source_percentile_scores": source_percentile_scores,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -8608,4 +8831,7 @@ ORACLES = {
     "docs_jsonl_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
     "priority_dedup_docs": PRIORITY_DEDUP_SQL,
     "source_token_concentration": SOURCE_TOKEN_CONC_SQL,
+    "knn_graph_embeddings": KNN_GRAPH_SQL,
+    "bitext_mine_pairs": BITEXT_SQL,
+    "source_percentile_scores": SOURCE_PCTL_SQL,
 }

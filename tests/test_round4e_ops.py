@@ -239,3 +239,83 @@ def test_source_concentration_brute(ray_session):
     # Lorenz invariants: monotone, ends exactly at 1e9
     assert out["cum_share_e9"].is_monotonic_increasing
     assert out["cum_share_e9"].iloc[-1] == 10**9
+
+
+# --------------------------------------------------------- kNN graph
+
+
+def _emb():
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True), \
+        np.array(t["label"].to_pylist())
+
+
+def test_knn_graph_matches_brute_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from rendler_ray.functions.ann import knn_graph
+    from rendler_ray.pipelines.queries import knn_graph_embeddings
+
+    out = to_pandas(knn_graph_embeddings(SF)).sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    ids, m, _ = _emb()
+    sims = np.round(m @ m.T * 1e6).astype(np.int64)
+    exp = []
+    for qi, qid in enumerate(ids):
+        cand = sorted((-sims[qi, bi], int(b))
+                      for bi, b in enumerate(ids) if b != qid)
+        for r, (s, b) in enumerate(cand[:4], 1):
+            exp.append([int(qid), b, int(-s), r])
+    assert out.to_numpy().tolist() == sorted(
+        exp, key=lambda r: (r[0], r[3]))
+    # block layout must not change the result (running-merge total order)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    out7 = (knn_graph(rd.from_arrow(t).repartition(7), k=4).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out7)
+
+
+def test_bitext_margin_matches_brute(ray_session):
+    from rendler_ray.pipelines.queries import bitext_mine_pairs
+
+    out = to_pandas(bitext_mine_pairs(SF)).sort_values(
+        "src_id").reset_index(drop=True)
+    ids, m, lbl = _emb()
+    side = (lbl >= 5).astype(int)
+    sims = np.round(m @ m.T * 1e6).astype(np.int64)
+    sums, kns, best = {}, {}, {}
+    for qi, qid in enumerate(ids):
+        cand = sorted((-sims[qi, bi], int(b))
+                      for bi, b in enumerate(ids)
+                      if side[bi] != side[qi])[:4]
+        sums[int(qid)] = int(-sum(s for s, _ in cand))
+        kns[int(qid)] = len(cand)
+        best[int(qid)] = (cand[0][1], int(-cand[0][0]))
+    exp = []
+    for x in sorted(best):
+        y, sim = best[x]
+        num = 2 * sim * kns[x] * kns[y]
+        den = sums[x] * kns[y] + sums[y] * kns[x]
+        if den > 0 and 100 * num >= 105 * den:
+            exp.append([x, y, sim, num, den])
+    assert out.to_numpy().tolist() == exp
+    assert len(exp) > 0  # the op finds pairs on this corpus
+
+
+def test_source_percentile_brute(ray_session):
+    from rendler_ray.pipelines.queries import source_percentile_scores
+
+    out = to_pandas(source_percentile_scores(SF))
+    df = out.sort_values(["source", "clf_score", "doc_id"])
+    for _, g in df.groupby("source"):
+        n = len(g)
+        assert list(g["src_rank"]) == list(range(1, n + 1))
+        exp = [(r - 1) * 10**9 // (n - 1) if n > 1 else 0
+               for r in range(1, n + 1)]
+        assert list(g["pctl_e9"]) == exp
+    # percentiles are comparable across sources: max is exactly 1e9
+    assert out.groupby("source")["pctl_e9"].max().eq(10**9).all()
