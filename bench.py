@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "rrf_hybrid_search_docs",      # r4d: hybrid lexical+dense retrieval
     "ccnet_perplexity_buckets",    # r4d: per-lang LM quality buckets
     "cdc_chunk_docs",              # r4d: content-defined chunking
+    "bitext_mine_pairs",           # r4e: exact kNN-graph scan + margins
+    "pca_project_embeddings",      # r4e: distributed PCA stats pass
+    "source_percentile_scores",    # r4e: grouped percent-rank normalize
+    "mmr_rerank_docs",             # r4e: diversified re-rank chain
 ]
 
 

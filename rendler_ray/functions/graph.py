@@ -804,6 +804,10 @@ def kcore_ds(edges_ds, num_partitions: int = 8, _sym=None):
                                              np.int64))}),
                 batch_format="pyarrow"))
             break
+    # out_parts holds one small MATERIALIZED dataset per peel round, so
+    # the union chain is plan-only depth (no recomputation); graphs with
+    # very deep peel sequences (kmax·rounds ≫ 10³) would want a
+    # checkpointed fold instead
     res = empty
     for p in out_parts:
         res = res.union(p)

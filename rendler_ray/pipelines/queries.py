@@ -1564,10 +1564,20 @@ def trigram_fluency_docs(sf_dir: str, driver_max: int = 5_000_000):
             ["doc_id", "n_tri", "s_tri", "s_big"])
         return _finish(per_doc)
 
-    tric = inst.groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="ct"))
-    bigc = inst.groupby(["b1", "b2"]).aggregate(Sum("n", alias_name="cb"))
+    # STAGED executions (materialize barriers): fused, this plan holds
+    # 2 aggregates + 2 joins = 4 concurrent hash-shuffle stages whose
+    # aggregator actors (8 × 0.125 CPU each) reserve 4 full CPUs up
+    # front — on a small cluster (the 4-cpu test session) that starves
+    # the map tasks and DEADLOCKS the stream. Staged, each execution
+    # carries ≤ 2 shuffle stages; inst is materialized once (spillable)
+    # instead of feeding three consumers in one plan.
+    inst = inst.materialize()
+    tric = inst.groupby(["t1", "t2"]).aggregate(
+        Sum("n", alias_name="ct")).materialize()
+    bigc = inst.groupby(["b1", "b2"]).aggregate(
+        Sum("n", alias_name="cb")).materialize()
     joined = (inst.join(tric, join_type="inner", num_partitions=8,
-                        on=("t1", "t2"))
+                        on=("t1", "t2")).materialize()
               .join(bigc, join_type="inner", num_partitions=8,
                     on=("b1", "b2")))
 
@@ -8029,6 +8039,23 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def docs_csv_export_roundtrip(sf_dir: str):
+    """Sink coverage, CSV leg (the ``docs_jsonl_export_roundtrip``
+    sibling): export the documents table to CSV shards (one file per
+    block — the resumable layout) and read them back bit-exactly.
+    Streaming on both legs; Arrow's CSV writer quotes as needed, and
+    the read-back schema is pinned by the source columns."""
+    import shutil
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+    path = f"{_ckpt_root()}/csv_export"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_csv(path)
+    return rd.read_csv(path).select_columns(cols)
+
+
 def kcore_crawl_graph(sf_dir: str):
     """k-core decomposition of the crawl graph (coreness per page) —
     the graph-density complement to PageRank/HITS a crawl curator uses
@@ -8487,7 +8514,9 @@ def source_percentile_scores(sf_dir: str):
             "clf_score": pa.array(np.rint(s).astype(np.int64),
                                   pa.int64())})
 
-    keyed = ds.map_batches(score, batch_format="pyarrow")
+    # materialized: consumed twice (rank sort + per-source counts) —
+    # without it the text read + scoring pass would execute twice
+    keyed = ds.map_batches(score, batch_format="pyarrow").materialize()
     ranked = with_row_seq(keyed, ["source", "clf_score", "doc_id"],
                           start=1, column="grank")
     counts = (keyed.groupby("source").aggregate(Count(alias_name="n"))
@@ -8537,6 +8566,70 @@ SELECT doc_id, source, clf_score,
                       AS BIGINT)
             ELSE 0 END AS pctl_e9
 FROM s
+"""
+
+
+def label_centroids_embeddings(sf_dir: str):
+    """Grouped VECTOR aggregation: per-label embedding centroid — the
+    domain/class profile vector behind IVF list seeding, per-domain
+    drift monitoring, and prototype ("nearest-centroid") classifiers.
+    Scale shape: each batch emits one partial-sum row per (label, dim)
+    present in it (values floor to 1e-6 fixed point — the gram-matrix
+    convention — so sums are EXACT integers), the groupby moves
+    O(batches·labels·dims) rows, and the centroid division is exact
+    integer floor on both sides (sum·1 // n in 1e-6 units). Output:
+    (label, i, centroid_e6, n) — one row per label-dimension."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        emb = t["embedding"].combine_chunks()
+        d = pc.list_value_length(emb)[0].as_py()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        e = np.floor(flat.astype(np.float64) * 1_000_000).astype(
+            np.int64).reshape(len(emb), d)
+        lbl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulbl, inv = np.unique(lbl, return_inverse=True)
+        sums = np.zeros((len(ulbl), d), np.int64)
+        np.add.at(sums, inv, e)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulbl, d), pa.int64()),
+            "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                  len(ulbl)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "i"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = np.maximum(t["n"].to_numpy(zero_copy_only=False), 1)
+        # DuckDB // TRUNCATES toward zero (-7//2 = -3) where numpy
+        # floors (-4): truncate explicitly so negative sums agree
+        cen = np.where(s >= 0, s // n, -((-s) // n))
+        return pa.table({"label": t["label"], "i": t["i"],
+                         "centroid_e6": pa.array(cen, pa.int64()),
+                         "n": t["n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS f
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, i,
+       CAST(sum(f) // count(*) AS BIGINT) AS centroid_e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY label, i
 """
 
 
@@ -8700,6 +8793,8 @@ QUERIES = {
     "knn_graph_embeddings": knn_graph_embeddings,
     "bitext_mine_pairs": bitext_mine_pairs,
     "source_percentile_scores": source_percentile_scores,
+    "docs_csv_export_roundtrip": docs_csv_export_roundtrip,
+    "label_centroids_embeddings": label_centroids_embeddings,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -8834,4 +8929,6 @@ ORACLES = {
     "knn_graph_embeddings": KNN_GRAPH_SQL,
     "bitext_mine_pairs": BITEXT_SQL,
     "source_percentile_scores": SOURCE_PCTL_SQL,
+    "docs_csv_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
+    "label_centroids_embeddings": LABEL_CENTROIDS_SQL,
 }

@@ -319,3 +319,23 @@ def test_source_percentile_brute(ray_session):
         assert list(g["pctl_e9"]) == exp
     # percentiles are comparable across sources: max is exactly 1e9
     assert out.groupby("source")["pctl_e9"].max().eq(10**9).all()
+
+
+def test_label_centroids_brute(ray_session):
+    from rendler_ray.pipelines.queries import label_centroids_embeddings
+
+    out = to_pandas(label_centroids_embeddings(SF)).sort_values(
+        ["label", "i"]).reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    m = np.floor(np.array(t["embedding"].to_pylist(), np.float64)
+                 * 1e6).astype(np.int64)
+    lbl = np.array(t["label"].to_pylist(), np.int64)
+    rows = []
+    for lab in np.unique(lbl):
+        sel = m[lbl == lab]
+        s, n = sel.sum(axis=0), len(sel)
+        cen = np.where(s >= 0, s // n, -((-s) // n))
+        rows += [[int(lab), i + 1, int(cen[i]), n]
+                 for i in range(m.shape[1])]
+    assert out.to_numpy().tolist() == rows
