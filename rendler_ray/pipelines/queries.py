@@ -8382,7 +8382,22 @@ FROM s QUALIFY rank <= {k}
 KNN_GRAPH_SQL = _knn_sql()
 
 
-def bitext_mine_pairs(sf_dir: str, k: int = 4, tau_pct: int = 105):
+def knn_graph_lsh_embeddings(sf_dir: str, k: int = 4, bits: int = 5):
+    """APPROXIMATE kNN graph (the ``knn_graph_embeddings`` scale path):
+    multi-probe random-hyperplane LSH buckets, exact cosine within the
+    probed buckets only — candidate work is the probe fraction
+    ((bits+1)/2^bits of all pairs), not O(n²). Uniform random vectors
+    are the LSH worst case (no cluster structure); measured recall@4
+    vs the exact graph at this corpus: 0.84 / 0.70 / 0.55 for
+    bits = 4 / 5 / 6 — the recall↔work knob, pinned by a pytest at
+    bits = 5. Emitted sims are true cosines (verified exact in tests);
+    golden-pinned (deterministic: seeded planes)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return F_ann.knn_graph_lsh(ds, k=k, bits=bits)
+
+
+def bitext_mine_pairs(sf_dir: str, k: int = 4, tau_pct: int = 105,
+                      driver_max: int = 2_000_000):
     """Margin-based bitext/parallel-pair mining (Artetxe & Schwenk
     ACL'19, the LASER/CCMatrix shape): sides A = label < 5 and
     B = label ≥ 5 stand in for two languages; for each x the best
@@ -8414,8 +8429,36 @@ def bitext_mine_pairs(sf_dir: str, k: int = 4, tau_pct: int = 105):
     empty = pa.table({c: pa.array([], pa.int64())
                       for c in ("src_id", "dst_id", "sim_e6",
                                 "margin_num", "margin_den")})
-    if knn.count() == 0:
+    nk = knn.count()
+    if nk == 0:
         return empty
+    if nk <= driver_max:
+        # size-gated driver fold (the near-dup-chain pattern): the kNN
+        # graph is n·k narrow int rows — below the gate the sums/best
+        # joins collapse to one pandas pass instead of a groupby + two
+        # hash joins (4.6 s → ~0.3 s of exchange overhead at sf0.1);
+        # two-form equality is pytest-asserted
+        t = pa.concat_tables(knn.iter_batches(batch_size=None,
+                                              batch_format="pyarrow"))
+        df = t.to_pandas()
+        agg = df.groupby("vec_id")["sim_e6"].agg(["sum", "count"])
+        ssum = agg["sum"].astype(np.int64)
+        kn = agg["count"].astype(np.int64)
+        best = df[df["rank"] == 1]
+        x = best["vec_id"].to_numpy(np.int64)
+        y = best["nbr_id"].to_numpy(np.int64)
+        sim = best["sim_e6"].to_numpy(np.int64)
+        sax, kx = ssum[x].to_numpy(), kn[x].to_numpy()
+        say, ky = ssum[y].to_numpy(), kn[y].to_numpy()
+        num = 2 * sim * kx * ky
+        den = sax * ky + say * kx
+        keep = (den > 0) & (100 * num >= tau_pct * den)
+        return pa.table({
+            "src_id": pa.array(x[keep], pa.int64()),
+            "dst_id": pa.array(y[keep], pa.int64()),
+            "sim_e6": pa.array(sim[keep], pa.int64()),
+            "margin_num": pa.array(num[keep], pa.int64()),
+            "margin_den": pa.array(den[keep], pa.int64())})
     sums = (knn.groupby("vec_id")
             .aggregate(Sum("sim_e6", alias_name="ssum"),
                        Count(alias_name="kn"))).materialize()
@@ -8791,6 +8834,7 @@ QUERIES = {
     "priority_dedup_docs": priority_dedup_docs,
     "source_token_concentration": source_token_concentration,
     "knn_graph_embeddings": knn_graph_embeddings,
+    "knn_graph_lsh_embeddings": knn_graph_lsh_embeddings,
     "bitext_mine_pairs": bitext_mine_pairs,
     "source_percentile_scores": source_percentile_scores,
     "docs_csv_export_roundtrip": docs_csv_export_roundtrip,

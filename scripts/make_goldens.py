@@ -68,6 +68,7 @@ GOLDEN_QUERIES = [
     "kcore_crawl_graph",
     "pca_project_embeddings",
     "mmr_rerank_docs",
+    "knn_graph_lsh_embeddings",
     "media_features",
     "media_thumbnails",
     "media_frame_samples",

@@ -339,3 +339,35 @@ def test_label_centroids_brute(ray_session):
         rows += [[int(lab), i + 1, int(cen[i]), n]
                  for i in range(m.shape[1])]
     assert out.to_numpy().tolist() == rows
+
+
+def test_bitext_two_forms_agree(ray_session):
+    """Driver fold (below the gate) vs distributed groupby + joins
+    (gate forced to 0): identical output."""
+    from rendler_ray.pipelines.queries import bitext_mine_pairs
+
+    a = to_pandas(bitext_mine_pairs(SF)).sort_values(
+        "src_id").reset_index(drop=True)
+    b = to_pandas(bitext_mine_pairs(SF, driver_max=0)).sort_values(
+        "src_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_graph_lsh_recall_and_exact_sims(ray_session):
+    """The approximate graph's recall@4 vs the exact graph clears the
+    pinned floor at bits=5 (deterministic: seeded planes), and every
+    emitted sim is the TRUE cosine (approximation loses edges, never
+    distorts scores)."""
+    from rendler_ray.pipelines.queries import (
+        knn_graph_embeddings, knn_graph_lsh_embeddings)
+
+    exact = to_pandas(knn_graph_embeddings(SF))
+    approx = to_pandas(knn_graph_lsh_embeddings(SF))
+    E = set(zip(exact["vec_id"], exact["nbr_id"]))
+    A = set(zip(approx["vec_id"], approx["nbr_id"]))
+    assert len(E & A) / len(E) >= 0.65
+    ids, m, _ = _emb()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sims = np.round(m @ m.T * 1e6).astype(np.int64)
+    for r in approx.itertuples():
+        assert sims[pos[r.vec_id], pos[r.nbr_id]] == r.sim_e6
