@@ -371,3 +371,51 @@ def test_knn_graph_lsh_recall_and_exact_sims(ray_session):
     sims = np.round(m @ m.T * 1e6).astype(np.int64)
     for r in approx.itertuples():
         assert sims[pos[r.vec_id], pos[r.nbr_id]] == r.sim_e6
+
+
+def test_kcore_hypothesis_vs_iterated_filter(ray_session):
+    """Property check on random small graphs: peeling coreness equals
+    the DEFINITION — coreness(v) = max k such that v survives the
+    iterated 'drop nodes with degree < k' fixpoint (an independent
+    implementation using set filtering per k, no shared code)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rendler_ray.functions.graph import kcore
+
+    node = st.integers(0, 9).map(lambda i: f"n{i}")
+    edges_strat = st.lists(st.tuples(node, node), min_size=0,
+                           max_size=25)
+
+    def brute_coreness(pairs):
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core = {u: 0 for u in adj}
+        k = 1
+        while True:
+            alive = set(adj)
+            while True:  # k-core fixpoint by iterated filtering
+                drop = {u for u in alive
+                        if len(adj[u] & alive) < k}
+                if not drop:
+                    break
+                alive -= drop
+            if not alive:
+                break
+            for u in alive:
+                core[u] = k
+            k += 1
+        return core
+
+    @settings(max_examples=15, deadline=None)
+    @given(edges_strat)
+    def check(pairs):
+        df = kcore(_edges_ds(pairs))
+        got = dict(zip(df["url"], df["core"]))
+        assert got == brute_coreness(pairs)
+
+    check()
