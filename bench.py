@@ -168,6 +168,19 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--ops-only" in sys.argv:
+        from rendler_ray.pipelines.queries import QUERIES
+
+        times: dict[str, float] = {}
+        for name in OPS_SCALING_SUBSET:
+            t0 = time.time()
+            _consume(QUERIES[name](SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+        print(json.dumps({"wall_s": round(sum(times.values()), 3),
+                          "queries": times, "num_cpus": NUM_CPUS}))
+        ray.shutdown()
+        return
+
     from rendler_ray.pipelines.queries import QUERIES
 
     times: dict[str, float] = {}
@@ -226,6 +239,109 @@ def memory_pressure() -> None:
     }))
 
 
+# operator-scaling subset: genuinely DISTRIBUTED shapes (map passes,
+# native aggregates, window groupbys, join+groupby packing) — the
+# size-gated ops are excluded on purpose: below their gates they run
+# driver folds (chosen because they're FASTER at toy scale), which
+# would measure Amdahl's law on the gate, not the engine's scaling.
+# The subset runs over a ×10 deterministic replication of the sf0.1
+# tables (ids shifted per replica): at raw sf0.1 every op finishes in
+# under a second at 8 cpus, so a 2-vs-8 ratio would measure fixed
+# per-query overhead, exactly like the crawl leg's 1.5M-page corpus
+# exists to avoid.
+OPS_SCALING_SUBSET = [
+    "q1_lineitem_agg",
+    "quality_scores",
+    "classifier_score_docs",
+    "hourly_user_windows",
+    "pack_training_sequences",
+]
+
+OPS_SCALE_FACTOR = 10
+
+
+def _scaled_ops_dir(factor: int = OPS_SCALE_FACTOR) -> str:
+    """Deterministic ×factor replication of the sf0.1 tables the ops
+    subset reads (documents, events, lineitem), id-shifted per replica
+    so group/key cardinalities scale with the data. Cached; derived
+    ONLY from the driver testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/rendler_ray_bench/opsx{factor}"
+    marker = os.path.join(out_dir, "_built")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shift_cols = {"documents": ["doc_id"], "events": ["user_id"],
+                  "lineitem": []}
+    for table, cols in shift_cols.items():
+        t = pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"))
+        reps = []
+        for i in range(factor):
+            r = t
+            for c in cols:
+                col = r[c]
+                base = (col.to_pandas().max() + 1) * i
+                import pyarrow.compute as _pc
+                r = r.set_column(r.schema.get_field_index(c), c,
+                                 _pc.add(col, int(base)))
+            reps.append(r)
+        pq.write_table(pa.concat_tables(reps),
+                       os.path.join(out_dir, f"{table}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def scaling_ops() -> None:
+    """Operator-suite counterpart of --scaling: the distributed-shape
+    subset over the ×10 replicated input at N=2 vs 4N=8 cpus in fresh
+    Ray processes, symmetric best-of-2 both legs;
+    efficiency = (t_lo/t_hi)/4."""
+    ops_dir = _scaled_ops_dir()
+    lo, hi = 2, 8
+    out = {}
+    for n in (lo, hi):
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_SF_DIR=ops_dir)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ops-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            if proc.returncode != 0 or not proc.stdout.strip():
+                sys.stderr.write(f"[scaling-ops] leg num_cpus={n} failed "
+                                 f"(rc={proc.returncode}):\n"
+                                 f"{proc.stderr[-2000:]}\n")
+                raise RuntimeError(f"scaling-ops leg num_cpus={n} failed")
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or run["wall_s"] < best["wall_s"]:
+                best = run
+        out[n] = best
+    tlo, thi = out[lo]["wall_s"], out[hi]["wall_s"]
+    eff = round((tlo / thi) / (hi / lo), 3) if thi else None
+    per_q = {
+        q: round((out[lo]["queries"][q] / out[hi]["queries"][q])
+                 / (hi / lo), 3)
+        for q in out[lo]["queries"] if out[hi]["queries"].get(q)}
+    print(json.dumps({
+        "metric": f"operator-suite scaling, {lo} vs {hi} cpus (N vs 4N)",
+        "sf": f"{SF_DIR} x{OPS_SCALE_FACTOR} (id-shifted replication)",
+        "runs": out,
+        "speedup": round(tlo / thi, 3) if thi else None,
+        "scaling_efficiency": eff,
+        "per_query_efficiency": per_q,
+        "unit": "sec",
+        "note": ("distributed-shape subset over replicated input; "
+                 "size-gated ops excluded (their driver folds would "
+                 "measure the gate, not the engine); per-op numbers "
+                 "separate compute-bound shapes from the single-box "
+                 "IO floor (parquet reads don't scale with local "
+                 "cpus) and sub-second fixed-cost floors"),
+    }))
+
+
 def scaling() -> None:
     """Same crawl (identical job + input), two parallelism levels in
     fresh Ray processes: N=2 vs 4N=8 cpus. The pair sits below this
@@ -268,7 +384,9 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-ops" in sys.argv:
+        scaling_ops()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--memory" in sys.argv:
         memory_pressure()

@@ -1,0 +1,95 @@
+"""High-cardinality grouped aggregation via SORT + per-block Arrow
+combine — the fast path Ray Data's native ``groupby().aggregate()``
+lacks at large group counts.
+
+Ray 2.49's aggregate builds per-group accumulators in Python (both the
+sort- and hash-shuffle strategies): measured ~35–125 µs per GROUP, so a
+1M-group aggregate costs 35–120 s regardless of CPUs. The same job as
+``sort(key)`` + one zero-copy ``pyarrow.Table.group_by`` per block runs
+in ~1.2 s: the range exchange is Arrow-native and the combine is C++.
+
+Exactness: Ray's sort range-partitions by VALUE (a given key lands in
+exactly one partition), but a partition whose sorted output exceeds the
+target block size is emitted as MULTIPLE blocks — so a key can straddle
+two consecutive blocks, and a per-block combine would emit it twice.
+The fixup is bounded: straddling keys are detectable from each block's
+(first, last) key alone (2 values per block to the driver), every
+straddling key's partials are re-merged once, and the merge input is
+≤ #blocks rows per straddling key. Driver state is O(#blocks), never
+O(#groups). Equality with the native aggregate is pytest-asserted,
+including under a tiny target block size that forces straddles.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def sorted_group_sums(keyed_ds, key_col: str, sum_cols: list[str],
+                      count_col: str | None = "n"):
+    """Exact grouped SUM (+ COUNT) over a sortable key column:
+    returns a Dataset (key_col, *sum_cols, count_col) equivalent to
+    ``keyed_ds.groupby(key_col).aggregate(Sum(c)…, Count())`` with
+    Arrow-C++ per-group cost."""
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_col is not None:
+        aggs.append((key_col, "count"))
+    out_names = ([key_col] + list(sum_cols)
+                 + ([count_col] if count_col is not None else []))
+
+    srt = keyed_ds.sort(key_col).materialize()
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], t.schema.field(key_col).type
+                             if c == key_col else pa.int64())
+                 for c in out_names})
+        # arrow emits [key, <col>_sum…, <key>_count] — keys first
+        return t.group_by(key_col).aggregate(aggs).rename_columns(
+            out_names)
+
+    def bounds(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], kt),
+                             "hi": pa.array([], kt)})
+        k = t[key_col]
+        return pa.table({"lo": pa.array([k[0].as_py()], kt),
+                         "hi": pa.array([k[-1].as_py()], kt)})
+
+    combined = srt.map_batches(combine, batch_size=None,
+                               zero_copy_batch=True,
+                               batch_format="pyarrow").materialize()
+    # per-block (first, last) keys: 2 values per block to the driver
+    brows = srt.map_batches(bounds, batch_size=None,
+                            zero_copy_batch=True,
+                            batch_format="pyarrow").take_all()
+    los = {r["lo"] for r in brows}
+    his = {r["hi"] for r in brows}
+    # sorted blocks ⇒ a key appearing in two blocks is the hi of one
+    # and the lo of the next; lo==hi of a single lone block is a
+    # harmless false positive (its "merge" is a 1-row no-op)
+    straddle = sorted(los & his)
+    if not straddle:
+        return combined
+    sarr = pa.array(straddle)
+
+    clean = combined.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[key_col],
+                                              value_set=sarr))),
+        batch_format="pyarrow")
+    # straddling-key partials: bounded by #straddle × #blocks rows
+    dirty = pa.concat_tables(
+        combined.map_batches(
+            lambda t: t.filter(pc.is_in(t[key_col], value_set=sarr)),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if dirty.num_rows == 0:
+        return clean
+    g = dirty.group_by(key_col).aggregate(
+        [(c, "sum") for c in sum_cols]
+        + ([(count_col, "sum")] if count_col is not None else []))
+    return clean.union(ray.data.from_arrow(g.rename_columns(out_names)))

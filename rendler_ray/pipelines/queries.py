@@ -1876,21 +1876,50 @@ FROM events GROUP BY event_type
 
 def hourly_user_windows(sf_dir: str):
     """Streaming-shape tumbling window (SURVEY.md §2.9): events per
-    (user, hour) — count + rounded sum."""
+    (user, hour) — count + rounded sum. HIGH-CARDINALITY groupby (the
+    group count approaches the row count), so it runs on
+    ``functions/groupagg.py::sorted_group_sums`` — sort + per-block
+    Arrow combine with the bounded boundary fixup — instead of Ray's
+    native aggregate, whose per-group Python accumulators cost
+    ~35 µs/group (measured 35–53 s for a 1M-group instance vs ~1.2 s
+    for this form; equality pytest-asserted). Keys pack to one int64
+    (user_id·2³¹ | hour_epoch; bounds asserted — epoch seconds fit
+    31 bits until 2038)."""
+    from rendler_ray.functions.groupagg import sorted_group_sums
+
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
-    def add_hour(t: pa.Table) -> pa.Table:
+    def keyed(t: pa.Table) -> pa.Table:
         # int64 epoch-seconds, not a timestamp: pandas datetime64 unit
         # differences (us vs ns) break value-hash comparison.
         floored = pc.floor_temporal(t["ts"], unit="hour")
-        secs = pc.divide(pc.cast(floored, pa.int64()), 1_000_000)
-        return t.append_column("hour_epoch", secs)
+        secs = pc.divide(pc.cast(floored, pa.int64()),
+                         1_000_000).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(uid):
+            assert int(uid.max()) < (1 << 31)
+            assert 0 <= int(secs.min()) and int(secs.max()) < (1 << 31)
+        return pa.table({"k": pa.array((uid << 31) | secs, pa.int64()),
+                         "value": t["value"]})
 
-    out = (ds.map_batches(add_hour, batch_format="pyarrow")
-           .groupby(["user_id", "hour_epoch"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value_c")))
-    return _fixed_point(out, {"sum_value_c": 2})
+    agg = sorted_group_sums(ds.map_batches(keyed, batch_format="pyarrow"),
+                            "k", ["value"], count_col="n_events")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 options=pc.RoundOptions(
+                                     ndigits=0,
+                                     round_mode="half_towards_infinity")),
+                        pa.int64())
+        return pa.table({
+            "user_id": pa.array(k >> 31, pa.int64()),
+            "hour_epoch": pa.array(k & ((1 << 31) - 1), pa.int64()),
+            "n_events": t["n_events"],
+            "sum_value_c": cents})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 HOURLY_WINDOWS_SQL = """

@@ -419,3 +419,44 @@ def test_kcore_hypothesis_vs_iterated_filter(ray_session):
         assert got == brute_coreness(pairs)
 
     check()
+
+
+def test_sorted_group_sums_matches_native(ray_session):
+    """groupagg.sorted_group_sums == Ray's native aggregate, both at
+    the default block size AND with a tiny target block size that
+    splits range partitions into many blocks — forcing keys to
+    straddle block boundaries and exercising the bounded fixup."""
+    import ray.data as rd
+    from ray.data import DataContext
+    from ray.data.aggregate import Count, Sum
+
+    from rendler_ray.functions.groupagg import sorted_group_sums
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"])
+    uid = np.array(t["user_id"].to_pylist(), np.int64)
+    keyed_tbl = pa.table({"k": pa.array(uid % 7, pa.int64()),  # hot keys
+                          "value": t["value"]})
+
+    def run(block_bytes):
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        try:
+            if block_bytes:
+                ctx.target_max_block_size = block_bytes
+            ds = rd.from_arrow(keyed_tbl).repartition(8)
+            out = sorted_group_sums(ds, "k", ["value"],
+                                    count_col="n").to_pandas()
+        finally:
+            ctx.target_max_block_size = old
+        return out.sort_values("k").reset_index(drop=True)
+
+    native = (rd.from_arrow(keyed_tbl).groupby("k")
+              .aggregate(Sum("value", alias_name="value"),
+                         Count(alias_name="n"))
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    for blk in (None, 2048):  # default; tiny => forced straddles
+        got = run(blk)
+        assert list(got["k"]) == list(native["k"])
+        assert list(got["n"]) == list(native["n"])
+        assert np.allclose(got["value"], native["value"], rtol=0,
+                           atol=1e-9)
