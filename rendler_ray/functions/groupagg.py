@@ -29,25 +29,40 @@ import ray
 
 def sorted_group_sums(keyed_ds, key_col: str, sum_cols: list[str],
                       count_col: str | None = "n"):
-    """Exact grouped SUM (+ COUNT) over a sortable key column:
-    returns a Dataset (key_col, *sum_cols, count_col) equivalent to
-    ``keyed_ds.groupby(key_col).aggregate(Sum(c)…, Count())`` with
-    Arrow-C++ per-group cost."""
-    aggs = [(c, "sum") for c in sum_cols]
+    """Exact grouped SUM (+ COUNT): ``sorted_group_agg`` with a
+    sum-only spec (kept as the common-case entry point)."""
+    spec = [(c, "sum", c) for c in sum_cols]
     if count_col is not None:
-        aggs.append((key_col, "count"))
-    out_names = ([key_col] + list(sum_cols)
-                 + ([count_col] if count_col is not None else []))
+        spec.append((key_col, "count", count_col))
+    return sorted_group_agg(keyed_ds, key_col, spec)
+
+
+# combine step per fn; the straddle RE-combine merges partials, where
+# count partials merge by SUM (all four are associative)
+_RECOMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def sorted_group_agg(keyed_ds, key_col: str,
+                     spec: list[tuple[str, str, str]]):
+    """Exact grouped aggregation over a sortable key column —
+    ``spec`` is [(col, fn, out_name)] with fn ∈ sum|min|max|count.
+    Equivalent to the native ``groupby(key).aggregate(...)`` (equality
+    pytest-asserted) with Arrow-C++ per-group cost — the form every
+    corpus-cardinality groupby (exact dedup on content hashes, chunk
+    stores, per-entity rollups) should take past ~10⁵ groups."""
+    aggs = [(c, fn) for c, fn, _ in spec]
+    out_names = [key_col] + [o for _, _, o in spec]
 
     srt = keyed_ds.sort(key_col).materialize()
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], t.schema.field(key_col).type
-                             if c == key_col else pa.int64())
-                 for c in out_names})
-        # arrow emits [key, <col>_sum…, <key>_count] — keys first
+            cols = {key_col: pa.array([], t.schema.field(key_col).type)}
+            for c, fn, o in spec:
+                cols[o] = pa.array([], pa.int64() if fn == "count"
+                                   else t.schema.field(c).type)
+            return pa.table(cols)
+        # arrow emits [key, <col>_<fn>…] — keys first, spec order
         return t.group_by(key_col).aggregate(aggs).rename_columns(
             out_names)
 
@@ -90,6 +105,5 @@ def sorted_group_sums(keyed_ds, key_col: str, sum_cols: list[str],
     if dirty.num_rows == 0:
         return clean
     g = dirty.group_by(key_col).aggregate(
-        [(c, "sum") for c in sum_cols]
-        + ([(count_col, "sum")] if count_col is not None else []))
+        [(o, _RECOMBINE[fn]) for _, fn, o in spec])
     return clean.union(ray.data.from_arrow(g.rename_columns(out_names)))

@@ -2874,13 +2874,21 @@ def kmeans_embedding_clusters(sf_dir: str):
 
 
 def dedup_exact_docs(sf_dir: str):
-    """Exact dedup: content hash → keep the smallest doc_id per distinct
-    text (hash-partitioned groupby; D1-shape at rest)."""
+    """Exact dedup: content hash → keep the smallest doc_id per
+    distinct text (D1-shape at rest). The group count here is the
+    CORPUS cardinality, so the exchange runs on
+    ``functions/groupagg.py::sorted_group_agg`` (sort + per-block
+    Arrow combine, bounded straddle fixup) — Ray's native aggregate
+    pays ~35 µs of Python per group, which at dedup cardinalities is
+    the dominant cost at any cluster size."""
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(F_text.md5_fingerprint_batch,
-                            batch_format="pyarrow")
-    return hashed.groupby("fingerprint").aggregate(
-        Min("doc_id", alias_name="doc_id"))
+                            batch_format="pyarrow").select_columns(
+        ["fingerprint", "doc_id"])
+    return sorted_group_agg(hashed, "fingerprint",
+                            [("doc_id", "min", "doc_id")])
 
 
 DEDUP_EXACT_SQL = """
@@ -7936,11 +7944,14 @@ def cdc_dedup_stats(sf_dir: str):
     is the exact-dedup groupby on the 16-byte chunk hash (the
     ``dedup_exact_docs`` shape — hash-partitioned, combiner-friendly);
     the final fold is a 1-row aggregate."""
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
     chunks = (_read(sf_dir, "documents", ["doc_id", "text"])
               .map_batches(F_text.cdc_chunk_batch, batch_format="pyarrow")
               .select_columns(["chunk_md5", "length"]))
-    uniq = chunks.groupby("chunk_md5").aggregate(
-        Count(alias_name="n"), Min("length", alias_name="length"))
+    uniq = sorted_group_agg(chunks, "chunk_md5",
+                            [("chunk_md5", "count", "n"),
+                             ("length", "min", "length")])
 
     def widen(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False)
@@ -8280,9 +8291,11 @@ def priority_dedup_docs(sf_dir: str):
                          "packed": pa.array((prio << 48) + did,
                                             pa.int64())})
 
-    win = (ds.map_batches(prep, batch_format="pyarrow")
-           .groupby("fingerprint")
-           .aggregate(Min("packed", alias_name="packed")))
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    win = sorted_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "fingerprint", [("packed", "min", "packed")])
 
     def unpack(t: pa.Table) -> pa.Table:
         p = t["packed"].to_numpy(zero_copy_only=False)

@@ -460,3 +460,29 @@ def test_sorted_group_sums_matches_native(ray_session):
         assert list(got["n"]) == list(native["n"])
         assert np.allclose(got["value"], native["value"], rtol=0,
                            atol=1e-9)
+
+
+def test_sorted_group_agg_min_max_string_key(ray_session):
+    """The generic spec (min/max/count) over a STRING key matches the
+    native aggregate — the exact-dedup shape (content-hash keys)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{int(i):03d}" for i in rng.integers(0, 50, 500)]
+    vals = rng.integers(-1000, 1000, 500).astype(np.int64)
+    tbl = pa.table({"key": pa.array(keys, pa.string()),
+                    "v": pa.array(vals, pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = (sorted_group_agg(ds, "key",
+                            [("v", "min", "lo"), ("v", "max", "hi"),
+                             ("key", "count", "n")])
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    exp = (rd.from_arrow(tbl).groupby("key")
+           .aggregate(Min("v", alias_name="lo"),
+                      Max("v", alias_name="hi"),
+                      Count(alias_name="n"))
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
