@@ -427,11 +427,14 @@ def multiway_join_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     ord_b = orders.join(cust, join_type="inner", num_partitions=8,
                         on=("o_custkey",), right_on=("c_custkey",))
-    j = (li_part.join(ord_b.select_columns(["o_orderkey"]),
-                      join_type="inner", num_partitions=8,
-                      on=("o_orderkey",))
-         .groupby("o_orderkey")
-         .aggregate(Sum("revenue", alias_name="revenue")))
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    # order-cardinality groupby → sort + Arrow combine (groupagg.py)
+    j = sorted_group_agg(
+        li_part.join(ord_b.select_columns(["o_orderkey"]),
+                     join_type="inner", num_partitions=8,
+                     on=("o_orderkey",)),
+        "o_orderkey", [("revenue", "sum", "revenue")])
     j = _fixed_point(j, {"revenue": 2}).map_batches(
         lambda t: t.rename_columns(["orderkey", "revenue_c"]),
         batch_format="pyarrow")
@@ -749,10 +752,13 @@ def customer_order_counts(sf_dir: str):
 
     from rendler_ray.state.politeness import _nonempty_blocks
 
-    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
-                .groupby("c_custkey")
-                .aggregate(Count(alias_name="n_orders"),
-                           Sum("spend_c", alias_name="spend_c")))
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    # entity-cardinality groupby → sort + Arrow combine (groupagg.py)
+    per_cust = sorted_group_agg(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "c_custkey", [("c_custkey", "count", "n_orders"),
+                      ("spend_c", "sum", "spend_c")])
     # groupby aggregates emit colless placeholder blocks for empty
     # partitions; sanitize before feeding the hash join (ROUND2 notes)
     per_cust = _nonempty_blocks(per_cust.materialize())
