@@ -814,6 +814,339 @@ def kcore_ds(edges_ds, num_partitions: int = 8, _sym=None):
     return res
 
 
+def scc(edges_ds, _nodes_adj=None) -> pd.DataFrame:
+    """Strongly connected components of the DIRECTED crawl graph —
+    DRIVER form: one iterative Tarjan pass (Tarjan SIAM J.Comput.'72;
+    iterative so Python's recursion limit never binds). The web graph's
+    bow-tie structure (Broder WWW'00) is an SCC question — the giant
+    core vs IN/OUT tendrils is a standard crawl-frontier diagnostic the
+    undirected CC cannot see. Returns pandas (url, scc) sorted by url,
+    ``scc`` = lexicographic min url of the component (the
+    connected-components label convention). Deterministic: the
+    partition is a graph property, independent of visit order."""
+    if _nodes_adj is None:
+        adj: dict[str, list] = {}
+        nodes: set = set()
+        seen_e: set = set()
+        for b in edges_ds.select_columns(["src", "dst"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            for a, c in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                nodes.add(a)
+                nodes.add(c)
+                if a != c and (a, c) not in seen_e:
+                    seen_e.add((a, c))
+                    adj.setdefault(a, []).append(c)
+    else:
+        nodes, adj = _nodes_adj
+
+    index: dict = {}
+    low: dict = {}
+    onstack: dict = {}
+    stack: list = []
+    comp: dict = {}
+    idx = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        index[root] = low[root] = idx
+        idx += 1
+        stack.append(root)
+        onstack[root] = True
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = idx
+                    idx += 1
+                    stack.append(w)
+                    onstack[w] = True
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if onstack.get(w):
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    urls = sorted(comp)
+    return pd.DataFrame({"url": urls, "scc": [comp[u] for u in urls]})
+
+
+def scc_ds(edges_ds, num_partitions: int = 8, max_outer: int = 50):
+    """Fully DISTRIBUTED strongly connected components: Dataset
+    (url, scc) — trim + forward-backward coloring rounds (the
+    MultiStep/FW-BW family: Hong PPoPP'13, Slota IPDPS'14 semantics),
+    built from joins/groupbys only.
+
+    Per outer round:
+      1. TRIM to a fixpoint: any node with (remaining) in-degree 0 or
+         out-degree 0 is a singleton SCC (scc = itself) — degrees via
+         the zero-pad union-groupby (no anti-join), removal via two
+         semi-joins. A DAG trims away entirely, which is why outer
+         rounds count SCC *layers*, not nodes.
+      2. FORWARD min-label to a fixpoint: fwd[v] = min url that
+         reaches v (labels ⋈ edges on src → groupby(dst).min — the
+         connected_components_ds recurrence, directed). SCC members
+         have identical ancestor sets, so fwd is constant per SCC,
+         and the min member r of the minimal-colored SCC has
+         fwd[r] = r.
+      3. BACKWARD marking within color: roots {v: fwd[v] == v} mark
+         their SCC by propagating along REVERSED edges restricted to
+         equal fwd color (v→w, w marked, fwd[v] == fwd[w] ⇒ v marked).
+         Marked nodes' scc = their fwd label, which IS the min member
+         (fwd ≤ every member's url because each member is an ancestor;
+         the root itself is a member).
+      4. Emit marked, remove them, loop. Unmarked nodes recompute fwd
+         next round (their labels may have flowed through removed
+         SCCs). Every round peels ≥ the minimal-color SCCs per
+         reachability layer.
+
+    Driver state: O(1) scalars + per-round signatures. Output equals
+    :func:`scc` exactly (two-form equality pytest-asserted)."""
+    from ray.data.aggregate import Min
+
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "scc": pa.array([], pa.string())}))
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])).materialize()
+    distinct = _nonempty_blocks(distinct)
+    if distinct is None:
+        return empty
+    srcs = distinct.select_columns(["src"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    dsts = distinct.select_columns(["dst"]).map_batches(
+        lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+    nodes = (srcs.union(dsts).groupby("url")
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["url"])).materialize()
+    # self-loops don't affect the partition; drop them from the edge set
+    edges = distinct.map_batches(
+        lambda t: t.filter(pa.compute.invert(
+            pa.compute.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow").materialize()
+    edges = _nonempty_blocks(edges)
+
+    out_parts = []
+
+    def _label_sig(ds, col: str) -> int:
+        s = 0
+        for b in (ds.select_columns([col]).map_batches(
+                lambda t: pa.table({"h": pa.array([int(stable_hash64(
+                    np.asarray(t[col].to_pylist(), dtype=object))
+                    .sum(dtype=np.uint64))], pa.uint64())}),
+                batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+            for v in b["h"].to_pylist():
+                s = (s + v) & 0xFFFFFFFFFFFFFFFF
+        return s
+
+    def _semi(es, alive, col):
+        """edges with endpoint ``col`` ∈ alive (sparse-key clamped)."""
+        np_ = max(1, min(num_partitions, alive.count() // 4))
+        keep = alive.map_batches(
+            lambda t: t.rename_columns(["ku"]), batch_format="pyarrow")
+        out = (es.join(keep, join_type="inner", num_partitions=np_,
+                       on=(col,), right_on=("ku",))
+               .select_columns(["src", "dst"])).materialize()
+        return _nonempty_blocks(out)
+
+    # every outer round removes ≥ 1 node (the minimal remaining url is
+    # always a root), so the node count strictly decreases; the
+    # progress check is a bug guard, not a truncation — max_outer only
+    # bounds the CHEAP inner fixpoints
+    n_prev = None
+    while True:
+        if nodes is None or nodes.count() == 0:
+            break
+        n_now = nodes.count()
+        if n_prev is not None and n_now >= n_prev:
+            raise RuntimeError("scc_ds made no progress")  # bug guard
+        n_prev = n_now
+        # ---- 1. trim to fixpoint: in/out-degree-0 nodes are singletons
+        while True:
+            if edges is None:
+                # no edges at all: every remaining node is a singleton
+                out_parts.append(nodes.map_batches(
+                    lambda t: pa.table({"url": t["url"],
+                                        "scc": t["url"]}),
+                    batch_format="pyarrow"))
+                nodes = None
+                break
+            degs = []
+            for col in ("src", "dst"):
+                ones = edges.map_batches(
+                    lambda t, c=col: pa.table({
+                        "url": t[c],
+                        "d": pa.array(np.ones(t.num_rows, np.int64))}),
+                    batch_format="pyarrow")
+                zeros = nodes.map_batches(
+                    lambda t: pa.table({
+                        "url": t["url"],
+                        "d": pa.array(np.zeros(t.num_rows, np.int64))}),
+                    batch_format="pyarrow")
+                degs.append(ones.union(zeros).groupby("url")
+                            .aggregate(Sum("d", alias_name=f"d_{col}"))
+                            .materialize())
+            both = degs[0].join(degs[1], join_type="inner",
+                                num_partitions=max(
+                                    1, min(num_partitions,
+                                           nodes.count() // 4)),
+                                on=("url",), right_on=("url",)
+                                ).materialize()
+            trivial = both.map_batches(
+                lambda t: pa.table({"url": t.filter(
+                    pa.compute.or_(pa.compute.equal(t["d_src"], 0),
+                                   pa.compute.equal(t["d_dst"], 0)))
+                    ["url"]}),
+                batch_format="pyarrow").materialize()
+            if trivial.count() == 0:
+                break
+            out_parts.append(trivial.map_batches(
+                lambda t: pa.table({"url": t["url"], "scc": t["url"]}),
+                batch_format="pyarrow").materialize())
+            alive = both.map_batches(
+                lambda t: pa.table({"url": t.filter(
+                    pa.compute.and_(pa.compute.greater(t["d_src"], 0),
+                                    pa.compute.greater(t["d_dst"], 0)))
+                    ["url"]}),
+                batch_format="pyarrow").materialize()
+            nodes = _nonempty_blocks(alive)
+            if nodes is None:
+                edges = None
+                break
+            edges = _semi(edges, nodes, "src")
+            if edges is not None:
+                edges = _semi(edges, nodes, "dst")
+        if nodes is None or nodes.count() == 0:
+            break
+        # ---- 2. forward min-label fixpoint (directed)
+        labels = nodes.map_batches(
+            lambda t: pa.table({"url": t["url"], "label": t["url"]}),
+            batch_format="pyarrow").materialize()
+        np_ = max(1, min(num_partitions, nodes.count() // 4))
+        sig_prev = _label_sig(labels, "label")
+        for _ in range(max_outer * 100):  # labels only decrease: converges
+            cand = edges.join(
+                labels, join_type="inner", num_partitions=np_,
+                on=("src",), right_on=("url",)).map_batches(
+                lambda t: pa.table({"url": t["dst"],
+                                    "label": t["label"]}),
+                batch_format="pyarrow")
+            labels = (cand.union(labels.select_columns(["url", "label"]))
+                      .groupby("url")
+                      .aggregate(Min("label", alias_name="label"))
+                      ).materialize()
+            labels = _nonempty_blocks(labels)
+            sig = _label_sig(labels, "label")
+            if sig == sig_prev:
+                break
+            sig_prev = sig
+        # ---- 3. backward marking within equal fwd color
+        marked = labels.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["url"], t["label"])),
+            batch_format="pyarrow").materialize()
+        marked = _nonempty_blocks(marked)
+        n_marked = marked.count() if marked is not None else 0
+        while marked is not None:
+            mw = marked.map_batches(
+                lambda t: pa.table({"w": t["url"], "lw": t["label"]}),
+                batch_format="pyarrow")
+            cand = edges.join(
+                mw, join_type="inner", num_partitions=np_,
+                on=("dst",), right_on=("w",)).select_columns(
+                ["src", "lw"]).materialize()
+            cand = _nonempty_blocks(cand)
+            if cand is None:
+                break
+            cand2 = cand.join(
+                labels, join_type="inner", num_partitions=np_,
+                on=("src",), right_on=("url",)).map_batches(
+                lambda t: t.filter(pa.compute.equal(
+                    t["lw"], t["label"])).select(["src", "label"])
+                .rename_columns(["url", "label"]),
+                batch_format="pyarrow")
+            marked = (cand2.union(marked)
+                      .groupby("url")
+                      .aggregate(Min("label", alias_name="label"))
+                      ).materialize()
+            marked = _nonempty_blocks(marked)
+            n_new = marked.count() if marked is not None else 0
+            if n_new == n_marked:
+                break
+            n_marked = n_new
+        if marked is None or n_marked == 0:
+            break  # defensive: roots always exist while nodes remain
+        out_parts.append(marked.map_batches(
+            lambda t: pa.table({"url": t["url"], "scc": t["label"]}),
+            batch_format="pyarrow").materialize())
+        # ---- 4. remove marked; recompute survivors next round
+        mneg = marked.map_batches(
+            lambda t: pa.table({"url": t["url"],
+                                "d": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow")
+        npos = nodes.map_batches(
+            lambda t: pa.table({"url": t["url"],
+                                "d": pa.array(np.zeros(t.num_rows,
+                                                       np.int64))}),
+            batch_format="pyarrow")
+        nodes = (mneg.union(npos).groupby("url")
+                 .aggregate(Sum("d", alias_name="d"))
+                 .map_batches(lambda t: pa.table({"url": t.filter(
+                     pa.compute.equal(t["d"], 0))["url"]}),
+                     batch_format="pyarrow")).materialize()
+        nodes = _nonempty_blocks(nodes)
+        if nodes is None:
+            break
+        edges = _semi(edges, nodes, "src")
+        if edges is not None:
+            edges = _semi(edges, nodes, "dst")
+    res = empty
+    for p in out_parts:
+        res = res.union(p)
+    return res
+
+
+def scc_auto(edges_ds, driver_max: int = 1_000_000,
+             num_partitions: int = 8):
+    """Size-gated strongly connected components, always returning a
+    Dataset (url, scc): raw edge counts ≤ ``driver_max`` run the
+    one-pass driver Tarjan (:func:`scc`), bigger graphs the
+    distributed trim + forward-backward rounds (:func:`scc_ds`).
+    Identical output (equality pytest-asserted) — the
+    :func:`connected_components_auto` pattern."""
+    n_raw = edges_ds.select_columns(["src", "dst"]).count()
+    if n_raw > driver_max:
+        return scc_ds(edges_ds, num_partitions=num_partitions)
+    df = scc(edges_ds)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "scc": pa.array(df["scc"].tolist(), pa.string())}))
+
+
 def kcore_auto(edges_ds, driver_max: int = 1_000_000,
                num_partitions: int = 8):
     """Size-gated k-core decomposition, always returning a Dataset

@@ -8724,6 +8724,369 @@ FROM e GROUP BY label, i
 """
 
 
+# ---------------------------------------------- round-4f op families
+
+
+def vocab_growth_curve(sf_dir: str, n_buckets: int = 10):
+    """Heaps-law vocabulary-growth curve — the dataset-card statistic
+    behind "how much NEW vocabulary does each additional corpus slice
+    contribute" (sublinear growth is the empirical Heaps/Herdan law;
+    a flat tail means the corpus has saturated its domain): documents
+    are split into ``n_buckets`` equal slices by doc_id order (SQL
+    NTILE semantics: the first n mod k slices take the extra row) and
+    each token is charged to the slice of its FIRST occurrence
+    (min doc_id). Output: (bucket, new_tokens, vocab_cum) — all
+    integers, hash-exact vs the SQL oracle; buckets contributing no
+    new tokens are omitted on both sides.
+
+    Scale shape: the bucket boundaries (doc_id value at each slice's
+    end RANK) come from the shared ``_grouped_value_bisect`` engine —
+    exact order statistics in ~2 streaming passes over the doc_id
+    column, O(n_buckets) driver state, no global sort. Token first
+    occurrences use the dup_span treatment: token STRINGS never leave
+    the explode task (128-bit hash = two independently-keyed SipHash64
+    halves), the exchange carries (h1, h2, min-doc partials) — one
+    row per DISTINCT token per batch, not per instance — and the final
+    fold is groupby(bucket).count over ≤ n_buckets keys. Collision
+    odds ≈ vocab²/2^129 (see dup_span_stats_docs)."""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "new_tokens": pa.array([], pa.int64()),
+                      "vocab_cum": pa.array([], pa.int64())})
+    if n_docs == 0:
+        return empty
+
+    ids = ds.select_columns(["doc_id"])
+    agg = ids.aggregate(Min("doc_id", alias_name="lo"),
+                        Max("doc_id", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    q, r = divmod(n_docs, n_buckets)
+    # bucket i's END rank under NTILE sizing (1-based, ascending)
+    state = {("all", i): [lo, hi, i * q + min(i, r)]
+             for i in range(1, n_buckets + 1)}
+    scored = ids.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(["all"] * t.num_rows, pa.string())),
+        batch_format="pyarrow")
+    sel = _grouped_value_bisect(scored, "g", "doc_id", state)
+    bounds = np.array([sel[("all", i)]
+                       for i in range(1, n_buckets + 1)], dtype=np.int64)
+
+    def first_doc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)[par]
+        h1 = pdu.hash_array(flat, categorize=False).view(np.int64)
+        h2 = pdu.hash_array(flat, hash_key="rendlervocabgr2!",
+                            categorize=False).view(np.int64)
+        g = (pd.DataFrame({"h1": h1, "h2": h2, "fd": d})
+             .groupby(["h1", "h2"], sort=False)["fd"].min().reset_index())
+        return pa.table({
+            "h1": pa.array(g["h1"].to_numpy(np.int64), pa.int64()),
+            "h2": pa.array(g["h2"].to_numpy(np.int64), pa.int64()),
+            "fd": pa.array(g["fd"].to_numpy(np.int64), pa.int64())})
+
+    firsts = (ds.map_batches(first_doc, batch_format="pyarrow")
+              .groupby(["h1", "h2"]).aggregate(Min("fd", alias_name="fd")))
+    bref = ray.put(bounds)
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        fd = t["fd"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(ray.get(bref), fd, side="left") + 1
+        return pa.table({"bucket": pa.array(b.astype(np.int64))})
+
+    per_b = (firsts.map_batches(to_bucket, batch_format="pyarrow")
+             .groupby("bucket").aggregate(Count(alias_name="new_tokens"))
+             .take_all())  # ≤ n_buckets rows
+    per_b.sort(key=lambda x: x["bucket"])
+    cum = np.cumsum([int(x["new_tokens"]) for x in per_b])
+    if len(per_b) == 0:
+        return empty
+    return pa.table({
+        "bucket": pa.array([int(x["bucket"]) for x in per_b], pa.int64()),
+        "new_tokens": pa.array([int(x["new_tokens"]) for x in per_b],
+                               pa.int64()),
+        "vocab_cum": pa.array(cum.astype(np.int64), pa.int64())})
+
+
+VOCAB_GROWTH_SQL = """
+WITH nt AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), first AS (
+  SELECT token, min(doc_id) AS fd FROM tok GROUP BY token
+), fb AS (
+  SELECT f.token, nt.bucket FROM first f JOIN nt ON nt.doc_id = f.fd
+), nb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_tokens
+  FROM fb GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM nb ORDER BY bucket
+"""
+
+
+def _round_half_away(x: "np.ndarray") -> "np.ndarray":
+    """DuckDB ``round()``'s half-away-from-zero rule as int64 (np.rint
+    rounds half-to-even — a silent oracle mismatch at exact halves)."""
+    return np.where(x >= 0, np.floor(x + 0.5),
+                    np.ceil(x - 0.5)).astype(np.int64)
+
+
+def nb_lang_fit_predict(sf_dir: str, vocab_k: int = 2000):
+    """Supervised Naive-Bayes language-classifier FIT + inference, both
+    on-cluster — the fastText-lite train/apply loop a data pipeline
+    runs to replace a heuristic lang-ID with a corpus-fitted one
+    (McCallum & Nigam AAAI'98 multinomial NB). Train split = docs with
+    doc_id % 10 != 0, test = the rest; features = the train corpus's
+    top-``vocab_k`` tokens (freq desc, token asc — the oov_rate_docs
+    cut); Laplace-smoothed log-likelihood weights and log-priors are
+    fixed-pointed at e6 ONCE on the bounded weight table, so scoring
+    is pure int64 accumulation — block-order-invariant, and the SQL
+    oracle (same expression tree: ln((c+1)/(tot+V)) then round) is
+    hash-exact. Output: (doc_id, pred_lang, true_lang, correct).
+
+    Scale shape: the fit's shuffles carry per-batch-combined
+    (lang, token, count) partials bounded by langs × vocab_k per batch
+    — never token instances; the fitted model (weight matrix
+    vocab_k × langs + priors) is a broadcast-sized artifact BY
+    DEFINITION and ships once via ``ray.put``; inference is a
+    shuffle-free map pass (per-batch np.bincount per lang). Integer
+    scores stay < 2^53 (|w| ≤ ~2e7 × tokens/doc), asserted."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _split(is_train: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 10) != 0
+            return t.filter(pa.array(m if is_train else ~m))
+        return fn
+
+    train = ds.map_batches(_split(True), batch_format="pyarrow")
+    test = ds.map_batches(_split(False), batch_format="pyarrow")
+
+    # ---- vocab: top-K train tokens (freq desc, token asc)
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
+            .value_counts(sort=False)
+        return pa.table({
+            "token": pa.array(vc.index.tolist(), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    freq = (train.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("c", alias_name="c")))
+    top = freq.sort(["c", "token"], descending=[True, False]) \
+        .limit(vocab_k).take_all()
+    vocab = [x["token"] for x in top]
+    vset = frozenset(vocab)
+    tok_idx = {tok: i for i, tok in enumerate(vocab)}
+    V = len(vocab)
+    vref = ray.put((vset, tok_idx))
+
+    # ---- per-(lang, vocab-token) counts: bounded partials per batch
+    def lang_tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_numpy(zero_copy_only=False)[par]
+        vs, _ = ray.get(vref)
+        m = pd.Series(flat).isin(vs).to_numpy()
+        g = (pd.DataFrame({"lang": langs[m], "token": flat[m]})
+             .groupby(["lang", "token"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    cnt = (train.map_batches(lang_tok, batch_format="pyarrow")
+           .groupby(["lang", "token"]).aggregate(Sum("c", alias_name="c"))
+           .take_all())  # ≤ langs × vocab_k rows — the model table
+    priors_rows = (train.groupby("lang")
+                   .aggregate(Count(alias_name="n")).take_all())
+    n_train = sum(int(x["n"]) for x in priors_rows)
+    langs = sorted(x["lang"] for x in priors_rows)
+    L = len(langs)
+    lidx = {lg: i for i, lg in enumerate(langs)}
+    if n_train == 0 or V == 0 or L == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pred_lang": pa.array([], pa.string()),
+                         "true_lang": pa.array([], pa.string()),
+                         "correct": pa.array([], pa.int64())})
+
+    C = np.zeros((V, L), dtype=np.int64)
+    for x in cnt:
+        C[tok_idx[x["token"]], lidx[x["lang"]]] = int(x["c"])
+    tot = C.sum(axis=0)
+    W = _round_half_away(1e6 * np.log((C + 1.0) / (tot + V)))
+    prior = _round_half_away(1e6 * np.log(np.array(
+        [int(x["n"]) for x in sorted(priors_rows,
+                                     key=lambda x: x["lang"])],
+        dtype=np.float64) / n_train))
+    # int64 exactness bound: bincount sums in float64; |w|·tokens/doc
+    # must stay < 2^53 for the cast back to be exact
+    assert np.abs(W).max(initial=0) < (1 << 26)
+    mref = ray.put((W, prior))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        _, tix = ray.get(vref)
+        Wm, pr = ray.get(mref)
+        idx = pd.Series(flat).map(tix)
+        valid = idx.notna().to_numpy()
+        iv = idx.to_numpy()[valid].astype(np.int64)
+        rows = par[valid]
+        n = t.num_rows
+        S = np.empty((n, L), dtype=np.int64)
+        for li in range(L):
+            S[:, li] = pr[li] + np.bincount(
+                rows, weights=Wm[iv, li], minlength=n).astype(np.int64)
+        pred = np.argmax(S, axis=1)  # ties → first = lang asc
+        pl = np.array(langs, dtype=object)[pred]
+        tl = t["lang"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(pl, pa.string()),
+            "true_lang": pa.array(tl, pa.string()),
+            "correct": pa.array((pl == tl).astype(np.int64))})
+
+    return test.map_batches(score, batch_format="pyarrow")
+
+
+NB_LANG_SQL = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM train
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), vocab AS (
+  SELECT token FROM freq ORDER BY c DESC, token LIMIT 2000
+), nv AS (SELECT count(*) AS v FROM vocab),
+cnt AS (
+  SELECT t.lang, t.token, CAST(count(*) AS BIGINT) AS c
+  FROM tok t JOIN vocab USING (token) GROUP BY t.lang, t.token
+), tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY lang
+), langs AS (SELECT DISTINCT lang FROM train),
+prior AS (
+  SELECT lang,
+         CAST(round(1000000 * ln(CAST(count(*) AS DOUBLE)
+                                 / (SELECT count(*) FROM train)))
+              AS BIGINT) AS pw
+  FROM train GROUP BY lang
+), w AS (
+  SELECT l.lang, v.token,
+         CAST(round(1000000 * ln(
+             (COALESCE(c.c, 0) + 1.0)
+             / (COALESCE(t.tot, 0) + (SELECT v FROM nv))))
+              AS BIGINT) AS w
+  FROM langs l CROSS JOIN vocab v
+  LEFT JOIN tot t ON t.lang = l.lang
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.token = v.token
+), ttok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test
+), dsc AS (
+  SELECT tt.doc_id, w.lang, CAST(sum(w.w) AS BIGINT) AS sw
+  FROM ttok tt JOIN w ON w.token = tt.token
+  GROUP BY tt.doc_id, w.lang
+), full_s AS (
+  SELECT d.doc_id, l.lang, p.pw + COALESCE(dsc.sw, 0) AS s
+  FROM test d CROSS JOIN langs l
+  JOIN prior p ON p.lang = l.lang
+  LEFT JOIN dsc ON dsc.doc_id = d.doc_id AND dsc.lang = l.lang
+), pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang ASC) AS rn
+  FROM full_s
+)
+SELECT p.doc_id, p.pred_lang, d.lang AS true_lang,
+       CAST(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM pred p JOIN test d USING (doc_id) WHERE rn = 1
+"""
+
+
+def shard_balance_plan(sf_dir: str, n_shards: int = 8):
+    """Balanced training-shard assignment: pack each SOURCE's token
+    mass into ``n_shards`` output shards by greedy LPT (longest
+    processing time first — Graham'69, max-load ≤ (4/3 − 1/(3k))·OPT),
+    the plan a sharded export follows so no trainer data-loader rank
+    starves. Deterministic: sources sorted (tokens desc, source asc),
+    each assigned to the least-loaded shard (tie: lowest shard id).
+    Output (source, n_tokens, shard) — rows-only (the greedy recurrence
+    is sequential, not SQL-expressible), golden-pinned + LPT-bound
+    property pytest.
+
+    Scale shape: the per-source token table is O(sources) driver state
+    (a shard plan IS a per-source table — same argument as
+    temperature_mix_docs); the corpus-wide token count pass is one
+    shuffle-free map + a bounded groupby."""
+    import heapq
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+            zero_copy_only=False), "n": n})
+            .groupby("source", sort=False)["n"].sum().reset_index())
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    per_src = (ds.map_batches(ntok, batch_format="pyarrow")
+               .groupby("source").aggregate(Sum("n", alias_name="n"))
+               .take_all())  # O(sources)
+    order = sorted(per_src, key=lambda x: (-int(x["n"]), x["source"]))
+    heap = [(0, s) for s in range(n_shards)]
+    heapq.heapify(heap)
+    srcs, toks, shards = [], [], []
+    for x in order:
+        load, sid = heapq.heappop(heap)
+        srcs.append(x["source"])
+        toks.append(int(x["n"]))
+        shards.append(sid)
+        heapq.heappush(heap, (load + int(x["n"]), sid))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "n_tokens": pa.array(toks, pa.int64()),
+                     "shard": pa.array(shards, pa.int64())})
+
+
+def scc_crawl_graph(sf_dir: str):
+    """Strongly connected components of the crawl's DIRECTED edge table
+    — the bow-tie decomposition question (Broder WWW'00: giant SCC vs
+    IN/OUT tendrils) that undirected CC cannot answer; a crawl
+    scheduler reads it as "which pages are mutually reachable link
+    neighborhoods". Runs the size-gated form
+    (functions/graph.py::scc_auto): one-pass driver Tarjan under the
+    gate, distributed trim + forward-backward coloring rounds above it
+    (two-form equality pytest-asserted). ``scc`` = lexicographic min
+    member url. Rows-only (iterative), golden-pinned."""
+    from rendler_ray.functions.graph import scc_auto
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return scc_auto(res.edges)
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -8887,6 +9250,10 @@ QUERIES = {
     "source_percentile_scores": source_percentile_scores,
     "docs_csv_export_roundtrip": docs_csv_export_roundtrip,
     "label_centroids_embeddings": label_centroids_embeddings,
+    "vocab_growth_curve": vocab_growth_curve,
+    "nb_lang_fit_predict": nb_lang_fit_predict,
+    "shard_balance_plan": shard_balance_plan,
+    "scc_crawl_graph": scc_crawl_graph,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -9023,4 +9390,6 @@ ORACLES = {
     "source_percentile_scores": SOURCE_PCTL_SQL,
     "docs_csv_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
     "label_centroids_embeddings": LABEL_CENTROIDS_SQL,
+    "vocab_growth_curve": VOCAB_GROWTH_SQL,
+    "nb_lang_fit_predict": NB_LANG_SQL,
 }

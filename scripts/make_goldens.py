@@ -77,6 +77,8 @@ GOLDEN_QUERIES = [
     "cdc_chunk_docs",
     "cdc_dedup_stats",
     "near_dup_incremental_docs",
+    "scc_crawl_graph",
+    "shard_balance_plan",
 ]
 
 

@@ -1,0 +1,253 @@
+"""Round-4f ops: strongly connected components, Heaps-law vocabulary
+growth, Naive-Bayes language fit+predict, LPT shard balancing — each
+checked against an independent brute-force recomputation (the DuckDB
+oracles are checked separately by scripts/check_correctness.py; these
+tests must not depend on them)."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rendler_ray.goldenhash import to_pandas
+from rendler_ray.pipelines.queries import (
+    nb_lang_fit_predict,
+    shard_balance_plan,
+    vocab_growth_curve,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.string()),
+        "dst": pa.array([b for _, b in pairs], pa.string())}))
+
+
+# cycle a→b→c→a, bridge c→d, 2-cycle d⇄e, dangling e→f, self-loop g,
+# duplicate edge
+KNOWN = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "d"), ("e", "f"), ("g", "g"), ("a", "b")]
+KNOWN_SCC = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d",
+             "f": "f", "g": "g"}
+
+
+def test_scc_known_graph(ray_session):
+    from rendler_ray.functions.graph import scc
+
+    df = scc(_edges_ds(KNOWN))
+    assert dict(zip(df["url"], df["scc"])) == KNOWN_SCC
+
+
+def _brute_scc(pairs):
+    """Independent definition: u ~ v iff mutual reachability under the
+    boolean transitive closure (Floyd–Warshall over ≤ ~40 nodes)."""
+    names = sorted({x for p in pairs for x in p})
+    idx = {u: i for i, u in enumerate(names)}
+    R = np.eye(len(names), dtype=bool)
+    for a, b in pairs:
+        R[idx[a], idx[b]] = True
+    for k in range(len(names)):
+        R |= np.outer(R[:, k], R[k, :])
+    return {u: min(v for v in names
+                   if R[idx[u], idx[v]] and R[idx[v], idx[u]])
+            for u in names}
+
+
+def test_scc_random_vs_brute_and_two_forms(ray_session):
+    from rendler_ray.functions.graph import scc, scc_auto, scc_ds
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        m = int(rng.integers(20, 50))
+        pairs = [(f"n{int(a):02d}", f"n{int(b):02d}")
+                 for a, b in rng.integers(0, 20, size=(m, 2))]
+        brute = _brute_scc(pairs)
+        df = scc(_edges_ds(pairs))
+        assert dict(zip(df["url"], df["scc"])) == brute
+        got = {r["url"]: r["scc"]
+               for r in scc_ds(_edges_ds(pairs),
+                               num_partitions=4).take_all()}
+        assert got == brute
+    # gate invisibility: forced-distributed == driver on one graph
+    auto_drv = {r["url"]: r["scc"]
+                for r in scc_auto(_edges_ds(KNOWN)).take_all()}
+    auto_ds = {r["url"]: r["scc"]
+               for r in scc_auto(_edges_ds(KNOWN),
+                                 driver_max=0).take_all()}
+    assert auto_drv == auto_ds == KNOWN_SCC
+
+
+def test_scc_dag_trims_entirely(ray_session):
+    """A pure DAG (path + diamond) is all singleton SCCs — the trim
+    phase must peel everything without FW-BW rounds mattering."""
+    from rendler_ray.functions.graph import scc, scc_ds
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("a", "x"), ("x", "d")]
+    exp = {u: u for u in "abcdx"}
+    df = scc(_edges_ds(pairs))
+    assert dict(zip(df["url"], df["scc"])) == exp
+    got = {r["url"]: r["scc"]
+           for r in scc_ds(_edges_ds(pairs), num_partitions=2).take_all()}
+    assert got == exp
+
+
+# ------------------------------------------------- vocab growth curve
+
+
+def test_vocab_growth_vs_brute(ray_session):
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n = len(df)
+    q, r = divmod(n, 10)
+    order = np.sort(df["doc_id"].to_numpy())
+    bucket_of = {}
+    pos = 0
+    for i in range(1, 11):
+        s = q + (1 if i <= r else 0)
+        for d in order[pos:pos + s]:
+            bucket_of[int(d)] = i
+        pos += s
+    first: dict = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        for tok in t.split(" "):
+            if tok not in first or d < first[tok]:
+                first[tok] = int(d)
+    nb = Counter(bucket_of[d] for d in first.values())
+    exp_rows = []
+    cum = 0
+    for b in sorted(nb):
+        cum += nb[b]
+        exp_rows.append((b, nb[b], cum))
+
+    out = to_pandas(vocab_growth_curve(SF))
+    got_rows = list(zip(out["bucket"], out["new_tokens"],
+                        out["vocab_cum"]))
+    assert got_rows == exp_rows
+
+
+def test_vocab_growth_multibucket_synth(ray_session, tmp_path):
+    """The testdata corpus saturates its vocab in decile 1; force a
+    corpus whose vocabulary actually grows so every bucket contributes
+    and the NTILE boundary math is exercised off the trivial path."""
+    import ray.data as rd
+
+    n = 103  # deliberately not divisible by 10
+    rows = {"doc_id": list(range(n)),
+            "text": [f"common w{d} w{d}x" for d in range(n)]}
+    p = tmp_path / "docs"
+    rd.from_arrow(pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "text": pa.array(rows["text"], pa.string()),
+    })).repartition(3).write_parquet(str(p))
+    import glob
+    import os
+
+    # vocab_growth_curve reads <dir>/documents.parquet
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    tbl = pa.concat_tables([
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(f) for f in glob.glob(str(p) + "/*.parquet")])
+    __import__("pyarrow.parquet", fromlist=["write_table"]).write_table(
+        tbl, str(d / "documents.parquet"))
+
+    out = to_pandas(vocab_growth_curve(str(d)))
+    # every doc introduces 2 new tokens ("w{d}", "w{d}x"); "common" is
+    # new only in bucket 1. NTILE(10) over 103 docs: first 3 buckets
+    # have 11 docs, the rest 10.
+    sizes = [11, 11, 11] + [10] * 7
+    exp_new = [2 * s + (1 if i == 0 else 0)
+               for i, s in enumerate(sizes)]
+    assert list(out["new_tokens"]) == exp_new
+    assert list(out["vocab_cum"]) == list(np.cumsum(exp_new))
+    assert list(out["bucket"]) == list(range(1, 11))
+
+
+# ---------------------------------------------- NB lang fit + predict
+
+
+def _rha(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def test_nb_lang_vs_brute(ray_session):
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    train = df[df["doc_id"] % 10 != 0]
+    test = df[df["doc_id"] % 10 == 0]
+
+    freq: Counter = Counter()
+    for t in train["text"]:
+        freq.update(t.split(" "))
+    vocab = [t for t, _ in sorted(freq.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:2000]]
+    vset = set(vocab)
+    V = len(vocab)
+    langs = sorted(train["lang"].unique())
+    cnt: Counter = Counter()
+    tot: Counter = Counter()
+    for t, lg in zip(train["text"], train["lang"]):
+        for tok in t.split(" "):
+            if tok in vset:
+                cnt[(lg, tok)] += 1
+                tot[lg] += 1
+    n_train = len(train)
+    prior = {lg: _rha(1e6 * math.log(
+        (train["lang"] == lg).sum() / n_train)) for lg in langs}
+    W = {(lg, tok): _rha(1e6 * math.log(
+        (cnt.get((lg, tok), 0) + 1.0) / (tot.get(lg, 0) + V)))
+        for lg in langs for tok in vocab}
+
+    exp = {}
+    for did, t, lg in zip(test["doc_id"], test["text"], test["lang"]):
+        scores = {l: prior[l] + sum(W[(l, tok)] for tok in t.split(" ")
+                                    if tok in vset) for l in langs}
+        pred = min(langs, key=lambda l: (-scores[l], l))
+        exp[int(did)] = (pred, lg, int(pred == lg))
+
+    out = to_pandas(nb_lang_fit_predict(SF))
+    got = {int(r.doc_id): (r.pred_lang, r.true_lang, int(r.correct))
+           for r in out.itertuples()}
+    assert got == exp
+    assert len(got) == len(test)
+
+
+# ------------------------------------------------- shard balance plan
+
+
+def test_shard_balance_vs_brute_and_bound(ray_session):
+    import heapq
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["source", "text"])
+    per = df.assign(n=df["text"].str.split(" ").str.len()) \
+        .groupby("source")["n"].sum()
+    order = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    heap = [(0, s) for s in range(8)]
+    heapq.heapify(heap)
+    exp = {}
+    loads = [0] * 8
+    for src, ntok in order:
+        load, sid = heapq.heappop(heap)
+        exp[src] = (int(ntok), sid)
+        loads[sid] += int(ntok)
+        heapq.heappush(heap, (load + int(ntok), sid))
+
+    out = to_pandas(shard_balance_plan(SF))
+    got = {r.source: (int(r.n_tokens), int(r.shard))
+           for r in out.itertuples()}
+    assert got == exp
+    # Graham'69 LPT bound: max load ≤ (4/3 − 1/24)·OPT,
+    # OPT ≥ max(total/8, max item)
+    opt_lb = max(per.sum() / 8.0, per.max())
+    assert max(loads) <= (4.0 / 3.0) * opt_lb + 1e-9
