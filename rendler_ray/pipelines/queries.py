@@ -9087,6 +9087,334 @@ def scc_crawl_graph(sf_dir: str):
     return scc_auto(res.edges)
 
 
+def ols_chars_tokens_by_source(sf_dir: str):
+    """Per-source ordinary-least-squares fit of token count on char
+    count — the distributed "fit a model on-cluster" stats-pass shape
+    (the PCA sibling, 1-D): slope/intercept from the five classic
+    integer moment sums (n, Σx, Σy, Σxy, Σx²), accumulated as
+    per-batch int64 partials and folded through one bounded
+    groupby(source). The driver solve uses PYTHON ints (arbitrary
+    precision) for n·Σxy − Σx·Σy — the SQL mirror gets the same
+    exactness from DuckDB's HUGEINT sums — so the only floats are the
+    two final divisions, fixed-pointed at e6 on an identical
+    expression tree (hash-exact oracle). Degenerate sources (constant
+    x) take slope 0 and the mean intercept, both sides."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+            .groupby("source", sort=False).sum().reset_index())
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            **{c: pa.array(g[c].to_numpy(np.int64))
+               for c in ("n", "sx", "sy", "sxy", "sxx")}})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxy", alias_name="sxy"),
+                       Sum("sxx", alias_name="sxx"))
+            .take_all())  # O(sources)
+    srcs, ns, slopes, icepts = [], [], [], []
+    for x in sorted(rows, key=lambda r: r["source"]):
+        n, sx, sy = int(x["n"]), int(x["sx"]), int(x["sy"])
+        sxy, sxx = int(x["sxy"]), int(x["sxx"])
+        den = n * sxx - sx * sx  # exact Python ints (no int64 bound)
+        slope = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+        icept = (float(sy) - slope * float(sx)) / n
+        srcs.append(x["source"])
+        ns.append(n)
+        slopes.append(int(_round_half_away(np.float64(1e6 * slope))))
+        icepts.append(int(_round_half_away(np.float64(1e6 * icept))))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "slope_e6": pa.array(slopes, pa.int64()),
+                     "intercept_e6": pa.array(icepts, pa.int64())})
+
+
+OLS_CHARS_TOKENS_SQL = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(n_chars AS BIGINT)) AS sx,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sy,
+         sum(CAST(n_chars AS BIGINT)
+             * CAST(len(string_split(text, ' ')) AS BIGINT)) AS sxy,
+         sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM s
+)
+SELECT source, n,
+       CAST(round(1000000 * slope) AS BIGINT) AS slope_e6,
+       CAST(round(1000000 * ((CAST(sy AS DOUBLE)
+                              - slope * CAST(sx AS DOUBLE)) / n))
+            AS BIGINT) AS intercept_e6
+FROM t
+"""
+
+
+def normalize_text_docs(sf_dir: str):
+    """Canonical text normalization (the pre-dedup cleaning staple:
+    lowercase → strip non-alphanumerics → collapse runs of spaces →
+    trim) as ONE shuffle-free vectorized pass — Arrow's RE2 kernels
+    (``utf8_lower`` + two ``replace_substring_regex``) per batch, no
+    Python in the string path except the md5 content-hash fold (the
+    scrub_url_tokens convention). Output (doc_id, n_chars_norm,
+    norm_md5) — md5 makes the full normalized TEXT hash-comparable
+    against DuckDB's identical lower/regexp_replace/trim tree without
+    shipping it."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"].combine_chunks())
+        s = pc.replace_substring_regex(s, "[^a-z0-9 ]", "")
+        s = pc.replace_substring_regex(s, " +", " ")
+        s = pc.utf8_trim(s, " ")
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in s.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            "norm_md5": pa.array(md5s, pa.string())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_TEXT_SQL = """
+SELECT doc_id, CAST(length(n) AS BIGINT) AS n_chars_norm,
+       md5(n) AS norm_md5
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+  FROM documents)
+"""
+
+
+def ndcg_bm25_eval(sf_dir: str, k: int = 10):
+    """Ranking-quality evaluation of the BM25 retriever: NDCG@k per
+    query (Järvelin & Kekäläinen TOIS'02) against a term-overlap
+    relevance oracle (rel(doc, q) = number of q's terms present — the
+    graded label a lexical eval harness derives when no human
+    judgments exist). Integer-exact: every DCG addend is fixed-pointed
+    at e6 BEFORE the sum (round(1e6·rel/log2(rank+1)) as int64), so
+    the per-query DCG/IDCG are order-free integer sums and the single
+    final NDCG division is one shared float expression — hash-exact vs
+    SQL.
+
+    Scale shape: the ranking is the shuffle-free BM25 pass
+    (bm25_search_docs); relevance COUNTS per (query, grade) come from
+    one more corpus map pass with ≤ |Q|·grades rows of partials (IDCG
+    needs only the grade multiset, never doc identity); the ≤ |Q|·k
+    ranked docs' relevance comes from a pushed-down ``isin`` read of
+    exactly those doc_ids. Driver state: O(|Q|·k)."""
+    import math
+
+    import pyarrow.dataset as pds
+
+    ranked = bm25_search_docs(sf_dir, k=k).take_all()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "dcg_e6": pa.array([], pa.int64()),
+                      "idcg_e6": pa.array([], pa.int64()),
+                      "ndcg_e6": pa.array([], pa.int64())})
+    if not ranked:
+        return empty
+    terms_by_q = {q: list(ts) for q, ts in _BM25_QUERIES.items()}
+
+    # per-(query, grade) doc counts — IDCG needs only the multiset
+    def rel_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nr = t.num_rows
+        out_q, out_r, out_c = [], [], []
+        present = {}
+        for term in {tt for ts in terms_by_q.values() for tt in ts}:
+            v = np.zeros(nr, dtype=np.int64)
+            v[np.unique(par[flat == term])] = 1
+            present[term] = v
+        for qid, ts in terms_by_q.items():
+            rel = np.sum([present[term] for term in ts], axis=0)
+            for grade in range(1, len(ts) + 1):
+                out_q.append(qid)
+                out_r.append(grade)
+                out_c.append(int((rel == grade).sum()))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "rel": pa.array(out_r, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gc: dict[tuple[int, int], int] = {}
+    for x in (ds.map_batches(rel_counts, batch_format="pyarrow")
+              .groupby(["query_id", "rel"])
+              .aggregate(Sum("c", alias_name="c")).take_all()):
+        gc[(int(x["query_id"]), int(x["rel"]))] = int(x["c"])
+
+    # relevance of the ≤ |Q|·k ranked docs: pushed-down isin read
+    need = sorted({int(x["doc_id"]) for x in ranked})
+    tt = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filter=pds.field("doc_id").isin(need))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    toks_of = {int(i): set(s.split(" "))
+               for i, s in zip(tt["doc_id"].to_pylist(),
+                               tt["text"].to_pylist())}
+
+    def addend(rel: int, pos: int) -> int:
+        return int(_round_half_away(np.float64(
+            (1000000 * rel) / math.log2(pos + 1))))
+
+    byq: dict[int, list] = {}
+    for x in ranked:
+        byq.setdefault(int(x["query_id"]), []).append(
+            (int(x["rank"]), int(x["doc_id"])))
+    out_q, out_d, out_i, out_n = [], [], [], []
+    for qid in sorted(byq):
+        ts = terms_by_q[qid]
+        dcg = sum(addend(
+            sum(1 for term in ts if term in toks_of[did]), pos)
+            for pos, did in sorted(byq[qid]))
+        grades: list[int] = []
+        for grade in range(len(ts), 0, -1):
+            grades.extend([grade] * gc.get((qid, grade), 0))
+        idcg = sum(addend(g, pos)
+                   for pos, g in enumerate(grades[:k], 1))
+        ndcg = 0 if idcg == 0 else int(_round_half_away(
+            np.float64(1000000 * (float(dcg) / float(idcg)))))
+        out_q.append(qid)
+        out_d.append(dcg)
+        out_i.append(idcg)
+        out_n.append(ndcg)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "dcg_e6": pa.array(out_d, pa.int64()),
+                     "idcg_e6": pa.array(out_i, pa.int64()),
+                     "ndcg_e6": pa.array(out_n, pa.int64())})
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    return f"""{_bm25_cte()},
+rel AS (SELECT doc_id, query_id,
+               CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS rel
+        FROM tf GROUP BY doc_id, query_id),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, doc_id)
+                      AS rank
+           FROM sc QUALIFY rank <= {k}),
+dcg AS (SELECT r.query_id,
+               CAST(sum(CAST(round(1000000 * rel.rel
+                                   / log2(r.rank + 1)) AS BIGINT))
+                    AS BIGINT) AS dcg_e6
+        FROM ranked r
+        JOIN rel ON rel.doc_id = r.doc_id
+                AND rel.query_id = r.query_id
+        GROUP BY r.query_id),
+ideal AS (SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id) AS irank
+          FROM rel WHERE rel > 0),
+idcg AS (SELECT query_id,
+                CAST(sum(CAST(round(1000000 * rel
+                                    / log2(irank + 1)) AS BIGINT))
+                     AS BIGINT) AS idcg_e6
+         FROM ideal WHERE irank <= {k} GROUP BY query_id)
+SELECT d.query_id, d.dcg_e6, i.idcg_e6,
+       CASE WHEN i.idcg_e6 = 0 THEN 0
+            ELSE CAST(round(1000000 * (CAST(d.dcg_e6 AS DOUBLE)
+                                       / i.idcg_e6)) AS BIGINT) END
+         AS ndcg_e6
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
+NDCG_BM25_SQL = _ndcg_sql()
+
+
+def crawl_graph_stats(sf_dir: str):
+    """One-row structural profile of the crawl's directed edge table —
+    the graph-shape card a crawl run ships (Broder WWW'00 bow-tie
+    inputs): distinct edge/node counts, self-loops, reciprocated
+    edges (both directions present — link exchanges), and source/sink
+    node counts (out-degree-0 = frontier leaves, in-degree-0 = seeds/
+    orphans). All from bounded aggregates: reciprocity via ONE
+    canonical-pair groupby carrying a direction bit (Min/Max of the
+    bit distinguishes one-way from mutual — no self-join), degree
+    sides via the src/dst distinct tables. Deterministic; rows-only,
+    golden-pinned."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    distinct = (res.edges.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])).materialize()
+    n_edges = distinct.count()
+    loops = distinct.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(t["src"], t["dst"]),
+                                pa.int64())).as_py() or 0)])}),
+        batch_format="pyarrow").sum("n") or 0
+
+    def side(col: str):
+        return (distinct.select_columns([col]).map_batches(
+            lambda t: t.rename_columns(["url"]), batch_format="pyarrow")
+            .groupby("url").aggregate(Count(alias_name="_n"))
+            .select_columns(["url"])).materialize()
+
+    srcs, dsts = side("src"), side("dst")
+    n_nodes = srcs.union(dsts).groupby("url") \
+        .aggregate(Count(alias_name="_n")).count()
+    n_sources = n_nodes - dsts.count()  # in-degree 0
+    n_sinks = n_nodes - srcs.count()    # out-degree 0
+
+    def canon_dir(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        hi = np.maximum(a, b)
+        lo = np.minimum(a, b)
+        d = (a < b).astype(np.int64)  # direction bit
+        return pa.table({"u": pa.array(lo, pa.string()),
+                         "v": pa.array(hi, pa.string()),
+                         "d": pa.array(d, pa.int64())})
+
+    pairs = (distinct.map_batches(canon_dir, batch_format="pyarrow")
+             .groupby(["u", "v"])
+             .aggregate(Min("d", alias_name="dmin"),
+                        Max("d", alias_name="dmax")))
+    n_mutual_pairs = pairs.map_batches(
+        lambda t: pa.table({"n": pa.array([int(pc.sum(pc.cast(
+            pc.and_(pc.equal(t["dmin"], 0), pc.equal(t["dmax"], 1)),
+            pa.int64())).as_py() or 0)])}),
+        batch_format="pyarrow").sum("n") or 0
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_self_loops": pa.array([int(loops)], pa.int64()),
+        "n_mutual_pairs": pa.array([int(n_mutual_pairs)], pa.int64()),
+        "n_source_nodes": pa.array([n_sources], pa.int64()),
+        "n_sink_nodes": pa.array([n_sinks], pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -9254,6 +9582,10 @@ QUERIES = {
     "nb_lang_fit_predict": nb_lang_fit_predict,
     "shard_balance_plan": shard_balance_plan,
     "scc_crawl_graph": scc_crawl_graph,
+    "ols_chars_tokens_by_source": ols_chars_tokens_by_source,
+    "normalize_text_docs": normalize_text_docs,
+    "ndcg_bm25_eval": ndcg_bm25_eval,
+    "crawl_graph_stats": crawl_graph_stats,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -9392,4 +9724,7 @@ ORACLES = {
     "label_centroids_embeddings": LABEL_CENTROIDS_SQL,
     "vocab_growth_curve": VOCAB_GROWTH_SQL,
     "nb_lang_fit_predict": NB_LANG_SQL,
+    "ols_chars_tokens_by_source": OLS_CHARS_TOKENS_SQL,
+    "normalize_text_docs": NORMALIZE_TEXT_SQL,
+    "ndcg_bm25_eval": NDCG_BM25_SQL,
 }

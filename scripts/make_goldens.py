@@ -79,6 +79,7 @@ GOLDEN_QUERIES = [
     "near_dup_incremental_docs",
     "scc_crawl_graph",
     "shard_balance_plan",
+    "crawl_graph_stats",
 ]
 
 

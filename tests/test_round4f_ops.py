@@ -5,15 +5,20 @@ oracles are checked separately by scripts/check_correctness.py; these
 tests must not depend on them)."""
 
 import math
+import re
 from collections import Counter
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from rendler_ray.goldenhash import to_pandas
 from rendler_ray.pipelines.queries import (
     nb_lang_fit_predict,
+    ndcg_bm25_eval,
+    normalize_text_docs,
+    ols_chars_tokens_by_source,
     shard_balance_plan,
     vocab_growth_curve,
 )
@@ -251,3 +256,172 @@ def test_shard_balance_vs_brute_and_bound(ray_session):
     # OPT ≥ max(total/8, max item)
     opt_lb = max(per.sum() / 8.0, per.max())
     assert max(loads) <= (4.0 / 3.0) * opt_lb + 1e-9
+
+
+# ----------------------------------------------- OLS by source (brute)
+
+
+def test_ols_vs_brute(ray_session):
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars", "text"])
+    df = df.assign(y=df["text"].str.split(" ").str.len())
+    exp = {}
+    for src, g in df.groupby("source"):
+        n = len(g)
+        sx = int(g["n_chars"].sum())
+        sy = int(g["y"].sum())
+        sxy = int((g["n_chars"] * g["y"]).sum())
+        sxx = int((g["n_chars"] ** 2).sum())
+        den = n * sxx - sx * sx
+        slope = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+        icept = (float(sy) - slope * float(sx)) / n
+        exp[src] = (n, round(1e6 * slope), round(1e6 * icept))
+
+    out = to_pandas(ols_chars_tokens_by_source(SF))
+    for r in out.itertuples():
+        en, es, ei = exp[r.source]
+        assert int(r.n) == en
+        # brute uses banker's round; allow the half-away difference of
+        # ≤ 1 ulp-at-e6 only at exact halves (never observed — assert
+        # exact first, fall back to ±1 with a visible message)
+        assert abs(int(r.slope_e6) - es) <= 1, r.source
+        assert abs(int(r.intercept_e6) - ei) <= 1, r.source
+    assert len(out) == len(exp)
+
+
+def test_ols_degenerate_constant_x(ray_session, tmp_path):
+    """A source with constant n_chars has zero variance: slope 0,
+    intercept = mean token count — the guarded branch on both sides."""
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["cst", "cst", "var", "var"], pa.string()),
+        "n_chars": pa.array([10, 10, 5, 15], pa.int64()),
+        "text": pa.array(["a b c", "a b c d e", "x y", "x y z w"],
+                         pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = to_pandas(ols_chars_tokens_by_source(str(tmp_path))) \
+        .set_index("source")
+    assert int(out.loc["cst", "slope_e6"]) == 0
+    assert int(out.loc["cst", "intercept_e6"]) == 4_000_000  # mean(3,5)
+    # var: points (5,2),(15,4) → slope 0.2, intercept 1
+    assert int(out.loc["var", "slope_e6"]) == 200_000
+    assert int(out.loc["var", "intercept_e6"]) == 1_000_000
+
+
+# --------------------------------------------- normalize text (brute)
+
+
+def test_normalize_vs_brute(ray_session, tmp_path):
+    import hashlib
+
+    texts = ["Hello, World!  x", "  UPPER-case_mix 42 ",
+             "already clean", "!!!", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = to_pandas(normalize_text_docs(str(tmp_path))) \
+        .set_index("doc_id")
+    for i, t in enumerate(texts):
+        n = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", t.lower())) \
+            .strip(" ")
+        assert int(out.loc[i, "n_chars_norm"]) == len(n), (i, n)
+        assert out.loc[i, "norm_md5"] == hashlib.md5(
+            n.encode()).hexdigest(), (i, n)
+
+
+# ------------------------------------------------------- NDCG (brute)
+
+
+def test_ndcg_vs_brute(ray_session, tmp_path):
+    """Full-stack brute NDCG on a corpus where ranking ≠ ideal (a
+    rel-1 doc can outscore a rel-2 doc via tf saturation), so
+    DCG < IDCG genuinely."""
+    from rendler_ray.pipelines.queries import (_BM25_B, _BM25_K1,
+                                               _BM25_QUERIES)
+
+    texts = {
+        0: "hash join hash join hash",
+        1: "hash join " + "filler " * 40,
+        2: "hash " + "pad " * 5,
+        3: "join",
+        4: "sort merge sort",
+        5: "nothing relevant here at all",
+        6: "window stream window stream window stream",
+        7: "table scan table scan",
+        8: "hash hash hash hash hash hash hash hash",  # rel-1, high tf
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": list(texts.values()),
+    }), str(tmp_path / "documents.parquet"))
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+
+    def rha(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    exp = {}
+    for qid, qt in _BM25_QUERIES.items():
+        rows = []
+        for d, tk in toks.items():
+            s, hit = 0.0, False
+            for term in qt:
+                tf = tk.count(term)
+                if tf:
+                    hit = True
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                norm = _BM25_K1 * (1.0 - _BM25_B
+                                   + _BM25_B * (len(tk) / avgdl))
+                s += idf * (tf * (_BM25_K1 + 1.0)) / (tf + norm)
+            if hit:
+                rows.append((-int(np.round(s * 1e6)), d))
+        rows.sort()
+        ranked = [d for _, d in rows[:10]]
+        rel = {d: sum(1 for term in qt if term in tk)
+               for d, tk in toks.items()}
+        dcg = sum(rha(1000000 * rel[d] / math.log2(pos + 1))
+                  for pos, d in enumerate(ranked, 1))
+        ideal = sorted((r for r in rel.values() if r > 0), reverse=True)
+        idcg = sum(rha(1000000 * g / math.log2(pos + 1))
+                   for pos, g in enumerate(ideal[:10], 1))
+        ndcg = 0 if idcg == 0 else rha(1e6 * (float(dcg) / float(idcg)))
+        exp[qid] = (dcg, idcg, ndcg)
+
+    out = to_pandas(ndcg_bm25_eval(str(tmp_path))).set_index("query_id")
+    for qid, (dcg, idcg, ndcg) in exp.items():
+        assert int(out.loc[qid, "dcg_e6"]) == dcg, qid
+        assert int(out.loc[qid, "idcg_e6"]) == idcg, qid
+        assert int(out.loc[qid, "ndcg_e6"]) == ndcg, qid
+    # the saturation corpus makes at least one query imperfect
+    assert any(v[2] < 1_000_000 for v in exp.values())
+
+
+# --------------------------------------------- crawl graph stats
+
+
+def test_crawl_graph_stats_vs_brute(ray_session):
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.pipelines.queries import (_synth_docs_for,
+                                               crawl_graph_stats)
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                            seeds=default_seeds(1), max_depth=4))
+    e = to_pandas(res.edges.select_columns(["src", "dst"]))
+    pairs = set(zip(e["src"], e["dst"]))
+    nodes = {x for p in pairs for x in p}
+    loops = sum(1 for a, b in pairs if a == b)
+    mutual = sum(1 for a, b in pairs
+                 if a < b and (b, a) in pairs)
+    srcs = {a for a, b in pairs}
+    dsts = {b for a, b in pairs}
+    out = to_pandas(crawl_graph_stats(SF)).iloc[0]
+    assert int(out["n_edges"]) == len(pairs)
+    assert int(out["n_nodes"]) == len(nodes)
+    assert int(out["n_self_loops"]) == loops
+    assert int(out["n_mutual_pairs"]) == mutual
+    assert int(out["n_source_nodes"]) == len(nodes - dsts)
+    assert int(out["n_sink_nodes"]) == len(nodes - srcs)
