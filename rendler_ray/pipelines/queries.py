@@ -9415,6 +9415,146 @@ def crawl_graph_stats(sf_dir: str):
         "n_sink_nodes": pa.array([n_sinks], pa.int64())})
 
 
+def nb_lang_confusion(sf_dir: str):
+    """Confusion matrix of the fitted NB language classifier
+    (:func:`nb_lang_fit_predict`) on its held-out split — the model-
+    card artifact a classifier-gated pipeline ships alongside the
+    filter itself. Pure composition: the prediction pass's output
+    (already a shuffle-free map over the test split) through one
+    bounded groupby (≤ langs² keys). Output (true_lang, pred_lang, n),
+    hash-exact vs the wrapped SQL oracle."""
+    preds = nb_lang_fit_predict(sf_dir)
+    if isinstance(preds, pa.Table):  # degenerate empty-corpus path
+        return pa.table({"true_lang": pa.array([], pa.string()),
+                         "pred_lang": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return (preds.groupby(["true_lang", "pred_lang"])
+            .aggregate(Count(alias_name="n")))
+
+
+NB_CONFUSION_SQL = f"""
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM ({NB_LANG_SQL}) base
+GROUP BY true_lang, pred_lang
+"""
+
+
+def top_quality_docs_per_source(sf_dir: str, k: int = 3):
+    """Per-source top-``k`` documents by classifier score — the
+    "best exemplars per domain" sampling a curation review UI shows
+    (grouped top-k over the corpus, the top2_orders_per_customer shape
+    on the documents table): one shuffle-free scoring pass
+    (:func:`classifier_score_docs`'s exact-oracle weights), per-batch
+    PRE-PRUNE to each source's local top-k (a batch can contribute at
+    most k survivors per source, so the grouped finisher sees
+    ≤ k·batches rows per source, never the corpus), deterministic
+    (score desc, doc_id asc) ranks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def score_prune(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)
+                    ).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "clf_score": s})
+        df = df.sort_values(["clf_score", "doc_id"],
+                            ascending=[False, True])
+        df = df.groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["clf_score", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(score_prune, batch_format="pyarrow")
+            .groupby("source").map_groups(fin, batch_format="pandas"))
+
+
+TOP_QUALITY_PER_SOURCE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id)
+SELECT d.source, d.doc_id, s.clf_score,
+       row_number() OVER (PARTITION BY d.source
+                          ORDER BY s.clf_score DESC, d.doc_id)
+         AS rank
+FROM documents d JOIN s USING (doc_id)
+QUALIFY rank <= 3
+"""
+
+
+def zorder_events_layout(sf_dir: str):
+    """Z-order (Morton) data-layout pass over the events table — the
+    lakehouse OPTIMIZE ZORDER BY (user_id, hour) operation: interleave
+    the low 16 bits of user_id with the low 16 bits of the event's
+    hour bucket so rows close in BOTH dimensions land close in the
+    sort order, then globally sort by the curve — the layout under
+    which either per-user or per-time-range scans touch few
+    contiguous row groups (``zbucket`` = top 6 curve bits is the
+    partition directory a write_partitioned export would use; the
+    actual partitioned sink is the pack/export machinery). The bit
+    interleave is pure int64 arithmetic — vectorized magic-number
+    spreading here, the expanded 32-term shift sum in SQL — so the
+    oracle is hash-exact; the sort is the op's purpose (a layout
+    REWRITE is a global sort by definition) and the only shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _spread16(v: "np.ndarray") -> "np.ndarray":
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def zval(t: pa.Table) -> pa.Table:
+        secs = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000)
+        x = t["user_id"].to_numpy(zero_copy_only=False) & 0xFFFF
+        y = (secs // 3600) & 0xFFFF
+        z = _spread16(x.astype(np.int64)) \
+            | (_spread16(y.astype(np.int64)) << 1)
+        return pa.table({"event_id": t["event_id"],
+                         "z": pa.array(z, pa.int64()),
+                         "zbucket": pa.array(z >> 26, pa.int64())})
+
+    return ds.map_batches(zval, batch_format="pyarrow") \
+        .sort(["z", "event_id"])
+
+
+def _zorder_sql() -> str:
+    def terms(col: str, off: int) -> str:
+        return " + ".join(f"((({col} >> {i}) & 1) << {2 * i + off})"
+                          for i in range(16))
+
+    return f"""
+WITH b AS (
+  SELECT event_id, CAST(user_id & 65535 AS BIGINT) AS x,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 65535
+              AS BIGINT) AS y
+  FROM events
+), zt AS (
+  SELECT event_id,
+         CAST({terms('x', 0)} + {terms('y', 1)} AS BIGINT) AS z
+  FROM b
+)
+SELECT event_id, z, CAST(z >> 26 AS BIGINT) AS zbucket FROM zt
+"""
+
+
+ZORDER_EVENTS_SQL = _zorder_sql()
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -9586,6 +9726,9 @@ QUERIES = {
     "normalize_text_docs": normalize_text_docs,
     "ndcg_bm25_eval": ndcg_bm25_eval,
     "crawl_graph_stats": crawl_graph_stats,
+    "nb_lang_confusion": nb_lang_confusion,
+    "top_quality_docs_per_source": top_quality_docs_per_source,
+    "zorder_events_layout": zorder_events_layout,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -9727,4 +9870,7 @@ ORACLES = {
     "ols_chars_tokens_by_source": OLS_CHARS_TOKENS_SQL,
     "normalize_text_docs": NORMALIZE_TEXT_SQL,
     "ndcg_bm25_eval": NDCG_BM25_SQL,
+    "nb_lang_confusion": NB_CONFUSION_SQL,
+    "top_quality_docs_per_source": TOP_QUALITY_PER_SOURCE_SQL,
+    "zorder_events_layout": ZORDER_EVENTS_SQL,
 }

@@ -399,6 +399,69 @@ def test_ndcg_vs_brute(ray_session, tmp_path):
     assert any(v[2] < 1_000_000 for v in exp.values())
 
 
+# --------------------------------------- confusion / topk / z-order
+
+
+def test_nb_confusion_consistent_with_predictions(ray_session):
+    from rendler_ray.pipelines.queries import nb_lang_confusion
+
+    preds = to_pandas(nb_lang_fit_predict(SF))
+    exp = preds.groupby(["true_lang", "pred_lang"]).size().to_dict()
+    out = to_pandas(nb_lang_confusion(SF))
+    got = {(r.true_lang, r.pred_lang): int(r.n)
+           for r in out.itertuples()}
+    assert got == exp
+    assert sum(got.values()) == len(preds)
+
+
+def test_top_quality_per_source_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import (_clf_weights,
+                                               top_quality_docs_per_source)
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    scores = {}
+    for did, txt in zip(df["doc_id"], df["text"]):
+        toks = np.array(txt.split(" "), dtype=object)
+        scores[int(did)] = int(_clf_weights(toks).sum())
+    exp = {}
+    for src, g in df.groupby("source"):
+        rows = sorted(((-scores[int(d)], int(d)) for d in g["doc_id"]))
+        exp[src] = [(d, -ns, i + 1)
+                    for i, (ns, d) in enumerate(rows[:3])]
+    out = to_pandas(top_quality_docs_per_source(SF))
+    for src, rows in exp.items():
+        g = out[out.source == src].sort_values("rank")
+        assert list(zip(g["doc_id"], g["clf_score"], g["rank"])) == rows
+
+
+def test_zorder_bijective_and_sorted(ray_session):
+    from rendler_ray.pipelines.queries import zorder_events_layout
+
+    out = to_pandas(zorder_events_layout(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    secs = ev["ts"].astype("int64") // 1_000_000
+    exp_x = (ev["user_id"].to_numpy() & 0xFFFF)
+    exp_y = ((secs.to_numpy() // 3600) & 0xFFFF)
+    by_id = dict(zip(out["event_id"], out["z"]))
+
+    def deinterleave(z, off):
+        v = (z >> off) & 0x55555555
+        v = (v | (v >> 1)) & 0x33333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF
+        return v
+
+    for eid, x, y in zip(ev["event_id"], exp_x, exp_y):
+        z = by_id[int(eid)]
+        assert deinterleave(z, 0) == x and deinterleave(z, 1) == y
+    # layout property: output rows come back in curve order
+    assert (np.diff(out["z"].to_numpy()) >= 0).all()
+    assert (out["zbucket"].to_numpy() == (out["z"].to_numpy() >> 26)).all()
+
+
 # --------------------------------------------- crawl graph stats
 
 
