@@ -1147,6 +1147,166 @@ def scc_auto(edges_ds, driver_max: int = 1_000_000,
         "scc": pa.array(df["scc"].tolist(), pa.string())}))
 
 
+_BOWTIE_PARTS = ("core", "in", "out", "other")
+
+
+def bowtie(edges_ds) -> pd.DataFrame:
+    """Bow-tie decomposition (Broder WWW'00) — DRIVER form: Tarjan SCC
+    (:func:`scc`), CORE = the largest SCC (tie: min member url), then
+    two BFS passes (reverse-reachability → IN, forward → OUT);
+    everything else is OTHER (tendrils/tubes/disconnected,
+    undistinguished as in the 4-way summary). IN and OUT are provably
+    disjoint from each other outside CORE (a node both reaching and
+    reached by the core would close a cycle through it and be IN the
+    core's SCC). Returns pandas (url, part) sorted by url."""
+    from collections import Counter, deque
+
+    adj: dict[str, list] = {}
+    radj: dict[str, list] = {}
+    nodes: set = set()
+    seen_e: set = set()
+    for b in edges_ds.select_columns(["src", "dst"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for a, c in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            nodes.add(a)
+            nodes.add(c)
+            if a != c and (a, c) not in seen_e:
+                seen_e.add((a, c))
+                adj.setdefault(a, []).append(c)
+                radj.setdefault(c, []).append(a)
+    df = scc(edges_ds, _nodes_adj=(nodes, adj))
+    comp = dict(zip(df["url"], df["scc"]))
+    sizes = Counter(comp.values())
+    if not sizes:
+        return pd.DataFrame({"url": [], "part": []})
+    core_label = min(lab for lab, n in sizes.items()
+                     if n == max(sizes.values()))
+    core = {u for u, lab in comp.items() if lab == core_label}
+
+    def bfs(frontier: set, nbrs: dict) -> set:
+        seen = set(frontier)
+        dq = deque(frontier)
+        while dq:
+            u = dq.popleft()
+            for w in nbrs.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    dq.append(w)
+        return seen
+
+    in_set = bfs(core, radj) - core
+    out_set = bfs(core, adj) - core
+    part = {}
+    for u in nodes:
+        part[u] = ("core" if u in core else
+                   "in" if u in in_set else
+                   "out" if u in out_set else "other")
+    urls = sorted(part)
+    return pd.DataFrame({"url": urls, "part": [part[u] for u in urls]})
+
+
+def bowtie_ds(edges_ds, num_partitions: int = 8):
+    """Fully DISTRIBUTED bow-tie: SCC via :func:`scc_ds`, core = the
+    max-size SCC (two bounded aggregates: max count, then min label at
+    that count), IN/OUT via monotone flag-propagation join rounds
+    (reached-set only grows; count-stable = fixpoint), and the final
+    4-way classification as ONE zero-pad union-groupby Min over part
+    codes (core=0 < in=1 < out=2 < other=3 — a node's min code IS its
+    class because IN∩OUT=∅ outside the core). Driver state: O(1)
+    scalars. Output equals :func:`bowtie` exactly (pytest)."""
+    from ray.data.aggregate import Min
+
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "part": pa.array([], pa.string())}))
+    sccs = scc_ds(edges_ds, num_partitions=num_partitions).materialize()
+    sccs = _nonempty_blocks(sccs)
+    if sccs is None:
+        return empty
+    sizes = (sccs.groupby("scc").aggregate(Count(alias_name="n"))
+             ).materialize()
+    mx = sizes.max("n")
+    core_label = sizes.map_batches(
+        lambda t, m=mx: t.filter(pa.compute.equal(t["n"], m)),
+        batch_format="pyarrow").min("scc")
+    core = sccs.map_batches(
+        lambda t, cl=core_label: pa.table({"url": t.filter(
+            pa.compute.equal(t["scc"], cl))["url"]}),
+        batch_format="pyarrow").materialize()
+
+    distinct = (edges_ds.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])).materialize()
+    distinct = _nonempty_blocks(distinct)
+    n_nodes = sccs.count()
+    nparts = max(1, min(num_partitions, n_nodes // 4))
+
+    def _reach(frontier, key_col: str, out_col: str):
+        """Monotone reachability closure from ``frontier`` along
+        edges oriented key_col → out_col."""
+        reached = frontier.materialize()
+        n_prev = reached.count()
+        while distinct is not None:
+            keep = reached.map_batches(
+                lambda t: t.rename_columns(["ku"]),
+                batch_format="pyarrow")
+            cand = (distinct.join(keep, join_type="inner",
+                                  num_partitions=nparts,
+                                  on=(key_col,), right_on=("ku",))
+                    .select_columns([out_col]).map_batches(
+                    lambda t: t.rename_columns(["url"]),
+                    batch_format="pyarrow"))
+            reached = (cand.union(reached).groupby("url")
+                       .aggregate(Count(alias_name="_n"))
+                       .select_columns(["url"])).materialize()
+            reached = _nonempty_blocks(reached)
+            n_now = reached.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        return reached
+
+    fwd = _reach(core, "src", "dst")   # core ∪ OUT
+    bwd = _reach(core, "dst", "src")   # core ∪ IN
+
+    def code(ds, c: int):
+        return ds.map_batches(
+            lambda t, cc=c: pa.table({
+                "url": t["url"],
+                "code": pa.array(np.full(t.num_rows, cc, np.int64))}),
+            batch_format="pyarrow")
+
+    allnodes = sccs.select_columns(["url"])
+    lab = (code(core, 0).union(code(bwd, 1)).union(code(fwd, 2))
+           .union(code(allnodes, 3))
+           .groupby("url").aggregate(Min("code", alias_name="code")))
+    parts = pa.array(list(_BOWTIE_PARTS), pa.string())
+    return lab.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "part": pa.compute.take(
+                parts, t["code"].combine_chunks())}),
+        batch_format="pyarrow")
+
+
+def bowtie_auto(edges_ds, driver_max: int = 1_000_000,
+                num_partitions: int = 8):
+    """Size-gated bow-tie decomposition, always returning a Dataset
+    (url, part): raw edge counts ≤ ``driver_max`` run the driver
+    Tarjan+BFS (:func:`bowtie`), bigger graphs the distributed
+    :func:`bowtie_ds`. Identical output (equality pytest-asserted)."""
+    n_raw = edges_ds.select_columns(["src", "dst"]).count()
+    if n_raw > driver_max:
+        return bowtie_ds(edges_ds, num_partitions=num_partitions)
+    df = bowtie(edges_ds)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "part": pa.array(df["part"].tolist(), pa.string())}))
+
+
 def kcore_auto(edges_ds, driver_max: int = 1_000_000,
                num_partitions: int = 8):
     """Size-gated k-core decomposition, always returning a Dataset

@@ -9555,6 +9555,57 @@ SELECT event_id, z, CAST(z >> 26 AS BIGINT) AS zbucket FROM zt
 ZORDER_EVENTS_SQL = _zorder_sql()
 
 
+def bowtie_crawl_graph(sf_dir: str):
+    """Bow-tie decomposition of the crawl graph (Broder WWW'00): the
+    giant SCC as CORE, the nodes that can reach it (IN — pages that
+    link INTO the mutually-connected center), the nodes it reaches
+    (OUT), and everything else (OTHER — tendrils/tubes/disconnected,
+    undistinguished as in the 4-way summary). The canonical web-graph
+    structure report a crawl run ships. Runs the size-gated form
+    (functions/graph.py::bowtie_auto: driver BFS under the gate,
+    SCC + directed flag-propagation rounds above it — two-form
+    equality pytest-asserted). Output (url, part); deterministic
+    (CORE = largest SCC, ties by min member url). Rows-only
+    (iterative), golden-pinned."""
+    from rendler_ray.functions.graph import bowtie_auto
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return bowtie_auto(res.edges)
+
+
+def dp_source_counts(sf_dir: str, eps: float = 1.0):
+    """Differentially-private per-source document counts (ε-DP Laplace
+    mechanism, Dwork TCC'06: count sensitivity 1 ⇒ noise scale 1/ε) —
+    the privacy-preserving release a dataset card ships when exact
+    per-source tallies would leak membership. Noise is DETERMINISTIC
+    per (source, fixed seed): each source draws its Laplace sample
+    from ``default_rng(stable_hash64(source) ^ seed)`` via inverse-CDF,
+    so the published artifact is reproducible and golden-pinnable
+    while remaining a faithful Laplace draw (the synthweb side-stream
+    seeding discipline). Output (source, noisy_n_e6) — true counts are
+    NOT emitted. Scale shape: one bounded groupby (O(sources)); noise
+    added on the driver over the one-row-per-source table."""
+    from rendler_ray.functions.canon import stable_hash64
+
+    ds = _read(sf_dir, "documents", ["source"])
+    rows = (ds.groupby("source").aggregate(Count(alias_name="n"))
+            .take_all())  # O(sources)
+    srcs, noisy = [], []
+    for x in sorted(rows, key=lambda r: r["source"]):
+        h = int(stable_hash64(np.array([x["source"]], dtype=object))[0])
+        rng = np.random.default_rng((h ^ 0x5f4d2026) & 0x7FFFFFFFFFFFFFFF)
+        u = rng.uniform(-0.5, 0.5)
+        lap = -(1.0 / eps) * np.sign(u) * np.log1p(-2.0 * abs(u))
+        srcs.append(x["source"])
+        noisy.append(int(_round_half_away(np.float64(
+            1e6 * (int(x["n"]) + lap)))))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "noisy_n_e6": pa.array(noisy, pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -9729,6 +9780,8 @@ QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "top_quality_docs_per_source": top_quality_docs_per_source,
     "zorder_events_layout": zorder_events_layout,
+    "dp_source_counts": dp_source_counts,
+    "bowtie_crawl_graph": bowtie_crawl_graph,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

@@ -80,6 +80,8 @@ GOLDEN_QUERIES = [
     "scc_crawl_graph",
     "shard_balance_plan",
     "crawl_graph_stats",
+    "dp_source_counts",
+    "bowtie_crawl_graph",
 ]
 
 

@@ -106,6 +106,102 @@ def test_scc_dag_trims_entirely(ray_session):
     assert got == exp
 
 
+# ------------------------------------------------------------ bow-tie
+
+
+def _brute_bowtie(pairs):
+    from collections import Counter
+
+    names = sorted({x for p in pairs for x in p})
+    idx = {u: i for i, u in enumerate(names)}
+    R = np.eye(len(names), dtype=bool)
+    for a, b in pairs:
+        R[idx[a], idx[b]] = True
+    for k in range(len(names)):
+        R |= np.outer(R[:, k], R[k, :])
+    comp = {u: min(v for v in names
+                   if R[idx[u], idx[v]] and R[idx[v], idx[u]])
+            for u in names}
+    sizes = Counter(comp.values())
+    mx = max(sizes.values())
+    core_lab = min(l for l, n in sizes.items() if n == mx)
+    core = {u for u in names if comp[u] == core_lab}
+    out = {}
+    for u in names:
+        if u in core:
+            out[u] = "core"
+        elif any(R[idx[u], idx[c]] for c in core):
+            out[u] = "in"
+        elif any(R[idx[c], idx[u]] for c in core):
+            out[u] = "out"
+        else:
+            out[u] = "other"
+    return out
+
+
+BOWTIE_KNOWN = [("i1", "c1"), ("i2", "c1"), ("c1", "c2"), ("c2", "c3"),
+                ("c3", "c1"), ("c2", "o1"), ("o1", "o2"), ("i1", "t1"),
+                ("d1", "d2")]
+BOWTIE_EXP = {"i1": "in", "i2": "in", "c1": "core", "c2": "core",
+              "c3": "core", "o1": "out", "o2": "out", "t1": "other",
+              "d1": "other", "d2": "other"}
+
+
+def test_bowtie_known_and_random(ray_session):
+    from rendler_ray.functions.graph import bowtie, bowtie_auto, bowtie_ds
+
+    df = bowtie(_edges_ds(BOWTIE_KNOWN))
+    assert dict(zip(df["url"], df["part"])) == BOWTIE_EXP
+    got = {r["url"]: r["part"]
+           for r in bowtie_ds(_edges_ds(BOWTIE_KNOWN),
+                              num_partitions=2).take_all()}
+    assert got == BOWTIE_EXP
+    rng = np.random.default_rng(11)
+    for trial in range(2):
+        m = int(rng.integers(15, 40))
+        pairs = [(f"n{int(a):02d}", f"n{int(b):02d}")
+                 for a, b in rng.integers(0, 14, size=(m, 2))]
+        exp = _brute_bowtie(pairs)
+        df = bowtie(_edges_ds(pairs))
+        assert dict(zip(df["url"], df["part"])) == exp, trial
+        g2 = {r["url"]: r["part"]
+              for r in bowtie_ds(_edges_ds(pairs),
+                                 num_partitions=4).take_all()}
+        assert g2 == exp, trial
+    # gate invisibility
+    a1 = {r["url"]: r["part"]
+          for r in bowtie_auto(_edges_ds(BOWTIE_KNOWN)).take_all()}
+    a2 = {r["url"]: r["part"]
+          for r in bowtie_auto(_edges_ds(BOWTIE_KNOWN),
+                               driver_max=0).take_all()}
+    assert a1 == a2 == BOWTIE_EXP
+
+
+# ------------------------------------------------------ DP counts
+
+
+def test_dp_source_counts_deterministic_and_calibrated(ray_session):
+    from rendler_ray.pipelines.queries import dp_source_counts
+
+    a = to_pandas(dp_source_counts(SF)).set_index("source")["noisy_n_e6"]
+    b = to_pandas(dp_source_counts(SF)).set_index("source")["noisy_n_e6"]
+    assert (a == b).all()  # reproducible release
+
+    true = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source"]).value_counts("source")
+    # fixed-seed draws: all within a generous Laplace tail at ε=1
+    # (P(|noise| > 12) = e^-12 ≈ 6e-6 per source)
+    for src, n in true.items():
+        assert abs(a[src] / 1e6 - n) < 12.0, src
+    # same uniforms, smaller ε ⇒ proportionally larger |noise|
+    wide = to_pandas(dp_source_counts(SF, eps=0.1)) \
+        .set_index("source")["noisy_n_e6"]
+    for src, n in true.items():
+        n1 = abs(a[src] / 1e6 - n)
+        n10 = abs(wide[src] / 1e6 - n)
+        assert n10 >= 9.99 * n1 - 1e-3, src
+
+
 # ------------------------------------------------- vocab growth curve
 
 
