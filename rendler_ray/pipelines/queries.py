@@ -9606,6 +9606,183 @@ def dp_source_counts(sf_dir: str, eps: float = 1.0):
                      "noisy_n_e6": pa.array(noisy, pa.int64())})
 
 
+def token_entropy_by_source(sf_dir: str):
+    """Per-source unigram Shannon entropy (nats) — the lexical-
+    diversity dataset-card statistic (low entropy = templated/
+    boilerplate-heavy source; Shannon'48): H = ln N − (Σ c·ln c)/N
+    over the source's token counts. Integer-exact pipeline: each
+    DISTINCT (source, token)'s contribution is fixed-pointed at e6
+    BEFORE the sum (round(1e6·c·ln c) as int64), so the per-source
+    fold is an order-free integer sum and the single final expression
+    (ln N − (Σe/1e6)/N, e6-rounded) is shared with the SQL oracle —
+    hash-exact. Token strings never leave the explode task (two-half
+    128-bit hash keys, the dup_span treatment); the count shuffle
+    carries per-batch-combined int rows; the entropy fold output is
+    O(sources)."""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)[par]
+        h1 = pdu.hash_array(flat, categorize=False).view(np.int64)
+        h2 = pdu.hash_array(flat, hash_key="rendlerentropy2!",
+                            categorize=False).view(np.int64)
+        g = (pd.DataFrame({"source": src, "h1": h1, "h2": h2})
+             .groupby(["source", "h1", "h2"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "h1": pa.array(g["h1"].to_numpy(np.int64)),
+            "h2": pa.array(g["h2"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    counts = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby(["source", "h1", "h2"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = _round_half_away(1e6 * c * np.log(c))
+        return pa.table({"source": t["source"],
+                         "e": pa.array(e, pa.int64()),
+                         "c": t["c"]})
+
+    rows = (counts.map_batches(contrib, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("e", alias_name="se"),
+                       Sum("c", alias_name="n"))
+            .take_all())  # O(sources)
+    srcs, ns, ents = [], [], []
+    for x in sorted(rows, key=lambda r: r["source"]):
+        n, se = int(x["n"]), int(x["se"])
+        h = np.log(float(n)) - (float(se) / 1e6) / n
+        srcs.append(x["source"])
+        ns.append(n)
+        ents.append(int(_round_half_away(np.float64(1e6 * h))))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "entropy_e6": pa.array(ents, pa.int64())})
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+), e AS (
+  SELECT source, CAST(round(1000000 * c * ln(c)) AS BIGINT) AS e, c
+  FROM tc
+), s AS (
+  SELECT source, CAST(sum(e) AS BIGINT) AS se,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM e GROUP BY source
+)
+SELECT source, n,
+       CAST(round(1000000 * (ln(CAST(n AS DOUBLE))
+                             - (CAST(se AS DOUBLE) / 1000000) / n))
+            AS BIGINT) AS entropy_e6
+FROM s
+"""
+
+
+def late_event_stats(sf_dir: str, lateness_s: int = 3600):
+    """Watermark / late-arrival accounting — the streaming-semantics
+    op a windowed pipeline needs before it can close windows: replay
+    the event stream in ARRIVAL order (event_id), maintain the
+    watermark = max event-time seen so far, and flag events arriving
+    more than ``lateness_s`` behind it (the rows a Beam/Flink-style
+    engine would route to late-data handling). Output: per event_type
+    (n_late, n_total), hash-exact vs the SQL running-max window
+    oracle.
+
+    Scale shape — a GLOBAL running max without a global ordered scan:
+    the two-pass distributed prefix pattern (functions/pack.py
+    ``assign_offsets``): events bucket by event_id RANGE (256
+    order-preserving buckets), pass 1 folds per-bucket max event-time
+    (256-row driver state) into exclusive prefix maxima, pass 2
+    computes each bucket's within-order cummax + its prefix base in
+    parallel ``map_groups`` (rows per group ≈ n/256, the pack bound)
+    and emits per-(bucket, type) count partials — one bounded groupby
+    finishes."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    agg = ds.aggregate(Min("event_id", alias_name="lo"),
+                       Max("event_id", alias_name="hi"),
+                       Count(alias_name="n"))
+    if not (agg["n"] or 0):
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_late": pa.array([], pa.int64()),
+                         "n_total": pa.array([], pa.int64())})
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    span = hi - lo + 1
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        secs = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000)
+        b = (eid - lo) * 256 // span
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "s": pa.array(secs, pa.int64()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    bmax = {int(r["bucket"]): int(r["m"])
+            for r in kd.groupby("bucket")
+            .aggregate(Max("s", alias_name="m")).take_all()}
+    base, acc = {}, None
+    for b in range(256):
+        base[b] = acc  # None = nothing before bucket 0
+        if b in bmax:
+            acc = bmax[b] if acc is None else max(acc, bmax[b])
+    bref = ray.put(base)
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        s = g["s"].to_numpy(np.int64)
+        run = np.maximum.accumulate(s)
+        wm = np.empty(len(s), np.float64)
+        wm[0] = -np.inf
+        wm[1:] = run[:-1]
+        b0 = ray.get(bref)[int(g["bucket"].iloc[0])]
+        if b0 is not None:
+            wm = np.maximum(wm, float(b0))
+        late = (wm > -np.inf) & (s < wm - lateness_s)
+        out = (pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "late": late.astype(np.int64)})
+               .groupby("event_type", sort=False)
+               .agg(n_late=("late", "sum"), n_total=("late", "size"))
+               .reset_index())
+        return out
+
+    parts = kd.groupby("bucket").map_groups(within, batch_format="pandas")
+    return (parts.groupby("event_type")
+            .aggregate(Sum("n_late", alias_name="n_late"),
+                       Sum("n_total", alias_name="n_total")))
+
+
+LATE_EVENT_SQL = """
+WITH o AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN wm IS NOT NULL AND s < wm - 3600
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM o GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -9782,6 +9959,8 @@ QUERIES = {
     "zorder_events_layout": zorder_events_layout,
     "dp_source_counts": dp_source_counts,
     "bowtie_crawl_graph": bowtie_crawl_graph,
+    "token_entropy_by_source": token_entropy_by_source,
+    "late_event_stats": late_event_stats,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -9926,4 +10105,6 @@ ORACLES = {
     "nb_lang_confusion": NB_CONFUSION_SQL,
     "top_quality_docs_per_source": TOP_QUALITY_PER_SOURCE_SQL,
     "zorder_events_layout": ZORDER_EVENTS_SQL,
+    "token_entropy_by_source": TOKEN_ENTROPY_SQL,
+    "late_event_stats": LATE_EVENT_SQL,
 }

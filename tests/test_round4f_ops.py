@@ -558,6 +558,97 @@ def test_zorder_bijective_and_sorted(ray_session):
     assert (out["zbucket"].to_numpy() == (out["z"].to_numpy() >> 26)).all()
 
 
+# ------------------------------------------ entropy / late events
+
+
+def test_token_entropy_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import token_entropy_by_source
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["source", "text"])
+    exp = {}
+    for src, g in df.groupby("source"):
+        cnt = Counter()
+        for t in g["text"]:
+            cnt.update(t.split(" "))
+        n = sum(cnt.values())
+        se = sum(_rha(1e6 * c * math.log(c)) for c in cnt.values())
+        h = math.log(n) - (se / 1e6) / n
+        exp[src] = (n, _rha(1e6 * h))
+    out = to_pandas(token_entropy_by_source(SF))
+    got = {r.source: (int(r.n), int(r.entropy_e6))
+           for r in out.itertuples()}
+    assert got == exp
+
+
+def test_late_event_stats_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import late_event_stats
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "event_type"]) \
+        .sort_values("event_id")
+    secs = (ev["ts"].astype("int64") // 1_000_000).to_numpy()
+    run = np.maximum.accumulate(secs)
+    late = np.zeros(len(ev), dtype=np.int64)
+    late[1:] = (secs[1:] < run[:-1] - 3600).astype(np.int64)
+    exp = (pd.DataFrame({"event_type": ev["event_type"].to_numpy(),
+                         "late": late})
+           .groupby("event_type")["late"].agg(["sum", "size"]))
+    out = to_pandas(late_event_stats(SF)).set_index("event_type")
+    for et, row in exp.iterrows():
+        assert int(out.loc[et, "n_late"]) == int(row["sum"]), et
+        assert int(out.loc[et, "n_total"]) == int(row["size"]), et
+    assert len(out) == len(exp)
+
+
+def test_late_event_stats_shuffled_stream(ray_session, tmp_path):
+    """Out-of-order arrivals (random event time vs arrival order) must
+    produce late flags matching the sequential replay — exercises the
+    cross-bucket watermark (an early bucket's max gates a later
+    bucket's rows)."""
+    from rendler_ray.pipelines.queries import late_event_stats
+
+    n = 5000
+    rng = np.random.default_rng(3)
+    secs = rng.integers(10**9, 10**9 + 50_000, size=n)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(secs * 1_000_000, pa.timestamp("us")),
+        "event_type": pa.array(
+            np.where(rng.random(n) < 0.5, "a", "b"), pa.string())})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    run = np.maximum.accumulate(secs)
+    late = np.zeros(n, dtype=np.int64)
+    late[1:] = (secs[1:] < run[:-1] - 3600).astype(np.int64)
+    df = pd.DataFrame({"event_type": tbl["event_type"].to_numpy(
+        zero_copy_only=False), "late": late})
+    expg = df.groupby("event_type")["late"].agg(["sum", "size"])
+    out = to_pandas(late_event_stats(str(tmp_path))) \
+        .set_index("event_type")
+    for et, row in expg.iterrows():
+        assert int(out.loc[et, "n_late"]) == int(row["sum"]), et
+        assert int(out.loc[et, "n_total"]) == int(row["size"]), et
+    assert int(out["n_late"].sum()) > 0  # the stream IS disordered
+
+
+def test_late_event_stats_ordered_stream(ray_session, tmp_path):
+    """A stream whose event-time order equals arrival order has zero
+    late events — and bucket boundaries must not invent any."""
+    from rendler_ray.pipelines.queries import late_event_stats
+
+    n = 1000
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            np.arange(n, dtype="int64") * 10_000_000_000 + 10**15,
+            pa.timestamp("us")),
+        "event_type": pa.array(["t"] * n, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = to_pandas(late_event_stats(str(tmp_path)))
+    assert int(out["n_late"].iloc[0]) == 0
+    assert int(out["n_total"].iloc[0]) == n
+
+
 # --------------------------------------------- crawl graph stats
 
 
