@@ -9783,6 +9783,195 @@ FROM o GROUP BY event_type
 """
 
 
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise source VOCABULARY overlap (token-set Jaccard per
+    source pair) — the lexical-similarity complement to the
+    duplicate-leakage matrices (prefix_dup_/near_dup_source_matrix):
+    two domains can share no documents yet near-identical vocabularies
+    (same register), or vice versa — the corpus-card view mixing
+    decisions read. Never materializes the token×source×source cube:
+    per-batch DISTINCT (source, token-hash) presence partials →
+    groupby dedup → per-token ``map_groups`` whose group is ≤ one row
+    per source (the prefix_dup combinatorial pattern) emits
+    intersection increments → one O(sources²) groupby; vocab sizes are
+    a bounded groupby; the Jaccard division happens once per PAIR on
+    the driver. Token strings never leave the explode task (two-half
+    128-bit hashes; collision odds ≈ vocab²/2^129). Output
+    (src_a, src_b, inter, jaccard_e6), pairs with inter ≥ 1."""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def presence(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)[par]
+        h1 = pdu.hash_array(flat, categorize=False).view(np.int64)
+        h2 = pdu.hash_array(flat, hash_key="rendleroverlap2!",
+                            categorize=False).view(np.int64)
+        g = (pd.DataFrame({"source": src, "h1": h1, "h2": h2})
+             .drop_duplicates())
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "h1": pa.array(g["h1"].to_numpy(np.int64)),
+            "h2": pa.array(g["h2"].to_numpy(np.int64))})
+
+    pres = (ds.map_batches(presence, batch_format="pyarrow")
+            .groupby(["source", "h1", "h2"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["source", "h1", "h2"])).materialize()
+    vs = {r["source"]: int(r["n"])
+          for r in pres.groupby("source")
+          .aggregate(Count(alias_name="n")).take_all()}
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        src = np.sort(np.asarray(g["source"].to_pylist(), dtype=object))
+        if len(src) < 2:
+            return pa.table({"src_a": pa.array([], pa.string()),
+                             "src_b": pa.array([], pa.string()),
+                             "i": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(src), k=1)
+        return pa.table({
+            "src_a": pa.array(src[iu], pa.string()),
+            "src_b": pa.array(src[ju], pa.string()),
+            "i": pa.array(np.ones(len(iu), np.int64))})
+
+    inter = (pres.groupby(["h1", "h2"])
+             .map_groups(emit_pairs, batch_format="pyarrow")
+             .groupby(["src_a", "src_b"])
+             .aggregate(Sum("i", alias_name="inter"))
+             .take_all())  # O(sources²)
+    out_a, out_b, out_i, out_j = [], [], [], []
+    for x in sorted(inter, key=lambda r: (r["src_a"], r["src_b"])):
+        a, b, i = x["src_a"], x["src_b"], int(x["inter"])
+        j = float(i) / (vs[a] + vs[b] - i)
+        out_a.append(a)
+        out_b.append(b)
+        out_i.append(i)
+        out_j.append(int(_round_half_away(np.float64(1e6 * j))))
+    return pa.table({"src_a": pa.array(out_a, pa.string()),
+                     "src_b": pa.array(out_b, pa.string()),
+                     "inter": pa.array(out_i, pa.int64()),
+                     "jaccard_e6": pa.array(out_j, pa.int64())})
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), pres AS (
+  SELECT DISTINCT source, token FROM tok
+), vs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v FROM pres GROUP BY source
+), i AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM pres a JOIN pres b USING (token)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, inter,
+       CAST(round(1000000 * CAST(inter AS DOUBLE)
+                  / (va.v + vb.v - inter)) AS BIGINT) AS jaccard_e6
+FROM i
+JOIN vs va ON va.source = i.src_a
+JOIN vs vb ON vb.source = i.src_b
+"""
+
+
+def token_drift_halves(sf_dir: str, k: int = 20):
+    """Distribution-drift detection between two corpus snapshots
+    (doc_id parity halves — the A/B the synthetic corpus affords):
+    top-``k`` tokens by absolute log-odds shift of their
+    document-frequency rate, |ln((df₀+1)/(n₀+1)) − ln((df₁+1)/(n₁+1))|
+    (add-one smoothed so appear/disappear is finite) — the drifted-
+    vocabulary report a recrawl/data-refresh pipeline reviews before
+    retraining. Per-half df partials are exact per batch (a doc lives
+    in one batch — the tfidf trick), the score is fixed-pointed e6
+    per TOKEN before the global (score desc, token asc) top-k
+    sort+limit over the vocab-sized table. Hash-exact vs SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    halves = ds.map_batches(
+        lambda t: t.append_column("half", pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 2,
+            pa.int64())),
+        batch_format="pyarrow")
+    hn = {int(r["half"]): int(r["n"])
+          for r in halves.groupby("half")
+          .aggregate(Count(alias_name="n")).take_all()}
+    n0, n1 = hn.get(0, 0), hn.get(1, 0)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        half = t["half"].to_numpy(zero_copy_only=False)[par]
+        did = t["doc_id"].to_numpy(zero_copy_only=False)[par]
+        g = (pd.DataFrame({"token": flat, "half": half, "doc": did})
+             .drop_duplicates()
+             .groupby(["token", "half"], sort=False).size()
+             .reset_index(name="df"))
+        p = g.pivot_table(index="token", columns="half", values="df",
+                          fill_value=0, aggfunc="sum")
+        return pa.table({
+            "token": pa.array(p.index.tolist(), pa.string()),
+            "df0": pa.array(np.asarray(
+                p[0] if 0 in p.columns else np.zeros(len(p)),
+                dtype=np.int64)),
+            "df1": pa.array(np.asarray(
+                p[1] if 1 in p.columns else np.zeros(len(p)),
+                dtype=np.int64))})
+
+    dfs = (halves.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("df0", alias_name="df0"),
+                      Sum("df1", alias_name="df1")))
+
+    def score(t: pa.Table) -> pa.Table:
+        d0 = t["df0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d1 = t["df1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.abs(np.log((d0 + 1.0) / (n0 + 1))
+                   - np.log((d1 + 1.0) / (n1 + 1)))
+        return t.append_column(
+            "drift_e6", pa.array(_round_half_away(1e6 * s), pa.int64()))
+
+    return (dfs.map_batches(score, batch_format="pyarrow")
+            .sort(["drift_e6", "token"], descending=[True, False])
+            .limit(k))
+
+
+TOKEN_DRIFT_SQL = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 2 AS half,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tokd AS (
+  SELECT DISTINCT doc_id, half, token FROM tok
+), hn AS (
+  SELECT doc_id % 2 AS half, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT token,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df0,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df1
+  FROM tokd GROUP BY token
+)
+SELECT token, df0, df1,
+       CAST(round(1000000 * abs(
+         ln((df0 + 1.0) / (n0.n + 1)) - ln((df1 + 1.0) / (n1.n + 1))))
+            AS BIGINT) AS drift_e6
+FROM w,
+     (SELECT n FROM hn WHERE half = 0) n0,
+     (SELECT n FROM hn WHERE half = 1) n1
+ORDER BY drift_e6 DESC, token LIMIT 20
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -9961,6 +10150,8 @@ QUERIES = {
     "bowtie_crawl_graph": bowtie_crawl_graph,
     "token_entropy_by_source": token_entropy_by_source,
     "late_event_stats": late_event_stats,
+    "source_vocab_overlap": source_vocab_overlap,
+    "token_drift_halves": token_drift_halves,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -10107,4 +10298,6 @@ ORACLES = {
     "zorder_events_layout": ZORDER_EVENTS_SQL,
     "token_entropy_by_source": TOKEN_ENTROPY_SQL,
     "late_event_stats": LATE_EVENT_SQL,
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
+    "token_drift_halves": TOKEN_DRIFT_SQL,
 }

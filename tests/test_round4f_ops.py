@@ -649,6 +649,64 @@ def test_late_event_stats_ordered_stream(ray_session, tmp_path):
     assert int(out["n_total"].iloc[0]) == n
 
 
+# --------------------------------------- vocab overlap / token drift
+
+
+def test_source_vocab_overlap_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import source_vocab_overlap
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["source", "text"])
+    vocab = {}
+    for src, g in df.groupby("source"):
+        v = set()
+        for t in g["text"]:
+            v.update(t.split(" "))
+        vocab[src] = v
+    srcs = sorted(vocab)
+    exp = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                j = inter / (len(vocab[a]) + len(vocab[b]) - inter)
+                exp[(a, b)] = (inter, _rha(1e6 * j))
+    out = to_pandas(source_vocab_overlap(SF))
+    got = {(r.src_a, r.src_b): (int(r.inter), int(r.jaccard_e6))
+           for r in out.itertuples()}
+    assert got == exp
+
+
+def test_token_drift_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import token_drift_halves
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df0 = Counter()
+    df1 = Counter()
+    n0 = n1 = 0
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = set(t.split(" "))
+        if did % 2 == 0:
+            n0 += 1
+            df0.update(toks)
+        else:
+            n1 += 1
+            df1.update(toks)
+    rows = []
+    for tok in set(df0) | set(df1):
+        s = abs(math.log((df0.get(tok, 0) + 1.0) / (n0 + 1))
+                - math.log((df1.get(tok, 0) + 1.0) / (n1 + 1)))
+        rows.append((-_rha(1e6 * s), tok, df0.get(tok, 0),
+                     df1.get(tok, 0)))
+    rows.sort()
+    exp = [(t, d0, d1, -ns) for ns, t, d0, d1 in rows[:20]]
+    out = to_pandas(token_drift_halves(SF))
+    got = list(zip(out["token"], out["df0"], out["df1"],
+                   out["drift_e6"]))
+    assert [(t, int(a), int(b), int(s)) for t, a, b, s in got] == exp
+
+
 # --------------------------------------------- crawl graph stats
 
 
