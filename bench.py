@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "pca_project_embeddings",      # r4e: distributed PCA stats pass
     "source_percentile_scores",    # r4e: grouped percent-rank normalize
     "mmr_rerank_docs",             # r4e: diversified re-rank chain
+    "nb_lang_fit_predict",         # r4f: on-cluster NB fit + inference
+    "token_entropy_by_source",     # r4f: info-theoretic corpus stats
+    "ndcg_bm25_eval",              # r4f: retrieval-quality evaluation
+    "zorder_events_layout",        # r4f: Z-order layout rewrite (sort)
 ]
 
 

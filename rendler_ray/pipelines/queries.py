@@ -9972,6 +9972,77 @@ ORDER BY drift_e6 DESC, token LIMIT 20
 """
 
 
+def jl_project_embeddings(sf_dir: str, out_dim: int = 16):
+    """Johnson–Lindenstrauss random projection of the embedding table
+    (64 → ``out_dim`` dims, Gaussian sketch scaled 1/√d — JL'84,
+    Achlioptas JCSS'03): the OBLIVIOUS dimensionality reduction a
+    pipeline uses when PCA's stats pass is too expensive or the sketch
+    must be data-independent (streaming arrivals project identically
+    forever). The projection matrix is a seeded ``default_rng`` draw
+    (deterministic, broadcast once via ``ray.put``); the pass is
+    shuffle-free batched matmul. Output (vec_id, i, proj_e6) — e6
+    fixed-point per coordinate; golden-pinned (a random matrix has no
+    SQL form), with a distance-preservation property pytest."""
+    rng = np.random.default_rng(20260819)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    proj = rng.standard_normal((64, out_dim)) / np.sqrt(out_dim)
+    pref = ray.put(proj)
+
+    def project(t: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])
+        p = m @ ray.get(pref)
+        n, d = p.shape
+        ids = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), d)
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "i": pa.array(dims, pa.int64()),
+            "proj_e6": pa.array(_round_half_away(1e6 * p.ravel()),
+                                pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def stratified_kfold_docs(sf_dir: str, k: int = 5):
+    """Stratified k-fold cross-validation assignment (per-SOURCE
+    stratification so every fold sees each domain's proportional
+    share — the sklearn StratifiedKFold contract, distributed): fold =
+    (per-source md5-hash rank − 1) mod k. Deterministic membership
+    (the stratified-sample md5 convention), one shuffle on the
+    O(sources)-bounded rank groupby — per-batch rows pre-carry their
+    hash so the grouped finisher only ranks. Output
+    (doc_id, source, fold), hash-exact vs the SQL window oracle."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(f"{i}-kf1".encode()).hexdigest()
+             for i in t["doc_id"].to_pylist()]
+        return t.append_column("_h", pa.array(h, pa.string()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g["_h"].rank(method="first").astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "source": g["source"].to_numpy(),
+            "fold": ((rk - 1) % k).to_numpy(np.int64)})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("source").map_groups(fold, batch_format="pandas"))
+
+
+STRATIFIED_KFOLD_SQL = """
+SELECT doc_id, source,
+       CAST((row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || '-kf1')) - 1) % 5
+            AS BIGINT) AS fold
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -10152,6 +10223,8 @@ QUERIES = {
     "late_event_stats": late_event_stats,
     "source_vocab_overlap": source_vocab_overlap,
     "token_drift_halves": token_drift_halves,
+    "jl_project_embeddings": jl_project_embeddings,
+    "stratified_kfold_docs": stratified_kfold_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -10300,4 +10373,5 @@ ORACLES = {
     "late_event_stats": LATE_EVENT_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
     "token_drift_halves": TOKEN_DRIFT_SQL,
+    "stratified_kfold_docs": STRATIFIED_KFOLD_SQL,
 }

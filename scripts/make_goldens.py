@@ -82,6 +82,7 @@ GOLDEN_QUERIES = [
     "crawl_graph_stats",
     "dp_source_counts",
     "bowtie_crawl_graph",
+    "jl_project_embeddings",
 ]
 
 

@@ -707,6 +707,66 @@ def test_token_drift_vs_brute(ray_session):
     assert [(t, int(a), int(b), int(s)) for t, a, b, s in got] == exp
 
 
+# ------------------------------------------------ JL / k-fold
+
+
+def test_jl_distance_preservation(ray_session):
+    from rendler_ray.pipelines.queries import jl_project_embeddings
+
+    out = to_pandas(jl_project_embeddings(SF))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    orig = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(emb["vec_id"], emb["embedding"])}
+    proj = {}
+    for vid, g in out.groupby("vec_id"):
+        proj[int(vid)] = g.sort_values("i")["proj_e6"].to_numpy() / 1e6
+    assert set(proj) == set(orig)
+    assert all(len(v) == 16 for v in proj.values())
+    # JL property: squared distances preserved in expectation; with
+    # d=16 individual pairs fluctuate, so check the mean ratio over
+    # many pairs is near 1 and no pair is wildly distorted
+    rng = np.random.default_rng(5)
+    ids = sorted(orig)
+    ratios = []
+    for _ in range(200):
+        a, b = rng.choice(ids, 2, replace=False)
+        d0 = np.sum((orig[a] - orig[b]) ** 2)
+        d1 = np.sum((proj[a] - proj[b]) ** 2)
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert abs(r.mean() - 1.0) < 0.15
+    assert (r > 0.2).all() and (r < 5.0).all()
+    # determinism: same seed, same sketch
+    out2 = to_pandas(jl_project_embeddings(SF))
+    assert (out.sort_values(["vec_id", "i"])["proj_e6"].to_numpy()
+            == out2.sort_values(["vec_id", "i"])["proj_e6"].to_numpy()
+            ).all()
+
+
+def test_stratified_kfold_vs_brute_and_balance(ray_session):
+    import hashlib
+
+    from rendler_ray.pipelines.queries import stratified_kfold_docs
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"])
+    exp = {}
+    for src, g in df.groupby("source"):
+        hs = sorted((hashlib.md5(f"{d}-kf1".encode()).hexdigest(), d)
+                    for d in g["doc_id"])
+        for rk, (_, d) in enumerate(hs):
+            exp[int(d)] = rk % 5
+    out = to_pandas(stratified_kfold_docs(SF))
+    got = dict(zip(out["doc_id"].astype(int), out["fold"].astype(int)))
+    assert got == exp
+    # stratification: within every source, fold sizes differ by ≤ 1
+    for src, g in out.groupby("source"):
+        sizes = g["fold"].value_counts()
+        assert sizes.max() - sizes.min() <= 1, src
+
+
 # --------------------------------------------- crawl graph stats
 
 
