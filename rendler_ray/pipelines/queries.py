@@ -7272,22 +7272,8 @@ def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
     ``ray.put``; the scoring pass is shuffle-free. All-integer output
     (doc_id, n_tokens, n_oov) — hash-exact vs SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def tok_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.split_pattern(t["text"].combine_chunks(), " "))
-        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
-            .value_counts(sort=False)
-        return pa.table({
-            "token": pa.array(vc.index.tolist(), pa.string()),
-            "c": pa.array(vc.to_numpy(np.int64)),
-        })
-
-    freq = (ds.map_batches(tok_counts, batch_format="pyarrow")
-            .groupby("token").aggregate(Sum("c", alias_name="c")))
-    top = freq.sort(["c", "token"], descending=[True, False]) \
-        .limit(vocab_k).take_all()
-    vocab = frozenset(r["token"] for r in top)
+    # driver fold below the _token_freq_topk gate, distributed above
+    vocab = frozenset(_token_freq_topk(ds, vocab_k))
     vref = ray.put(vocab)
 
     def score(t: pa.Table) -> pa.Table:
@@ -8834,6 +8820,48 @@ FROM nb ORDER BY bucket
 """
 
 
+def _token_freq_topk(ds, k: int, driver_max: int = 2_000_000):
+    """Top-``k`` tokens of a (…, text) Dataset by (freq desc, token
+    asc) — the vocabulary cut shared by oov_rate_docs /
+    nb_lang_fit_predict. Per-batch value_counts partials stream to the
+    driver and fold through Arrow's C++ hash aggregate while the
+    partial-row total stays ≤ ``driver_max`` (zero shuffles — a
+    distributed sort+limit of a vocab-sized table costs ~4 s of pure
+    exchange fixed costs at 32 cpus, the ccnet/tfidf finding); past
+    the gate it falls back to the distributed groupby + sort + limit
+    with identical output (two-form equality pytest-asserted)."""
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
+            .value_counts(sort=False)
+        return pa.table({
+            "token": pa.array(vc.index.tolist(), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    partials = ds.map_batches(tok_counts, batch_format="pyarrow")
+    tables, n, over = [], 0, False
+    for b in partials.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        tables.append(b)
+        n += b.num_rows
+        if n > driver_max:
+            over = True
+            break
+    if not over:
+        if n == 0:
+            return []
+        t = pa.concat_tables(tables).group_by("token") \
+            .aggregate([("c", "sum")]).rename_columns(["token", "c"])
+        df = t.to_pandas().sort_values(["c", "token"],
+                                       ascending=[False, True])
+        return df["token"].head(k).tolist()
+    freq = partials.groupby("token").aggregate(Sum("c", alias_name="c"))
+    top = freq.sort(["c", "token"], descending=[True, False]) \
+        .limit(k).take_all()
+    return [x["token"] for x in top]
+
+
 def _round_half_away(x: "np.ndarray") -> "np.ndarray":
     """DuckDB ``round()``'s half-away-from-zero rule as int64 (np.rint
     rounds half-to-even — a silent oracle mismatch at exact halves)."""
@@ -8841,7 +8869,8 @@ def _round_half_away(x: "np.ndarray") -> "np.ndarray":
                     np.ceil(x - 0.5)).astype(np.int64)
 
 
-def nb_lang_fit_predict(sf_dir: str, vocab_k: int = 2000):
+def nb_lang_fit_predict(sf_dir: str, vocab_k: int = 2000,
+                        fit_driver_max: int = 4_000_000):
     """Supervised Naive-Bayes language-classifier FIT + inference, both
     on-cluster — the fastText-lite train/apply loop a data pipeline
     runs to replace a heuristic lang-ID with a corpus-fitted one
@@ -8872,47 +8901,81 @@ def nb_lang_fit_predict(sf_dir: str, vocab_k: int = 2000):
     train = ds.map_batches(_split(True), batch_format="pyarrow")
     test = ds.map_batches(_split(False), batch_format="pyarrow")
 
-    # ---- vocab: top-K train tokens (freq desc, token asc)
-    def tok_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.split_pattern(t["text"].combine_chunks(), " "))
-        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
-            .value_counts(sort=False)
-        return pa.table({
-            "token": pa.array(vc.index.tolist(), pa.string()),
-            "c": pa.array(vc.to_numpy(np.int64))})
-
-    freq = (train.map_batches(tok_counts, batch_format="pyarrow")
-            .groupby("token").aggregate(Sum("c", alias_name="c")))
-    top = freq.sort(["c", "token"], descending=[True, False]) \
-        .limit(vocab_k).take_all()
-    vocab = [x["token"] for x in top]
-    vset = frozenset(vocab)
-    tok_idx = {tok: i for i, tok in enumerate(vocab)}
-    V = len(vocab)
-    vref = ray.put((vset, tok_idx))
-
-    # ---- per-(lang, vocab-token) counts: bounded partials per batch
-    def lang_tok(t: pa.Table) -> pa.Table:
+    # ---- ONE fused fit pass: per-(lang, token) counts over ALL train
+    # tokens + per-lang DOC counts as sentinel rows (tokens never
+    # contain a space, so " " marks the doc-count row — the bm25
+    # trick). Partials stream to the driver and fold through Arrow's
+    # C++ hash aggregate while the row total stays under the gate —
+    # the vocabulary is then the TOKEN MARGINAL's top-K (identical to
+    # a separate frequency pass) and the model restricts to it. Past
+    # the gate: two distributed passes (vocab cut, then
+    # vocab-restricted count groupby) with identical output.
+    def lang_tok_all(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"].combine_chunks(), " ")
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         langs = t["lang"].to_numpy(zero_copy_only=False)[par]
-        vs, _ = ray.get(vref)
-        m = pd.Series(flat).isin(vs).to_numpy()
-        g = (pd.DataFrame({"lang": langs[m], "token": flat[m]})
+        g = (pd.DataFrame({"lang": langs, "token": flat})
              .groupby(["lang", "token"], sort=False).size()
              .reset_index(name="c"))
+        docs = (pd.Series(t["lang"].to_numpy(zero_copy_only=False))
+                .value_counts(sort=False))
         return pa.table({
-            "lang": pa.array(g["lang"].tolist(), pa.string()),
-            "token": pa.array(g["token"].tolist(), pa.string()),
-            "c": pa.array(g["c"].to_numpy(np.int64))})
+            "lang": pa.array(g["lang"].tolist() + docs.index.tolist(),
+                             pa.string()),
+            "token": pa.array(g["token"].tolist() + [" "] * len(docs),
+                              pa.string()),
+            "c": pa.array(np.concatenate(
+                [g["c"].to_numpy(np.int64),
+                 docs.to_numpy(np.int64)]))})
 
-    cnt = (train.map_batches(lang_tok, batch_format="pyarrow")
-           .groupby(["lang", "token"]).aggregate(Sum("c", alias_name="c"))
-           .take_all())  # ≤ langs × vocab_k rows — the model table
-    priors_rows = (train.groupby("lang")
-                   .aggregate(Count(alias_name="n")).take_all())
+    fparts = train.map_batches(lang_tok_all, batch_format="pyarrow")
+    tables, nrows, over = [], 0, False
+    for b in fparts.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        tables.append(b)
+        nrows += b.num_rows
+        if nrows > fit_driver_max:
+            over = True
+            break
+    if not over:
+        if nrows == 0:
+            fused = []
+            vocab = []
+        else:
+            ft = pa.concat_tables(tables).group_by(
+                ["lang", "token"]).aggregate([("c", "sum")]) \
+                .rename_columns(["lang", "token", "c"])
+            marg = (ft.filter(pc.not_equal(ft["token"], " "))
+                    .group_by("token").aggregate([("c", "sum")])
+                    .rename_columns(["token", "c"]).to_pandas()
+                    .sort_values(["c", "token"],
+                                 ascending=[False, True]))
+            vocab = marg["token"].head(vocab_k).tolist()
+            fused = ft.to_pylist()
+    else:
+        vocab = _token_freq_topk(train, vocab_k)
+        vs_ref = ray.put(frozenset(vocab))
+
+        def lang_tok(t: pa.Table) -> pa.Table:
+            full = lang_tok_all(t)
+            keep = pd.Series(
+                full["token"].to_numpy(zero_copy_only=False)).isin(
+                ray.get(vs_ref)).to_numpy() | pc.equal(
+                full["token"], " ").to_numpy(zero_copy_only=False)
+            return full.filter(pa.array(keep))
+
+        fused = (train.map_batches(lang_tok, batch_format="pyarrow")
+                 .groupby(["lang", "token"])
+                 .aggregate(Sum("c", alias_name="c"))
+                 .take_all())  # ≤ langs × (vocab_k + 1) rows
+    vset = frozenset(vocab)
+    tok_idx = {tok: i for i, tok in enumerate(vocab)}
+    V = len(vocab)
+    vref = ray.put((vset, tok_idx))
+    cnt = [x for x in fused if x["token"] in vset]
+    priors_rows = [{"lang": x["lang"], "n": x["c"]}
+                   for x in fused if x["token"] == " "]
     n_train = sum(int(x["n"]) for x in priors_rows)
     langs = sorted(x["lang"] for x in priors_rows)
     L = len(langs)

@@ -323,6 +323,16 @@ def test_nb_lang_vs_brute(ray_session):
     assert len(got) == len(test)
 
 
+def test_nb_lang_two_form_equality(ray_session):
+    """Driver-folded fit (default) == forced-distributed fallback
+    (fit_driver_max=0): the gate must be invisible in output."""
+    a = to_pandas(nb_lang_fit_predict(SF)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = to_pandas(nb_lang_fit_predict(SF, fit_driver_max=0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 # ------------------------------------------------- shard balance plan
 
 
