@@ -10106,6 +10106,51 @@ FROM documents
 """
 
 
+def docs_ipc_export_roundtrip(sf_dir: str):
+    """Sink + source coverage, Arrow IPC leg (the parquet/CSV/JSONL
+    roundtrips' zero-parse sibling — the format an Arrow-native
+    consumer (Flight/mmap trainer loader) reads without decode):
+    export the documents table to one ``.arrow`` IPC file per block —
+    written to a temp name then atomically renamed, the resumable-sink
+    convention, shard-named by min doc_id so a rerun overwrites
+    deterministically — then read back through a CUSTOM binary
+    source (``read_binary_files`` → per-task ``pa.ipc.open_file``),
+    bit-exactly (the §2.10 extension seam: Ray has no IPC sink, so
+    this IS the map_batches custom-sink pattern)."""
+    import shutil
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+    path = f"{_ckpt_root()}/ipc_export"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        mn = int(pc.min(t["doc_id"]).as_py())
+        fn = os.path.join(path, f"part-{mn:012d}.arrow")
+        tmp = fn + ".tmp"
+        with pa.OSFile(tmp, "wb") as f, \
+                pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        os.rename(tmp, fn)
+        return pa.table({"path": pa.array([fn], pa.string()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write_shard, batch_size=None, zero_copy_batch=True,
+                   batch_format="pyarrow").materialize()
+
+    def parse(t: pa.Table) -> pa.Table:
+        tabs = [pa.ipc.open_file(pa.BufferReader(x.as_py())).read_all()
+                for x in t["bytes"]]
+        return pa.concat_tables(tabs).select(cols)
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -10288,6 +10333,7 @@ QUERIES = {
     "token_drift_halves": token_drift_halves,
     "jl_project_embeddings": jl_project_embeddings,
     "stratified_kfold_docs": stratified_kfold_docs,
+    "docs_ipc_export_roundtrip": docs_ipc_export_roundtrip,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -10423,6 +10469,7 @@ ORACLES = {
     "bitext_mine_pairs": BITEXT_SQL,
     "source_percentile_scores": SOURCE_PCTL_SQL,
     "docs_csv_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
+    "docs_ipc_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
     "label_centroids_embeddings": LABEL_CENTROIDS_SQL,
     "vocab_growth_curve": VOCAB_GROWTH_SQL,
     "nb_lang_fit_predict": NB_LANG_SQL,
