@@ -10151,6 +10151,638 @@ def docs_ipc_export_roundtrip(sf_dir: str):
         parse, batch_format="pyarrow")
 
 
+# ==================================================== round-4g op families
+# lakehouse maintenance (MERGE/CDC apply, hive-partitioned layout),
+# SCD2 history build, LOCF gap fill, robust (median/MAD) outliers,
+# greedy k-center coreset selection.
+
+
+def _docs_cdc_changes(sf_dir: str):
+    """Deterministic CDC change feed over ``documents`` (the merge op's
+    input): ~3% of rows become updates (doc_id % 97 == 3 → n_chars+1000,
+    source 'patched'), ~1% deletes (% 97 == 7), ~1% inserts (% 97 == 11
+    → a clone at doc_id + 10^9, source 'inserted'). Derived by one
+    stateless map pass — the op under test (:func:`merge_upsert_docs`)
+    treats the feed as OPAQUE (no predicate pushback into the base
+    scan), exactly like a real CDC batch."""
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        m = ids % 97
+        u, d, i = m == 3, m == 7, m == 11
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids[u], ids[d], ids[i] + 1_000_000_000]), pa.int64()),
+            "op": pa.array(["U"] * int(u.sum()) + ["D"] * int(d.sum())
+                           + ["I"] * int(i.sum()), pa.string()),
+            "n_chars": pa.array(np.concatenate(
+                [nch[u] + 1000, np.zeros(int(d.sum()), np.int64),
+                 nch[i]]), pa.int64()),
+            "source": pa.array(["patched"] * int(u.sum())
+                               + [""] * int(d.sum())
+                               + ["inserted"] * int(i.sum()), pa.string()),
+        })
+
+    return base.map_batches(emit, batch_format="pyarrow")
+
+
+def merge_upsert_docs(sf_dir: str, driver_max: int = 2_000_000):
+    """MERGE INTO / CDC-apply — the lakehouse upsert every incremental
+    corpus refresh runs: apply a change feed (update / delete / insert
+    rows keyed by doc_id) to the base table in ONE pass over the base.
+
+    Scale shape: a CDC batch is small relative to the base, so below
+    ``driver_max`` change rows the feed broadcasts once (``ray.put``)
+    into a stateless base-side filter+patch pass — the base table
+    streams, nothing shuffles. Above the gate it becomes a left outer
+    hash join base ⋈ changes on doc_id (the only all-to-all, sized by
+    the base's key column) with the same vectorized patch applied
+    post-join. Both forms union the insert rows at the end; two-form
+    equality is pytest-asserted (tests/test_round4g_ops.py)."""
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+    changes = _docs_cdc_changes(sf_dir)
+    n_ch = changes.count()
+
+    if n_ch <= driver_max:
+        ch = pa.concat_tables(changes.iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        ops = ch["op"].to_numpy(zero_copy_only=False)
+        ids = ch["doc_id"].to_numpy(zero_copy_only=False)
+        upd_ids = ids[ops == "U"]
+        upd_nch = ch["n_chars"].to_numpy(zero_copy_only=False)[ops == "U"]
+        del_ids = ids[ops == "D"]
+        ref = ray.put((upd_ids, upd_nch, del_ids))
+
+        def patch(t: pa.Table) -> pa.Table:
+            u_ids, u_nch, d_ids = ray.get(ref)
+            bid = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(bid, d_ids)
+            bid = bid[keep]
+            nch = t["n_chars"].to_numpy(zero_copy_only=False)[keep]
+            src = t["source"].to_numpy(zero_copy_only=False)[keep]
+            um = np.isin(bid, u_ids)
+            if um.any():
+                pos = pd.Index(u_ids).get_indexer(bid[um])
+                nch = nch.copy()
+                nch[um] = u_nch[pos]
+                src = src.copy()
+                src[um] = "patched"
+            return pa.table({"doc_id": pa.array(bid, pa.int64()),
+                             "n_chars": pa.array(nch, pa.int64()),
+                             "source": pa.array(src, pa.string())})
+
+        merged = base.map_batches(patch, batch_format="pyarrow")
+        ins = ch.filter(pc.equal(ch["op"], "I")).select(
+            ["doc_id", "n_chars", "source"])
+        return merged.union(rd.from_arrow(ins))
+
+    # distributed form: one hash join keyed on doc_id
+    ud = changes.map_batches(
+        lambda t: t.filter(pc.not_equal(t["op"], "I")).rename_columns(
+            ["ch_doc_id", "op", "ch_n_chars", "ch_source"]),
+        batch_format="pyarrow")
+    j = base.join(ud, join_type="left_outer", num_partitions=8,
+                  on=("doc_id",), right_on=("ch_doc_id",))
+
+    def patch_joined(t: pa.Table) -> pa.Table:
+        op = pc.fill_null(t["op"], "").to_numpy(zero_copy_only=False)
+        keep = op != "D"
+        bid = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)[keep]
+        src = t["source"].to_numpy(zero_copy_only=False)[keep]
+        cn = pc.fill_null(t["ch_n_chars"], -1).to_numpy(
+            zero_copy_only=False)[keep]
+        um = op[keep] == "U"
+        nch = np.where(um, cn, nch)
+        src = np.where(um, "patched", src)
+        return pa.table({"doc_id": pa.array(bid, pa.int64()),
+                         "n_chars": pa.array(nch, pa.int64()),
+                         "source": pa.array(src.astype(object), pa.string())})
+
+    merged = j.map_batches(patch_joined, batch_format="pyarrow")
+    ins = changes.map_batches(
+        lambda t: t.filter(pc.equal(t["op"], "I")).select(
+            ["doc_id", "n_chars", "source"]), batch_format="pyarrow")
+    return merged.union(ins)
+
+
+MERGE_UPSERT_SQL = """
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, n_chars + 1000 AS n_chars,
+         'patched' AS source FROM documents WHERE doc_id % 97 = 3
+  UNION ALL
+  SELECT doc_id, 'D', 0, '' FROM documents WHERE doc_id % 97 = 7
+  UNION ALL
+  SELECT doc_id + 1000000000, 'I', n_chars, 'inserted'
+  FROM documents WHERE doc_id % 97 = 11
+)
+SELECT d.doc_id,
+       CAST(COALESCE(u.n_chars, d.n_chars) AS BIGINT) AS n_chars,
+       COALESCE(u.source, d.source) AS source
+FROM documents d
+LEFT JOIN (SELECT * FROM ch WHERE op = 'U') u USING (doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM ch
+                  WHERE ch.op = 'D' AND ch.doc_id = d.doc_id)
+UNION ALL
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+FROM ch WHERE op = 'I'
+"""
+
+
+def scd2_user_type_history(sf_dir: str):
+    """Slowly-changing-dimension type-2 history build — collapse each
+    user's event stream into validity intervals: one row per
+    consecutive RUN of equal event_type, with [valid_from, valid_to)
+    epoch-second bounds (open current interval → sentinel 4102444800 =
+    2100-01-01) and a 1-based version counter. The dimension-table
+    build every warehouse ingest runs.
+
+    Scale shape: groupby(user_id) co-locates each key's stream exactly
+    once (hash-sharded at scale); the per-group pass is one vectorized
+    sort + change-point diff — no per-event state store, no driver
+    state. Strict (ts, event_id) ordering on both sides makes the SQL
+    window oracle exact."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    sentinel = 4102444800
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        chg = np.ones(len(g), bool)
+        chg[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(chg)
+        vf = ts[starts] // 1_000_000
+        vt = np.empty_like(vf)
+        vt[:-1] = vf[1:]
+        vt[-1] = sentinel
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64)[starts],
+            "event_type": et[starts],
+            "version": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "valid_from": vf, "valid_to": vt})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM e
+),
+v AS (
+  SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from
+  FROM r GROUP BY user_id, event_type, version
+)
+SELECT user_id, event_type, version, valid_from,
+       COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY version),
+                4102444800) AS valid_to
+FROM v
+"""
+
+
+def gap_fill_hourly_values(sf_dir: str):
+    """Time-series gap fill with last-observation-carried-forward — the
+    metrics/sensor resample every monitoring pipeline runs: per
+    event_type, the hourly MAX observed value (cents), densified onto
+    the full hour grid [global min hour, global max hour] with missing
+    hours carried forward from the last observed hour (−1 before a
+    type's first observation; ``observed`` flags real points).
+
+    Scale shape: the only corpus-sized work is one shuffle-free
+    map pass + a (type × hour) grouped Max whose OUTPUT is
+    time-range-bounded, not corpus-bounded (hours in the data's time
+    span × event types) — so the driver-side densify/fill is O(grid),
+    independent of row count. DuckDB oracle uses generate_series +
+    LAST_VALUE IGNORE NULLS over the identical grid."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def obs_batch(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour_epoch": ts // 3_600_000_000 * 3600,
+            "v": _cents(t["value"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "hour_epoch"], sort=False) \
+              .agg(v=("v", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    obs = (ds.map_batches(obs_batch, batch_format="pyarrow")
+           .groupby(["event_type", "hour_epoch"])
+           .aggregate(Max("v", alias_name="v")))
+    rows = obs.take_all()  # bounded: |types| x |hours in time range|
+    if not rows:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "hour_epoch": pa.array([], pa.int64()),
+                         "value_c": pa.array([], pa.int64()),
+                         "observed": pa.array([], pa.int64())})
+    h0 = min(r["hour_epoch"] for r in rows)
+    h1 = max(r["hour_epoch"] for r in rows)
+    grid = np.arange(h0, h1 + 1, 3600, dtype=np.int64)
+    bytype: dict[str, list] = {}
+    for r in rows:
+        bytype.setdefault(r["event_type"], []).append(
+            (r["hour_epoch"], r["v"]))
+    out_t, out_h, out_v, out_o = [], [], [], []
+    for et in sorted(bytype):
+        vals = np.full(len(grid), -1, np.int64)
+        seen = np.zeros(len(grid), np.int64)
+        for h, v in bytype[et]:
+            ix = (h - h0) // 3600
+            vals[ix] = v
+            seen[ix] = 1
+        last = np.maximum.accumulate(
+            np.where(seen == 1, np.arange(len(grid)), -1))
+        filled = np.where(last >= 0, vals[np.maximum(last, 0)], -1)
+        out_t.extend([et] * len(grid))
+        out_h.append(grid)
+        out_v.append(filled)
+        out_o.append(seen)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "hour_epoch": pa.array(np.concatenate(out_h), pa.int64()),
+        "value_c": pa.array(np.concatenate(out_v), pa.int64()),
+        "observed": pa.array(np.concatenate(out_o), pa.int64())})
+
+
+GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         max(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(hour_epoch) AS h0, max(hour_epoch) AS h1 FROM obs),
+grid AS (
+  SELECT t.event_type, g.h AS hour_epoch
+  FROM (SELECT DISTINCT event_type FROM obs) t,
+       (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b) g
+),
+j AS (
+  SELECT grid.event_type, grid.hour_epoch, obs.v,
+         CASE WHEN obs.v IS NULL THEN 0 ELSE 1 END AS observed
+  FROM grid LEFT JOIN obs USING (event_type, hour_epoch)
+)
+SELECT event_type, hour_epoch,
+       COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_epoch
+           ROWS UNBOUNDED PRECEDING), -1) AS value_c,
+       CAST(observed AS BIGINT) AS observed
+FROM j
+"""
+
+
+def docs_hive_partition_roundtrip(sf_dir: str):
+    """Hive-partitioned lakehouse layout + partition-PRUNED read-back:
+    write documents partitioned by ``lang`` (one ``lang=<v>/``
+    directory per value — the layout that makes per-language corpus
+    jobs free), then read ONLY the lexicographically-first language's
+    directory back. The read never opens any other partition's files —
+    directory-level pruning, the strongest predicate pushdown there is.
+    Round-trip is oracle-checked against a plain filtered scan."""
+    import shutil
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    langs = set()
+    for b in ds.map_batches(
+            lambda t: pa.table({"lang": pc.unique(t["lang"])}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        langs.update(b["lang"].to_pylist())
+    lang0 = min(langs)
+    out = (f"/tmp/rendler_ray_hive/docs-"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out, partition_cols=["lang"])
+    part = rd.read_parquet(os.path.join(out, f"lang={lang0}"))
+    return part.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "lang": pa.array([lang0] * t.num_rows, pa.string()),
+            "n_chars": t["n_chars"]}),
+        batch_format="pyarrow")
+
+
+HIVE_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = (SELECT min(lang) FROM documents)
+"""
+
+
+def robust_outlier_docs(sf_dir: str, n_hist: int = 1024):
+    """Robust per-source outlier detection (median/MAD, the
+    length-anomaly screen that survives heavy-tailed length
+    distributions where mean/stddev z-scores don't): keep docs whose
+    length deviates from their OWN source's exact median by more than
+    3.5 robust units, i.e. |x − med| > 3.5 · MAD with MAD =
+    median(|x − med|).
+
+    Scale shape: two grouped EXACT medians via the shared
+    histogram-bisection engine (``_grouped_value_bisect`` — no
+    per-group sorts, O(sources) driver state, ≈log(range) streaming
+    passes each); the per-source med/MAD tables broadcast into a
+    stateless filter. All arithmetic in the lo+hi doubled-median
+    convention so the comparison 4·dev > 7·mad2 is pure int64 and the
+    SQL oracle is hash-exact (dev = 2|x − med| ⇒ |x−med| > 3.5·MAD ⟺
+    4·dev > 7·mad2)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    agg = ds.aggregate(Min("n_chars", alias_name="lo"),
+                       Max("n_chars", alias_name="hi"),
+                       Count(alias_name="n"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "n_chars": pa.array([], pa.int64())})
+    if not (agg["n"] or 0):
+        return empty
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+
+    cnts = (ds.groupby("source")
+            .aggregate(Count(alias_name="n")).take_all())
+    state: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        state[(r["source"], 0)] = [lo, hi, (n + 1) // 2]
+        state[(r["source"], 1)] = [lo, hi, n // 2 + 1]
+    sel = _grouped_value_bisect(ds, "source", "n_chars", state, n_hist)
+    med2 = {s: sel[(s, 0)] + sel[(s, 1)] for s in {k[0] for k in state}}
+    mref = ray.put(med2)
+
+    def dev_batch(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        m2 = np.fromiter((m[s] for s in srcs), np.int64, len(srcs))
+        return t.append_column(
+            "dev", pa.array(np.abs(2 * x - m2), pa.int64()))
+
+    devds = ds.map_batches(dev_batch, batch_format="pyarrow")
+    dagg = devds.aggregate(Min("dev", alias_name="lo"),
+                           Max("dev", alias_name="hi"))
+    dlo, dhi = int(dagg["lo"]), int(dagg["hi"])
+    dstate: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        dstate[(r["source"], 0)] = [dlo, dhi, (n + 1) // 2]
+        dstate[(r["source"], 1)] = [dlo, dhi, n // 2 + 1]
+    dsel = _grouped_value_bisect(devds, "source", "dev", dstate, n_hist)
+    mad2 = {s: dsel[(s, 0)] + dsel[(s, 1)]
+            for s in {k[0] for k in dstate}}
+    madref = ray.put(mad2)
+
+    def gate(t: pa.Table) -> pa.Table:
+        md = ray.get(madref)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        dv = t["dev"].to_numpy(zero_copy_only=False)
+        m2 = np.fromiter((md[s] for s in srcs), np.int64, len(srcs))
+        return t.filter(pa.array(4 * dv > 7 * m2)).select(
+            ["doc_id", "source", "n_chars"])
+
+    out = devds.map_batches(gate, batch_format="pyarrow").materialize()
+    # a fully-empty filter result drops block schemas downstream —
+    # return the typed empty table instead (legit outcome: a corpus
+    # with no 3.5-MAD length outliers)
+    return empty if out.count() == 0 else out
+
+
+ROBUST_OUTLIER_SQL = """
+WITH m AS (
+  SELECT source,
+         CAST((list(n_chars ORDER BY n_chars))[(count(*)+1)//2]
+            + (list(n_chars ORDER BY n_chars))[count(*)//2+1]
+              AS BIGINT) AS med2
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT doc_id, documents.source, n_chars,
+         abs(2 * n_chars - med2) AS dev
+  FROM documents JOIN m USING (source)
+),
+md AS (
+  SELECT source,
+         CAST((list(dev ORDER BY dev))[(count(*)+1)//2]
+            + (list(dev ORDER BY dev))[count(*)//2+1]
+              AS BIGINT) AS mad2
+  FROM d GROUP BY source
+)
+SELECT doc_id, d.source, n_chars
+FROM d JOIN md USING (source)
+WHERE 4 * dev > 7 * mad2
+"""
+
+
+def kcenter_coreset_embeddings(sf_dir: str, k: int = 16):
+    """Greedy k-center coreset selection (Gonzalez'85 farthest-point
+    traversal) over the embedding corpus — the diversity-maximizing
+    data-selection pass (pick the k points that 2-approximate the
+    minimal covering radius; used for coreset construction and
+    active-learning seed sets). Seed = vec_id 0; each of the k−1
+    rounds is ONE streaming pass that (a) folds the new center's
+    squared-L2 distance into a persisted per-row min-distance column
+    and (b) reduces a per-batch (dist, vec_id) champion to the driver
+    — the corpus is never pulled, never all-pairs, and parallelism is
+    block-level. k full passes total (the algorithm is inherently
+    sequential in k; k is small by construction). Distances fixed to
+    e6 int64 with min-vec_id tie-break, so the selection is exact and
+    parallelism-invariant. Output: (rank, vec_id, radius_e6) — the
+    decreasing coverage-radius sequence. Rows-only (iterative);
+    golden-pinned + brute-force pytest."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    c0 = _query_vecs(sf_dir, 1)[0]
+
+    centers = [(0, 0)]  # (vec_id, radius_e6 at selection)
+    cur = c0
+
+    def upd_factory(center, first):
+        cref = ray.put(np.asarray(center, np.float64))
+
+        def upd(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            diff = m - c[None, :]
+            d = np.rint(np.einsum("ij,ij->i", diff, diff) * 1e6) \
+                .astype(np.int64)
+            if first:
+                mind = d
+            else:
+                mind = np.minimum(
+                    t["mind_e6"].to_numpy(zero_copy_only=False), d)
+            return pa.table({"vec_id": t["vec_id"],
+                             "embedding": t["embedding"],
+                             "mind_e6": pa.array(mind, pa.int64())})
+
+        return upd
+
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "mind_e6": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float32()))})
+        mind = t["mind_e6"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((vid, -mind))[0]
+        return t.select(["vec_id", "mind_e6", "embedding"]).slice(best, 1)
+
+    work = ds
+    for r in range(1, k):
+        work = work.map_batches(upd_factory(cur, r == 1),
+                                batch_format="pyarrow").materialize()
+        cands = work.map_batches(top1, batch_format="pyarrow").take_all()
+        best = max(cands, key=lambda c: (c["mind_e6"], -c["vec_id"]))
+        centers.append((int(best["vec_id"]), int(best["mind_e6"])))
+        cur = np.asarray(best["embedding"], np.float64)
+
+    return pa.table({
+        "rank": pa.array(range(len(centers)), pa.int64()),
+        "vec_id": pa.array([c[0] for c in centers], pa.int64()),
+        "radius_e6": pa.array([c[1] for c in centers], pa.int64())})
+
+
+def skew_join_user_spend(sf_dir: str):
+    """Skew-resistant fact⋈dim join (functions/join.py::skew_join —
+    exact hot keys via the two-pass heavy-hitter pattern broadcast
+    map-side, cold keys through the normal hash join): events (fact,
+    skewed user_id) ⋈ customer (dim) → per-segment spend. A plain hash
+    join serializes each hot key into one partition's task; the hybrid
+    spreads a hot key's work over every block that contains it. Values
+    fixed to cents per-row BEFORE the sum; the hybrid's output equals
+    the plain join row-for-row (pytest, incl. adversarial 50%-one-key
+    skew)."""
+    from rendler_ray.functions.join import skew_join
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    ev = ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "value_c": _cents(t["value"])}),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                  hot_eps=0.02)
+    return j.groupby("c_mktsegment").aggregate(
+        Sum("value_c", alias_name="spend_c"),
+        Count(alias_name="n_events"))
+
+
+SKEW_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+       count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def docs_schema_evolution_union(sf_dir: str):
+    """Schema-evolution ingestion (UNION BY NAME with fill — the
+    lakehouse append every evolving corpus hits: a new snapshot adds a
+    ``quality`` column and drops ``lang``): snapshot A = documents
+    as-is, snapshot B = a derived refresh (doc_id + 10^9, no lang,
+    quality = n_chars % 100) written to parquet and read back, then
+    aligned by COLUMN NAME with explicit fills (missing quality → −1,
+    missing lang → '') and unioned. Fills are sentinels, not NULLs, so
+    the hash compare stays integer/string-exact on both sides. The
+    union itself is metadata-only (no shuffle)."""
+    a = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def evolve(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids + 1_000_000_000, pa.int64()),
+            "n_chars": pa.array(nch, pa.int64()),
+            "quality": pa.array(nch % 100, pa.int64())})
+
+    out = (f"/tmp/rendler_ray_evo/docs-"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    a.map_batches(evolve, batch_format="pyarrow").write_parquet(out)
+    b = rd.read_parquet(out)
+
+    a2 = a.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_chars": t["n_chars"],
+            "quality": pa.array(np.full(t.num_rows, -1, np.int64))}),
+        batch_format="pyarrow")
+    b2 = b.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "lang": pa.array([""] * t.num_rows, pa.string()),
+            "n_chars": t["n_chars"], "quality": t["quality"]}),
+        batch_format="pyarrow")
+    return a2.union(b2)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id, lang, n_chars, -1 AS quality FROM documents
+UNION ALL
+SELECT doc_id + 1000000000 AS doc_id, '' AS lang, n_chars,
+       n_chars % 100 AS quality
+FROM documents
+"""
+
+
+def compact_docs_files(sf_dir: str):
+    """Small-file compaction (lakehouse OPTIMIZE's other half): a
+    64-way-fragmented copy of documents is rewritten into few
+    near-target-size files — the maintenance pass that keeps per-file
+    fixed costs (open/footer/stats) from dominating reads after many
+    small incremental appends. Emits one stats row
+    (files_before/after, rows, int64 checksums) proving the rewrite is
+    content-identical; at scale the same op runs per partition
+    directory so compaction parallelizes and stays resumable.
+    Deterministic; rows-only (file layout isn't SQL-visible),
+    golden-pinned."""
+    import shutil
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    src = f"/tmp/rendler_ray_compact/frag-{tag}"
+    dst = f"/tmp/rendler_ray_compact/compact-{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds.repartition(64).write_parquet(src)
+    files_before = len([f for f in os.listdir(src)
+                        if f.endswith(".parquet")])
+
+    frag = rd.read_parquet(src)
+    total = sum(os.path.getsize(os.path.join(src, f))
+                for f in os.listdir(src))
+    target = max(1, -(-total // (128 << 20)))  # ceil(bytes / 128MB)
+    frag.repartition(int(target)).write_parquet(dst)
+    files_after = len([f for f in os.listdir(dst)
+                       if f.endswith(".parquet")])
+
+    back = rd.read_parquet(dst)
+    chk = back.aggregate(Count(alias_name="rows"),
+                         Sum("doc_id", alias_name="sum_ids"),
+                         Sum("n_chars", alias_name="sum_chars"))
+    return pa.table({
+        "files_before": pa.array([files_before], pa.int64()),
+        "files_after": pa.array([files_after], pa.int64()),
+        "rows": pa.array([int(chk["rows"])], pa.int64()),
+        "sum_ids": pa.array([int(chk["sum_ids"])], pa.int64()),
+        "sum_chars": pa.array([int(chk["sum_chars"])], pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -10334,6 +10966,15 @@ QUERIES = {
     "jl_project_embeddings": jl_project_embeddings,
     "stratified_kfold_docs": stratified_kfold_docs,
     "docs_ipc_export_roundtrip": docs_ipc_export_roundtrip,
+    "merge_upsert_docs": merge_upsert_docs,
+    "scd2_user_type_history": scd2_user_type_history,
+    "gap_fill_hourly_values": gap_fill_hourly_values,
+    "docs_hive_partition_roundtrip": docs_hive_partition_roundtrip,
+    "robust_outlier_docs": robust_outlier_docs,
+    "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
+    "skew_join_user_spend": skew_join_user_spend,
+    "docs_schema_evolution_union": docs_schema_evolution_union,
+    "compact_docs_files": compact_docs_files,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -10484,4 +11125,11 @@ ORACLES = {
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
     "token_drift_halves": TOKEN_DRIFT_SQL,
     "stratified_kfold_docs": STRATIFIED_KFOLD_SQL,
+    "merge_upsert_docs": MERGE_UPSERT_SQL,
+    "scd2_user_type_history": SCD2_SQL,
+    "gap_fill_hourly_values": GAP_FILL_SQL,
+    "docs_hive_partition_roundtrip": HIVE_ROUNDTRIP_SQL,
+    "robust_outlier_docs": ROBUST_OUTLIER_SQL,
+    "skew_join_user_spend": SKEW_JOIN_SQL,
+    "docs_schema_evolution_union": SCHEMA_EVOLUTION_SQL,
 }

@@ -83,6 +83,8 @@ GOLDEN_QUERIES = [
     "dp_source_counts",
     "bowtie_crawl_graph",
     "jl_project_embeddings",
+    "kcenter_coreset_embeddings",
+    "compact_docs_files",
 ]
 
 
