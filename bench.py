@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "token_entropy_by_source",     # r4f: info-theoretic corpus stats
     "ndcg_bm25_eval",              # r4f: retrieval-quality evaluation
     "zorder_events_layout",        # r4f: Z-order layout rewrite (sort)
+    "merge_upsert_docs",           # r4g: MERGE/CDC upsert apply
+    "skew_join_user_spend",        # r4g: hot-key hybrid (salted) join
+    "kcenter_coreset_embeddings",  # r4g: k-pass coreset selection
 ]
 
 

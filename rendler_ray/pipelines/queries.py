@@ -10594,63 +10594,311 @@ def kcenter_coreset_embeddings(sf_dir: str, k: int = 16):
     squared-L2 distance into a persisted per-row min-distance column
     and (b) reduces a per-batch (dist, vec_id) champion to the driver
     — the corpus is never pulled, never all-pairs, and parallelism is
-    block-level. k full passes total (the algorithm is inherently
+    block-level. k rounds total (the algorithm is inherently
     sequential in k; k is small by construction). Distances fixed to
     e6 int64 with min-vec_id tie-break, so the selection is exact and
-    parallelism-invariant. Output: (rank, vec_id, radius_e6) — the
+    parallelism-invariant.
+
+    Execution shape (the BlockKnnScan layout + raw per-block tasks —
+    the Dataset API can't express per-block state that persists
+    across k DEPENDENT rounds without re-materializing the corpus
+    every round, which cost ~0.25 s of executor fixed overhead × 2
+    executions × k rounds, 8.1 s at sf0.1): the corpus is laid into
+    plasma blocks ONCE; each round launches one task per block whose
+    min-distance array argument and result stay in plasma next to
+    their block (ObjectRefs are chained, never ray.get on the driver)
+    — only k × n_blocks (dist, id, 64-float vec) champion tuples ever
+    reach the driver. Output: (rank, vec_id, radius_e6) — the
     decreasing coverage-radius sequence. Rows-only (iterative);
     golden-pinned + brute-force pytest."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "emb": pa.array([], pa.list_(pa.float64()))})
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), m.shape[1])})
+
+    mat = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    refs = list(mat.to_arrow_refs())
     c0 = _query_vecs(sf_dir, 1)[0]
+
+    @ray.remote(num_returns=2)
+    def kc_round(tb, mind, center):
+        if tb.num_rows == 0:
+            return np.zeros(0, np.int64), (-1, 1 << 62, None)
+        ids = tb["vec_id"].to_numpy(zero_copy_only=False)
+        m = tb["emb"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(tb.num_rows, -1)
+        diff = m - np.asarray(center, np.float64)[None, :]
+        d = np.rint(np.einsum("ij,ij->i", diff, diff) * 1e6) \
+            .astype(np.int64)
+        mind = d if mind is None else np.minimum(mind, d)
+        best = np.lexsort((ids, -mind))[0]
+        return mind, (int(mind[best]), int(ids[best]), m[best].tolist())
 
     centers = [(0, 0)]  # (vec_id, radius_e6 at selection)
     cur = c0
-
-    def upd_factory(center, first):
-        cref = ray.put(np.asarray(center, np.float64))
-
-        def upd(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
-                .astype(np.float64)
-            diff = m - c[None, :]
-            d = np.rint(np.einsum("ij,ij->i", diff, diff) * 1e6) \
-                .astype(np.int64)
-            if first:
-                mind = d
-            else:
-                mind = np.minimum(
-                    t["mind_e6"].to_numpy(zero_copy_only=False), d)
-            return pa.table({"vec_id": t["vec_id"],
-                             "embedding": t["embedding"],
-                             "mind_e6": pa.array(mind, pa.int64())})
-
-        return upd
-
-    def top1(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "mind_e6": pa.array([], pa.int64()),
-                             "embedding": pa.array(
-                                 [], pa.list_(pa.float32()))})
-        mind = t["mind_e6"].to_numpy(zero_copy_only=False)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False)
-        best = np.lexsort((vid, -mind))[0]
-        return t.select(["vec_id", "mind_e6", "embedding"]).slice(best, 1)
-
-    work = ds
-    for r in range(1, k):
-        work = work.map_batches(upd_factory(cur, r == 1),
-                                batch_format="pyarrow").materialize()
-        cands = work.map_batches(top1, batch_format="pyarrow").take_all()
-        best = max(cands, key=lambda c: (c["mind_e6"], -c["vec_id"]))
-        centers.append((int(best["vec_id"]), int(best["mind_e6"])))
-        cur = np.asarray(best["embedding"], np.float64)
+    minds = [None] * len(refs)
+    for _ in range(1, k):
+        outs = [kc_round.remote(ref, mind, cur)
+                for ref, mind in zip(refs, minds)]
+        minds = [o[0] for o in outs]  # ObjectRefs: stay in plasma
+        champs = ray.get([o[1] for o in outs])
+        bd, bid, bvec = max(champs, key=lambda c: (c[0], -c[1]))
+        if bd < 0:  # empty corpus
+            break
+        centers.append((bid, bd))
+        cur = np.asarray(bvec, np.float64)
 
     return pa.table({
         "rank": pa.array(range(len(centers)), pa.int64()),
         "vec_id": pa.array([c[0] for c in centers], pa.int64()),
         "radius_e6": pa.array([c[1] for c in centers], pa.int64())})
+
+
+def source_epoch_repeat_docs(sf_dir: str):
+    """Epoch-repetition data mixing — materialize the training stream
+    where each SOURCE is repeated a per-source number of epochs (the
+    "4 epochs of wiki, 1 of web" mixture recipe every LLM data plan
+    specifies; Muennighoff NeurIPS'23 studies exactly this repeat
+    factor): factor(source) = 1 + (first md5 byte of the source name
+    mod 3) ∈ {1,2,3} — content-independent, reproducible, and
+    SQL-mirrorable. Output one (doc_id, source, epoch) row per epoch
+    copy. Shuffle-free: one map pass with np.repeat; the per-batch md5
+    cost is one hash per DISTINCT source per batch."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src.astype(object), return_inverse=True)
+        fac = np.array([1 + int(hashlib.md5(s.encode())
+                                .hexdigest()[:2], 16) % 3
+                        for s in uniq], np.int64)[inv]
+        idx = np.repeat(np.arange(len(ids)), fac)
+        epoch = np.concatenate([np.arange(1, f + 1) for f in fac]) \
+            if len(fac) else np.zeros(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "source": pa.array(src[idx].astype(object), pa.string()),
+            "epoch": pa.array(epoch, pa.int64())})
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SOURCE_EPOCH_REPEAT_SQL = """
+WITH f AS (
+  SELECT source,
+         1 + (CAST('0x' || substr(md5(source), 1, 2) AS INT) % 3)
+           AS factor
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source,
+       CAST(unnest(generate_series(1, f.factor)) AS BIGINT) AS epoch
+FROM documents d JOIN f USING (source)
+"""
+
+
+def vocab_coverage_curve(sf_dir: str, ks=(10, 100, 1000, 10000),
+                         driver_max: int = 2_000_000):
+    """Vocabulary coverage curve — what fraction of all token
+    INSTANCES the top-k most frequent types cover, at k ∈ {10, 100,
+    1k, 10k}: the tokenizer-sizing diagnostic (where the Zipf mass
+    lives decides the vocab size / OOV budget). Deterministic
+    (freq desc, token asc) tie order, integer-exact coverage_e6.
+
+    Scale shape: per-batch value_counts partials; below ``driver_max``
+    partial rows the vocab folds on the driver through Arrow's C++
+    hash aggregate (zero shuffles — the _token_freq_topk finding);
+    above it, one distributed groupby + sort + limit(max k) whose
+    collected output is ≤ max(ks) rows by construction, plus a scalar
+    Sum for the denominator. Output: 4 rows."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
+            .value_counts(sort=False)
+        return pa.table({
+            "token": pa.array(vc.index.tolist(), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    kmax = max(ks)
+    partials = ds.map_batches(tok_counts, batch_format="pyarrow")
+    tables, n, over = [], 0, False
+    for b in partials.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        tables.append(b)
+        n += b.num_rows
+        if n > driver_max:
+            over = True
+            break
+    if not over:
+        if n == 0:
+            top_c, total = np.zeros(0, np.int64), 0
+        else:
+            t = pa.concat_tables(tables).group_by("token") \
+                .aggregate([("c", "sum")]).rename_columns(["token", "c"])
+            df = t.to_pandas().sort_values(["c", "token"],
+                                           ascending=[False, True])
+            top_c = df["c"].head(kmax).to_numpy(np.int64)
+            total = int(df["c"].sum())
+    else:
+        freq = partials.groupby("token").aggregate(
+            Sum("c", alias_name="c"))
+        rows = freq.sort(["c", "token"], descending=[True, False]) \
+            .limit(kmax).take_all()
+        top_c = np.array([r["c"] for r in rows], np.int64)
+        total = int(partials.aggregate(Sum("c", alias_name="s"))["s"])
+    cum = np.cumsum(top_c)
+    out_k, out_cov = [], []
+    for k in ks:
+        out_k.append(k)
+        out_cov.append(int(cum[min(k, len(cum)) - 1]) if len(cum) else 0)
+    cov = np.array(out_cov, np.int64)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "covered": pa.array(cov, pa.int64()),
+        "total": pa.array([total] * len(ks), pa.int64()),
+        "coverage_e6": pa.array(
+            cov * 1_000_000 // max(total, 1), pa.int64())})
+
+
+VOCAB_COVERAGE_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+o AS (SELECT c,
+             row_number() OVER (ORDER BY c DESC, token ASC) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, token ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f)
+SELECT ks.k, CAST(COALESCE((SELECT max(cum) FROM o WHERE rnk <= ks.k),
+                           0) AS BIGINT) AS covered,
+       t.total,
+       CAST(COALESCE((SELECT max(cum) FROM o WHERE rnk <= ks.k), 0)
+            * 1000000 // greatest(t.total, 1) AS BIGINT) AS coverage_e6
+FROM (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS k) ks, t
+"""
+
+
+def compression_ratio_docs(sf_dir: str):
+    """Per-source compressibility profile — zlib level-6 bytes over raw
+    UTF-8 bytes (the Gopher/FineWeb-style repetitiveness signal:
+    boilerplate and template farms compress far below prose; a data
+    card reports it per source). Output: (source, raw_bytes,
+    zip_bytes, ratio_e6). Shuffle-free scan + a sources-bounded
+    grouped sum; the per-doc compress call is C-speed zlib inside the
+    batch (the same per-doc-inference shape as classifier scoring).
+    zlib output is deterministic for a fixed level/strategy, so the
+    op goldens (no SQL — DuckDB has no zlib)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def comp(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        raw = pc.binary_length(
+            pc.cast(t["text"], pa.binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        zipb = np.fromiter(
+            (len(zlib.compress(s.encode(), 6)) for s in
+             t["text"].to_pylist()), np.int64, t.num_rows)
+        df = pd.DataFrame({"source": src, "raw_bytes": raw,
+                           "zip_bytes": zipb})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(comp, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("raw_bytes", alias_name="raw_bytes"),
+                      Sum("zip_bytes", alias_name="zip_bytes")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        raw = t["raw_bytes"].to_numpy(zero_copy_only=False)
+        z = t["zip_bytes"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ratio_e6",
+            pa.array(z * 1_000_000 // np.maximum(raw, 1), pa.int64()))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def leakage_free_split_docs(sf_dir: str):
+    """Train/val/test split WITHOUT near-duplicate leakage — the
+    eval-contamination guard a naive doc_id-hash split misses: two
+    near-duplicate docs hashed independently land in different splits
+    ~32% of the time, silently putting paraphrases of eval docs in
+    train. Split assignment is therefore keyed on the near-dup
+    CLUSTER id (MinHash-LSH → exact-Jaccard verify → connected
+    components — the near_dup_dedup_docs chain; singletons are their
+    own cluster), so a whole cluster moves together: md5(cluster) →
+    ~80/10/10 train(0)/val(1)/test(2). Deterministic; rows-only
+    (clustering is iterative), golden-pinned + no-pair-straddles
+    pytest."""
+    import hashlib
+
+    pairs = _verified_jaccard_pairs(sf_dir, "leakfree_banded")
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array([f"{x:012d}" for x in a], pa.string()),
+            "dst": pa.array([f"{x:012d}" for x in b], pa.string())})
+
+    from rendler_ray.functions import graph as F_graph
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    cc = F_graph.connected_components_auto(
+        pairs.map_batches(pair_edges, batch_format="pyarrow"))
+    members = _nonempty_blocks(cc.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "cluster": pc.cast(t["component"], pa.int64())}),
+        batch_format="pyarrow"))
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    if members is None:
+        labeled = docs.map_batches(
+            lambda t: t.append_column("cluster", t["doc_id"]),
+            batch_format="pyarrow")
+    else:
+        joined = docs.join(members, join_type="left_outer",
+                           num_partitions=8, on=("doc_id",))
+
+        def label(t: pa.Table) -> pa.Table:
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            cl = np.where(np.isnan(cl.astype(np.float64)), doc,
+                          cl).astype(np.int64)
+            return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                             "cluster": pa.array(cl, pa.int64())})
+
+        labeled = joined.map_batches(label, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cl, return_inverse=True)
+        h = np.array([int(hashlib.md5(f"{c}-lf".encode())
+                          .hexdigest()[:2], 16) for c in uniq],
+                     np.int64)[inv]
+        split = np.where(h < 204, 0, np.where(h < 230, 1, 2))
+        return t.append_column("split",
+                               pa.array(split.astype(np.int64)))
+
+    return labeled.map_batches(assign, batch_format="pyarrow")
 
 
 def skew_join_user_spend(sf_dir: str):
@@ -10975,6 +11223,10 @@ QUERIES = {
     "skew_join_user_spend": skew_join_user_spend,
     "docs_schema_evolution_union": docs_schema_evolution_union,
     "compact_docs_files": compact_docs_files,
+    "source_epoch_repeat_docs": source_epoch_repeat_docs,
+    "vocab_coverage_curve": vocab_coverage_curve,
+    "compression_ratio_docs": compression_ratio_docs,
+    "leakage_free_split_docs": leakage_free_split_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -11132,4 +11384,6 @@ ORACLES = {
     "robust_outlier_docs": ROBUST_OUTLIER_SQL,
     "skew_join_user_spend": SKEW_JOIN_SQL,
     "docs_schema_evolution_union": SCHEMA_EVOLUTION_SQL,
+    "source_epoch_repeat_docs": SOURCE_EPOCH_REPEAT_SQL,
+    "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
 }

@@ -85,6 +85,8 @@ GOLDEN_QUERIES = [
     "jl_project_embeddings",
     "kcenter_coreset_embeddings",
     "compact_docs_files",
+    "compression_ratio_docs",
+    "leakage_free_split_docs",
 ]
 
 

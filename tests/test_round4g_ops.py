@@ -293,6 +293,98 @@ def test_compaction_content_identical(ray_session):
     assert got["sum_chars"].iloc[0] == docs["n_chars"].sum()
 
 
+# ------------------------------------- mixing / coverage / compression
+
+
+def test_epoch_repeat_vs_brute(ray_session):
+    import hashlib
+
+    from rendler_ray.pipelines.queries import source_epoch_repeat_docs
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    rows = []
+    for _, r in docs.iterrows():
+        f = 1 + int(hashlib.md5(r["source"].encode())
+                    .hexdigest()[:2], 16) % 3
+        for e in range(1, f + 1):
+            rows.append((r["doc_id"], r["source"], e))
+    want = canon(pd.DataFrame(rows,
+                              columns=["doc_id", "source", "epoch"]))
+    got = canon(to_pandas(source_epoch_repeat_docs(SF)))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vocab_coverage_vs_brute_and_two_forms(ray_session):
+    from collections import Counter
+
+    from rendler_ray.pipelines.queries import vocab_coverage_curve
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(t.split(" "))
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    cs = np.cumsum([c for _, c in ordered])
+    want = []
+    for k in (10, 100, 1000, 10000):
+        cov = int(cs[min(k, len(cs)) - 1])
+        want.append((k, cov, total, cov * 1_000_000 // total))
+    want = canon(pd.DataFrame(want, columns=["k", "covered", "total",
+                                             "coverage_e6"]))
+    got = canon(to_pandas(vocab_coverage_curve(SF)))
+    pd.testing.assert_frame_equal(got, want)
+    # forced distributed form (driver_max=0) must agree exactly
+    got2 = canon(to_pandas(vocab_coverage_curve(SF, driver_max=0)))
+    pd.testing.assert_frame_equal(got2, want)
+
+
+def test_compression_ratio_vs_brute(ray_session):
+    import zlib
+
+    from rendler_ray.pipelines.queries import compression_ratio_docs
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    docs["raw_bytes"] = [len(t.encode()) for t in docs["text"]]
+    docs["zip_bytes"] = [len(zlib.compress(t.encode(), 6))
+                         for t in docs["text"]]
+    g = docs.groupby("source", as_index=False)[
+        ["raw_bytes", "zip_bytes"]].sum()
+    g["ratio_e6"] = (g["zip_bytes"] * 1_000_000
+                     // g["raw_bytes"].clip(lower=1))
+    want = canon(g[["source", "raw_bytes", "zip_bytes", "ratio_e6"]])
+    got = canon(to_pandas(compression_ratio_docs(SF)))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_leakage_free_split_invariants(ray_session):
+    from rendler_ray.pipelines.queries import (
+        _verified_jaccard_pairs,
+        leakage_free_split_docs,
+    )
+
+    got = to_pandas(leakage_free_split_docs(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    # every doc exactly once, splits in {0,1,2}
+    assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+    assert set(got["split"]).issubset({0, 1, 2})
+    # the guard itself: NO verified near-dup pair straddles splits
+    pairs = to_pandas(_verified_jaccard_pairs(SF, "leakfree_test"))
+    sp = dict(zip(got["doc_id"], got["split"]))
+    cl = dict(zip(got["doc_id"], got["cluster"]))
+    assert len(pairs) > 0  # the fixture corpus HAS near-dups
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert sp[a] == sp[b]
+        assert cl[a] == cl[b]
+    # rough 80/10/10 shape: train strictly the biggest bucket
+    frac = got["split"].value_counts(normalize=True)
+    assert frac.get(0, 0) > 0.6
+
+
 # ------------------------------------------------------------ k-center
 
 
