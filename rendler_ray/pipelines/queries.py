@@ -10901,6 +10901,123 @@ def leakage_free_split_docs(sf_dir: str):
     return labeled.map_batches(assign, batch_format="pyarrow")
 
 
+def curriculum_interleave_docs(sf_dir: str):
+    """Curriculum / balanced-stream ordering — the training-order
+    materialization that interleaves sources round-robin by
+    within-source quality rank (best doc of every source first, then
+    every second-best, …): prevents any single large source from
+    dominating early training while still feeding high-quality docs
+    first. Output: (doc_id, source, rnk, pos) — ``rnk`` the 1-based
+    within-source quality rank, ``pos`` the global stream position.
+
+    Scale shape: the shuffle-free classifier scoring pass, then the
+    source_percentile_scores machinery twice — per-source rank via ONE
+    global range-partitioned sort + distributed zip-with-index +
+    broadcast per-source offsets (no per-group sorts, no group
+    materialization), and the final stream position via a second
+    global sort on (rnk, source, doc_id) + zip-with-index. Ordering
+    ops are exactly the two sorts; everything else is stateless
+    maps."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.bincount(par, weights=w, minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            # negate so the ASC zip-with-index ranks best-first
+            "neg_score": pa.array(-np.rint(s).astype(np.int64),
+                                  pa.int64())})
+
+    keyed = ds.map_batches(score, batch_format="pyarrow").materialize()
+    ranked = with_row_seq(keyed, ["source", "neg_score", "doc_id"],
+                          start=1, column="grank")
+    counts = (keyed.groupby("source").aggregate(Count(alias_name="n"))
+              .take_all())  # bounded: one row per source
+    counts.sort(key=lambda r: r["source"])
+    offs, cum = {}, 0
+    for r in counts:
+        offs[r["source"]] = cum
+        cum += int(r["n"])
+    oref = ray.put(offs)
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        o = ray.get(oref)
+        srcs = t["source"].to_pylist()
+        g = t["grank"].to_numpy(zero_copy_only=False)
+        rnk = g - np.array([o[s] for s in srcs], np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "rnk": pa.array(rnk, pa.int64())})
+
+    ranked = ranked.map_batches(to_rank, batch_format="pyarrow")
+    return with_row_seq(ranked, ["rnk", "source", "doc_id"],
+                        start=1, column="pos")
+
+
+CURRICULUM_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+sc AS (SELECT doc_id,
+              CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                        % 1001) - 500) AS BIGINT) AS clf_score
+       FROM tok GROUP BY doc_id),
+s AS (SELECT d.doc_id, d.source, sc.clf_score
+      FROM documents d JOIN sc USING (doc_id)),
+r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY clf_score DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM s)
+SELECT doc_id, source, rnk,
+       CAST(row_number() OVER (ORDER BY rnk, source, doc_id)
+            AS BIGINT) AS pos
+FROM r
+"""
+
+
+def ann_filtered_topk(sf_dir: str):
+    """FILTERED vector search — top-10 cosine neighbors among only the
+    rows passing a metadata predicate (label even), for 4 fixed query
+    vectors: the filtered-ANN workload every vector store serves
+    (search within a language / license / date range). Pre-filtering
+    at the scan is the exact, scale-correct form when the predicate is
+    selective-ish (the corpus stream shrinks BEFORE any similarity
+    work; post-filtering a top-k can return < k rows). Same broadcast
+    query matrix → per-batch partial top-k → fixed-point reduce chain
+    as ann_topk."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["label"], 1), 0))
+        .select(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    queries = _query_vecs(sf_dir, 4)
+    out = F_ann.brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id", "score_e6", "rank"])
+
+
+ANN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 4),
+scores AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+              CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+           AS score_e6
+  FROM q CROSS JOIN embeddings e WHERE e.label % 2 = 0)
+SELECT query_id, vec_id, score_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_e6 DESC, vec_id ASC) AS rank
+FROM scores
+QUALIFY rank <= 10
+"""
+
+
 def skew_join_user_spend(sf_dir: str):
     """Skew-resistant fact⋈dim join (functions/join.py::skew_join —
     exact hot keys via the two-pass heavy-hitter pattern broadcast
@@ -11227,6 +11344,8 @@ QUERIES = {
     "vocab_coverage_curve": vocab_coverage_curve,
     "compression_ratio_docs": compression_ratio_docs,
     "leakage_free_split_docs": leakage_free_split_docs,
+    "curriculum_interleave_docs": curriculum_interleave_docs,
+    "ann_filtered_topk": ann_filtered_topk,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -11386,4 +11505,6 @@ ORACLES = {
     "docs_schema_evolution_union": SCHEMA_EVOLUTION_SQL,
     "source_epoch_repeat_docs": SOURCE_EPOCH_REPEAT_SQL,
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
+    "curriculum_interleave_docs": CURRICULUM_SQL,
+    "ann_filtered_topk": ANN_FILTERED_SQL,
 }

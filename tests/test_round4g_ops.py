@@ -385,6 +385,66 @@ def test_leakage_free_split_invariants(ray_session):
     assert frac.get(0, 0) > 0.6
 
 
+# ----------------------------------------- curriculum / filtered ANN
+
+
+def test_curriculum_interleave_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import (
+        _clf_weights,
+        curriculum_interleave_docs,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "source"]).to_pandas()
+    scores = []
+    for t in docs["text"]:
+        toks = np.array(t.split(" "), dtype=object)
+        scores.append(int(np.rint(_clf_weights(toks).sum())))
+    docs["clf_score"] = scores
+    docs["rnk"] = (docs.sort_values(["clf_score", "doc_id"],
+                                    ascending=[False, True])
+                   .groupby("source").cumcount() + 1)
+    docs = docs.sort_values(["rnk", "source", "doc_id"],
+                            kind="stable").reset_index(drop=True)
+    docs["pos"] = np.arange(1, len(docs) + 1)
+    want = canon(docs[["doc_id", "source", "rnk", "pos"]])
+    got = canon(to_pandas(curriculum_interleave_docs(SF)))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_curriculum_round_robin_property(ray_session):
+    """The stream must be rank-major: every rank-1 doc precedes every
+    rank-2 doc, etc."""
+    from rendler_ray.pipelines.queries import curriculum_interleave_docs
+
+    df = to_pandas(curriculum_interleave_docs(SF)).sort_values("pos")
+    assert (np.diff(df["rnk"].to_numpy()) >= 0).all()
+
+
+def test_ann_filtered_vs_brute(ray_session):
+    from rendler_ray.pipelines.queries import ann_filtered_topk
+
+    emb = pq.read_table(
+        f"{SF}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    even = (emb["label"].to_numpy() % 2) == 0
+    got = to_pandas(ann_filtered_topk(SF))
+    # every hit satisfies the predicate
+    evset = set(ids[even].tolist())
+    assert set(got["vec_id"]).issubset(evset)
+    for q in range(4):
+        qv = m[ids == q][0]
+        s = np.rint((m[even] @ qv) * 1e6).astype(np.int64)
+        order = np.lexsort((ids[even], -s))[:10]
+        want_ids = ids[even][order].tolist()
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["vec_id"].tolist() == want_ids
+
+
 # ------------------------------------------------------------ k-center
 
 
