@@ -1,0 +1,54 @@
+"""CLI entry point (``python -m rendler_ray``) smoke tests.
+
+Runs ``main(argv)`` in-process against the session Ray so the test
+costs one small query + one tiny crawl, and asserts the single-JSON-
+line contract a job supervisor tails for.
+"""
+
+import json
+
+import pytest
+
+from rendler_ray.__main__ import main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # exactly one JSON summary line on stdout
+    assert len(out) == 1
+    return json.loads(out[0])
+
+
+def test_cli_query_hash(ray_session, capsys):
+    s = _run(capsys, ["query", "q1_lineitem_agg",
+                      "--sf-dir", "/root/testdata/sf0.001"])
+    assert s["rows"] == 6
+    assert len(s["value_hash"]) == 16
+
+
+def test_cli_query_parquet_out(ray_session, capsys, tmp_path):
+    out = str(tmp_path / "q_out")
+    s = _run(capsys, ["query", "top10_orders",
+                      "--sf-dir", "/root/testdata/sf0.001",
+                      "--out", out])
+    assert s["rows"] == 10 and s["out"] == out
+    import ray.data as rd
+
+    assert rd.read_parquet(out).count() == 10
+
+
+def test_cli_query_unknown_name(ray_session):
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query"])
+
+
+def test_cli_crawl(ray_session, capsys, tmp_path, small_docs):
+    dot = str(tmp_path / "g.dot")
+    s = _run(capsys, ["crawl", "--docs", small_docs, "--seeds", "1",
+                      "--max-depth", "2", "--dot", dot])
+    assert s["pages_fetched"] > 0 and s["rounds"] >= 1
+    assert s["seen"] >= s["pages_fetched"]
+    text = open(dot).read()
+    assert text.startswith("digraph G {") and text.rstrip().endswith("}")
