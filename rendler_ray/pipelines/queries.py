@@ -11148,6 +11148,209 @@ def compact_docs_files(sf_dir: str):
         "sum_chars": pa.array([int(chk["sum_chars"])], pa.int64())})
 
 
+def chi2_token_lang(sf_dir: str, vocab_k: int = 500, topk: int = 20):
+    """χ² feature selection over (token, language) — the classic
+    supervised feature-ranking pass (Yang & Pedersen ICML'97) a
+    pipeline runs to pick class-discriminative vocabulary for a
+    lightweight classifier: per language, the top-``topk`` vocabulary
+    tokens by the χ² statistic of the doc-level presence 2×2 table
+    (a = docs of the lang containing the token, b/c/d the complements).
+    χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — ALL INTEGER, computed in
+    Python bignums and floored to e6, so the DuckDB HUGEINT oracle is
+    hash-exact (no float ever enters).
+
+    Scale shape: the vocabulary cut is the shared ``_token_freq_topk``
+    fold; the presence pass is ONE shuffle-free map over the corpus
+    emitting per-batch-combined (lang, token_idx, count) partials
+    bounded by langs × (vocab_k+1) PER BATCH (a sentinel token_idx −1
+    row per doc folds the per-lang doc totals into the same pass), and
+    the groupby that sums them touches partial rows, never token
+    instances. The χ² arithmetic runs on the bounded
+    langs × vocab_k result table on the driver. Only tokens PRESENT in
+    a language are ranked (a ≥ 1 — absent-token negative associations
+    are out of scope on both sides), and tokens present in every doc
+    are skipped (degenerate table, zero denominator)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    vocab = _token_freq_topk(ds, vocab_k)
+    vref = ray.put({t: i for i, t in enumerate(vocab)})
+    vk = len(vocab)
+
+    def pres(t: pa.Table) -> pa.Table:
+        vm = ray.get(vref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        uid = np.array([vm.get(u, -1) for u in uniq], np.int64)
+        tid = uid[inv]
+        keep = tid >= 0
+        # unique (doc, token) presence pairs within the batch — docs
+        # never split across batches, so these are globally unique
+        pairs = np.unique(par[keep].astype(np.int64) * vk + tid[keep])
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        lang_rows = np.concatenate([langs[pairs // vk], langs])
+        tok_rows = np.concatenate(
+            [pairs % vk, np.full(t.num_rows, -1, np.int64)])
+        g = pd.DataFrame({"lang": lang_rows, "tok": tok_rows}) \
+            .groupby(["lang", "tok"], sort=False).size().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "tok": pa.array(g["tok"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    rows = (ds.map_batches(pres, batch_format="pyarrow")
+            .groupby(["lang", "tok"]).aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: langs × (vocab_k + 1)
+
+    a = {}          # (lang, tok) -> presence count
+    l_tot = {}      # lang -> docs
+    t_tot = [0] * vk
+    for r in rows:
+        if r["tok"] < 0:
+            l_tot[r["lang"]] = int(r["c"])
+        else:
+            a[(r["lang"], int(r["tok"]))] = int(r["c"])
+            t_tot[int(r["tok"])] += int(r["c"])
+    n = sum(l_tot.values())
+    out = []
+    for (lang, tok), av in a.items():
+        ab = t_tot[tok]
+        ac = l_tot[lang]
+        if ab >= n:     # token in every doc: degenerate 2x2
+            continue
+        b = ab - av
+        c_ = ac - av
+        d = n - ab - ac + av
+        num = n * (av * d - b * c_) ** 2 * 10 ** 6
+        den = ab * (n - ab) * ac * (n - ac)
+        out.append((lang, vocab[tok], num // den))
+    out.sort(key=lambda x: (x[0], -x[2], x[1]))
+    kept, per_lang = [], {}
+    for lang, token, chi in out:
+        k = per_lang.get(lang, 0)
+        if k < topk:
+            per_lang[lang] = k + 1
+            kept.append((lang, token, chi))
+    return pa.table({
+        "lang": pa.array([x[0] for x in kept], pa.string()),
+        "token": pa.array([x[1] for x in kept], pa.string()),
+        "chi2_e6": pa.array([x[2] for x in kept], pa.int64())})
+
+
+CHI2_TOKEN_LANG_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM freq ORDER BY c DESC, token LIMIT 500),
+pres AS (SELECT DISTINCT d.doc_id, d.lang, t.token
+         FROM documents d JOIN tok t USING (doc_id)
+         JOIN vocab v USING (token)),
+a AS (SELECT lang, token, CAST(count(*) AS HUGEINT) AS a
+      FROM pres GROUP BY lang, token),
+tt AS (SELECT token, CAST(count(*) AS HUGEINT) AS ab
+       FROM pres GROUP BY token),
+lt AS (SELECT lang, CAST(count(*) AS HUGEINT) AS ac
+       FROM documents GROUP BY lang),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+chi AS (
+  SELECT a.lang, a.token,
+         CAST((n * (a * (n - ab - ac + a) - (ab - a) * (ac - a))
+                 * (a * (n - ab - ac + a) - (ab - a) * (ac - a))
+                 * 1000000)
+              // (ab * (n - ab) * ac * (n - ac)) AS BIGINT) AS chi2_e6
+  FROM a JOIN tt USING (token) JOIN lt USING (lang) CROSS JOIN nn
+  WHERE ab < n)
+SELECT lang, token, chi2_e6 FROM chi
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY chi2_e6 DESC, token) <= 20
+"""
+
+
+def auc_quality_eval(sf_dir: str):
+    """Exact ROC-AUC of the hashed-feature quality classifier against
+    a binary label (lang = 'en') — the eval every scored-data pipeline
+    runs before trusting a filter model. AUC via the Mann–Whitney
+    U statistic with the standard tie correction (ties contribute ½),
+    kept INTEGER throughout: 2U = Σ_s np(s)·(2·NN<(s) + nn(s)) over
+    distinct scores s, auc_e6 = 10⁶·2U // (2·n_pos·n_neg).
+
+    Scale shape: one shuffle-free scoring pass with a per-batch
+    (score, label) combine; the groupby sums per-DISTINCT-SCORE rows,
+    and the distinct-score table is bounded by the SCORE RANGE
+    (|score| ≤ 500 × tokens-per-doc — corpus-size-INDEPENDENT), so the
+    driver cumulative fold is O(range), not O(corpus). Output one row
+    (n_pos, n_neg, auc_e6); degenerate single-class corpora return
+    auc_e6 = 500000 on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        pos = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"s": s, "p": pos.astype(np.int64)}) \
+            .groupby("s", sort=False).agg(np_=("p", "sum"),
+                                          nn_=("p", "size"))
+        return pa.table({
+            "s": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "np_": pa.array(g["np_"].to_numpy(np.int64), pa.int64()),
+            "nn_": pa.array((g["nn_"] - g["np_"]).to_numpy(np.int64),
+                            pa.int64())})
+
+    rows = (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("s").aggregate(Sum("np_", alias_name="np_"),
+                                    Sum("nn_", alias_name="nn_"))
+            .take_all())  # bounded by the score RANGE, not the corpus
+    rows.sort(key=lambda r: r["s"])
+    u2, nn_less, np_t, nn_t = 0, 0, 0, 0
+    for r in rows:
+        np_s, nn_s = int(r["np_"]), int(r["nn_"])
+        u2 += np_s * (2 * nn_less + nn_s)
+        nn_less += nn_s
+        np_t += np_s
+        nn_t += nn_s
+    den = 2 * np_t * nn_t
+    auc_e6 = (10 ** 6 * u2) // den if den else 500_000
+    return pa.table({"n_pos": pa.array([np_t], pa.int64()),
+                     "n_neg": pa.array([nn_t], pa.int64()),
+                     "auc_e6": pa.array([auc_e6], pa.int64())})
+
+
+AUC_QUALITY_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+sc AS (SELECT doc_id,
+              CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                        % 1001) - 500) AS BIGINT) AS s
+       FROM tok GROUP BY doc_id),
+lab AS (SELECT sc.s,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents d JOIN sc USING (doc_id)),
+g AS (SELECT s, CAST(sum(pos) AS HUGEINT) AS np_,
+             CAST(count(*) - sum(pos) AS HUGEINT) AS nn_
+      FROM lab GROUP BY s),
+c AS (SELECT s, np_, nn_,
+             CAST(coalesce(sum(nn_) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS HUGEINT) AS nnless
+      FROM g),
+t AS (SELECT CAST(coalesce(sum(np_ * (2 * nnless + nn_)), 0) AS HUGEINT)
+               AS u2,
+             CAST(coalesce(sum(np_), 0) AS HUGEINT) AS np_t,
+             CAST(coalesce(sum(nn_), 0) AS HUGEINT) AS nn_t
+      FROM c)
+SELECT CAST(np_t AS BIGINT) AS n_pos, CAST(nn_t AS BIGINT) AS n_neg,
+       CASE WHEN np_t * nn_t = 0 THEN 500000
+            ELSE CAST((1000000 * u2) // (2 * np_t * nn_t) AS BIGINT)
+       END AS auc_e6
+FROM t
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -11346,6 +11549,8 @@ QUERIES = {
     "leakage_free_split_docs": leakage_free_split_docs,
     "curriculum_interleave_docs": curriculum_interleave_docs,
     "ann_filtered_topk": ann_filtered_topk,
+    "chi2_token_lang": chi2_token_lang,
+    "auc_quality_eval": auc_quality_eval,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -11507,4 +11712,6 @@ ORACLES = {
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
     "curriculum_interleave_docs": CURRICULUM_SQL,
     "ann_filtered_topk": ANN_FILTERED_SQL,
+    "chi2_token_lang": CHI2_TOKEN_LANG_SQL,
+    "auc_quality_eval": AUC_QUALITY_SQL,
 }
