@@ -11351,6 +11351,180 @@ FROM t
 """
 
 
+def _zonemap_layout(sf_dir: str, n_files: int = 24):
+    """Sorted lakehouse layout of events + a footer-only zone map:
+    events sorted by ts and written as ~``n_files`` files (each file a
+    contiguous ts range), then a file → (min_ts, max_ts) stats index
+    built by reading parquet FOOTERS only — zero data IO, the
+    Delta/Iceberg min-max manifest every file-skipping read uses. The
+    index is O(files) driver state by construction."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    out = f"/tmp/rendler_ray_zonemap/events-{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    n = ds.count()
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+            "value_c": _cents(t["value"])})
+
+    ds.map_batches(conv, batch_format="pyarrow").sort("ts_us") \
+        .write_parquet(out, max_rows_per_file=max(1, -(-n // n_files)))
+    zmap: dict[str, tuple[int, int]] = {}
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(out, f)
+        md = pq.read_metadata(p)
+        mn = mx = None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                if col.path_in_schema == "ts_us":
+                    st = col.statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        zmap[p] = (int(mn), int(mx))
+    return out, zmap
+
+
+def zonemap_prune_events(sf_dir: str):
+    """Zone-map file skipping (the min-max data-skipping index under
+    every lakehouse time-range query): a ts-range aggregate answered
+    by opening ONLY the files whose footer [min, max] intersects the
+    range. The layout write is the one-time clustering cost; every
+    subsequent range query prunes at the FILE level before any row
+    leaves storage — at 100 TB a 10% time window reads ~10% of files
+    instead of scanning the table. Range = the middle decile
+    [45%, 55%] of the ts span (integer arithmetic mirrored in SQL);
+    pruned-vs-full equality and the files_read < files_total invariant
+    are pytest-asserted; result is oracle-checked against a plain
+    filtered scan of the source table."""
+    out, zmap = _zonemap_layout(sf_dir)
+    tmin = min(lo for lo, _ in zmap.values())
+    tmax = max(hi for _, hi in zmap.values())
+    lo = tmin + (tmax - tmin) * 45 // 100
+    hi = tmin + (tmax - tmin) * 55 // 100
+    files = [p for p, (a, b) in sorted(zmap.items())
+             if not (b < lo or a > hi)]
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.greater_equal(t["ts_us"], lo),
+                                pc.less_equal(t["ts_us"], hi)))
+
+    return (rd.read_parquet(files)
+            .map_batches(filt, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_c", alias_name="spend_c")))
+
+
+ZONEMAP_PRUNE_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+           FROM events),
+r AS (SELECT tmin + (tmax - tmin) * 45 // 100 AS lo,
+             tmin + (tmax - tmin) * 55 // 100 AS hi FROM b)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_c
+FROM events, r
+WHERE epoch_us(ts) BETWEEN lo AND hi
+GROUP BY event_type
+"""
+
+
+def bucketed_join_revenue(sf_dir: str, n_buckets: int = 8):
+    """Bucketed-table join (Hive/Iceberg ``CLUSTERED BY`` — the layout
+    that amortizes ONE shuffle across every future join on the key):
+    orders and customer are each written hash-bucketed on the join key
+    (bucket = key mod n_buckets) into ``bucket=<b>/`` directories, and
+    the join then runs as n_buckets INDEPENDENT bucket-local joins
+    with NO exchange at query time — co-bucketing guarantees matching
+    keys share a bucket number, so each bucket's task reads exactly
+    two co-located slices. Here each per-bucket dim slice (customer /
+    n_buckets — broadcast-sized by construction) probes the fact slice
+    statelessly; the general form merge-joins co-SORTED buckets. The
+    lazy union of the per-bucket joins feeds one bounded segment
+    aggregate; output is oracle-checked against the plain shuffle
+    join."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    root = f"/tmp/rendler_ray_bucketed/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def with_bucket(key: str, out: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            cols = {c: t[c] for c in out} | {
+                "bucket": pa.array(k % n_buckets, pa.int64())}
+            return pa.table(cols)
+        return fn
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "price_c": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    orders.map_batches(
+        with_bucket("o_custkey", {"o_custkey": 0, "price_c": 0}),
+        batch_format="pyarrow") \
+        .write_parquet(f"{root}/orders", partition_cols=["bucket"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust.map_batches(
+        with_bucket("c_custkey", {"c_custkey": 0, "c_mktsegment": 0}),
+        batch_format="pyarrow") \
+        .write_parquet(f"{root}/customer", partition_cols=["bucket"])
+
+    parts = []
+    for b in range(n_buckets):
+        odir = f"{root}/orders/bucket={b}"
+        cdir = f"{root}/customer/bucket={b}"
+        if not os.path.isdir(odir):
+            continue
+        seg = {}
+        if os.path.isdir(cdir):
+            ct = pq.read_table(cdir)  # bounded: customer / n_buckets
+            seg = dict(zip(ct["c_custkey"].to_pylist(),
+                           ct["c_mktsegment"].to_pylist()))
+        sref = ray.put(seg)
+
+        def probe(t: pa.Table, _sref=sref) -> pa.Table:
+            s = ray.get(_sref)
+            keys = t["o_custkey"].to_pylist()
+            segs = np.array([s.get(k) for k in keys], dtype=object)
+            m = pa.array([x is not None for x in segs])
+            return pa.table({
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "price_c": t["price_c"]}).filter(m)
+
+        parts.append(rd.read_parquet(odir, columns=["o_custkey", "price_c"])
+                     .map_batches(probe, batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_c", alias_name="revenue_c"))
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -11551,6 +11725,8 @@ QUERIES = {
     "ann_filtered_topk": ann_filtered_topk,
     "chi2_token_lang": chi2_token_lang,
     "auc_quality_eval": auc_quality_eval,
+    "zonemap_prune_events": zonemap_prune_events,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -11714,4 +11890,6 @@ ORACLES = {
     "ann_filtered_topk": ANN_FILTERED_SQL,
     "chi2_token_lang": CHI2_TOKEN_LANG_SQL,
     "auc_quality_eval": AUC_QUALITY_SQL,
+    "zonemap_prune_events": ZONEMAP_PRUNE_SQL,
+    "bucketed_join_revenue": BUCKETED_JOIN_SQL,
 }

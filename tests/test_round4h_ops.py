@@ -76,3 +76,50 @@ def test_auc_quality_eval_brute(ray_session):
     assert out["n_pos"] == len(ps) and out["n_neg"] == len(ns)
     assert out["auc_e6"] == (10 ** 6 * u2) // (2 * len(ps) * len(ns))
     assert 0 <= out["auc_e6"] <= 10 ** 6
+
+
+def test_zonemap_actually_prunes(ray_session):
+    """The middle-decile range query must SKIP most files of the
+    sorted layout, and the pruned read must equal the full scan."""
+    from rendler_ray.pipelines.queries import _zonemap_layout
+
+    sf = "/root/testdata/sf0.01"
+    out, zmap = _zonemap_layout(sf)
+    assert len(zmap) >= 8  # layout actually split into many files
+    tmin = min(lo for lo, _ in zmap.values())
+    tmax = max(hi for _, hi in zmap.values())
+    lo = tmin + (tmax - tmin) * 45 // 100
+    hi = tmin + (tmax - tmin) * 55 // 100
+    hit = [p for p, (a, b) in zmap.items() if not (b < lo or a > hi)]
+    # a ~10% window of a sorted layout touches a small minority of files
+    assert 0 < len(hit) <= max(2, len(zmap) // 3)
+    # pruned-file union == exact full-scan filter
+    full = pq.read_table(out).to_pandas()
+    want = full[(full["ts_us"] >= lo) & (full["ts_us"] <= hi)]
+    got = pd.concat([pq.read_table(p).to_pandas() for p in hit])
+    got = got[(got["ts_us"] >= lo) & (got["ts_us"] <= hi)]
+    assert len(got) == len(want)
+    assert got["value_c"].sum() == want["value_c"].sum()
+
+
+def test_bucketed_layout_colocates_keys(ray_session):
+    """Every bucket directory holds only keys with key % 8 == bucket,
+    for both sides of the bucketed join layout."""
+    from rendler_ray.pipelines.queries import bucketed_join_revenue
+
+    res = bucketed_join_revenue(SF)  # builds the layout as a side effect
+    res.materialize()
+    root = None
+    base = "/tmp/rendler_ray_bucketed"
+    tag = f"sf0.001-{os.getpid()}"
+    root = os.path.join(base, tag)
+    assert os.path.isdir(root)
+    for side, key in [("orders", "o_custkey"), ("customer", "c_custkey")]:
+        bdirs = [d for d in os.listdir(os.path.join(root, side))
+                 if d.startswith("bucket=")]
+        assert len(bdirs) == 8
+        for d in bdirs:
+            b = int(d.split("=")[1])
+            t = pq.read_table(os.path.join(root, side, d), columns=[key])
+            ks = t[key].to_numpy()
+            assert len(ks) > 0 and (ks % 8 == b).all()
