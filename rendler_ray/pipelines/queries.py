@@ -11525,6 +11525,194 @@ GROUP BY c_mktsegment
 """
 
 
+def pmi_bigrams_top(sf_dir: str, min_count: int = 5, topk: int = 100,
+                    driver_max: int = 2_000_000):
+    """PMI collocation extraction (Church & Hanks CL'90) — the
+    top-``topk`` adjacent bigrams by pointwise mutual information
+    pmi = ln(c_xy · N / (c_x · c_y)) with N = total tokens, among
+    bigrams seen ≥ ``min_count`` times: the phrase-mining pass that
+    separates true collocations from merely-frequent pairs (top counts
+    are dominated by stopword pairs; top PMI by fixed phrases). The ln
+    argument is ONE IEEE division of exact integer products, and both
+    sides round-half-away the same libm double at e6, so the oracle is
+    hash-exact (the token_entropy / bm25-idf precedent).
+
+    Scale shape: per-batch bigram/unigram combines move one row per
+    DISTINCT gram per batch, never instances. Below ``driver_max``
+    partial rows both streams fold on the driver (Arrow C++ hash
+    aggregate — the tfidf/trigram gate pattern); above it the
+    distributed form aggregates on SipHash64 keys (strings ride as
+    Min-payload exemplars, never as shuffle keys — the dup-span
+    finding), joins unigram counts twice, and cuts top-k with a
+    per-block prune before the tiny global sort. Two-form equality is
+    pytest-asserted."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.array(x, dtype=object) for x in toks])
+        valid = np.ones(len(flat), dtype=bool)
+        valid[np.cumsum(lens) - 1] = False
+        idx = np.flatnonzero(valid)
+        g = pd.DataFrame({"x": flat[idx], "y": flat[idx + 1]}) \
+            .groupby(["x", "y"], sort=False).size().reset_index()
+        return pa.table({
+            "x": pa.array(g["x"].to_numpy(object), pa.string()),
+            "y": pa.array(g["y"].to_numpy(object), pa.string()),
+            "c": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        vc = pd.Series(toks.to_numpy(zero_copy_only=False)) \
+            .value_counts(sort=False)
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy(object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    bg = ds.map_batches(bigram_partial, batch_format="pyarrow")
+    ug = ds.map_batches(unigram_partial, batch_format="pyarrow")
+
+    def finish(xs, ys, cxy, cx, cy, n_tok):
+        num = (cxy * n_tok).astype(np.float64)
+        den = (cx * cy).astype(np.float64)
+        pmi = _round_half_away(np.log(num / den) * 1e6)
+        df = pd.DataFrame({"x": xs, "y": ys,
+                           "n": cxy, "pmi_e6": pmi})
+        df = df.sort_values(["pmi_e6", "x", "y"],
+                            ascending=[False, True, True]).head(topk)
+        return pa.table({
+            "x": pa.array(df["x"].to_numpy(object), pa.string()),
+            "y": pa.array(df["y"].to_numpy(object), pa.string()),
+            "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            "pmi_e6": pa.array(df["pmi_e6"].to_numpy(np.int64),
+                               pa.int64())})
+
+    # driver-fold gate: stream partials while the row total stays small
+    tables, n, over = [], 0, False
+    for b in bg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tables.append(b)
+        n += b.num_rows
+        if n > driver_max:
+            over = True
+            break
+    if not over:
+        ut = []
+        for b in ug.iter_batches(batch_size=None, batch_format="pyarrow"):
+            ut.append(b)
+            n += b.num_rows
+            if n > driver_max:
+                over = True
+                break
+        if not over:
+            bt = pa.concat_tables(tables).group_by(["x", "y"]) \
+                .aggregate([("c", "sum")]) \
+                .rename_columns(["x", "y", "c"])
+            uni = pa.concat_tables(ut).group_by("token") \
+                .aggregate([("c", "sum")]).rename_columns(["token", "c"])
+            n_tok = int(pc.sum(uni["c"]).as_py() or 0)
+            bt = bt.filter(pc.greater_equal(bt["c"], min_count))
+            cnt = dict(zip(uni["token"].to_pylist(),
+                           uni["c"].to_numpy(zero_copy_only=False)))
+            xs = np.asarray(bt["x"].to_pylist(), dtype=object)
+            ys = np.asarray(bt["y"].to_pylist(), dtype=object)
+            cxy = bt["c"].to_numpy(zero_copy_only=False)
+            cx = np.array([cnt[x] for x in xs], np.int64)
+            cy = np.array([cnt[y] for y in ys], np.int64)
+            return finish(xs, ys, cxy, cx, cy, n_tok)
+
+    # distributed fallback: SipHash64 keys, strings as Min exemplars
+    import pandas.util as pdu
+
+    def keyed(t: pa.Table) -> pa.Table:
+        xs = t["x"].to_numpy(zero_copy_only=False)
+        ys = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hx": pa.array(pdu.hash_array(xs, categorize=False)
+                           .view(np.int64), pa.int64()),
+            "hy": pa.array(pdu.hash_array(ys, categorize=False)
+                           .view(np.int64), pa.int64()),
+            "x": t["x"], "y": t["y"], "c": t["c"]})
+
+    def ukeyed(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(pdu.hash_array(toks, categorize=False)
+                          .view(np.int64), pa.int64()),
+            "c": t["c"]})
+
+    bgk = (bg.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["hx", "hy"])
+           .aggregate(Sum("c", alias_name="c"),
+                      Min("x", alias_name="x"), Min("y", alias_name="y")))
+    # materialize barriers between shuffle stages: ≥4 hash-shuffle
+    # stages fused in one plan reserve aggregator CPUs up front and
+    # deadlock small clusters (the forced-distributed ccnet finding)
+    bgk = bgk.filter(expr=f"c >= {int(min_count)}").materialize()
+    ugk = (ug.map_batches(ukeyed, batch_format="pyarrow")
+           .groupby("h").aggregate(Sum("c", alias_name="cu"))
+           .materialize())
+    n_tok = int(ugk.aggregate(Sum("cu", alias_name="s"))["s"] or 0)
+    j = bgk.join(ugk.rename_columns({"h": "hx", "cu": "cx"}),
+                 join_type="inner", on=("hx",),
+                 num_partitions=16).materialize()
+    j = j.join(ugk.rename_columns({"h": "hy", "cu": "cy"}),
+               join_type="inner", on=("hy",), num_partitions=16)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi_e6": pa.array([], pa.int64())})
+        num = (t["c"].to_numpy(zero_copy_only=False) * n_tok) \
+            .astype(np.float64)
+        den = (t["cx"].to_numpy(zero_copy_only=False)
+               * t["cy"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        pmi = _round_half_away(np.log(num / den) * 1e6)
+        out = pa.table({"x": t["x"], "y": t["y"], "c": t["c"],
+                        "pmi_e6": pa.array(pmi, pa.int64())})
+        df = out.to_pandas().sort_values(
+            ["pmi_e6", "x", "y"], ascending=[False, True, True]).head(topk)
+        return pa.table({
+            "x": pa.array(df["x"].to_numpy(object), pa.string()),
+            "y": pa.array(df["y"].to_numpy(object), pa.string()),
+            "n": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            "pmi_e6": pa.array(df["pmi_e6"].to_numpy(np.int64),
+                               pa.int64())})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi_e6", "x", "y"], descending=[True, False, False])
+            .limit(topk))
+
+
+PMI_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n_tok FROM toks),
+bg AS (
+  SELECT a.token AS x, b.token AS y, count(*) AS c
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  GROUP BY a.token, b.token),
+sc AS (
+  SELECT bg.x, bg.y, bg.c AS n,
+         CAST(round(ln(CAST(bg.c * n.n_tok AS DOUBLE)
+                       / CAST(ux.c * uy.c AS DOUBLE)) * 1000000)
+              AS BIGINT) AS pmi_e6
+  FROM bg JOIN uni ux ON bg.x = ux.token
+          JOIN uni uy ON bg.y = uy.token
+          CROSS JOIN n
+  WHERE bg.c >= 5)
+SELECT x, y, n, pmi_e6 FROM sc
+ORDER BY pmi_e6 DESC, x, y LIMIT 100
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -11727,6 +11915,7 @@ QUERIES = {
     "auc_quality_eval": auc_quality_eval,
     "zonemap_prune_events": zonemap_prune_events,
     "bucketed_join_revenue": bucketed_join_revenue,
+    "pmi_bigrams_top": pmi_bigrams_top,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -11892,4 +12081,5 @@ ORACLES = {
     "auc_quality_eval": AUC_QUALITY_SQL,
     "zonemap_prune_events": ZONEMAP_PRUNE_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
+    "pmi_bigrams_top": PMI_BIGRAMS_SQL,
 }

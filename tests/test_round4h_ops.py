@@ -102,6 +102,20 @@ def test_zonemap_actually_prunes(ray_session):
     assert got["value_c"].sum() == want["value_c"].sum()
 
 
+def test_pmi_two_forms_equal(ray_session):
+    """Driver-fold and forced-distributed (hashed-key join) forms of
+    the PMI collocation op produce identical top-100 tables."""
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import pmi_bigrams_top
+
+    a = to_pandas(pmi_bigrams_top(SF)) \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+    b = to_pandas(pmi_bigrams_top(SF, driver_max=0)) \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) == 100
+
+
 def test_bucketed_layout_colocates_keys(ray_session):
     """Every bucket directory holds only keys with key % 8 == bucket,
     for both sides of the bucketed join layout."""
