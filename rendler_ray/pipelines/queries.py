@@ -11713,6 +11713,27 @@ ORDER BY pmi_e6 DESC, x, y LIMIT 100
 """
 
 
+def adamic_adar_linkpred(sf_dir: str):
+    """Adamic–Adar link prediction over the crawl graph (Adamic & Adar
+    2003; the common-neighbor score LinkedIn/friend-suggestion systems
+    popularized): top-50 non-adjacent page pairs most likely to be
+    semantically related, scored Σ 10⁶/ln(deg(w)) over shared
+    neighbors w — a crawl curator's "related pages" / seed-expansion
+    signal. Size-gated ``functions/graph.py::adamic_adar_auto``:
+    driver pair fold under the gate, distributed
+    groupby(w).map_groups pair explode (bounded deg_cap² per group) +
+    per-pair integer sum + left-outer-join adjacency filter above it;
+    per-DEGREE weight rounding makes the sum order-free. Deterministic;
+    rows-only (no SQL graph), golden-pinned + brute-force pytest."""
+    from rendler_ray.functions.graph import adamic_adar_auto
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    return adamic_adar_auto(res.edges)
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -11916,6 +11937,7 @@ QUERIES = {
     "zonemap_prune_events": zonemap_prune_events,
     "bucketed_join_revenue": bucketed_join_revenue,
     "pmi_bigrams_top": pmi_bigrams_top,
+    "adamic_adar_linkpred": adamic_adar_linkpred,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

@@ -87,6 +87,7 @@ GOLDEN_QUERIES = [
     "compact_docs_files",
     "compression_ratio_docs",
     "leakage_free_split_docs",
+    "adamic_adar_linkpred",
 ]
 
 

@@ -116,6 +116,58 @@ def test_pmi_two_forms_equal(ray_session):
     assert len(a) == 100
 
 
+def _aa_brute(edges, topk=50, deg_cap=64):
+    """Pure-python Adamic-Adar reference on an undirected edge list."""
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    wtab = {d: int(round(1e6 / math.log(d)))
+            for d in range(2, deg_cap + 1)}
+    scores, cns = defaultdict(int), defaultdict(int)
+    for w, ns in adj.items():
+        if not (2 <= len(ns) <= deg_cap):
+            continue
+        ns = sorted(ns)
+        for i in range(len(ns) - 1):
+            for b in ns[i + 1:]:
+                a = ns[i]
+                if b in adj[a]:
+                    continue
+                scores[(a, b)] += wtab[len(adj[w])]
+                cns[(a, b)] += 1
+    rows = sorted(((a, b, cns[(a, b)], s)
+                   for (a, b), s in scores.items()),
+                  key=lambda r: (-r[3], r[0], r[1]))[:topk]
+    return rows
+
+
+def test_adamic_adar_brute_and_two_forms(ray_session, small_docs):
+    """Both the driver and distributed Adamic-Adar forms match a
+    pure-python brute force on a real crawl graph."""
+    from rendler_ray.functions.graph import adamic_adar_auto
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=small_docs,
+                            seeds=default_seeds(1), max_depth=3))
+    edges = {(r["src"], r["dst"]) for r in res.edges.take_all()}
+    want = pd.DataFrame(_aa_brute(edges),
+                        columns=["a", "b", "cn", "aa_e6"])
+
+    a = to_pandas(adamic_adar_auto(res.edges)).reset_index(drop=True)
+    b = to_pandas(adamic_adar_auto(res.edges, driver_max=0)) \
+        .sort_values(["aa_e6", "a", "b"],
+                     ascending=[False, True, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, want[a.columns])
+    pd.testing.assert_frame_equal(b[a.columns], want[a.columns])
+
+
 def test_bucketed_layout_colocates_keys(ray_session):
     """Every bucket directory holds only keys with key % 8 == bucket,
     for both sides of the bucketed join layout."""
