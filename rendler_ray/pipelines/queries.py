@@ -11734,6 +11734,186 @@ def adamic_adar_linkpred(sf_dir: str):
     return adamic_adar_auto(res.edges)
 
 
+def table_diff_docs(sf_dir: str):
+    """Snapshot diff (the lakehouse table_changes / data-versioning
+    primitive: what changed between two table versions, by key): a
+    derived snapshot B of documents — doc_id % 17 == 0 rows dropped,
+    doc_id % 13 == 0 rows' n_chars bumped by 7, doc_id % 19 == 0 rows
+    re-appended under new ids — is diffed against A on doc_id, and
+    each key classified added / removed / changed / unchanged. Output:
+    per-status row count + key checksum (the audit a CDC consumer or
+    sync job acts on).
+
+    Scale shape: ONE full-outer hash join on the key with presence
+    markers (the shuffle carries one row per key), a stateless
+    classify pass, and a ≤4-group aggregate. Payload equality is
+    compared inside the join task — no second pass, no driver
+    state."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    a = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def mk_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        langs = t["lang"]
+        bumped = nch + 7 * (ids % 13 == 0)
+        keep = ids % 17 != 0
+        base = pa.table({
+            "doc_id_b": pa.array(ids[keep], pa.int64()),
+            "lang_b": langs.filter(pa.array(keep)),
+            "n_chars_b": pa.array(bumped[keep], pa.int64())})
+        new = ids % 19 == 0
+        app = pa.table({
+            "doc_id_b": pa.array(ids[new] + 1_000_000_000, pa.int64()),
+            "lang_b": langs.filter(pa.array(new)),
+            "n_chars_b": pa.array(nch[new], pa.int64())})
+        return pa.concat_tables([base, app])
+
+    b = a.map_batches(mk_b, batch_format="pyarrow")
+    a2 = a.map_batches(
+        lambda t: t.append_column(
+            "_a", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    b2 = b.map_batches(
+        lambda t: t.append_column(
+            "_b", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    j = a2.join(b2, join_type="full_outer", num_partitions=8,
+                on=("doc_id",), right_on=("doc_id_b",))
+    j = _nonempty_blocks(j.materialize())
+
+    def classify(t: pa.Table) -> pa.Table:
+        ina = pc.is_valid(t["_a"]).to_numpy(zero_copy_only=False)
+        inb = pc.is_valid(t["_b"]).to_numpy(zero_copy_only=False)
+        same_lang = pc.fill_null(
+            pc.equal(t["lang"], t["lang_b"]), False) \
+            .to_numpy(zero_copy_only=False)
+        same_n = pc.fill_null(
+            pc.equal(t["n_chars"], t["n_chars_b"]), False) \
+            .to_numpy(zero_copy_only=False)
+        status = np.where(
+            ~ina, "added", np.where(
+                ~inb, "removed", np.where(
+                    same_lang & same_n, "unchanged", "changed")))
+        return pa.table({
+            "status": pa.array(status.astype(object), pa.string()),
+            "k": pc.cast(t["doc_id"], pa.int64())})
+
+    return (j.map_batches(classify, batch_format="pyarrow")
+            .groupby("status").aggregate(
+                Count(alias_name="n"), Sum("k", alias_name="key_sum")))
+
+
+TABLE_DIFF_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 13 = 0 THEN 7 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 19 = 0),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS k,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.lang = b.lang AND a.n_chars = b.n_chars
+                THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+FROM j GROUP BY status
+"""
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit (the constraint-validation pass a
+    warehouse runs after every load): per FK relation, how many child
+    rows point at a missing parent. Parents are deliberately
+    "corrupted" snapshots (orders missing o_orderkey % 1000 < 5,
+    customer missing c_custkey % 100 < 3) so the audit exercises real
+    orphans. Output one row per relation (n_child, n_orphan).
+
+    Scale shape: each child side pre-aggregates to one (key, count)
+    row per distinct key per batch, then per key — the join probes
+    carry key cardinality, not row cardinality; the parent side ships
+    only its key column through the hash join; orphan detection is a
+    LEFT OUTER join null-marker filter. Zero driver state beyond the
+    2-row result."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    def audit(child, key, parent, pkey, relation):
+        def child_counts(t: pa.Table) -> pa.Table:
+            vc = pd.Series(t[key].to_numpy(zero_copy_only=False)) \
+                .value_counts(sort=False)
+            return pa.table({
+                key: pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+                "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+        def parent_keys(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[pkey].combine_chunks())
+            return pa.table({
+                pkey: u,
+                "_p": pa.array(np.ones(len(u), np.int64))})
+
+        ck = (child.map_batches(child_counts, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("cnt", alias_name="cnt")))
+        pk = parent.map_batches(parent_keys, batch_format="pyarrow")
+        j = ck.join(pk, join_type="left_outer", num_partitions=8,
+                    on=(key,), right_on=(pkey,))
+        j = _nonempty_blocks(j.materialize())
+
+        def fold(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            orphan = pc.is_null(t["_p"]).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "relation": pa.array([relation], pa.string()),
+                "n_child": pa.array([int(cnt.sum())], pa.int64()),
+                "n_orphan": pa.array([int(cnt[orphan].sum())],
+                                     pa.int64())})
+
+        return (j.map_batches(fold, batch_format="pyarrow")
+                .groupby("relation").aggregate(
+                    Sum("n_child", alias_name="n_child"),
+                    Sum("n_orphan", alias_name="n_orphan")))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders_p = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t["o_orderkey"].to_numpy(zero_copy_only=False) % 1000 >= 5)),
+        batch_format="pyarrow")
+    r1 = audit(li, "l_orderkey", orders_p, "o_orderkey",
+               "lineitem->orders")
+
+    od = _read(sf_dir, "orders", ["o_custkey"])
+    cust_p = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t["c_custkey"].to_numpy(zero_copy_only=False) % 100 >= 3)),
+        batch_format="pyarrow")
+    r2 = audit(od, "o_custkey", cust_p, "c_custkey",
+               "orders->customer")
+    return r1.union(r2)
+
+
+FK_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS relation,
+       count(*) AS n_child,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphan
+FROM lineitem l LEFT JOIN
+     (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 >= 5) o
+     ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer' AS relation,
+       count(*) AS n_child,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphan
+FROM orders o LEFT JOIN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 100 >= 3) c
+     ON o.o_custkey = c.c_custkey
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -11938,6 +12118,8 @@ QUERIES = {
     "bucketed_join_revenue": bucketed_join_revenue,
     "pmi_bigrams_top": pmi_bigrams_top,
     "adamic_adar_linkpred": adamic_adar_linkpred,
+    "table_diff_docs": table_diff_docs,
+    "fk_integrity_audit": fk_integrity_audit,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -12104,4 +12286,6 @@ ORACLES = {
     "zonemap_prune_events": ZONEMAP_PRUNE_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "pmi_bigrams_top": PMI_BIGRAMS_SQL,
+    "table_diff_docs": TABLE_DIFF_SQL,
+    "fk_integrity_audit": FK_AUDIT_SQL,
 }
