@@ -1117,14 +1117,11 @@ SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
 """
 
 
-def triangle_counts(sf_dir: str):
-    """Distributed triangle counting (per lowest vertex) over a
-    deterministic graph derived from orders: undirected edges
-    (min, max) of (o_custkey, o_orderkey % 1500 + 1). The classic
-    two-join scheme: canonical a<b edges → wedge join E⋈E on the low
-    vertex (b<c filter) → close the wedge with an edge join on (b, c).
-    All exchanges are hash joins on bounded keys; no adjacency list is
-    ever collected."""
+def _orders_graph_edges(sf_dir: str):
+    """Canonical DISTINCT undirected edge list of the orders-derived
+    test graph shared by triangle_counts / clustering coefficient /
+    assortativity: (min, max) of (o_custkey, o_orderkey % 1500 + 1),
+    self-loops dropped. Per-batch dedup combiner, then one groupby."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
 
     def canon_edges(t: pa.Table) -> pa.Table:
@@ -1135,9 +1132,20 @@ def triangle_counts(sf_dir: str):
         df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (orders.map_batches(canon_edges, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-             .select_columns(["a", "b"]))
+    return (orders.map_batches(canon_edges, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"]))
+
+
+def triangle_counts(sf_dir: str):
+    """Distributed triangle counting (per lowest vertex) over a
+    deterministic graph derived from orders: undirected edges
+    (min, max) of (o_custkey, o_orderkey % 1500 + 1). The classic
+    two-join scheme: canonical a<b edges → wedge join E⋈E on the low
+    vertex (b<c filter) → close the wedge with an edge join on (b, c).
+    All exchanges are hash joins on bounded keys; no adjacency list is
+    ever collected."""
+    edges = _orders_graph_edges(sf_dir)
 
     right = edges.map_batches(
         lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
@@ -11914,6 +11922,245 @@ FROM orders o LEFT JOIN
 """
 
 
+def clustering_coefficient_nodes(sf_dir: str):
+    """Per-node LOCAL CLUSTERING COEFFICIENT over triangle_counts'
+    derived graph — the standard web-graph cohesion metric:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg(v) ≥ 2, e6
+    fixed-point floor so the oracle hash-compares integers.
+
+    Scale shape: the same two-hash-join triangle enumeration as
+    triangle_counts, but every triangle keeps all three corners and
+    explodes 3× into a per-vertex count; degrees are one 2× explode +
+    groupby; the final assembly is one LEFT join of two per-VERTEX
+    (bounded ≪ edges) tables. materialize barriers cap each execution
+    at ≤2 shuffle stages (the staged-plan deadlock rule)."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    right = edges.map_batches(
+        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
+    wedges = (edges.join(right, join_type="inner", num_partitions=8,
+                         on=("a",))
+              .map_batches(lambda t: t.filter(pc.less(t["b"], t["c"])),
+                           batch_format="pyarrow"))
+    wedges = _nonempty_blocks(wedges.materialize())
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate([
+            t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]),
+            pa.int64())})
+
+    tric = None
+    if wedges is not None:
+        closing = edges.map_batches(
+            lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
+        tri = wedges.join(closing, join_type="inner", num_partitions=8,
+                          on=("b", "c"))
+        tri = _nonempty_blocks(tri.materialize())
+        if tri is not None:
+            tric = (tri.map_batches(corners, batch_format="pyarrow")
+                    .groupby("node").aggregate(Count(alias_name="n_tri")))
+            tric = _nonempty_blocks(tric.materialize())
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate([
+            t["a"].to_numpy(), t["b"].to_numpy()]), pa.int64())})
+
+    deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["deg"], 2)), batch_format="pyarrow"))
+    deg = _nonempty_blocks(deg.materialize())
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64()),
+                      "n_tri": pa.array([], pa.int64()),
+                      "cc_e6": pa.array([], pa.int64())})
+    if deg is None:
+        return empty
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = (t["n_tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+              if "n_tri" in t.column_names
+              else np.zeros(len(d), np.int64))
+        cc = (2_000_000 * tr) // (d * (d - 1))
+        return pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "deg": pa.array(d, pa.int64()),
+            "n_tri": pa.array(tr, pa.int64()),
+            "cc_e6": pa.array(cc, pa.int64())})
+
+    if tric is None:
+        return deg.map_batches(finish, batch_format="pyarrow")
+    j = deg.join(tric, join_type="left_outer", num_partitions=8,
+                 on=("node",))
+    j = _nonempty_blocks(j.materialize())
+
+    def fill_finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("n_tri"), "n_tri",
+                         pc.cast(pc.fill_null(t["n_tri"], 0), pa.int64()))
+        return finish(t)
+
+    return j.map_batches(fill_finish, batch_format="pyarrow")
+
+
+CLUSTER_COEFF_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+tc AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri) corners
+  GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) ends
+  GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       (2000000 * CAST(coalesce(tc.n_tri, 0) AS BIGINT))
+         // (CAST(d.deg AS BIGINT) * (d.deg - 1)) AS cc_e6
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def degree_assortativity(sf_dir: str, driver_max: int = 1_000_000):
+    """Newman DEGREE ASSORTATIVITY r of the derived graph — do hubs
+    link to hubs (r>0) or to leaves (r<0)? For the both-directions
+    edge list the x/y marginals coincide, so Pearson needs NO square
+    root: r = (m·Σxy − Σx²ₘ) / (m·Σx² − Σx²ₘ) with Σx²ₘ = (Σx)² — a
+    ratio of two EXACT integers. Moments are int64-exact per batch;
+    the final ×1e6 ratio exceeds 2^63, so the 1-row finisher computes
+    it in Python ints and DuckDB mirrors in HUGEINT with toward-zero
+    ``//``.
+
+    Scale shape: degrees via one explode + count; attaching deg to
+    both endpoints is a broadcast lookup below a NODE-count gate
+    (vertex table ≪ edge table; ray.put once, searchsorted per batch)
+    with a two-hash-join fallback above it; moments fold as per-batch
+    1-row partials into a single-group aggregate."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate([
+            t["a"].to_numpy(), t["b"].to_numpy()]), pa.int64())})
+
+    deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .materialize())
+
+    if deg.count() <= driver_max:
+        dt = pa.concat_tables(
+            deg.iter_batches(batch_size=None, batch_format="pyarrow"))
+        order = pc.sort_indices(dt["node"].combine_chunks())
+        keys = dt["node"].to_numpy(zero_copy_only=False)[order]
+        vals = dt["deg"].to_numpy(zero_copy_only=False)[order] \
+            .astype(np.int64)
+        ref = ray.put((keys, vals))
+
+        def partial(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            da = v[np.searchsorted(k, t["a"].to_numpy())]
+            db = v[np.searchsorted(k, t["b"].to_numpy())]
+            return _assort_partial_row(da, db)
+
+        parts = edges.map_batches(partial, batch_format="pyarrow")
+    else:
+        dl = deg.map_batches(
+            lambda t: t.rename_columns(["a", "da"]),
+            batch_format="pyarrow")
+        j1 = _nonempty_blocks(
+            edges.join(dl, join_type="inner", num_partitions=8,
+                       on=("a",)).materialize())
+        dr = deg.map_batches(
+            lambda t: t.rename_columns(["b", "db"]),
+            batch_format="pyarrow")
+        j2 = _nonempty_blocks(
+            j1.join(dr, join_type="inner", num_partitions=8,
+                    on=("b",)).materialize())
+
+        def partial2(t: pa.Table) -> pa.Table:
+            return _assort_partial_row(
+                t["da"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["db"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+        parts = j2.map_batches(partial2, batch_format="pyarrow")
+
+    agg = parts.groupby("g").aggregate(
+        Sum("m", alias_name="m"), Sum("sx", alias_name="sx"),
+        Sum("sxy", alias_name="sxy"), Sum("sx2", alias_name="sx2"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m, sx = int(df["m"][0]), int(df["sx"][0])
+        sxy, sx2 = int(df["sxy"][0]), int(df["sx2"][0])
+        num, den = m * sxy - sx * sx, m * sx2 - sx * sx
+        r = 0 if den == 0 else \
+            (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
+        return pd.DataFrame({"m": [m], "sx": [sx], "sxy": [sxy],
+                             "sx2": [sx2], "r_e6": [r]})
+
+    return agg.map_batches(finish, batch_format="pandas") \
+        .select_columns(["m", "sx", "sxy", "sx2", "r_e6"])
+
+
+def _assort_partial_row(da: np.ndarray, db: np.ndarray) -> pa.Table:
+    """1-row int64 moment partial for the both-directions edge list.
+    da·db < 2^62/|batch| holds for any real degree distribution (deg <
+    2^21 on both sides simultaneously) — asserted, not assumed."""
+    assert not len(da) or (int(da.max()) < (1 << 21)
+                           and int(db.max()) < (1 << 21))
+    return pa.table({
+        "g": pa.array([1], pa.int64()),
+        "m": pa.array([2 * len(da)], pa.int64()),
+        "sx": pa.array([int((da + db).sum())], pa.int64()),
+        "sxy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+        "sx2": pa.array([int((da * da + db * db).sum())], pa.int64())})
+
+
+DEGREE_ASSORT_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) ends
+  GROUP BY node),
+de AS (
+  SELECT d1.deg AS da, d2.deg AS db
+  FROM e JOIN deg d1 ON d1.node = e.a JOIN deg d2 ON d2.node = e.b),
+s AS (
+  SELECT CAST(2 * count(*) AS HUGEINT) AS m,
+         CAST(sum(da + db) AS HUGEINT) AS sx,
+         CAST(sum(2 * da * db) AS HUGEINT) AS sxy,
+         CAST(sum(da * da + db * db) AS HUGEINT) AS sx2
+  FROM de)
+SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sx2 AS BIGINT) AS sx2,
+       CAST(CASE WHEN m * sx2 - sx * sx = 0 THEN 0
+                 ELSE (1000000 * (m * sxy - sx * sx))
+                      // (m * sx2 - sx * sx) END AS BIGINT) AS r_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12120,6 +12367,8 @@ QUERIES = {
     "adamic_adar_linkpred": adamic_adar_linkpred,
     "table_diff_docs": table_diff_docs,
     "fk_integrity_audit": fk_integrity_audit,
+    "clustering_coefficient_nodes": clustering_coefficient_nodes,
+    "degree_assortativity": degree_assortativity,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -12288,4 +12537,6 @@ ORACLES = {
     "pmi_bigrams_top": PMI_BIGRAMS_SQL,
     "table_diff_docs": TABLE_DIFF_SQL,
     "fk_integrity_audit": FK_AUDIT_SQL,
+    "clustering_coefficient_nodes": CLUSTER_COEFF_SQL,
+    "degree_assortativity": DEGREE_ASSORT_SQL,
 }

@@ -66,3 +66,67 @@ def test_fk_audit_brute(ray_session):
     assert out.loc["orders->customer", "n_child"] == len(od)
     assert out.loc["orders->customer", "n_orphan"] == co
     assert lo > 0 and co > 0
+
+
+def _orders_edges(sf: str = SF) -> set[tuple[int, int]]:
+    od = pq.read_table(os.path.join(sf, "orders.parquet"),
+                       columns=["o_custkey", "o_orderkey"]).to_pandas()
+    u = od.o_custkey.to_numpy()
+    v = od.o_orderkey.to_numpy() % 1500 + 1
+    return {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+
+
+def test_clustering_coefficient_brute(ray_session):
+    """Per-node cc matches an adjacency-set brute force (at sf0.01 —
+    the sf0.001 graph has zero triangles, which would leave the
+    triangle path unexercised)."""
+    from rendler_ray.pipelines.queries import clustering_coefficient_nodes
+
+    sf = "/root/testdata/sf0.01"
+    out = clustering_coefficient_nodes(sf).to_pandas() \
+        .set_index("node").sort_index()
+
+    edges = _orders_edges(sf)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        ns_l = sorted(ns)
+        tri = sum(1 for i, x in enumerate(ns_l) for y in ns_l[i + 1:]
+                  if y in adj[x])
+        rows[v] = (d, tri, (2_000_000 * tri) // (d * (d - 1)))
+    assert set(out.index) == set(rows)
+    for v, (d, tri, cc) in rows.items():
+        r = out.loc[v]
+        assert (r.deg, r.n_tri, r.cc_e6) == (d, tri, cc)
+    # the metric must be non-degenerate on this graph
+    assert out.n_tri.sum() > 0 and (out.n_tri == 0).any()
+
+
+def test_degree_assortativity_brute_and_two_forms(ray_session):
+    """Exact integer moments + r vs a pure-python brute force; the
+    broadcast and forced-join forms agree bit-exactly."""
+    from rendler_ray.pipelines.queries import degree_assortativity
+
+    a = degree_assortativity(SF).to_pandas().iloc[0]
+    b = degree_assortativity(SF, driver_max=0).to_pandas().iloc[0]
+    assert tuple(a) == tuple(b)
+
+    edges = _orders_edges()
+    deg: dict[int, int] = {}
+    for x, y in edges:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    m = 2 * len(edges)
+    sx = sum(deg[x] + deg[y] for x, y in edges)
+    sxy = sum(2 * deg[x] * deg[y] for x, y in edges)
+    sx2 = sum(deg[x] ** 2 + deg[y] ** 2 for x, y in edges)
+    num, den = m * sxy - sx * sx, m * sx2 - sx * sx
+    r = (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
+    assert (a.m, a.sx, a.sxy, a.sx2, a.r_e6) == (m, sx, sxy, sx2, r)
+    assert -1_000_000 <= r <= 1_000_000
