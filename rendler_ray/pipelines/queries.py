@@ -12161,6 +12161,163 @@ FROM s
 """
 
 
+def cms_user_counts(sf_dir: str):
+    """COUNT-MIN SKETCH point queries (Cormode–Muthukrishnan '05) —
+    the bounded-memory frequency sketch that answers "how often did
+    key x occur" with one-sided error ≤ εN: depth 4 × width 256
+    int64 counters, queried for the fixed user set 0..49. Unlike the
+    HLL/quantile sketches this one is DETERMINISTIC given its hash
+    family, so the DuckDB oracle reproduces the sketch cell-exactly —
+    the hash is the repo's int64-safe multiplicative-xorshift (every
+    intermediate < 2^63, mirrored verbatim in SQL).
+
+    Scale shape: each batch folds to ≤ depth×width nonzero (d, bucket,
+    c) partial rows (np.bincount), ONE bounded groupby merges them —
+    sketch merge is addition, the property that makes CMS the
+    distributed-counting workhorse; the 1024-cell sketch then answers
+    the 50 point queries on the driver."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    depth, width = 4, 256
+
+    def bucket_of(u: np.ndarray, d: int) -> np.ndarray:
+        # (u + 131071·d)·2654435761 < 2^63 needs u < 2^31 — numpy wraps
+        # silently where DuckDB BIGINT errors, so assert the bound
+        assert not len(u) or int(u.max()) < (1 << 31)
+        h1 = ((u + 131071 * d) * 2654435761) % 2147483648
+        return np.bitwise_xor(h1, h1 // 4096) % width
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_, bs, cs = [], [], []
+        for d in range(1, depth + 1):
+            cnt = np.bincount(bucket_of(u, d), minlength=width)
+            nz = np.nonzero(cnt)[0]
+            ds_.append(np.full(len(nz), d, np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(cnt[nz].astype(np.int64))
+        return pa.table({"d": np.concatenate(ds_),
+                         "bucket": np.concatenate(bs),
+                         "c": np.concatenate(cs)})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["d", "bucket"]).aggregate(Sum("c", alias_name="c"))
+             .materialize())
+    # the folded sketch is ≤ depth·width rows by construction
+    t = pa.concat_tables(
+        cells.iter_batches(batch_size=None, batch_format="pyarrow"))
+    cms = np.zeros((depth + 1, width), np.int64)
+    cms[t["d"].to_numpy(), t["bucket"].to_numpy()] = t["c"].to_numpy()
+    q = np.arange(50, dtype=np.int64)
+    est = np.min(np.stack([cms[d, bucket_of(q, d)]
+                           for d in range(1, depth + 1)]), axis=0)
+    return pa.table({"user_id": pa.array(q, pa.int64()),
+                     "est": pa.array(est, pa.int64())})
+
+
+CMS_SQL = """
+WITH ds AS (SELECT unnest(generate_series(1, 4)) AS d),
+uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+cell AS (
+  SELECT d, xor(h1, h1 // 4096) % 256 AS bucket, c FROM (
+    SELECT d, ((user_id + 131071 * d) * 2654435761) % 2147483648 AS h1,
+           c
+    FROM uc CROSS JOIN ds) h),
+cms AS (SELECT d, bucket, sum(c) AS cnt FROM cell GROUP BY d, bucket),
+q AS (SELECT unnest(generate_series(0, 49)) AS user_id),
+qb AS (
+  SELECT user_id, d, xor(h1, h1 // 4096) % 256 AS bucket FROM (
+    SELECT user_id, d,
+           ((user_id + 131071 * d) * 2654435761) % 2147483648 AS h1
+    FROM q CROSS JOIN ds) h)
+SELECT qb.user_id AS user_id,
+       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+FROM qb LEFT JOIN cms ON cms.d = qb.d AND cms.bucket = qb.bucket
+GROUP BY qb.user_id
+"""
+
+
+def calibration_curve_docs(sf_dir: str):
+    """Classifier CALIBRATION CURVE (reliability diagram) — the eval
+    that tells you whether the quality classifier's scores MEAN
+    anything: rank docs by clf score, cut into 10 equi-depth deciles,
+    and report each decile's positive-label (lang='en') rate. A
+    well-calibrated ranker shows frac_pos rising monotonically with
+    the decile; completes the eval family next to AUC (discrimination)
+    and the confusion matrix (hard decisions).
+
+    Scale shape: ONE shuffle-free vectorized scoring pass (same
+    hashed-BoW stub as classifier_score_docs, so the oracle is exact),
+    one global sort + metadata-only zip-with-index (``with_row_seq``),
+    decile = (rank−1)·10 // n as a stateless map, per-batch partials
+    into a ≤10-group aggregate."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        pos = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "clf_score": pa.array(s, pa.int64()),
+                         "pos": pa.array(pos.astype(np.int64), pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    n = scored.count()
+    ranked = with_row_seq(scored, ["clf_score", "doc_id"], start=1,
+                          column="rank")
+
+    def partial(t: pa.Table) -> pa.Table:
+        dec = (t["rank"].to_numpy(zero_copy_only=False) - 1) * 10 // n
+        df = pd.DataFrame({
+            "decile": dec.astype(np.int64),
+            "n": 1,
+            "n_pos": t["pos"].to_numpy(zero_copy_only=False),
+            "sum_score": t["clf_score"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("decile", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ranked.map_batches(partial, batch_format="pyarrow")
+           .groupby("decile").aggregate(
+               Sum("n", alias_name="n"),
+               Sum("n_pos", alias_name="n_pos"),
+               Sum("sum_score", alias_name="sum_score")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = t["n"].to_numpy(zero_copy_only=False)
+        np_ = t["n_pos"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "frac_pos_e6", pa.array(1_000_000 * np_ // nb, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+CALIBRATION_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id),
+lab AS (SELECT s.doc_id, s.clf_score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (SELECT clf_score, pos,
+             (row_number() OVER (ORDER BY clf_score, doc_id) - 1) * 10
+               // (SELECT count(*) FROM lab) AS decile
+      FROM lab)
+SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(clf_score) AS BIGINT) AS sum_score,
+       (1000000 * CAST(sum(pos) AS BIGINT)) // count(*) AS frac_pos_e6
+FROM r GROUP BY decile
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12369,6 +12526,8 @@ QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "clustering_coefficient_nodes": clustering_coefficient_nodes,
     "degree_assortativity": degree_assortativity,
+    "cms_user_counts": cms_user_counts,
+    "calibration_curve_docs": calibration_curve_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -12539,4 +12698,6 @@ ORACLES = {
     "fk_integrity_audit": FK_AUDIT_SQL,
     "clustering_coefficient_nodes": CLUSTER_COEFF_SQL,
     "degree_assortativity": DEGREE_ASSORT_SQL,
+    "cms_user_counts": CMS_SQL,
+    "calibration_curve_docs": CALIBRATION_SQL,
 }

@@ -3,10 +3,15 @@ referential-integrity audit."""
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pq.read_table(os.path.join(SF, "documents.parquet")).to_pandas()
 
 
 def test_table_diff_brute(ray_session):
@@ -130,3 +135,51 @@ def test_degree_assortativity_brute_and_two_forms(ray_session):
     r = (1 if num >= 0 else -1) * (abs(1_000_000 * num) // den)
     assert (a.m, a.sx, a.sxy, a.sx2, a.r_e6) == (m, sx, sxy, sx2, r)
     assert -1_000_000 <= r <= 1_000_000
+
+
+def test_cms_overestimate_property(ray_session):
+    """CMS point estimates are one-sided: est ≥ exact for every
+    queried user, and at 15 users vs 256 buckets most are exact."""
+    from rendler_ray.pipelines.queries import cms_user_counts
+
+    out = cms_user_counts(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["user_id"]).to_pandas()
+    exact = ev.user_id.value_counts()
+    for u in range(50):
+        e = int(exact.get(u, 0))
+        assert out.loc[u, "est"] >= e
+    eq = sum(int(out.loc[u, "est"]) == int(exact.get(u, 0))
+             for u in range(50))
+    assert eq >= 45  # collisions are possible but must be rare
+
+
+def test_calibration_curve_brute(ray_session):
+    """Decile stats match a pandas recompute, deciles partition the
+    corpus, and the curve is non-degenerate."""
+    from rendler_ray.pipelines.queries import (
+        _clf_weights, calibration_curve_docs)
+
+    out = calibration_curve_docs(SF).to_pandas() \
+        .set_index("decile").sort_index()
+
+    docs = _docs()
+    scores = []
+    for text in docs["text"]:
+        toks = np.array(text.split(" "), dtype=object)
+        scores.append(int(np.rint(_clf_weights(toks).sum())))
+    df = pd.DataFrame({"doc_id": docs.doc_id, "s": scores,
+                       "pos": (docs.lang == "en").astype(int)})
+    df = df.sort_values(["s", "doc_id"]).reset_index(drop=True)
+    n = len(df)
+    df["decile"] = df.index * 10 // n
+    want = df.groupby("decile").agg(
+        n=("s", "size"), n_pos=("pos", "sum"), sum_score=("s", "sum"))
+    assert list(out.index) == list(range(10))
+    assert out.n.sum() == n
+    for d in range(10):
+        w = want.loc[d]
+        assert (out.loc[d, "n"], out.loc[d, "n_pos"],
+                out.loc[d, "sum_score"]) == (w.n, w.n_pos, w.sum_score)
+        assert out.loc[d, "frac_pos_e6"] == 10 ** 6 * w.n_pos // w.n
+    assert out.frac_pos_e6.nunique() > 1
