@@ -12318,6 +12318,232 @@ FROM r GROUP BY decile
 """
 
 
+def sample_docs_per_source_k(sf_dir: str, k: int = 5):
+    """Exactly-``k``-PER-GROUP deterministic sample (the per-domain
+    spot-check a curation review draws; completes the sampling family
+    next to fraction-stratified and global exact-k): rank docs within
+    each source by md5(doc_id||salt) and keep the k smallest. Same
+    scale shape as the grouped top-k: per-batch PRE-PRUNE to each
+    source's local k (a batch contributes ≤ k survivors per source),
+    grouped finisher sees ≤ k·batches rows per source."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rk = [hashlib.md5(f"{i}-pss".encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "doc_id": ids, "rk": rk})
+        df = df.sort_values(["rk", "doc_id"])
+        return pa.Table.from_pandas(df.groupby("source", sort=False)
+                                    .head(k), preserve_index=False)
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "doc_id"]).head(k)
+        return pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "smp_rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("source").map_groups(fin, batch_format="pandas"))
+
+
+SAMPLE_PER_SOURCE_SQL = """
+SELECT source, doc_id,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '-pss'), doc_id)
+         AS smp_rank
+FROM documents QUALIFY smp_rank <= 5
+"""
+
+
+def rfm_user_segments(sf_dir: str):
+    """RFM SEGMENTATION (recency / frequency / monetary) — the classic
+    customer-analytics cube: per-user aggregates over the event
+    stream, each dimension cut into equi-depth terciles by global
+    rank, segments reported as (r, f, m) code cells. Exercises the
+    aggregate → multi-window-rank → join composition over a DERIVED
+    table.
+
+    Scale shape: one grouped aggregate to a per-USER table (≪ events),
+    three global sorts with metadata-only zip-with-index
+    (``with_row_seq`` — code = (rank−1)·3 // n, the formula NTILE),
+    two hash joins to recombine the code columns (materialize barriers
+    between, per the staged-plan rule), one ≤27-group aggregate."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "us": pa.array(us, pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    ua = (ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id").aggregate(
+              Max("us", alias_name="recency"),
+              Count(alias_name="freq"),
+              Sum("cents", alias_name="cents"))
+          .materialize())
+    n = ua.count()
+
+    def code_table(dim: str, code: str, keep_cents: bool = False):
+        cols = ["user_id", dim] + (["cents"] if keep_cents
+                                   and dim != "cents" else [])
+        ranked = with_row_seq(ua.select_columns(cols),
+                              [dim, "user_id"], start=1, column="rk")
+
+        def to_code(t: pa.Table) -> pa.Table:
+            c = (t["rk"].to_numpy(zero_copy_only=False) - 1) * 3 // n
+            out = {"user_id": t["user_id"],
+                   code: pa.array(c.astype(np.int64), pa.int64())}
+            if keep_cents:
+                out["cents"] = t["cents"]
+            return pa.table(out)
+
+        return ranked.map_batches(to_code, batch_format="pyarrow")
+
+    cm = code_table("cents", "m_code", keep_cents=True)
+    cr = code_table("recency", "r_code")
+    cf = code_table("freq", "f_code")
+    j = _nonempty_blocks(
+        cm.join(cr, join_type="inner", num_partitions=8,
+                on=("user_id",)).materialize())
+    j = _nonempty_blocks(
+        j.join(cf, join_type="inner", num_partitions=8,
+               on=("user_id",)).materialize())
+    return (j.groupby(["r_code", "f_code", "m_code"]).aggregate(
+        Count(alias_name="n_users"), Sum("cents", alias_name="sum_cents")))
+
+
+RFM_SQL = """
+WITH ua AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS recency,
+         count(*) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id),
+codes AS (
+  SELECT user_id, cents,
+         (row_number() OVER (ORDER BY recency, user_id) - 1) * 3
+           // (SELECT count(*) FROM ua) AS r_code,
+         (row_number() OVER (ORDER BY freq, user_id) - 1) * 3
+           // (SELECT count(*) FROM ua) AS f_code,
+         (row_number() OVER (ORDER BY cents, user_id) - 1) * 3
+           // (SELECT count(*) FROM ua) AS m_code
+  FROM ua)
+SELECT r_code, f_code, m_code, count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM codes GROUP BY r_code, f_code, m_code
+"""
+
+
+def bfs_distances_graph(sf_dir: str, max_depth: int = 6,
+                        driver_max: int = 2_000_000):
+    """Single-source BFS DISTANCES over the derived undirected graph —
+    the generic "hops from the seed set" primitive (the crawl pipeline
+    is its production form, with sharded seen-set actors; this is the
+    SQL-graph variant, oracled against a RECURSIVE CTE — dedup'd
+    (node, dist) frontier, min(dist) finisher). Output (node, dist)
+    for every node within ``max_depth`` hops of node 1, seed included
+    even if isolated.
+
+    Scale shape: below the edge-count gate a driver adjacency BFS
+    (bounded fold); above it per-round distributed min-label
+    expansion — frontier ⋈ edges then union + groupby-min, one join +
+    one groupby per round with materialize barriers, exactly the
+    crawl's BFS round shape without the politeness machinery."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    seed = 1
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(t["a"].to_numpy(), t["b"].to_numpy()):
+            adj.setdefault(int(a), []).append(int(b))
+            adj.setdefault(int(b), []).append(int(a))
+        dist = {seed: 0}
+        frontier = [seed]
+        for d in range(1, max_depth + 1):
+            nxt = [v for u in frontier for v in adj.get(u, ())
+                   if v not in dist]
+            frontier = []
+            for v in nxt:
+                if v not in dist:
+                    dist[v] = d
+                    frontier.append(v)
+            if not frontier:
+                break
+        ks = sorted(dist)
+        return pa.table({"node": pa.array(ks, pa.int64()),
+                         "dist": pa.array([dist[k] for k in ks],
+                                          pa.int64())})
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([t["a"].to_numpy(),
+                                          t["b"].to_numpy()]), pa.int64()),
+            "v": pa.array(np.concatenate([t["b"].to_numpy(),
+                                          t["a"].to_numpy()]), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    dist_ds = rd.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    for d in range(1, max_depth + 1):
+        frontier = dist_ds.map_batches(
+            lambda t, d=d: t.filter(pc.equal(t["dist"], d - 1))
+            .select(["node"]), batch_format="pyarrow").materialize()
+        frontier = _nonempty_blocks(frontier)
+        if frontier is None:
+            break
+        nbr = _nonempty_blocks(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["u"]), batch_format="pyarrow")
+            .join(both, join_type="inner", num_partitions=8, on=("u",))
+            .materialize())
+        if nbr is None:
+            break
+        cand = nbr.map_batches(
+            lambda t, d=d: pa.table({
+                "node": pc.cast(t["v"], pa.int64()),
+                "dist": pa.array(np.full(t.num_rows, d, np.int64))}),
+            batch_format="pyarrow")
+        dist_ds = (dist_ds.union(cand).groupby("node")
+                   .aggregate(Min("dist", alias_name="dist"))
+                   .materialize())
+    return dist_ds
+
+
+BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v FROM e
+       UNION ALL SELECT b AS u, a AS v FROM e),
+walk(node, dist) AS (
+  SELECT 1 AS node, 0 AS dist
+  UNION
+  SELECT bo.v AS node, w.dist + 1 AS dist
+  FROM walk w JOIN bo ON bo.u = w.node
+  WHERE w.dist < 6)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12528,6 +12754,9 @@ QUERIES = {
     "degree_assortativity": degree_assortativity,
     "cms_user_counts": cms_user_counts,
     "calibration_curve_docs": calibration_curve_docs,
+    "sample_docs_per_source_k": sample_docs_per_source_k,
+    "rfm_user_segments": rfm_user_segments,
+    "bfs_distances_graph": bfs_distances_graph,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -12700,4 +12929,7 @@ ORACLES = {
     "degree_assortativity": DEGREE_ASSORT_SQL,
     "cms_user_counts": CMS_SQL,
     "calibration_curve_docs": CALIBRATION_SQL,
+    "sample_docs_per_source_k": SAMPLE_PER_SOURCE_SQL,
+    "rfm_user_segments": RFM_SQL,
+    "bfs_distances_graph": BFS_SQL,
 }

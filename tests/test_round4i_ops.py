@@ -1,5 +1,7 @@
-"""Round-4i op families: snapshot table diff (CDC classify) and
-referential-integrity audit."""
+"""Round-4i op families: snapshot table diff (CDC classify),
+referential-integrity audit, clustering coefficient, degree
+assortativity, count-min sketch, calibration curve, per-source
+exact-k sampling, RFM segmentation, BFS distances."""
 
 import os
 
@@ -183,3 +185,82 @@ def test_calibration_curve_brute(ray_session):
                 out.loc[d, "sum_score"]) == (w.n, w.n_pos, w.sum_score)
         assert out.loc[d, "frac_pos_e6"] == 10 ** 6 * w.n_pos // w.n
     assert out.frac_pos_e6.nunique() > 1
+
+
+def test_sample_per_source_k_brute(ray_session):
+    """Per-source exact-k sample matches the md5-rank brute force and
+    draws exactly min(k, |source|) docs per source."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import sample_docs_per_source_k
+
+    out = sample_docs_per_source_k(SF).to_pandas()
+    docs = _docs()[["doc_id", "source"]].copy()
+    docs["rk"] = [hashlib.md5(f"{i}-pss".encode()).hexdigest()
+                  for i in docs.doc_id]
+    want = docs.sort_values(["rk", "doc_id"]).groupby("source").head(5)
+    for src, g in out.groupby("source"):
+        w = want[want.source == src]
+        assert set(g.doc_id) == set(w.doc_id)
+        assert sorted(g.smp_rank) == list(range(1, len(w) + 1))
+    assert set(out.source) == set(docs.source)
+
+
+def test_rfm_segments_brute(ray_session):
+    """Segment cells match a pandas recompute of the tercile codes."""
+    from rendler_ray.pipelines.queries import rfm_user_segments
+
+    out = rfm_user_segments(SF).to_pandas() \
+        .set_index(["r_code", "f_code", "m_code"]).sort_index()
+
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    ev["us"] = ev.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    ua = ev.groupby("user_id").agg(
+        recency=("us", "max"), freq=("us", "size"),
+        cents=("cents", "sum")).reset_index()
+    n = len(ua)
+
+    def code(col):
+        r = ua.sort_values([col, "user_id"]).reset_index()
+        c = pd.Series(np.arange(n) * 3 // n, index=r["index"])
+        return c.sort_index().to_numpy()
+
+    ua["r_code"], ua["f_code"], ua["m_code"] = \
+        code("recency"), code("freq"), code("cents")
+    want = ua.groupby(["r_code", "f_code", "m_code"]).agg(
+        n_users=("cents", "size"), sum_cents=("cents", "sum"))
+    assert out.n_users.sum() == n
+    pd.testing.assert_frame_equal(out, want[out.columns],
+                                  check_dtype=False)
+
+
+def test_bfs_two_forms_and_brute(ray_session):
+    """Driver and forced-distributed BFS agree with each other and
+    with a pure-python BFS, and the graph has depth > 1 from seed."""
+    from rendler_ray.goldenhash import to_pandas
+    from rendler_ray.pipelines.queries import bfs_distances_graph
+
+    a = to_pandas(bfs_distances_graph(SF)).sort_values("node") \
+        .reset_index(drop=True)
+    b = to_pandas(bfs_distances_graph(SF, driver_max=0)) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    edges = _orders_edges()
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    dist = {1: 0}
+    frontier = [1]
+    for d in range(1, 7):
+        nxt = sorted({v for u in frontier for v in adj.get(u, ())
+                      if v not in dist})
+        for v in nxt:
+            dist[v] = d
+        frontier = nxt
+    got = dict(zip(a.node, a.dist))
+    assert got == dist
+    assert max(dist.values()) >= 2
