@@ -96,6 +96,42 @@ class MediaDecoder:
         )
 
 
+_DCT8 = None
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis (the pHash transform), built once
+    per process."""
+    global _DCT8
+    if _DCT8 is None:
+        k = np.arange(8)
+        d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16) \
+            * np.sqrt(2 / 8)
+        d[0] /= np.sqrt(2)
+        _DCT8 = d
+    return _DCT8
+
+
+def phash64_batch(blobs: list[bytes]) -> np.ndarray:
+    """64-bit perceptual hashes for a batch of decoded image blobs
+    (pHash shape: 8×8 grayscale → 2-D DCT-II → sign vs the median of
+    the 63 non-DC coefficients). One stacked einsum per batch — no
+    per-image Python beyond the buffer view. The sandbox 'grayscale'
+    is the blob's first 64 bytes (the decode stub's contract); a real
+    deployment feeds PIL-resized 8×8 luma here, the hash math is
+    identical."""
+    if not blobs:
+        return np.empty(0, np.uint64)
+    m = np.stack([np.frombuffer(b[:64], np.uint8) for b in blobs]) \
+        .astype(np.float64).reshape(-1, 8, 8)
+    d = _dct8()
+    c = np.einsum("ij,njk,lk->nil", d, m, d).reshape(len(blobs), 64)
+    med = np.median(c[:, 1:], axis=1, keepdims=True)
+    bits = (c > med).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+
+
 def media_pipeline(docs_ds, strict: bool = False, concurrency=(1, 4),
                    batch_size: int = 256):
     """docs → explode media spans → actor-pool decode. Small batch_size:

@@ -12544,6 +12544,89 @@ FROM walk GROUP BY node
 """
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def media_phash_dedup(sf_dir: str, ham_max: int = 3):
+    """Image NEAR-DUP detection by PERCEPTUAL HASH — the multimodal
+    dedup pass (decode → 8×8 DCT pHash → banded Hamming search) a
+    training pipeline runs before captioning/packing images. The
+    corpus is the crawl's media table plus deterministic 'recompressed
+    variant' rows (every 5th ref hash-selected, one byte perturbed —
+    the derived-snapshot trick; a real store has the variants
+    natively). Decode is the sandbox stub (media.py contract); the
+    signature/banding math is the production form.
+
+    Scale shape: signatures are one stacked einsum per batch
+    (:func:`phash64_batch`); candidates come from 4×16-bit BAND
+    buckets — pigeonhole makes Hamming ≤ 3 detection EXACT (4
+    differing bits can split 1-per-band, so ham_max > 3 would need
+    more bands); within-bucket verify is a vectorized xor+popcount;
+    pair dedup is one groupby on (ref_a, ref_b). Hot buckets (a
+    billion identical thumbnails) would salt via
+    ``ann.salt_hot_int_buckets`` exactly as the simhash path does.
+    Rows-only (golden): DCT floats aren't SQL-expressible."""
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.functions.media import phash64_batch
+
+    docs = rd.read_parquet(_synth_docs_for(sf_dir))
+    media = F_media.media_pipeline(docs).select_columns(
+        ["media_ref", "blob"])
+
+    def with_variants(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        blobs = t["blob"].to_pylist()
+        pick = stable_hash64(refs) % np.uint64(5) == 0
+        for i in np.nonzero(pick)[0]:
+            v = bytearray(blobs[int(i)])
+            v[17] = (v[17] + 2) % 256
+            refs.append(refs[int(i)] + "#v")
+            blobs.append(bytes(v))
+        h = phash64_batch(blobs)
+        return pa.table({
+            "ref": pa.array(refs, pa.string()),
+            "phash": pa.array(h.view(np.int64), pa.int64())})
+
+    sigs = media.map_batches(with_variants, batch_format="pyarrow")
+
+    def bands(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out = []
+        for b in range(4):
+            key = ((h >> np.uint64(16 * b))
+                   & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pa.table({
+                "band": pa.array(np.full(len(h), b, np.int64)),
+                "key": pa.array(key),
+                "ref": t["ref"], "phash": t["phash"]}))
+        return pa.concat_tables(out)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["phash"].to_numpy(np.int64).view(np.uint64)
+        refs = g["ref"].to_numpy(object)
+        x = (h[:, None] ^ h[None, :]).view(np.uint8) \
+            .reshape(len(h), len(h), 8)
+        ham = _POP8[x].sum(axis=2).astype(np.int64)
+        ii, jj = np.nonzero(np.triu(ham <= ham_max, k=1))
+        ra = np.minimum(refs[ii], refs[jj])
+        rb = np.maximum(refs[ii], refs[jj])
+        return pd.DataFrame({"ref_a": ra, "ref_b": rb,
+                             "hamming": ham[ii, jj]})
+
+    pairs = (sigs.map_batches(bands, batch_format="pyarrow")
+             .groupby(["band", "key"])
+             .map_groups(verify, batch_format="pandas"))
+    empty = pa.table({"ref_a": pa.array([], pa.string()),
+                      "ref_b": pa.array([], pa.string()),
+                      "hamming": pa.array([], pa.int64())})
+    from rendler_ray.state.politeness import _nonempty_blocks
+    pairs = _nonempty_blocks(pairs.materialize())
+    if pairs is None:
+        return empty
+    return (pairs.groupby(["ref_a", "ref_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12757,6 +12840,7 @@ QUERIES = {
     "sample_docs_per_source_k": sample_docs_per_source_k,
     "rfm_user_segments": rfm_user_segments,
     "bfs_distances_graph": bfs_distances_graph,
+    "media_phash_dedup": media_phash_dedup,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

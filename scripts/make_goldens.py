@@ -88,6 +88,7 @@ GOLDEN_QUERIES = [
     "compression_ratio_docs",
     "leakage_free_split_docs",
     "adamic_adar_linkpred",
+    "media_phash_dedup",
 ]
 
 

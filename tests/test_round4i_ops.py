@@ -264,3 +264,41 @@ def test_bfs_two_forms_and_brute(ray_session):
     got = dict(zip(a.node, a.dist))
     assert got == dist
     assert max(dist.values()) >= 2
+
+
+def test_media_phash_dedup_brute(ray_session):
+    """Banded pHash pairs equal an all-pairs Hamming ≤ 3 brute force
+    over the same blobs+variants, and the variant pairs are found."""
+    import ray.data as rd
+
+    from rendler_ray.functions import media as M
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.functions.media import phash64_batch
+    from rendler_ray.pipelines.queries import (
+        _synth_docs_for, media_phash_dedup)
+
+    out = media_phash_dedup(SF).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(out.ref_a, out.ref_b, out.hamming)}
+
+    docs = rd.read_parquet(_synth_docs_for(SF))
+    med = M.media_pipeline(docs)
+    rows = med.select_columns(["media_ref", "blob"]).take_all()
+    refs = [r["media_ref"] for r in rows]
+    blobs = [r["blob"] for r in rows]
+    for i in np.nonzero(stable_hash64(refs) % np.uint64(5) == 0)[0]:
+        v = bytearray(blobs[int(i)])
+        v[17] = (v[17] + 2) % 256
+        refs.append(refs[int(i)] + "#v")
+        blobs.append(bytes(v))
+    h = phash64_batch(blobs)
+    want = {}
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = bin(int(h[i]) ^ int(h[j])).count("1")
+            if d <= 3:
+                a, b = sorted((refs[i], refs[j]))
+                want[(a, b)] = min(d, want.get((a, b), 64))
+    assert got == want
+    # the injected variants must actually be detected
+    assert any(b.endswith("#v") for _, b in got)
