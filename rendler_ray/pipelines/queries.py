@@ -12627,6 +12627,99 @@ def media_phash_dedup(sf_dir: str, ham_max: int = 3):
             .aggregate(Min("hamming", alias_name="hamming")))
 
 
+def personalized_pagerank_crawl(sf_dir: str):
+    """Personalized PageRank over the crawl graph from the crawl's own
+    seed (functions/graph.py::personalized_pagerank — Haveliwala
+    WWW'02): ranks measure link-proximity to the seed, the re-crawl /
+    focused-crawl prioritization signal. Deterministic; fixed-point
+    1e-9. Rows-only (iterative)."""
+    from rendler_ray.functions.graph import personalized_pagerank
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    seeds = default_seeds(1)
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=seeds, max_depth=4))
+    ranks = personalized_pagerank(res.edges, seeds, iters=10)
+    e9 = np.rint(ranks["rank"].to_numpy() * 1e9).astype(np.int64)
+    return pa.table({"url": pa.array(ranks["url"].to_numpy(object),
+                                     pa.string()),
+                     "rank_e9": pa.array(e9, pa.int64())})
+
+
+def skyline_docs(sf_dir: str, driver_max: int = 1_000_000):
+    """SKYLINE (Pareto frontier) operator — Börzsönyi ICDE'01: the
+    docs not dominated on (clf_score, n_chars), i.e. the
+    quality/length frontier a curation pass inspects ("no doc is both
+    better-scored AND longer"). Dominance = ≥ on both dims, > on at
+    least one; coincident duplicates are mutually non-dominating and
+    all kept.
+
+    Scale shape: the skyline is DISTRIBUTIVE — a point dominated in
+    any subset is dominated globally — so one shuffle-free pass takes
+    each batch's local skyline (vectorized grouped-max rule) and only
+    the surviving candidates (≪ corpus; worst case the frontier
+    itself) fold through the same rule once more under a gated driver
+    finisher. Oracle is the O(n log n) window form: per-score max +
+    running max over strictly-greater scores (RANGE … 1 PRECEDING),
+    no quadratic NOT EXISTS."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _sky(df: pd.DataFrame) -> pd.DataFrame:
+        eqmax = df.groupby("clf_score")["n_chars"].transform("max")
+        per = df.groupby("clf_score")["n_chars"].max() \
+            .sort_index(ascending=False)
+        gt = per.cummax().shift(1)
+        g = df["clf_score"].map(gt)
+        keep = (df["n_chars"] == eqmax) & (g.isna() | (df["n_chars"] > g))
+        return df[keep]
+
+    def local(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "clf_score": s,
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(_sky(df), preserve_index=False)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").materialize()
+    nc = cand.count()
+    assert nc <= driver_max, \
+        f"skyline candidate fold {nc} rows exceeds gate {driver_max}"
+    df = pa.concat_tables(
+        cand.iter_batches(batch_size=None,
+                          batch_format="pyarrow")).to_pandas()
+    out = _sky(df).sort_values(["clf_score", "doc_id"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SKYLINE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id),
+d AS (SELECT s.doc_id, s.clf_score, doc.n_chars
+      FROM s JOIN documents doc ON doc.doc_id = s.doc_id),
+w AS (SELECT doc_id, clf_score, n_chars,
+             max(n_chars) OVER (PARTITION BY clf_score) AS cmax_eq,
+             max(n_chars) OVER (
+               ORDER BY clf_score DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cmax_gt
+      FROM d)
+SELECT doc_id, clf_score, n_chars FROM w
+WHERE n_chars = cmax_eq AND (cmax_gt IS NULL OR n_chars > cmax_gt)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12841,6 +12934,8 @@ QUERIES = {
     "rfm_user_segments": rfm_user_segments,
     "bfs_distances_graph": bfs_distances_graph,
     "media_phash_dedup": media_phash_dedup,
+    "personalized_pagerank_crawl": personalized_pagerank_crawl,
+    "skyline_docs": skyline_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13016,4 +13111,5 @@ ORACLES = {
     "sample_docs_per_source_k": SAMPLE_PER_SOURCE_SQL,
     "rfm_user_segments": RFM_SQL,
     "bfs_distances_graph": BFS_SQL,
+    "skyline_docs": SKYLINE_SQL,
 }

@@ -89,6 +89,7 @@ GOLDEN_QUERIES = [
     "leakage_free_split_docs",
     "adamic_adar_linkpred",
     "media_phash_dedup",
+    "personalized_pagerank_crawl",
 ]
 
 

@@ -302,3 +302,67 @@ def test_media_phash_dedup_brute(ray_session):
     assert got == want
     # the injected variants must actually be detected
     assert any(b.endswith("#v") for _, b in got)
+
+
+def test_skyline_docs_brute(ray_session):
+    """Skyline equals the O(n²) dominance brute force, including
+    coincident-duplicate handling."""
+    from rendler_ray.pipelines.queries import _clf_weights, skyline_docs
+
+    out = skyline_docs(SF).to_pandas()
+    docs = _docs()
+    pts = []
+    for did, text, nch in zip(docs.doc_id, docs.text, docs.n_chars):
+        toks = np.array(text.split(" "), dtype=object)
+        s = int(np.rint(_clf_weights(toks).sum()))
+        pts.append((did, s, nch))
+    want = set()
+    for i, (di, si, ci) in enumerate(pts):
+        dominated = any(
+            (sj >= si and cj >= ci and (sj > si or cj > ci))
+            for j, (dj, sj, cj) in enumerate(pts) if j != i)
+        if not dominated:
+            want.add((di, si, ci))
+    assert set(zip(out.doc_id, out.clf_score, out.n_chars)) == want
+    assert 1 < len(want) < len(pts)
+
+
+def test_personalized_pagerank_brute(ray_session):
+    """PPR over the crawl graph matches a pure-python power iteration
+    (≤1 ulp at the 1e-9 grain) and conserves probability mass."""
+    from rendler_ray.pipelines.queries import (
+        _synth_docs_for, personalized_pagerank_crawl)
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    out = personalized_pagerank_crawl(SF).to_pandas()
+    assert abs(out.rank_e9.sum() - 10 ** 9) < 1000
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                            seeds=default_seeds(1), max_depth=4))
+    edges = {(r["src"], r["dst"]) for r in res.edges.take_all()}
+    nodes = sorted({u for e in edges for u in e})
+    seed = default_seeds(1)[0]
+    adj: dict[str, list[str]] = {}
+    for s, d in sorted(edges):
+        adj.setdefault(s, []).append(d)
+    p = {seed: 1.0}
+    ranks = dict(p)
+    damping = 0.85
+    for _ in range(10):
+        inflow: dict[str, float] = {}
+        for s, ds_ in adj.items():
+            w = ranks.get(s, 0.0) / len(ds_)
+            for d in ds_:
+                inflow[d] = inflow.get(d, 0.0) + w
+        dangling = sum(ranks.get(u, 0.0) for u in nodes
+                       if u not in adj)
+        tele = (1.0 - damping) + damping * dangling
+        ranks = {u: tele * p.get(u, 0.0) + damping * inflow.get(u, 0.0)
+                 for u in nodes}
+    got = dict(zip(out.url, out.rank_e9))
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - round(ranks[u] * 1e9)) <= 1
+    # the seed's teleport share must show up
+    assert got[seed] > 0
