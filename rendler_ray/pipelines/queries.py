@@ -12720,6 +12720,127 @@ WHERE n_chars = cmax_eq AND (cmax_gt IS NULL OR n_chars > cmax_gt)
 """
 
 
+def ohlc_hourly_values(sf_dir: str):
+    """OHLC BARS (open/high/low/close) per hour over the event value
+    stream — the time-series downsampling every metrics/finance
+    pipeline runs. Open/close are FIRST/LAST_VALUE by (ts, event_id)
+    — expressed as pure COMMUTATIVE aggregates via the packed-string
+    Min/Max trick (fixed-width zero-padded sort key ‖ '|' ‖ payload;
+    lexicographic == numeric for the 16+10-digit key), so there is no
+    per-group window sort anywhere: per-batch partials → ONE groupby
+    with Min/Max folds. The SQL mirrors the identical packed string,
+    so both engines compare the same bytes."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        pk = np.array([f"{u:016d}{e:010d}|{c}"
+                       for u, e, c in zip(us, ev, cents)], object)
+        df = pd.DataFrame({"hour": hour, "cents": cents, "pk": pk})
+        g = df.groupby("hour", as_index=False).agg(
+            pk_min=("pk", "min"), pk_max=("pk", "max"),
+            low_c=("cents", "min"), high_c=("cents", "max"),
+            n=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("hour").aggregate(
+               Min("pk_min", alias_name="pk_min"),
+               Max("pk_max", alias_name="pk_max"),
+               Min("low_c", alias_name="low_c"),
+               Max("high_c", alias_name="high_c"),
+               Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        op = [int(s.split("|", 1)[1]) for s in t["pk_min"].to_pylist()]
+        cl = [int(s.split("|", 1)[1]) for s in t["pk_max"].to_pylist()]
+        return pa.table({
+            "hour": pc.cast(t["hour"], pa.int64()),
+            "open_c": pa.array(op, pa.int64()),
+            "high_c": pc.cast(t["high_c"], pa.int64()),
+            "low_c": pc.cast(t["low_c"], pa.int64()),
+            "close_c": pa.array(cl, pa.int64()),
+            "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+OHLC_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT us // 3600000000 AS hour, cents,
+         lpad(CAST(us AS VARCHAR), 16, '0')
+           || lpad(CAST(event_id AS VARCHAR), 10, '0')
+           || '|' || CAST(cents AS VARCHAR) AS pk
+  FROM e)
+SELECT hour,
+       CAST(split_part(min(pk), '|', 2) AS BIGINT) AS open_c,
+       CAST(max(cents) AS BIGINT) AS high_c,
+       CAST(min(cents) AS BIGINT) AS low_c,
+       CAST(split_part(max(pk), '|', 2) AS BIGINT) AS close_c,
+       count(*) AS n
+FROM p GROUP BY hour
+"""
+
+
+def half_life_decay_users(sf_dir: str, half_life_us: int =
+                          86_400_000_000):
+    """HALF-LIFE DECAYED engagement score per user — the streaming
+    recency-weighted counter (leaderboards, freshness ranking):
+    weight = 1e6 · 2^−⌊age/half-life⌋. The decay is BUCKETED to
+    integer halvings (a right shift), so every addend is an exact
+    int64 and the sum is ORDER-FREE — float exp decay could never
+    hash-match across engines (order-dependent last ulps); the shift
+    form is the repo's fixed-point-before-sum rule applied to decay.
+
+    Scale shape: one Max aggregate for the reference time T (a scalar
+    to the driver), then one shuffle-free weight pass + per-batch
+    (user, Σw, n) partials into the user groupby."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def us_col(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "us": pa.array(us, pa.int64())})
+
+    used = ds.map_batches(us_col, batch_format="pyarrow").materialize()
+    t_max = int(used.max("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        age = (t_max - t["us"].to_numpy(zero_copy_only=False))
+        shift = np.minimum(age // half_life_us, 20).astype(np.int64)
+        wt = (1_000_000 >> shift).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "wt": wt, "n": 1})
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (used.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(
+                Sum("wt", alias_name="decay_score"),
+                Sum("n", alias_name="n")))
+
+
+HALF_LIFE_SQL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS t FROM events),
+e AS (SELECT user_id,
+             (SELECT t FROM mx) - CAST(epoch_us(ts) AS BIGINT) AS age
+      FROM events)
+SELECT user_id,
+       CAST(sum(1000000 >> CAST(LEAST(age // 86400000000, 20)
+                                AS INTEGER)) AS BIGINT) AS decay_score,
+       count(*) AS n
+FROM e GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -12936,6 +13057,8 @@ QUERIES = {
     "media_phash_dedup": media_phash_dedup,
     "personalized_pagerank_crawl": personalized_pagerank_crawl,
     "skyline_docs": skyline_docs,
+    "ohlc_hourly_values": ohlc_hourly_values,
+    "half_life_decay_users": half_life_decay_users,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13112,4 +13235,6 @@ ORACLES = {
     "rfm_user_segments": RFM_SQL,
     "bfs_distances_graph": BFS_SQL,
     "skyline_docs": SKYLINE_SQL,
+    "ohlc_hourly_values": OHLC_SQL,
+    "half_life_decay_users": HALF_LIFE_SQL,
 }

@@ -366,3 +366,44 @@ def test_personalized_pagerank_brute(ray_session):
         assert abs(got[u] - round(ranks[u] * 1e9)) <= 1
     # the seed's teleport share must show up
     assert got[seed] > 0
+
+
+def test_ohlc_hourly_brute(ray_session):
+    """OHLC bars match a pandas first/last/min/max recompute."""
+    from rendler_ray.pipelines.queries import ohlc_hourly_values
+
+    out = ohlc_hourly_values(SF).to_pandas() \
+        .set_index("hour").sort_index()
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_id", "ts", "value"]).to_pandas()
+    ev["us"] = ev.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    ev["hour"] = ev.us // 3_600_000_000
+    ev = ev.sort_values(["us", "event_id"])
+    want = ev.groupby("hour").agg(
+        open_c=("cents", "first"), high_c=("cents", "max"),
+        low_c=("cents", "min"), close_c=("cents", "last"),
+        n=("cents", "size"))
+    pd.testing.assert_frame_equal(out, want[out.columns],
+                                  check_dtype=False)
+    assert (out.high_c >= out.low_c).all()
+
+
+def test_half_life_decay_brute(ray_session):
+    """Decay scores match the integer-shift brute force and actually
+    span several halving buckets."""
+    from rendler_ray.pipelines.queries import half_life_decay_users
+
+    out = half_life_decay_users(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["user_id", "ts"]).to_pandas()
+    us = ev.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    t = us.max()
+    shift = np.minimum((t - us) // 86_400_000_000, 20)
+    wt = (1_000_000 >> shift).astype(np.int64)
+    want = pd.DataFrame({"user_id": ev.user_id, "wt": wt}) \
+        .groupby("user_id").agg(decay_score=("wt", "sum"),
+                                n=("wt", "size"))
+    pd.testing.assert_frame_equal(out, want[out.columns],
+                                  check_dtype=False)
+    assert len(np.unique(shift)) >= 3  # decay actually varies
