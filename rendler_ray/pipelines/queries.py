@@ -12841,6 +12841,110 @@ FROM e GROUP BY user_id
 """
 
 
+def ks_drift_by_source(sf_dir: str, driver_max: int = 4_000_000):
+    """KOLMOGOROV–SMIRNOV drift monitor per source — the
+    distribution-shift alarm a data pipeline runs on every incoming
+    shard: exact KS distance between each source's classifier-score
+    distribution and the global one. D is a max over |ΔCDF| at the
+    data points, so the whole statistic is EXACT integer arithmetic:
+    D_e6 = 1e6·max|cum_s·N − cum_all·n_s| // (n_s·N) — no float CDFs
+    (cum·N < 2^63 needs n < 3·10^9 per side at e6; past that drop to
+    e3 or HUGEINT, noted here).
+
+    Scale shape: one shuffle-free scoring pass, per-batch
+    (source, score, c) combiners, ONE groupby on (source, score); the
+    folded table is source × distinct-score COUNTS (≪ corpus — the
+    gated driver fold; the `_grouped_value_bisect` engine is the
+    distributed fallback shape if score cardinality ever approaches
+    the gate). Oracle is the O(grid) window form on the same counts,
+    not a quadratic threshold cross join."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "clf_score": s, "c": 1})
+        g = df.groupby(["source", "clf_score"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "clf_score"])
+              .aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    nrows = counts.count()
+    assert nrows <= driver_max, \
+        f"(source, score) count table {nrows} exceeds gate {driver_max}"
+    t = pa.concat_tables(
+        counts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    src = np.asarray(t["source"].to_pylist(), object)
+    sc = t["clf_score"].to_numpy()
+    c = t["c"].to_numpy()
+    pts = np.unique(sc)
+    pos = np.searchsorted(pts, sc)
+    all_c = np.zeros(len(pts), np.int64)
+    np.add.at(all_c, pos, c)
+    cum_all = np.cumsum(all_c)
+    n_total = int(cum_all[-1])
+    rows = []
+    for s_name in np.unique(src):
+        m = src == s_name
+        sc_c = np.zeros(len(pts), np.int64)
+        np.add.at(sc_c, pos[m], c[m])
+        cum_s = np.cumsum(sc_c)
+        n_s = int(cum_s[-1])
+        dmax = int(np.abs(cum_s * n_total - cum_all * n_s).max())
+        rows.append((s_name, n_s,
+                     1_000_000 * dmax // (n_s * n_total)))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_s": pa.array([r[1] for r in rows], pa.int64()),
+        "d_e6": pa.array([r[2] for r in rows], pa.int64())})
+
+
+KS_DRIFT_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id),
+d AS (SELECT doc.source, s.clf_score
+      FROM s JOIN documents doc ON doc.doc_id = s.doc_id),
+pts AS (SELECT DISTINCT clf_score AS x FROM d),
+srcs AS (SELECT source, count(*) AS n_s FROM d GROUP BY source),
+n AS (SELECT count(*) AS n FROM d),
+sc AS (SELECT source, clf_score, count(*) AS c FROM d
+       GROUP BY source, clf_score),
+grid AS (SELECT srcs.source, pts.x FROM srcs CROSS JOIN pts),
+cum AS (SELECT grid.source, grid.x,
+               sum(coalesce(sc.c, 0)) OVER (
+                 PARTITION BY grid.source ORDER BY grid.x) AS cum_s
+        FROM grid LEFT JOIN sc
+          ON sc.source = grid.source AND sc.clf_score = grid.x),
+ac AS (SELECT pts.x,
+              sum(coalesce(g.c, 0)) OVER (ORDER BY pts.x) AS cum_all
+       FROM pts LEFT JOIN (SELECT clf_score, count(*) AS c FROM d
+                           GROUP BY clf_score) g
+         ON g.clf_score = pts.x)
+SELECT cum.source,
+       CAST(srcs.n_s AS BIGINT) AS n_s,
+       CAST(1000000 * max(abs(cum.cum_s * (SELECT n FROM n)
+                              - ac.cum_all * srcs.n_s))
+            // (srcs.n_s * (SELECT n FROM n)) AS BIGINT) AS d_e6
+FROM cum
+JOIN ac ON ac.x = cum.x
+JOIN srcs ON srcs.source = cum.source
+GROUP BY cum.source, srcs.n_s
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13059,6 +13163,7 @@ QUERIES = {
     "skyline_docs": skyline_docs,
     "ohlc_hourly_values": ohlc_hourly_values,
     "half_life_decay_users": half_life_decay_users,
+    "ks_drift_by_source": ks_drift_by_source,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13237,4 +13342,5 @@ ORACLES = {
     "skyline_docs": SKYLINE_SQL,
     "ohlc_hourly_values": OHLC_SQL,
     "half_life_decay_users": HALF_LIFE_SQL,
+    "ks_drift_by_source": KS_DRIFT_SQL,
 }

@@ -407,3 +407,29 @@ def test_half_life_decay_brute(ray_session):
     pd.testing.assert_frame_equal(out, want[out.columns],
                                   check_dtype=False)
     assert len(np.unique(shift)) >= 3  # decay actually varies
+
+
+def test_ks_drift_brute(ray_session):
+    """Per-source exact KS distance matches a scipy-free brute force
+    (all |ΔCDF| evaluated at every data point)."""
+    from rendler_ray.pipelines.queries import (
+        _clf_weights, ks_drift_by_source)
+
+    out = ks_drift_by_source(SF).to_pandas().set_index("source")
+
+    docs = _docs()
+    scores = []
+    for text in docs["text"]:
+        toks = np.array(text.split(" "), dtype=object)
+        scores.append(int(np.rint(_clf_weights(toks).sum())))
+    df = pd.DataFrame({"source": docs.source, "s": scores})
+    pts = np.unique(df.s)
+    n = len(df)
+    cum_all = np.array([(df.s <= x).sum() for x in pts], np.int64)
+    for src, g in df.groupby("source"):
+        ns = len(g)
+        cum_s = np.array([(g.s <= x).sum() for x in pts], np.int64)
+        d = int(np.abs(cum_s * n - cum_all * ns).max())
+        assert out.loc[src, "n_s"] == ns
+        assert out.loc[src, "d_e6"] == 10 ** 6 * d // (ns * n)
+    assert out.d_e6.max() > 0  # sources genuinely differ
