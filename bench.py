@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "merge_upsert_docs",           # r4g: MERGE/CDC upsert apply
     "skew_join_user_spend",        # r4g: hot-key hybrid (salted) join
     "kcenter_coreset_embeddings",  # r4g: k-pass coreset selection
+    "pmi_bigrams_top",             # r4h: collocation mining family
+    "rfm_user_segments",           # r4i: multi-rank segmentation cube
+    "media_phash_dedup",           # r4i: multimodal perceptual dedup
+    "ks_drift_by_source",          # r4i: distribution-drift monitor
 ]
 
 

@@ -12945,6 +12945,48 @@ GROUP BY cum.source, srcs.n_s
 """
 
 
+def docs_orc_export_roundtrip(sf_dir: str):
+    """Sink + source coverage, ORC leg (the columnar format the Hive /
+    Trino world reads natively; pyarrow ships the codec, Ray has no
+    ORC sink or source — so BOTH directions run through the §2.10
+    custom map_batches seam, same as the IPC leg): one ORC file per
+    block via the atomic temp-rename resumable-sink convention,
+    shard-named by min doc_id, read back through ``read_binary_files``
+    → per-task ``pyarrow.orc`` decode, bit-exactly."""
+    import shutil
+
+    import pyarrow.orc as paorc
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+    path = f"{_ckpt_root()}/orc_export"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        mn = int(pc.min(t["doc_id"]).as_py())
+        fn = os.path.join(path, f"part-{mn:012d}.orc")
+        tmp = fn + ".tmp"
+        paorc.write_table(t, tmp)
+        os.rename(tmp, fn)
+        return pa.table({"path": pa.array([fn], pa.string()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write_shard, batch_size=None, zero_copy_batch=True,
+                   batch_format="pyarrow").materialize()
+
+    def parse(t: pa.Table) -> pa.Table:
+        tabs = [paorc.ORCFile(pa.BufferReader(x.as_py())).read()
+                for x in t["bytes"]]
+        return pa.concat_tables(tabs).select(cols)
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13164,6 +13206,7 @@ QUERIES = {
     "ohlc_hourly_values": ohlc_hourly_values,
     "half_life_decay_users": half_life_decay_users,
     "ks_drift_by_source": ks_drift_by_source,
+    "docs_orc_export_roundtrip": docs_orc_export_roundtrip,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13343,4 +13386,5 @@ ORACLES = {
     "ohlc_hourly_values": OHLC_SQL,
     "half_life_decay_users": HALF_LIFE_SQL,
     "ks_drift_by_source": KS_DRIFT_SQL,
+    "docs_orc_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
 }

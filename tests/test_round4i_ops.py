@@ -433,3 +433,25 @@ def test_ks_drift_brute(ray_session):
         assert out.loc[src, "n_s"] == ns
         assert out.loc[src, "d_e6"] == 10 ** 6 * d // (ns * n)
     assert out.d_e6.max() > 0  # sources genuinely differ
+
+
+def test_orc_roundtrip_bitexact(ray_session):
+    """ORC sink→source roundtrip reproduces the parquet source rows
+    bit-exactly, and the shard files are real ORC."""
+    import glob
+
+    import pyarrow.orc as paorc
+
+    from rendler_ray.pipelines.queries import (
+        _ckpt_root, docs_orc_export_roundtrip)
+
+    out = docs_orc_export_roundtrip(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[want.columns], want)
+    shards = glob.glob(f"{_ckpt_root()}/orc_export/*.orc")
+    assert shards and not glob.glob(f"{_ckpt_root()}/orc_export/*.tmp")
+    assert sum(paorc.ORCFile(s).nrows for s in shards) == len(want)
