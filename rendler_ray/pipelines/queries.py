@@ -12987,6 +12987,65 @@ def docs_orc_export_roundtrip(sf_dir: str):
         parse, batch_format="pyarrow")
 
 
+def dedup_threshold_sweep(sf_dir: str, driver_max: int = 262_144):
+    """Dedup-quality THRESHOLD SWEEP — the calibration report a
+    pipeline owner reads before picking a near-dup cutoff: for each
+    simhash Hamming radius h ∈ 0..3, how many candidate pairs fire
+    and what fraction are TRUE near-dups by exact 3-gram Jaccard
+    ≥ 0.5 (cumulative precision per radius). Composes the lossless
+    banded simhash chain with the exact verifier — an operator EVAL,
+    the same completeness-critic pattern as ndcg/auc but aimed at the
+    dedup family.
+
+    Scale shape: candidate pairs come from the salted banded chain
+    (never all-pairs); the verify fetches ONLY candidate docs' texts
+    via a pushed ``is_in`` filter under a row gate (the
+    `_verified_jaccard_pairs` driver-path convention); the sweep
+    itself is a ≤4-row fold. Rows-only (golden): simhash/Jaccard are
+    stable_hash/md5-shingle based, not SQL-expressible."""
+    from rendler_ray.functions.text import jaccard_sets, ngram_set
+
+    pairs_ds = simhash_near_dup_pairs(sf_dir).materialize()
+    npairs = pairs_ds.count()
+    assert npairs <= driver_max, \
+        f"candidate pairs {npairs} exceed gate {driver_max}"
+    empty = pa.table({"ham_max": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "n_true": pa.array([], pa.int64()),
+                      "precision_e6": pa.array([], pa.int64())})
+    if npairs == 0:
+        return empty
+    pt = pa.concat_tables(
+        pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ids = sorted({int(x) for c in ("a", "b")
+                  for x in pt[c].to_pylist()})
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"],
+                                    value_set=pa.array(ids))),
+        batch_format="pyarrow")
+    texts = {}
+    for b in docs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        texts.update(zip(b["doc_id"].to_pylist(),
+                         b["text"].to_pylist()))
+    shingles = {i: ngram_set(texts[i]) for i in ids}
+    ham = pt["hamming"].to_numpy(zero_copy_only=False)
+    true = np.array([jaccard_sets(shingles[int(a)],
+                                  shingles[int(b)]) >= 0.5
+                     for a, b in zip(pt["a"].to_pylist(),
+                                     pt["b"].to_pylist())])
+    rows = []
+    for h in range(4):
+        m = ham <= h
+        np_, nt = int(m.sum()), int((m & true).sum())
+        rows.append((h, np_, nt,
+                     1_000_000 * nt // np_ if np_ else 0))
+    return pa.table({
+        "ham_max": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_true": pa.array([r[2] for r in rows], pa.int64()),
+        "precision_e6": pa.array([r[3] for r in rows], pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13207,6 +13266,7 @@ QUERIES = {
     "half_life_decay_users": half_life_decay_users,
     "ks_drift_by_source": ks_drift_by_source,
     "docs_orc_export_roundtrip": docs_orc_export_roundtrip,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

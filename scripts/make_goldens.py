@@ -90,6 +90,7 @@ GOLDEN_QUERIES = [
     "adamic_adar_linkpred",
     "media_phash_dedup",
     "personalized_pagerank_crawl",
+    "dedup_threshold_sweep",
 ]
 
 

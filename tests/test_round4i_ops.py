@@ -455,3 +455,29 @@ def test_orc_roundtrip_bitexact(ray_session):
     shards = glob.glob(f"{_ckpt_root()}/orc_export/*.orc")
     assert shards and not glob.glob(f"{_ckpt_root()}/orc_export/*.tmp")
     assert sum(paorc.ORCFile(s).nrows for s in shards) == len(want)
+
+
+def test_dedup_threshold_sweep_brute(ray_session):
+    """Sweep rows match a brute recompute from the (pytest-verified)
+    simhash pair chain + exact Jaccard, and counts are cumulative."""
+    from rendler_ray.functions.text import jaccard_sets, ngram_set
+    from rendler_ray.pipelines.queries import (
+        dedup_threshold_sweep, simhash_near_dup_pairs)
+
+    out = dedup_threshold_sweep(SF).to_pandas().set_index("ham_max")
+    pairs = simhash_near_dup_pairs(SF).to_pandas()
+    docs = _docs().set_index("doc_id")["text"]
+    sh = {}
+    for h in range(4):
+        sub = pairs[pairs.hamming <= h]
+        nt = 0
+        for a, b in zip(sub.a, sub.b):
+            ga = sh.setdefault(a, ngram_set(docs[a]))
+            gb = sh.setdefault(b, ngram_set(docs[b]))
+            nt += jaccard_sets(ga, gb) >= 0.5
+        assert out.loc[h, "n_pairs"] == len(sub)
+        assert out.loc[h, "n_true"] == nt
+        assert out.loc[h, "precision_e6"] == (
+            10 ** 6 * nt // len(sub) if len(sub) else 0)
+    assert out.n_pairs.is_monotonic_increasing
+    assert out.n_pairs.iloc[-1] > 0
