@@ -13046,6 +13046,332 @@ def dedup_threshold_sweep(sf_dir: str, driver_max: int = 262_144):
         "precision_e6": pa.array([r[3] for r in rows], pa.int64())})
 
 
+def interval_join_attribution(sf_dir: str):
+    """Stream-stream INTERVAL join (attribution window): for each
+    'purchase' event, the count and cents-sum of the SAME user's 'view'
+    events in the preceding hour (v.ts > p.ts − 1h AND v.ts ≤ p.ts) —
+    the marketing-attribution / feature-backfill shape a bounded
+    stream-stream join produces. Differs from :func:`asof_join_events`
+    (nearest ONE row) in that every row inside the bound contributes.
+
+    Composition: ``groupby(user_id)`` co-locates each user's history
+    (the same partitioning key every per-user op reuses), then a fully
+    vectorized double-``searchsorted`` + prefix-sum merge per group —
+    O(n log n) per user, never a per-pair explode, and the 1 h bound
+    means state stays O(window) at streaming scale. Cents fixed-point
+    per ROW before the prefix sum (house float rule)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    hour_us = 3600 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        if not len(p):
+            return pd.DataFrame({
+                "purchase_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "purchase_epoch": pd.Series([], dtype=np.int64),
+                "n_views_1h": pd.Series([], dtype=np.int64),
+                "views_value_c": pd.Series([], dtype=np.int64)})
+        p = p.sort_values(["ts", "event_id"], kind="stable")
+        v = g[g["event_type"] == "view"].sort_values("ts", kind="stable")
+        p_ts = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v_ts = v["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = np.rint(v["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(v_ts, p_ts - hour_us, side="right")
+        hi = np.searchsorted(v_ts, p_ts, side="right")
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].to_numpy(np.int64),
+            "user_id": p["user_id"].to_numpy(np.int64),
+            "purchase_epoch": p_ts // 1_000_000,
+            "n_views_1h": (hi - lo).astype(np.int64),
+            "views_value_c": cum[hi] - cum[lo]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       count(v.event_id) AS n_views_1h,
+       CAST(COALESCE(sum(CAST(round(v.value * 100) AS BIGINT)), 0)
+            AS BIGINT) AS views_value_c
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+def loo_target_encode_events(sf_dir: str):
+    """Leave-one-out TARGET ENCODING of ``event_type`` against
+    ``value`` (the CatBoost/feature-store categorical encoder, with
+    the self-row excluded so the feature carries no target leakage):
+    for each event, the mean of every OTHER same-type event's value.
+    Emitted as an EXACT int64 rational (numerator cents, denominator
+    count) — the :func:`rrf_hybrid_search_docs` convention — so no
+    float division crosses the engine boundary; singleton categories
+    get den = 0 rather than a NULL-vs-NaN ambiguity.
+
+    Scale shape: the per-category stats table is one bounded
+    aggregate (≤ distinct event types) folded on the driver and
+    broadcast into a single stateless map pass — the corpus is
+    scanned twice and shuffled never."""
+    stats = _read(sf_dir, "events", ["event_type", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "c": _cents(t["value"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False).agg(
+            s=("c", "sum"), n=("c", "size")).reset_index()
+        return pa.table({"event_type": pa.array(g["event_type"],
+                                                pa.string()),
+                         "s": pa.array(g["s"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    sums: dict[str, int] = {}
+    cnts: dict[str, int] = {}
+    for b in (stats.map_batches(combine, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for ty, s, n in zip(b["event_type"].to_pylist(),
+                            b["s"].to_pylist(), b["n"].to_pylist()):
+            sums[ty] = sums.get(ty, 0) + int(s)
+            cnts[ty] = cnts.get(ty, 0) + int(n)
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        s = np.array([sums[x] for x in ty], np.int64)
+        n = np.array([cnts[x] for x in ty], np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "enc_num_c": pa.array(s - c, pa.int64()),
+            "enc_den": pa.array(n - 1, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+LOO_ENCODE_SQL = """
+SELECT event_id, event_type,
+       CAST(sum(c) OVER (PARTITION BY event_type) - c AS BIGINT)
+         AS enc_num_c,
+       CAST(count(*) OVER (PARTITION BY event_type) - 1 AS BIGINT)
+         AS enc_den
+FROM (SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events)
+"""
+
+
+def grouping_sets_revenue(sf_dir: str):
+    """Explicit GROUP BY GROUPING SETS ((p,s), (p), (s)) with the
+    GROUPING() id column — the remaining grouping-lattice SQL surface
+    next to :func:`rollup_revenue` / :func:`cube_revenue` (an explicit
+    non-lattice set list plus the gid a BI layer keys legends on).
+    Same shuffle-the-base-once plan: the detail level is the only
+    aggregate that touches the base table; both marginals re-aggregate
+    the small detail result. gid follows SQL's bit rule
+    2·grouping(p) + grouping(s) ∈ {0, 1, 2}."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "o_orderstatus": t["o_orderstatus"],
+                         "price_c": _cents(t["o_totalprice"])})
+
+    def set_const(col: str | None, gid: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if col is not None:
+                i = t.schema.get_field_index(col)
+                t = t.set_column(
+                    i, col, pa.array(["ALL"] * t.num_rows, pa.string()))
+            return t.append_column(
+                "gid", pa.array([gid] * t.num_rows, pa.int64()))
+        return fn
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+    aggs = (Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_orders", alias_name="n_orders"))
+    detail = (ds.map_batches(cents, batch_format="pyarrow")
+              .groupby(keys)
+              .aggregate(Sum("price_c", alias_name="revenue_c"),
+                         Count(alias_name="n_orders"))).materialize()
+    by_prio = (detail.map_batches(set_const("o_orderstatus", 1),
+                                  batch_format="pyarrow")
+               .groupby(keys + ["gid"]).aggregate(*aggs))
+    by_stat = (detail.map_batches(set_const("o_orderpriority", 2),
+                                  batch_format="pyarrow")
+               .groupby(keys + ["gid"]).aggregate(*aggs))
+    detail_g = detail.map_batches(set_const(None, 0),
+                                  batch_format="pyarrow")
+    cols = keys + ["gid", "revenue_c", "n_orders"]
+    return detail_g.select_columns(cols).union(
+        by_prio.select_columns(cols), by_stat.select_columns(cols))
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+"""
+
+
+def _lang_eval_confusion(sf_dir: str) -> dict[tuple[str, str], int]:
+    """Shared fold for the lang-ID eval ops: confusion counts of the
+    heuristic predictor (:func:`lang_id_docs`) against the corpus
+    ``lang`` labels. One shuffle-free map pass with a per-batch
+    (true, pred) combiner; the driver fold is bounded by classes²
+    (≤ 64 keys), never the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = F_text.lang_id_batch(t)
+        df = pd.DataFrame({
+            "t": t["lang"].to_numpy(zero_copy_only=False),
+            "p": t["lang_pred"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["t", "p"], sort=False).size().reset_index(name="n")
+        return pa.table({"t": pa.array(g["t"], pa.string()),
+                         "p": pa.array(g["p"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    conf: dict[tuple[str, str], int] = {}
+    for b in (ds.map_batches(combine, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for t_, p_, n in zip(b["t"].to_pylist(), b["p"].to_pylist(),
+                             b["n"].to_pylist()):
+            conf[(t_, p_)] = conf.get((t_, p_), 0) + int(n)
+    return conf
+
+
+_LANG_EVAL_CTE = f"""
+pred AS ({LANG_ID_SQL}),
+j AS (SELECT d.lang AS t, p.lang_pred AS p
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id)
+"""
+
+
+def prf1_lang_eval(sf_dir: str):
+    """Per-class precision / recall / F1 of the heuristic language
+    classifier against the corpus labels — the model-card eval table
+    next to the AUC / NDCG / calibration / confusion entries. All
+    ratios are e6 fixed-point via truncating integer division (every
+    quantity is non-negative, so Python ``//`` and DuckDB ``//``
+    agree); a class never predicted (or never true) gets −1 rather
+    than a NULL-vs-NaN ambiguity. Classes = union of true and
+    predicted labels, so systematic over-prediction of an unseen label
+    is visible instead of silently dropped."""
+    conf = _lang_eval_confusion(sf_dir)
+    classes = sorted({t for t, _ in conf} | {p for _, p in conf})
+    rows = []
+    for c in classes:
+        n_true = sum(n for (t, _), n in conf.items() if t == c)
+        n_pred = sum(n for (_, p), n in conf.items() if p == c)
+        n_corr = conf.get((c, c), 0)
+        prec = 1_000_000 * n_corr // n_pred if n_pred else -1
+        rec = 1_000_000 * n_corr // n_true if n_true else -1
+        if not n_pred or not n_true:
+            f1 = -1
+        elif prec + rec == 0:
+            # n_correct may be >0 yet both e6 ratios truncate to 0 at
+            # extreme imbalance — guard the denominator, not n_correct
+            f1 = 0
+        else:
+            f1 = 2 * prec * rec // (prec + rec)
+        rows.append((c, n_true, n_pred, n_corr, prec, rec, f1))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_true": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pred": pa.array([r[2] for r in rows], pa.int64()),
+        "n_correct": pa.array([r[3] for r in rows], pa.int64()),
+        "prec_e6": pa.array([r[4] for r in rows], pa.int64()),
+        "rec_e6": pa.array([r[5] for r in rows], pa.int64()),
+        "f1_e6": pa.array([r[6] for r in rows], pa.int64())})
+
+
+PRF1_LANG_SQL = f"""
+WITH {_LANG_EVAL_CTE},
+cls AS (SELECT DISTINCT t AS lang FROM j
+        UNION SELECT DISTINCT p FROM j),
+m AS (SELECT c.lang,
+             (SELECT count(*) FROM j WHERE j.t = c.lang) AS n_true,
+             (SELECT count(*) FROM j WHERE j.p = c.lang) AS n_pred,
+             (SELECT count(*) FROM j
+              WHERE j.t = c.lang AND j.p = c.lang) AS n_correct
+      FROM cls c)
+SELECT lang, n_true, n_pred, n_correct,
+       prec_e6, rec_e6,
+       CASE WHEN prec_e6 < 0 OR rec_e6 < 0 THEN -1
+            WHEN prec_e6 + rec_e6 = 0 THEN 0
+            ELSE 2 * prec_e6 * rec_e6 // (prec_e6 + rec_e6) END AS f1_e6
+FROM (SELECT lang, n_true, n_pred, n_correct,
+             CASE WHEN n_pred = 0 THEN -1
+                  ELSE 1000000 * n_correct // n_pred END AS prec_e6,
+             CASE WHEN n_true = 0 THEN -1
+                  ELSE 1000000 * n_correct // n_true END AS rec_e6
+      FROM m)
+"""
+
+
+def kappa_lang_eval(sf_dir: str):
+    """Cohen's kappa of the heuristic language classifier vs the corpus
+    labels — chance-corrected agreement, the honest headline number
+    when the label distribution is skewed (accuracy alone rewards
+    majority-class collapse). EXACT integer rational:
+    κ = (N·Σdiag − Σₖ rowₖ·colₖ) / (N² − Σₖ rowₖ·colₖ), emitted as
+    (kappa_num, kappa_den) in Python arbitrary-precision ints — at
+    real corpus scale N² overflows int64, which is why the SQL mirror
+    computes in HUGEINT and casts back only at the end."""
+    conf = _lang_eval_confusion(sf_dir)
+    classes = sorted({t for t, _ in conf} | {p for _, p in conf})
+    n = sum(conf.values())
+    agree = sum(conf.get((c, c), 0) for c in classes)
+    pe = sum(sum(v for (t, _), v in conf.items() if t == c)
+             * sum(v for (_, p), v in conf.items() if p == c)
+             for c in classes)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_agree": pa.array([agree], pa.int64()),
+                     "kappa_num": pa.array([n * agree - pe], pa.int64()),
+                     "kappa_den": pa.array([n * n - pe], pa.int64())})
+
+
+KAPPA_LANG_SQL = f"""
+WITH {_LANG_EVAL_CTE},
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS n_agree
+        FROM j),
+marg AS (SELECT lang,
+                (SELECT CAST(count(*) AS HUGEINT) FROM j
+                 WHERE j.t = lang) AS n_true,
+                (SELECT CAST(count(*) AS HUGEINT) FROM j
+                 WHERE j.p = lang) AS n_pred
+         FROM (SELECT DISTINCT t AS lang FROM j
+               UNION SELECT DISTINCT p FROM j)),
+pe AS (SELECT sum(n_true * n_pred) AS s FROM marg)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n * n_agree - s AS BIGINT) AS kappa_num,
+       CAST(n * n - s AS BIGINT) AS kappa_den
+FROM agg, pe
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13267,6 +13593,11 @@ QUERIES = {
     "ks_drift_by_source": ks_drift_by_source,
     "docs_orc_export_roundtrip": docs_orc_export_roundtrip,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "interval_join_attribution": interval_join_attribution,
+    "loo_target_encode_events": loo_target_encode_events,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "prf1_lang_eval": prf1_lang_eval,
+    "kappa_lang_eval": kappa_lang_eval,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13447,4 +13778,9 @@ ORACLES = {
     "half_life_decay_users": HALF_LIFE_SQL,
     "ks_drift_by_source": KS_DRIFT_SQL,
     "docs_orc_export_roundtrip": DOCS_JSONL_ROUNDTRIP_SQL,
+    "interval_join_attribution": INTERVAL_JOIN_SQL,
+    "loo_target_encode_events": LOO_ENCODE_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "prf1_lang_eval": PRF1_LANG_SQL,
+    "kappa_lang_eval": KAPPA_LANG_SQL,
 }
