@@ -13372,6 +13372,252 @@ FROM agg, pe
 """
 
 
+def event_anomaly_hours(sf_dir: str, z2_num: int = 2, z2_den: int = 1):
+    """SEASONAL-baseline anomaly detection over the event stream: flag
+    hourly buckets whose count deviates from their OWN hour-of-week
+    cohort (the traffic-monitoring shape — Monday-9am compares to
+    other Monday-9ams, not to 3am). Exact integer test: with cohort
+    sums S = Σc, Q = Σc² over nh buckets, z² > T is
+    (c·nh − S)² > T·(nh·Q − S²) — no float variance ever computed.
+    Because the flagged bucket is INCLUDED in its own cohort stats,
+    z² ≤ nh − 1 identically, so T must sit below nh − 1; the default
+    T = 2 suits the testdata's ~4-week span (at years of data raise T
+    — it's a parameter). A cohort with zero variance can never flag
+    (lhs = 0 for every member).
+
+    Scale shape: one per-batch count combine + one groupby to hourly
+    buckets (cardinality = corpus hours — bounded: a decade is 87.6k
+    rows), then the cohort fold and the exact filter run on the driver
+    in Python ints (the squares overflow int64 at real scale; the SQL
+    mirror computes in HUGEINT)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        b = us // 3_600_000_000
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    hourly = (ds.map_batches(buckets, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n_events")))
+
+    rows: list[tuple[int, int]] = []
+    for bt in hourly.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(zip(bt["bucket"].to_pylist(),
+                        bt["n_events"].to_pylist()))
+    stats: dict[int, list[int]] = {}
+    hows = []
+    for b, c in rows:
+        how = ((b // 24 + 4) % 7) * 24 + b % 24
+        hows.append(how)
+        s = stats.setdefault(how, [0, 0, 0])
+        s[0] += 1
+        s[1] += c
+        s[2] += c * c
+    out_b, out_h, out_n = [], [], []
+    for (b, c), how in zip(rows, hows):
+        nh, s, q = stats[how]
+        if (c * nh - s) ** 2 * z2_den > z2_num * (nh * q - s * s):
+            out_b.append(b * 3600)
+            out_h.append(how)
+            out_n.append(c)
+    return pa.table({"bucket_epoch": pa.array(out_b, pa.int64()),
+                     "how": pa.array(out_h, pa.int64()),
+                     "n_events": pa.array(out_n, pa.int64())})
+
+
+EVENT_ANOMALY_SQL = """
+WITH b AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                  count(*) AS n_events
+           FROM events GROUP BY 1),
+b2 AS (SELECT bucket * 3600 AS bucket_epoch,
+              ((bucket // 24 + 4) % 7) * 24 + bucket % 24 AS how,
+              n_events
+       FROM b),
+s AS (SELECT how, CAST(count(*) AS HUGEINT) AS nh,
+             CAST(sum(n_events) AS HUGEINT) AS sc,
+             CAST(sum(n_events * n_events) AS HUGEINT) AS qc
+      FROM b2 GROUP BY how)
+SELECT b2.bucket_epoch, b2.how, CAST(b2.n_events AS BIGINT) AS n_events
+FROM b2 JOIN s USING (how)
+WHERE (b2.n_events * nh - sc) * (b2.n_events * nh - sc)
+      > 2 * (nh * qc - sc * sc)
+"""
+
+
+def knn_outlier_docs(sf_dir: str, k: int = 4, n_out: int = 20):
+    """Distance-based OUTLIER detection in embedding space (Ramaswamy
+    SIGMOD'00's kNN-distance score): rank every vector by the SUM of
+    its k nearest cosine similarities (low total similarity = isolated
+    = outlier) and emit the top ``n_out`` outliers — the "weird
+    documents" screen a curation pass runs before training. Pure
+    composition over the exact kNN graph (:func:`knn_graph_embeddings`
+    / ``functions/ann.py::BlockKnnScan`` — O(n²/p) blocked scan, no
+    shuffle); per-vector scores come from one bounded
+    groupby(vec_id) over exactly k rows each, then a distributed
+    sort + limit. The integer sim_e6 sum over exactly k addends is
+    order-free, so the oracle hash-matches. At 10⁷+ vectors swap the
+    exact graph for the in-tree LSH/IVF candidates (score semantics
+    unchanged)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    g = F_ann.knn_graph(ds, k=k)
+    return (g.groupby("vec_id")
+            .aggregate(Sum("sim_e6", alias_name="knn_sim_sum_e6"))
+            .sort(["knn_sim_sum_e6", "vec_id"])
+            .limit(n_out))
+
+
+KNN_OUTLIER_SQL = f"""
+SELECT vec_id, CAST(sum(sim_e6) AS BIGINT) AS knn_sim_sum_e6
+FROM ({_knn_sql()}) g
+GROUP BY vec_id
+ORDER BY knn_sim_sum_e6 ASC, vec_id ASC
+LIMIT 20
+"""
+
+
+_BLOOM_QUERY_TOKENS = ("hash", "dup", "gradientzzz")
+
+
+def _bloom_token_search(sf_dir: str, tokens=_BLOOM_QUERY_TOKENS,
+                        n_shards: int = 8, m_bits: int = 1 << 16):
+    """Shared engine for :func:`bloom_index_prune_docs`: build a
+    per-shard token Bloom index over a hash-partitioned copy of the
+    corpus, then answer token searches reading ONLY shards whose bloom
+    admits the token. Returns (results Dataset | Table, prune stats).
+
+    Index build is one shuffle-free pass: each batch emits one
+    (shard, bloom bytes) partial per shard it touches; the driver
+    OR-folds ≤ shards × batches rows of ``m_bits/8`` bytes each (8 KB
+    at the default — the whole index for a 100-TB corpus at 4096
+    shards is 32 MB, a driver constant). k = 4 hash probes via
+    Kirsch–Mitzenmacher double hashing over the same two SipHash64
+    streams the dup-span family uses. Bloom filters have NO false
+    negatives, so pruned search is EXACT — false positives only cost
+    extra shard reads (bounded by the classic (1−e^{−kn/m})^k rate).
+    """
+    import pandas.util as pdu
+
+    from rendler_ray.functions.canon import stable_hash64
+    from rendler_ray.storage import write_partitioned
+
+    sink = os.path.join(_ckpt_root(),
+                        f"bloomidx-{os.path.basename(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    write_partitioned(ds, sink, "doc_id", num_buckets=n_shards)
+
+    nbytes = m_bits // 8
+    k_hashes = 4
+
+    def _bit_positions(toks: np.ndarray) -> np.ndarray:
+        h1 = pdu.hash_array(toks, categorize=False)
+        h2 = pdu.hash_array(toks, hash_key="rendlerbloomidx!",
+                            categorize=False)
+        j = np.arange(k_hashes, dtype=np.uint64)
+        return ((h1[:, None] + j[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray([str(x) for x in t["doc_id"].to_pylist()],
+                         dtype=object)
+        shard = (stable_hash64(ids) % np.uint64(n_shards)).astype(np.int64)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = toks.values.to_numpy(zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        out_s, out_b = [], []
+        for s in np.unique(shard):
+            m = shard[par] == s
+            u = np.unique(flat[m]) if m.any() else np.array([], object)
+            bits = np.zeros(m_bits, np.uint8)
+            if len(u):
+                bits[_bit_positions(u).ravel()] = 1
+            out_s.append(int(s))
+            out_b.append(np.packbits(bits).tobytes())
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "bloom": pa.array(out_b, pa.binary())})
+
+    blooms = {s: np.zeros(nbytes, np.uint8) for s in range(n_shards)}
+    for bt in (ds.map_batches(build, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for s, b in zip(bt["shard"].to_pylist(), bt["bloom"].to_pylist()):
+            blooms[int(s)] |= np.frombuffer(b, np.uint8)
+
+    qarr = np.asarray(list(tokens), dtype=object)
+    qbits = _bit_positions(qarr)
+    unpacked = {s: np.unpackbits(b) for s, b in blooms.items()}
+    survive = {t: [s for s in range(n_shards)
+                   if unpacked[s][qbits[i]].all()]
+               for i, t in enumerate(tokens)}
+
+    import glob as _glob
+
+    legs = []
+    files_read = 0
+    files_total = len(_glob.glob(os.path.join(sink, "bucket=*",
+                                              "*.parquet")))
+    for tok in tokens:
+        files = [f for s in survive[tok]
+                 for f in sorted(_glob.glob(os.path.join(
+                     sink, f"bucket={s}", "*.parquet")))]
+        files_read += len(files)
+        if not files:
+            continue
+
+        def match(t: pa.Table, tok=tok) -> pa.Table:
+            # exact vectorized membership: any token equals tok
+            toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+            flat = toks.values.to_numpy(zero_copy_only=False)
+            par = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False)
+            eq = flat == tok
+            keep = np.zeros(t.num_rows, bool)
+            keep[par[eq]] = True
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "token": pa.array([tok] * len(ids), pa.string()),
+                "doc_id": pa.array(ids, pa.int64())})
+
+        legs.append(rd.read_parquet(files)
+                    .map_batches(match, batch_format="pyarrow"))
+
+    stats = {"files_total": files_total, "files_read": files_read,
+             "surviving_shards": {t: len(s) for t, s in survive.items()}}
+    if not legs:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())}), stats
+    out = legs[0] if len(legs) == 1 else legs[0].union(*legs[1:])
+    return out, stats
+
+
+def bloom_index_prune_docs(sf_dir: str):
+    """Token search through a per-shard BLOOM data-skipping index —
+    the text-side sibling of :func:`zonemap_prune_events` (range zone
+    maps skip files by min/max; bloom filters skip files by set
+    membership, the Parquet/Iceberg bloom-index design): the corpus is
+    hash-partitioned into shards, a per-shard token bloom is built in
+    one pass, and each query token reads only admitting shards.
+    EXACT (bloom filters never false-negative; the surviving shards
+    are re-verified with an exact vectorized membership pass), which
+    is why a plain full-scan SQL oracle can hash-match it. The query
+    set includes an absent token, whose every shard is skipped without
+    touching storage — the pruning win rare tokens get at scale."""
+    out, _stats = _bloom_token_search(sf_dir)
+    return out
+
+
+BLOOM_INDEX_SQL = f"""
+WITH q(token) AS (VALUES {", ".join(f"('{t}')"
+                                    for t in _BLOOM_QUERY_TOKENS)})
+SELECT q.token, d.doc_id
+FROM documents d
+JOIN q ON list_contains(string_split(d.text, ' '), q.token)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13598,6 +13844,9 @@ QUERIES = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "prf1_lang_eval": prf1_lang_eval,
     "kappa_lang_eval": kappa_lang_eval,
+    "event_anomaly_hours": event_anomaly_hours,
+    "knn_outlier_docs": knn_outlier_docs,
+    "bloom_index_prune_docs": bloom_index_prune_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -13783,4 +14032,7 @@ ORACLES = {
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "prf1_lang_eval": PRF1_LANG_SQL,
     "kappa_lang_eval": KAPPA_LANG_SQL,
+    "event_anomaly_hours": EVENT_ANOMALY_SQL,
+    "knn_outlier_docs": KNN_OUTLIER_SQL,
+    "bloom_index_prune_docs": BLOOM_INDEX_SQL,
 }

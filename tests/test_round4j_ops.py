@@ -151,3 +151,90 @@ def test_lang_eval_brute(ray_session):
     assert k.kappa_num == n * agree - pe
     assert k.kappa_den == n * n - pe
     assert -k.kappa_den <= k.kappa_num <= k.kappa_den
+
+
+def test_event_anomaly_brute(ray_session):
+    """Flagged buckets match a pure-pandas recompute of the exact
+    integer z-squared test, and the screen is non-degenerate."""
+    from rendler_ray.pipelines.queries import event_anomaly_hours
+
+    out = event_anomaly_hours(SF).to_pandas() \
+        .sort_values("bucket_epoch").reset_index(drop=True)
+
+    ev = _events()
+    b = (ev.ts.astype("int64") // 10**6 // 3600).to_numpy()
+    bc = pd.Series(b).value_counts().sort_index()
+    df = pd.DataFrame({"bucket": bc.index, "c": bc.to_numpy()})
+    df["how"] = ((df.bucket // 24 + 4) % 7) * 24 + df.bucket % 24
+    g = df.groupby("how")["c"].agg(nh="size", s="sum",
+                                   q=lambda x: int((x**2).sum()))
+    j = df.join(g, on="how")
+    lhs = (j.c * j.nh - j.s).astype(object) ** 2
+    rhs = 2 * (j.nh * j.q - j.s.astype(object) ** 2)
+    want = j[lhs > rhs]
+    assert 0 < len(want) < len(df)
+    assert list(out.bucket_epoch) == sorted(want.bucket * 3600)
+    got = out.set_index("bucket_epoch")
+    for _, r in want.iterrows():
+        assert got.loc[r.bucket * 3600, "n_events"] == r.c
+        assert got.loc[r.bucket * 3600, "how"] == r.how
+    # the statistic is bounded by nh-1 when the point is in its own
+    # cohort -- the documented reason the default threshold is 2
+    z2_max = ((j.c * j.nh - j.s).astype(object) ** 2
+              / (j.nh * j.q - j.s.astype(object) ** 2).replace(0, 1))
+    assert (z2_max <= (j.nh - 1)).all()
+
+
+def test_knn_outlier_brute(ray_session):
+    """Top-20 kNN-distance outliers match a full O(n^2) numpy brute
+    force including the (sum asc, vec_id asc) tie rule."""
+    from rendler_ray.pipelines.queries import knn_outlier_docs
+
+    out = knn_outlier_docs(SF).to_pandas()
+
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    ids = emb.vec_id.to_numpy(np.int64)
+    rows = []
+    for i in range(len(ids)):
+        se6 = np.rint(sims[i] * 1_000_000).astype(np.int64)
+        # top-4 by (sim desc, nbr_id asc)
+        order = np.lexsort((ids, -se6))
+        order = order[order != i][:4]
+        rows.append((ids[i], int(se6[order].sum())))
+    want = pd.DataFrame(rows, columns=["vec_id", "knn_sim_sum_e6"]) \
+        .sort_values(["knn_sim_sum_e6", "vec_id"]).head(20) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_bloom_index_prunes(ray_session):
+    """The absent query token reads ZERO files (every shard's bloom
+    rejects it), present tokens return exactly the brute-force match
+    set, and at least one file is actually skipped overall."""
+    from rendler_ray.pipelines.queries import (_BLOOM_QUERY_TOKENS,
+                                               _bloom_token_search)
+
+    out, stats = _bloom_token_search(SF)
+    df = out.to_pandas()  # Dataset and pa.Table both support this
+
+    assert stats["surviving_shards"]["gradientzzz"] == 0
+    assert stats["files_read"] < stats["files_total"] * \
+        len(_BLOOM_QUERY_TOKENS)
+
+    docs = _docs_tokens()
+    for tok in _BLOOM_QUERY_TOKENS:
+        want = {i for i, toks in docs.items() if tok in toks}
+        got = set(df[df.token == tok].doc_id)
+        assert got == want
+
+
+def _docs_tokens():
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    return {int(r.doc_id): set(r.text.split(" "))
+            for r in t.itertuples()}
