@@ -13618,6 +13618,253 @@ JOIN q ON list_contains(string_split(d.text, ' '), q.token)
 """
 
 
+_PHRASE_QUERY = ("hash", "join")
+
+
+def phrase_search_docs(sf_dir: str):
+    """PHRASE query over a positional inverted index: docs where the
+    tokens 'hash' and 'join' appear ADJACENT in order, with the exact
+    occurrence count — the "exact phrase" search mode a plain
+    term-postings index (:func:`inverted_index_postings`) cannot
+    answer. One shuffle-free pass: per batch, positions of each phrase
+    term are extracted (the positional-postings slice a full index
+    would store) and the adjacency test is a vectorized
+    intersect-on-(pos+1); only matching docs leave the task. The
+    corpus text is single-space tokenized, so the SQL mirror's padded
+    substring test is exactly token adjacency (documented assumption;
+    the Ray side operates on the same split)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t1, t2 = _PHRASE_QUERY
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        offs = np.asarray(toks.offsets)
+        pos = np.arange(len(flat), dtype=np.int64) - offs[par]
+        # positional postings for the two phrase terms, this batch
+        m1 = flat == t1
+        m2 = flat == t2
+        # adjacency: (doc, p) in postings(t1) and (doc, p+1) in
+        # postings(t2) — compare on a packed (doc, pos) key
+        k1 = par[m1] * (1 << 32) + pos[m1] + 1
+        k2 = par[m2] * (1 << 32) + pos[m2]
+        hits = np.intersect1d(k1, k2, assume_unique=True) >> 32
+        if not len(hits):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_occ": pa.array([], pa.int64())})
+        docs, cnt = np.unique(hits, return_counts=True)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_occ": pa.array(cnt, pa.int64())})
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents)
+SELECT a.doc_id, count(*) AS n_occ
+FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+WHERE a.tok = '{_PHRASE_QUERY[0]}' AND b.tok = '{_PHRASE_QUERY[1]}'
+GROUP BY a.doc_id
+"""
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def matryoshka_recall_eval(sf_dir: str, k: int = 4, n_queries: int = 4):
+    """Embedding-DIMENSION ablation (the Matryoshka/MRL eval): for
+    each truncation dim d ∈ {8, 16, 32, 64}, how many of the full-dim
+    top-k neighbors the d-dim prefix cosine still retrieves, per
+    query — the table that decides how small a serving index can go.
+    One streaming pass over the corpus computes per-batch partial
+    top-k for EVERY (query, dim) pair simultaneously (queries × dims
+    × k driver state — broadcast query matrix, never a shuffle);
+    truncated slices are re-normalized per dim, ranks break ties on
+    (sim_e6 desc, vec_id asc) exactly as the SQL mirror's window.
+    Self-matches are excluded so the overlap measures real neighbors."""
+    qv = _query_vecs(sf_dir, n_queries)
+    qids = sorted(qv)
+    qmat = np.stack([qv[i] for i in qids]).astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = F_ann.batch_to_matrix(t, "embedding").astype(np.float64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_d, out_q, out_v, out_s = [], [], [], []
+        for d in _MRL_DIMS:
+            a = F_ann._normalize(m[:, :d])
+            b = F_ann._normalize(qmat[:, :d])
+            sims = np.rint(a @ b.T * 1_000_000).astype(np.int64)
+            for j, qid in enumerate(qids):
+                s = sims[:, j]
+                keep = ids != qid
+                s_k, id_k = s[keep], ids[keep]
+                top = np.lexsort((id_k, -s_k))[:k]
+                out_d.extend([d] * len(top))
+                out_q.extend([qid] * len(top))
+                out_v.extend(id_k[top])
+                out_s.extend(s_k[top])
+        return pa.table({"dim": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim_e6": pa.array(out_s, pa.int64())})
+
+    tops: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for bt in (ds.map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for d, q, v, s in zip(bt["dim"].to_pylist(),
+                              bt["query_id"].to_pylist(),
+                              bt["vec_id"].to_pylist(),
+                              bt["sim_e6"].to_pylist()):
+            tops.setdefault((d, q), []).append((int(s), int(v)))
+    final: dict[tuple[int, int], set[int]] = {}
+    for key, cand in tops.items():
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        final[key] = {v for _, v in cand[:k]}
+    rows = []
+    for q in qids:
+        full = final.get((max(_MRL_DIMS), q), set())
+        for d in _MRL_DIMS:
+            n = len(final.get((d, q), set()) & full)
+            rows.append((d, q, n, 1_000_000 * n // k))
+    return pa.table({
+        "dim": pa.array([r[0] for r in rows], pa.int64()),
+        "query_id": pa.array([r[1] for r in rows], pa.int64()),
+        "n_overlap": pa.array([r[2] for r in rows], pa.int64()),
+        "recall_e6": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def _mrl_sql(k: int = 4, n_queries: int = 4) -> str:
+    dims_values = ", ".join(f"({d})" for d in _MRL_DIMS)
+    return f"""
+WITH dims(dim) AS (VALUES {dims_values}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_queries}),
+s AS (SELECT dims.dim, q.query_id, e.vec_id,
+             CAST(round(list_cosine_similarity(
+                 CAST(e.embedding[1:dims.dim] AS DOUBLE[]),
+                 CAST(q.qv[1:dims.dim] AS DOUBLE[])) * 1000000)
+                 AS BIGINT) AS sim_e6
+      FROM dims CROSS JOIN q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id),
+r AS (SELECT dim, query_id, vec_id,
+             row_number() OVER (PARTITION BY dim, query_id
+                                ORDER BY sim_e6 DESC, vec_id ASC) AS rk
+      FROM s QUALIFY rk <= {k}),
+full_k AS (SELECT query_id, vec_id FROM r WHERE dim = {max(_MRL_DIMS)})
+SELECT d.dim, d.query_id,
+       CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+       CAST(1000000 * count(f.vec_id) // {k} AS BIGINT) AS recall_e6
+FROM r d LEFT JOIN full_k f
+  ON f.query_id = d.query_id AND f.vec_id = d.vec_id
+GROUP BY d.dim, d.query_id
+"""
+
+
+MATRYOSHKA_SQL = _mrl_sql()
+
+
+def dq_constraint_audit(sf_dir: str):
+    """Declared-CONSTRAINT data-quality audit (the dbt-tests / Deequ
+    shape): uniqueness, not-null, value-range and accepted-values
+    rules over the orders and events tables, one row per rule with its
+    violation count — passing rules report 0 rather than vanishing, so
+    the audit table is the complete contract. Scalar rules fold
+    per-batch partials on the driver (≤ rules × blocks rows); the
+    uniqueness rule is n − exact-distinct, with the distinct count via
+    per-batch key dedup → one groupby (the
+    :func:`profile_orders_columns` shape — hot keys collapse in the
+    combiner before the exchange, and the driver never holds a key
+    set)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    events = _read(sf_dir, "events", ["event_type", "value"])
+    accepted = ("view", "click", "purchase", "signup", "refund")
+
+    def o_part(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "null_cust": pa.array([t["o_custkey"].null_count], pa.int64()),
+            "bad_price": pa.array([int((~(price > 0)).sum())], pa.int64())})
+
+    n_orders = null_cust = bad_price = 0
+    for bt in (orders.map_batches(o_part, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n_orders += int(bt["n"][0].as_py())
+        null_cust += int(bt["null_cust"][0].as_py())
+        bad_price += int(bt["bad_price"][0].as_py())
+
+    def o_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(t["o_orderkey"].combine_chunks())})
+
+    n_distinct = (orders.map_batches(o_keys, batch_format="pyarrow")
+                  .groupby("k").aggregate(Count(alias_name="x")).count())
+    dup_rows = n_orders - n_distinct
+
+    def e_part(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        bad_t = int((~np.isin(et, accepted)).sum())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "bad_type": pa.array([bad_t], pa.int64()),
+            "neg_val": pa.array([int((val < 0).sum())], pa.int64())})
+
+    n_events = bad_type = neg_val = 0
+    for bt in (events.map_batches(e_part, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n_events += int(bt["n"][0].as_py())
+        bad_type += int(bt["bad_type"][0].as_py())
+        neg_val += int(bt["neg_val"][0].as_py())
+
+    rules = [
+        ("orders.o_orderkey unique", n_orders, dup_rows),
+        ("orders.o_custkey not_null", n_orders, null_cust),
+        ("orders.o_totalprice positive", n_orders, bad_price),
+        ("events.event_type accepted_values", n_events, bad_type),
+        ("events.value non_negative", n_events, neg_val)]
+    return pa.table({
+        "rule": pa.array([r[0] for r in rules], pa.string()),
+        "n_rows": pa.array([r[1] for r in rules], pa.int64()),
+        "n_violations": pa.array([r[2] for r in rules], pa.int64())})
+
+
+DQ_AUDIT_SQL = """
+SELECT 'orders.o_orderkey unique' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders.o_custkey not_null', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice positive', count(*),
+       CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'events.event_type accepted_values', count(*),
+       CAST(sum(CASE WHEN event_type IN
+                ('view', 'click', 'purchase', 'signup', 'refund')
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events.value non_negative', count(*),
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -13847,6 +14094,9 @@ QUERIES = {
     "event_anomaly_hours": event_anomaly_hours,
     "knn_outlier_docs": knn_outlier_docs,
     "bloom_index_prune_docs": bloom_index_prune_docs,
+    "phrase_search_docs": phrase_search_docs,
+    "matryoshka_recall_eval": matryoshka_recall_eval,
+    "dq_constraint_audit": dq_constraint_audit,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -14035,4 +14285,7 @@ ORACLES = {
     "event_anomaly_hours": EVENT_ANOMALY_SQL,
     "knn_outlier_docs": KNN_OUTLIER_SQL,
     "bloom_index_prune_docs": BLOOM_INDEX_SQL,
+    "phrase_search_docs": PHRASE_SEARCH_SQL,
+    "matryoshka_recall_eval": MATRYOSHKA_SQL,
+    "dq_constraint_audit": DQ_AUDIT_SQL,
 }

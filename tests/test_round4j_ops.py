@@ -1,6 +1,8 @@
 """Round-4j op families: interval attribution join, leave-one-out
 target encoding, GROUPING SETS, classifier eval (per-class P/R/F1 and
-Cohen's kappa)."""
+Cohen's kappa), seasonal anomaly detection, kNN-distance outliers,
+bloom data-skipping index, phrase search, Matryoshka dim ablation,
+data-quality constraint audit."""
 
 import os
 
@@ -238,3 +240,89 @@ def _docs_tokens():
                       columns=["doc_id", "text"]).to_pandas()
     return {int(r.doc_id): set(r.text.split(" "))
             for r in t.itertuples()}
+
+
+def test_phrase_search_brute(ray_session):
+    """Adjacency counts match a per-doc token scan, and at least one
+    doc has multiple occurrences (the count is exercised)."""
+    from rendler_ray.pipelines.queries import (_PHRASE_QUERY,
+                                               phrase_search_docs)
+
+    out = phrase_search_docs(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    t1, t2 = _PHRASE_QUERY
+    want = []
+    for r in t.itertuples():
+        toks = r.text.split(" ")
+        n = sum(1 for i in range(len(toks) - 1)
+                if toks[i] == t1 and toks[i + 1] == t2)
+        if n:
+            want.append((int(r.doc_id), n))
+    want = pd.DataFrame(want, columns=["doc_id", "n_occ"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_matryoshka_brute(ray_session):
+    """Per-(dim, query) overlap matches a numpy brute force with the
+    same tie rule, the full dim recalls itself perfectly, and the
+    ablation is non-trivial (some smaller dim loses a neighbor)."""
+    from rendler_ray.pipelines.queries import (_MRL_DIMS,
+                                               matryoshka_recall_eval)
+
+    out = matryoshka_recall_eval(SF).to_pandas() \
+        .set_index(["dim", "query_id"]).sort_index()
+
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb.vec_id.to_numpy(np.int64)
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    qids = sorted(ids[ids < 4])
+    tops = {}
+    for d in _MRL_DIMS:
+        a = m[:, :d] / np.linalg.norm(m[:, :d], axis=1, keepdims=True)
+        for q in qids:
+            qv = a[ids == q][0]
+            s = np.rint(a @ qv * 1_000_000).astype(np.int64)
+            keep = ids != q
+            order = np.lexsort((ids[keep], -s[keep]))[:4]
+            tops[(d, q)] = set(ids[keep][order])
+    full_d = max(_MRL_DIMS)
+    for d in _MRL_DIMS:
+        for q in qids:
+            n = len(tops[(d, q)] & tops[(full_d, q)])
+            assert out.loc[(d, q), "n_overlap"] == n
+            assert out.loc[(d, q), "recall_e6"] == 10**6 * n // 4
+    assert (out.loc[full_d]["n_overlap"] == 4).all()
+    assert (out["n_overlap"] < 4).any()
+
+
+def test_dq_audit_brute(ray_session):
+    """Every rule's violation count matches pandas, and the rule set
+    covers both tables."""
+    from rendler_ray.pipelines.queries import dq_constraint_audit
+
+    out = dq_constraint_audit(SF).to_pandas().set_index("rule")
+    o = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    ev = _events()
+    assert out.loc["orders.o_orderkey unique", "n_violations"] == \
+        len(o) - o.o_orderkey.nunique()
+    assert out.loc["orders.o_custkey not_null", "n_violations"] == \
+        o.o_custkey.isna().sum()
+    assert out.loc["orders.o_totalprice positive", "n_violations"] == \
+        int((~(o.o_totalprice > 0)).sum())
+    assert out.loc["events.event_type accepted_values",
+                   "n_violations"] == int((~ev.event_type.isin(
+                       ["view", "click", "purchase", "signup",
+                        "refund"])).sum())
+    assert out.loc["events.value non_negative", "n_violations"] == \
+        int((ev.value < 0).sum())
+    assert (out.n_rows.loc[lambda s: s.index.str.startswith("orders")]
+            == len(o)).all()
+    assert (out.n_rows.loc[lambda s: s.index.str.startswith("events")]
+            == len(ev)).all()
