@@ -13865,6 +13865,252 @@ FROM events
 """
 
 
+def association_rules_types(sf_dir: str):
+    """Frequent-itemset / ASSOCIATION-RULE mining over (user, day)
+    baskets — the market-basket staple (whole-history baskets saturate:
+    every active user eventually fires every type, making all lifts
+    exactly 1; daily baskets carry real signal): for every
+    co-occurring type pair a < b, support counts and the lift
+    n_both·n_baskets / (n_a·n_b) as an exact int64 rational — lift > 1
+    is genuine association, < 1 repulsion, and no float division
+    crosses the engine boundary.
+
+    Scale shape (the item vocabulary is BOUNDED, baskets are not):
+    one distinct exchange on a packed (user, day, item-bit) int64 key
+    and one grouped bit-SUM per basket — both through the
+    sorted-group-agg fast path — then masks reduce in a shuffle-free
+    per-batch combiner (t·(t−1)/2 counters per batch, folded on the
+    driver). Summing DISTINCT bit rows per basket IS the bitwise OR
+    (each bit appears at most once after the dedup), which is how the
+    basket bitmask is built without an OR aggregate. Packing bound:
+    user_id < 2⁴¹ (user·2¹⁶(day)·2⁶(bit) must fit int64); epoch-day
+    wraps at 2¹⁶ (~179 years) — both asserted."""
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    types: set[str] = set()
+    for bt in (ds.map_batches(
+            lambda t: pa.table({"ty": pc.unique(
+                t["event_type"].combine_chunks())}),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")):
+        types.update(bt["ty"].to_pylist())
+    tlist = sorted(types)
+    assert len(tlist) <= 63, "item vocabulary must fit an int64 bitmask"
+    tidx = {t_: i for i, t_ in enumerate(tlist)}
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        assert not len(u) or int(u.max()) < (1 << 41)
+        day = (t["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000) & 0xFFFF
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        ix = np.array([tidx[x] for x in ty], np.int64)
+        bk = (u << 16) | day
+        return pa.table({"pk": pa.array(
+            np.unique(bk * 64 + ix), pa.int64())})
+
+    distinct = sorted_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        "pk", [("pk", "count", "x")])
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "basket": pa.array(pk // 64, pa.int64()),
+            "bit": pa.array(
+                np.int64(1) << (pk % 64).astype(np.int64), pa.int64())})
+
+    masks = sorted_group_agg(
+        distinct.map_batches(to_bits, batch_format="pyarrow"),
+        "basket", [("bit", "sum", "mask")])
+
+    nt = len(tlist)
+    pairs = [(i, j) for i in range(nt) for j in range(i + 1, nt)]
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        ii, jj, nn = [], [], []
+        for i, j in pairs:
+            both = int((((m >> i) & 1) & ((m >> j) & 1)).sum())
+            if both:
+                ii.append(i)
+                jj.append(j)
+                nn.append(both)
+        singles = [int(((m >> i) & 1).sum()) for i in range(nt)]
+        return pa.table({
+            "i": pa.array(ii + list(range(nt)), pa.int64()),
+            "j": pa.array(jj + [-1] * nt, pa.int64()),
+            "n": pa.array(nn + singles, pa.int64()),
+            "users": pa.array([len(m)] * (len(ii) + nt), pa.int64())})
+
+    n_both: dict[tuple[int, int], int] = {}
+    n_single = [0] * nt
+    n_baskets = 0
+    for bt in (masks.map_batches(pair_counts, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        first = True
+        for i, j, n, us in zip(bt["i"].to_pylist(), bt["j"].to_pylist(),
+                               bt["n"].to_pylist(),
+                               bt["users"].to_pylist()):
+            if first:  # one basket-count partial per combiner output
+                n_baskets += int(us)
+                first = False
+            if j < 0:
+                n_single[i] += int(n)
+            else:
+                n_both[(i, j)] = n_both.get((i, j), 0) + int(n)
+    out = sorted(n_both)
+    return pa.table({
+        "type_a": pa.array([tlist[i] for i, _ in out], pa.string()),
+        "type_b": pa.array([tlist[j] for _, j in out], pa.string()),
+        "n_a": pa.array([n_single[i] for i, _ in out], pa.int64()),
+        "n_b": pa.array([n_single[j] for _, j in out], pa.int64()),
+        "n_both": pa.array([n_both[k] for k in out], pa.int64()),
+        "n_baskets": pa.array([n_baskets] * len(out), pa.int64()),
+        "lift_num": pa.array([n_both[k] * n_baskets for k in out],
+                             pa.int64()),
+        "lift_den": pa.array([n_single[i] * n_single[j]
+                              for i, j in out], pa.int64())})
+
+
+ASSOC_RULES_SQL = """
+WITH ut AS (SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   event_type
+            FROM events),
+nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT)
+         AS n_baskets FROM ut),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM ut GROUP BY event_type),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND b.day = a.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, ma.cnt AS n_a, mb.cnt AS n_b, n_both, n_baskets,
+       n_both * n_baskets AS lift_num, ma.cnt * mb.cnt AS lift_den
+FROM p
+JOIN m ma ON ma.event_type = type_a
+JOIN m mb ON mb.event_type = type_b
+CROSS JOIN nb
+"""
+
+
+def event_type_trigrams_top(sf_dir: str, k: int = 10):
+    """SEQUENTIAL pattern mining: the top-k most frequent length-3
+    event-type sequences over each user's time-ordered stream — the
+    n-gram extension of :func:`event_transition_matrix` (bigrams) that
+    path/affordance analyses read. ``groupby(user)`` co-locates each
+    stream (the shared per-user partitioning key); trigram extraction
+    and the per-group count are vectorized; the global aggregate is a
+    bounded groupby (≤ types³ keys) + one deterministic
+    (n desc, trigram asc) sort+limit."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        if len(et) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        tri = pd.Series(np.char.add(np.char.add(
+            np.char.add(et[:-2].astype(str), ">"),
+            np.char.add(et[1:-1].astype(str), ">")),
+            et[2:].astype(str)))
+        vc = tri.value_counts()
+        return pd.DataFrame({"trigram": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    return (ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+            .groupby("trigram").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "trigram"], descending=[True, False])
+            .limit(k))
+
+
+TRIGRAM_SEQ_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 10
+"""
+
+
+def sample_bias_chi2(sf_dir: str):
+    """SAMPLER-quality audit: per-source χ² contribution of the
+    deterministic ~10% Bernoulli sample (:func:`sample_docs_deterministic`'s
+    md5 rule) against the corpus source distribution — the
+    representativeness check a sampling stage ships next to its output
+    (a biased sampler shows up as a large cell before it poisons a
+    downstream mix). Exact integers end-to-end: with corpus N, sample
+    n, per-source c and o, the cell is
+    χ²_s·e6 = 10⁶·(o·N − n·c)² // (N·n·c) — Python arbitrary precision
+    on the driver (the square overflows int64 at real scale; the SQL
+    mirror computes in HUGEINT). One streaming pass computes both
+    per-source counts (sources are bounded; the fold is
+    sources × blocks rows)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_pylist()
+        samp = np.fromiter(
+            (hashlib.md5(f"{i}-s1".encode()).hexdigest()[:2] < "1a"
+             for i in ids), bool, len(ids))
+        us = np.unique(src)
+        return pa.table({
+            "source": pa.array(us, pa.string()),
+            "c": pa.array([int((src == s).sum()) for s in us], pa.int64()),
+            "o": pa.array([int(samp[src == s].sum()) for s in us],
+                          pa.int64())})
+
+    cs: dict[str, int] = {}
+    os_: dict[str, int] = {}
+    for bt in (ds.map_batches(part, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for s, c, o in zip(bt["source"].to_pylist(), bt["c"].to_pylist(),
+                           bt["o"].to_pylist()):
+            cs[s] = cs.get(s, 0) + int(c)
+            os_[s] = os_.get(s, 0) + int(o)
+    n_corpus = sum(cs.values())
+    n_sample = sum(os_.values())
+    srcs = sorted(cs)
+    chi = [10**6 * (os_[s] * n_corpus - n_sample * cs[s]) ** 2
+           // (n_corpus * n_sample * cs[s]) for s in srcs]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_corpus": pa.array([cs[s] for s in srcs], pa.int64()),
+        "n_sample": pa.array([os_[s] for s in srcs], pa.int64()),
+        "chi2_e6": pa.array(chi, pa.int64())})
+
+
+SAMPLE_BIAS_SQL = """
+WITH s AS (SELECT source, CAST(count(*) AS HUGEINT) AS c,
+                  CAST(sum(CASE WHEN substr(md5(
+                      CAST(doc_id AS VARCHAR) || '-s1'), 1, 2) < '1a'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS o
+           FROM documents GROUP BY source),
+t AS (SELECT sum(c) AS nc, sum(o) AS ns FROM s)
+SELECT source,
+       CAST(c AS BIGINT) AS n_corpus,
+       CAST(o AS BIGINT) AS n_sample,
+       CAST(1000000 * (o * nc - ns * c) * (o * nc - ns * c)
+            // (nc * ns * c) AS BIGINT) AS chi2_e6
+FROM s, t
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -14097,6 +14343,9 @@ QUERIES = {
     "phrase_search_docs": phrase_search_docs,
     "matryoshka_recall_eval": matryoshka_recall_eval,
     "dq_constraint_audit": dq_constraint_audit,
+    "association_rules_types": association_rules_types,
+    "event_type_trigrams_top": event_type_trigrams_top,
+    "sample_bias_chi2": sample_bias_chi2,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -14288,4 +14537,7 @@ ORACLES = {
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "matryoshka_recall_eval": MATRYOSHKA_SQL,
     "dq_constraint_audit": DQ_AUDIT_SQL,
+    "association_rules_types": ASSOC_RULES_SQL,
+    "event_type_trigrams_top": TRIGRAM_SEQ_SQL,
+    "sample_bias_chi2": SAMPLE_BIAS_SQL,
 }

@@ -326,3 +326,81 @@ def test_dq_audit_brute(ray_session):
             == len(o)).all()
     assert (out.n_rows.loc[lambda s: s.index.str.startswith("events")]
             == len(ev)).all()
+
+
+def test_association_rules_brute(ray_session):
+    """Pair supports and exact lift rationals match a pandas brute
+    force over user baskets."""
+    from rendler_ray.pipelines.queries import association_rules_types
+
+    out = association_rules_types(SF).to_pandas() \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+    ev = _events()
+    ev["day"] = ev.ts.astype("int64") // 10**6 // 86400
+    ut = ev[["user_id", "day", "event_type"]].drop_duplicates()
+    n_baskets = len(ut[["user_id", "day"]].drop_duplicates())
+    cnt = ut.groupby("event_type").size()
+    baskets = ut.groupby(["user_id", "day"])["event_type"].agg(set)
+    types = sorted(cnt.index)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = int(sum(1 for bs in baskets if a in bs and b in bs))
+            if both:
+                rows.append((a, b, int(cnt[a]), int(cnt[b]), both,
+                             n_baskets, both * n_baskets,
+                             int(cnt[a]) * int(cnt[b])))
+    want = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_a", "n_b", "n_both", "n_baskets",
+        "lift_num", "lift_den"]).sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    # lift must be non-trivial somewhere (not exactly 1)
+    assert (want.lift_num != want.lift_den).any()
+
+
+def test_trigram_seq_brute(ray_session):
+    """Top-10 event-type trigrams match a pandas recompute including
+    the (n desc, trigram asc) tie rule."""
+    from rendler_ray.pipelines.queries import event_type_trigrams_top
+
+    out = event_type_trigrams_top(SF).to_pandas().reset_index(drop=True)
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+    tris = {}
+    for _, g in ev.groupby("user_id"):
+        et = g.event_type.to_list()
+        for i in range(len(et) - 2):
+            k = f"{et[i]}>{et[i+1]}>{et[i+2]}"
+            tris[k] = tris.get(k, 0) + 1
+    want = pd.DataFrame(sorted(tris.items(),
+                               key=lambda kv: (-kv[1], kv[0]))[:10],
+                        columns=["trigram", "n"])
+    want["n"] = want.n.astype("int64")
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_sample_bias_brute(ray_session):
+    """Per-source chi2 cells match an arbitrary-precision recompute,
+    and the audit is non-degenerate (nonzero cells exist)."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import sample_bias_chi2
+
+    out = sample_bias_chi2(SF).to_pandas().set_index("source")
+
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "source"]).to_pandas()
+    d["samp"] = [hashlib.md5(f"{i}-s1".encode()).hexdigest()[:2] < "1a"
+                 for i in d.doc_id]
+    N = len(d)
+    n = int(d.samp.sum())
+    for s, g in d.groupby("source"):
+        c, o = len(g), int(g.samp.sum())
+        assert out.loc[s, "n_corpus"] == c
+        assert out.loc[s, "n_sample"] == o
+        assert out.loc[s, "chi2_e6"] == \
+            10**6 * (o * N - n * c) ** 2 // (N * n * c)
+    assert (out.chi2_e6 > 0).any()
