@@ -14111,6 +14111,185 @@ FROM s, t
 """
 
 
+def winnow_copy_pairs(sf_dir: str, tau: int = 2, df_max: int = 20,
+                      driver_max: int = 5_000_000):
+    """COPY detection over winnowing fingerprints (the MOSS pipeline,
+    Schleimer SIGMOD'03): doc pairs sharing ≥ ``tau`` of their
+    keep-smallest window hashes — the match/join step on top of
+    :func:`doc_fingerprint_winnow` (which only EMITS fingerprints).
+    Candidate generation is the df-capped inverted-index similarity
+    join (the :func:`gram_containment_pairs` convention): a fingerprint
+    shared by more than ``df_max`` docs is boilerplate and generates
+    no pairs (mirrored in the brute-force pytest so the op stays
+    exact by definition). Pair counting folds under a row gate —
+    postings are ≤ keep(=4) rows per doc, so candidates are bounded by
+    4·df_max per doc, never all-pairs. Rows-only (golden): the rolling
+    hash is not SQL-expressible."""
+    from rendler_ray.functions.text import rolling_hash_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for fp in set(rolling_hash_fingerprint(x).split("-")):
+                ids.append(i)
+                fps.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+
+    post = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    npost = post.count()
+    assert npost <= driver_max, \
+        f"postings {npost} exceed driver gate {driver_max}"
+    # driver fold: group postings by fp, emit df-capped pairs
+    from collections import defaultdict
+
+    bucket: dict[str, list[int]] = defaultdict(list)
+    for bt in post.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, fp in zip(bt["doc_id"].to_pylist(), bt["fp"].to_pylist()):
+            bucket[fp].append(int(i))
+    pairs: dict[tuple[int, int], int] = defaultdict(int)
+    for docs in bucket.values():
+        if not 2 <= len(docs) <= df_max:
+            continue
+        docs = sorted(set(docs))
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                pairs[(docs[x], docs[y])] += 1
+    keep = sorted((k, v) for k, v in pairs.items() if v >= tau)
+    return pa.table({
+        "a": pa.array([k[0] for k, _ in keep], pa.int64()),
+        "b": pa.array([k[1] for k, _ in keep], pa.int64()),
+        "n_shared": pa.array([v for _, v in keep], pa.int64())})
+
+
+def quantile_normalize_chars(sf_dir: str):
+    """QUANTILE NORMALIZATION across sources (the batch-effect
+    correction microarray analysis popularized, applied to per-source
+    feature drift): each doc's ``n_chars`` is replaced by the GLOBAL
+    value at its within-source quantile, so every source ends up with
+    an identical feature distribution — the strongest form of
+    per-source calibration (percentile scores normalize the RANK;
+    this normalizes the VALUE). Mapping is exact-integer:
+    pos = (rank−1)·(N−1) // (n_s−1) for n_s > 1 (singleton sources map
+    to the global median position (N−1)//2).
+
+    Scale shape: one global range-partitioned sort with a distributed
+    zip-with-index serves BOTH sides — per-source ranks come from the
+    (source, value, id) sort plus a broadcast one-row-per-source
+    offset table (the :func:`source_percentile_scores` machinery), the
+    global value table from the (value, id) sort — glued by one hash
+    join on the integer position. No per-group sort, no group
+    materialization."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    keyed = ds.materialize()  # consumed three times (two sorts + counts)
+    ranked = with_row_seq(keyed, ["source", "n_chars", "doc_id"],
+                          start=1, column="grank")
+    gpos = with_row_seq(keyed, ["n_chars", "doc_id"],
+                        start=0, column="pos").map_batches(
+        lambda t: pa.table({"pos": t["pos"],
+                            "qn_chars": t["n_chars"]}),
+        batch_format="pyarrow")
+    counts = (keyed.groupby("source").aggregate(Count(alias_name="n"))
+              .take_all())  # bounded: one row per source
+    counts.sort(key=lambda r: r["source"])  # with_row_seq's sort order
+    offs, ns, cum = {}, {}, 0
+    for r in counts:
+        offs[r["source"]] = cum
+        ns[r["source"]] = int(r["n"])
+        cum += int(r["n"])
+    n_total = cum
+    state = ray.put((offs, ns))
+
+    def to_pos(t: pa.Table) -> pa.Table:
+        o, n = ray.get(state)
+        srcs = t["source"].to_pylist()
+        g = t["grank"].to_numpy(zero_copy_only=False)
+        off = np.array([o[s] for s in srcs], np.int64)
+        nn = np.array([n[s] for s in srcs], np.int64)
+        rank = g - off
+        pos = np.where(nn > 1,
+                       (rank - 1) * (n_total - 1) // np.maximum(nn - 1, 1),
+                       (n_total - 1) // 2)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_chars": t["n_chars"],
+                         "pos": pa.array(pos, pa.int64())})
+
+    lhs = ranked.map_batches(to_pos, batch_format="pyarrow")
+    j = lhs.join(gpos, join_type="inner", num_partitions=8,
+                 on=("pos",))
+    return j.select_columns(["doc_id", "source", "n_chars", "qn_chars"])
+
+
+QUANTILE_NORM_SQL = """
+WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS ns,
+                  count(*) OVER () AS n
+           FROM documents),
+g AS (SELECT n_chars AS qn_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+      FROM documents)
+SELECT r.doc_id, r.source, r.n_chars, g.qn_chars
+FROM r JOIN g
+  ON g.pos = CASE WHEN r.ns > 1
+                  THEN (r.rk - 1) * (r.n - 1) // (r.ns - 1)
+                  ELSE (r.n - 1) // 2 END
+"""
+
+
+def twap_value_by_user(sf_dir: str):
+    """TIME-WEIGHTED average (TWAP) of each user's ``value`` stream —
+    the aggregate irregular samples need (a plain mean over-weights
+    bursts; TWAP weights each observation by how long it was current,
+    the LOCF integral). Emitted as an EXACT int64 rational per user:
+    numerator Σ cents·Δt(µs) over consecutive same-user events,
+    denominator the stream's span in µs — no float division crosses
+    the engine boundary; single-event users get 0/0. Bounds: the
+    numerator is ≤ max_cents·span_µs, which fits int64 for month-scale
+    spans (the SQL mirror sums in HUGEINT and casts back —
+    at year-scale spans widen the fixed point first).
+
+    ``groupby(user_id)`` co-locates each stream (the shared per-user
+    key); the per-group integral is one vectorized diff + dot."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        c = np.rint(g["value"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+        num = int(np.dot(c[:-1], np.diff(us))) if len(us) > 1 else 0
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "twap_num_c_us": [np.int64(num)],
+            "twap_den_us": [np.int64(us[-1] - us[0])]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+TWAP_SQL = """
+WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  lead(epoch_us(ts)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts, event_id) AS nt
+           FROM events)
+SELECT user_id,
+       CAST(COALESCE(sum(CAST(c AS HUGEINT) * (nt - t)), 0) AS BIGINT)
+         AS twap_num_c_us,
+       CAST(max(t) - min(t) AS BIGINT) AS twap_den_us
+FROM s
+GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -14346,6 +14525,9 @@ QUERIES = {
     "association_rules_types": association_rules_types,
     "event_type_trigrams_top": event_type_trigrams_top,
     "sample_bias_chi2": sample_bias_chi2,
+    "winnow_copy_pairs": winnow_copy_pairs,
+    "quantile_normalize_chars": quantile_normalize_chars,
+    "twap_value_by_user": twap_value_by_user,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -14540,4 +14722,6 @@ ORACLES = {
     "association_rules_types": ASSOC_RULES_SQL,
     "event_type_trigrams_top": TRIGRAM_SEQ_SQL,
     "sample_bias_chi2": SAMPLE_BIAS_SQL,
+    "quantile_normalize_chars": QUANTILE_NORM_SQL,
+    "twap_value_by_user": TWAP_SQL,
 }

@@ -91,6 +91,7 @@ GOLDEN_QUERIES = [
     "media_phash_dedup",
     "personalized_pagerank_crawl",
     "dedup_threshold_sweep",
+    "winnow_copy_pairs",
 ]
 
 

@@ -404,3 +404,99 @@ def test_sample_bias_brute(ray_session):
         assert out.loc[s, "chi2_e6"] == \
             10**6 * (o * N - n * c) ** 2 // (N * n * c)
     assert (out.chi2_e6 > 0).any()
+
+
+def test_winnow_pairs_brute(ray_session):
+    """Copy pairs match a driver brute force over the same df-capped
+    fingerprint postings, and pairs exist at this sf."""
+    from collections import defaultdict
+
+    from rendler_ray.functions.text import rolling_hash_fingerprint
+    from rendler_ray.pipelines.queries import winnow_copy_pairs
+
+    out = winnow_copy_pairs(SF).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    bucket = defaultdict(set)
+    for r in t.itertuples():
+        for fp in set(rolling_hash_fingerprint(r.text).split("-")):
+            bucket[fp].add(int(r.doc_id))
+    pairs = defaultdict(int)
+    for docs in bucket.values():
+        if not 2 <= len(docs) <= 20:
+            continue
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(pairs.items()) if n >= 2],
+        columns=["a", "b", "n_shared"])
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_quantile_normalize_brute(ray_session):
+    """qn values match the exact integer position formula, and after
+    normalization any two sources of equal size have identical value
+    multisets (the defining property)."""
+    from rendler_ray.pipelines.queries import quantile_normalize_chars
+
+    out = quantile_normalize_chars(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "source", "n_chars"]).to_pandas()
+    N = len(d)
+    gvals = d.sort_values(["n_chars", "doc_id"]).n_chars.to_numpy()
+    want = {}
+    for _, g in d.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        ns = len(g)
+        for rk0, r in enumerate(g.itertuples()):
+            pos = rk0 * (N - 1) // (ns - 1) if ns > 1 else (N - 1) // 2
+            want[int(r.doc_id)] = int(gvals[pos])
+    assert len(out) == N
+    for r in out.itertuples():
+        assert r.qn_chars == want[int(r.doc_id)]
+    # defining property: equal-size sources get identical multisets
+    sizes = d.groupby("source").size()
+    same = sizes[sizes == sizes.iloc[0]]
+    if len(same) >= 2:
+        a, b = same.index[:2]
+        ma = sorted(out[out.source == a].qn_chars)
+        mb = sorted(out[out.source == b].qn_chars)
+        assert ma == mb
+    # and it's a real transform (some value changed)
+    assert (out.qn_chars != out.n_chars).any()
+
+
+def test_twap_brute(ray_session):
+    """Per-user TWAP rationals match a pandas recompute, and TWAP
+    differs from the plain mean for at least one user."""
+    from rendler_ray.pipelines.queries import twap_value_by_user
+
+    out = twap_value_by_user(SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+    rows = []
+    diff_seen = False
+    for u, g in ev.groupby("user_id"):
+        us = g.ts.to_numpy("datetime64[us]").astype(np.int64)
+        c = np.rint(g.value.to_numpy(np.float64) * 100).astype(np.int64)
+        num = int(np.dot(c[:-1].astype(object), np.diff(us))) \
+            if len(us) > 1 else 0
+        den = int(us[-1] - us[0])
+        rows.append((u, num, den))
+        if den and abs(num / den - c.mean()) > 1e-9:
+            diff_seen = True
+    want = pd.DataFrame(rows, columns=["user_id", "twap_num_c_us",
+                                       "twap_den_us"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+    assert diff_seen
