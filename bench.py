@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "rfm_user_segments",           # r4i: multi-rank segmentation cube
     "media_phash_dedup",           # r4i: multimodal perceptual dedup
     "ks_drift_by_source",          # r4i: distribution-drift monitor
+    "association_rules_types",     # r4j: market-basket bitmask mining
+    "interval_join_attribution",   # r4j: stream-stream interval join
+    "quantile_normalize_chars",    # r4j: two-sort + pos-join normalize
+    "knn_outlier_docs",            # r4j: kNN-distance outlier screen
 ]
 
 
