@@ -14290,6 +14290,280 @@ GROUP BY user_id
 """
 
 
+def _walk_hash(start: int, step: int, node: int) -> int:
+    """Deterministic walk-choice hash, mirrored verbatim in SQL:
+    first 15 hex digits of md5('start-step-node') as an int (the
+    classifier-weight convention — 60 bits, always non-negative, so
+    Python % and DuckDB % agree)."""
+    import hashlib
+
+    return int(hashlib.md5(
+        f"{start}-{step}-{node}".encode()).hexdigest()[:15], 16)
+
+
+def random_walks_crawl(sf_dir: str, steps: int = 4, max_start: int = 8,
+                       driver_max: int = 5_000_000):
+    """Deterministic RANDOM WALKS over the crawl-shaped graph — the
+    sampling primitive under DeepWalk/node2vec embeddings and
+    graph-sampled minibatching: from every node with id ≤ 8, walk
+    ``steps`` hops, choosing at node x on step t the neighbor ranked
+    H(start, t, x) mod deg(x) among x's v-ascending neighbors. The
+    hash-mod choice makes the walk REPRODUCIBLE and — unusually for a
+    "random" walk — exactly SQL-expressible, so the oracle is a
+    WITH RECURSIVE CTE over the identical md5 rule (the second
+    recursive oracle in the registry, after BFS).
+
+    Scale shape, two forms (equality pytested): below ``driver_max``
+    edges the adjacency folds on the driver; above it the walk runs
+    against a DISTRIBUTED v-indexed adjacency (rank/deg assigned once
+    per node) with two shuffle-free broadcast-filtered scans per step
+    (one to learn deg(frontier), one to fetch the rank-matched row) —
+    per-step work is O(frontier) rows out of the scan, never the
+    graph."""
+    both = _orders_graph_edges(sf_dir).map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "v": pa.array(np.concatenate([
+                t["b"].to_numpy(zero_copy_only=False),
+                t["a"].to_numpy(zero_copy_only=False)]), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    n_edges = both.count()
+
+    if n_edges <= driver_max:
+        adj: dict[int, list[int]] = {}
+        for bt in both.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            for u, v in zip(bt["u"].to_pylist(), bt["v"].to_pylist()):
+                adj.setdefault(int(u), []).append(int(v))
+        for u in adj:
+            adj[u].sort()
+        walks = _drive_walks(adj, steps, max_start)
+    else:  # distributed indexed-adjacency form
+        def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("v", kind="stable").reset_index(drop=True)
+            g["rank"] = np.arange(len(g), dtype=np.int64)
+            g["deg"] = np.int64(len(g))
+            return g
+
+        nbr = both.groupby("u").map_groups(
+            rank_group, batch_format="pandas").materialize()
+        walks = _distributed_walks(nbr, steps, max_start)
+
+    return pa.table({
+        "start": pa.array([w[0] for w in walks], pa.int64()),
+        "step": pa.array([w[1] for w in walks], pa.int64()),
+        "node": pa.array([w[2] for w in walks], pa.int64())})
+
+
+def _drive_walks(adj: dict[int, list[int]], steps: int,
+                 max_start: int) -> list[tuple[int, int, int]]:
+    walks = []
+    for s in sorted(u for u in adj if u <= max_start):
+        node = s
+        walks.append((s, 0, node))
+        for t in range(steps):
+            nbrs = adj[node]
+            node = nbrs[_walk_hash(s, t, node) % len(nbrs)]
+            walks.append((s, t + 1, node))
+    return walks
+
+
+def _distributed_walks(nbr, steps: int,
+                       max_start: int) -> list[tuple[int, int, int]]:
+    """Walk against the indexed adjacency with two broadcast-filtered
+    scans per step; ``nbr`` is materialized so scans are block
+    filters, not recomputation."""
+    starts = set()
+    for bt in (nbr.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.less_equal(t["u"], max_start),
+                pc.equal(t["rank"], 0))).select(["u"]),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")):
+        starts.update(bt["u"].to_pylist())
+    frontier = {int(s): int(s) for s in sorted(starts)}
+    walks = [(s, 0, s) for s in sorted(frontier)]
+    for t in range(steps):
+        nodes = sorted(set(frontier.values()))
+        deg_rows = nbr.map_batches(
+            lambda b, ns=nodes: b.filter(pc.and_(
+                pc.is_in(b["u"], value_set=pa.array(ns, pa.int64())),
+                pc.equal(b["rank"], 0))).select(["u", "deg"]),
+            batch_format="pyarrow")
+        deg = {}
+        for bt in deg_rows.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            deg.update(zip(bt["u"].to_pylist(), bt["deg"].to_pylist()))
+        want: dict[tuple[int, int], list[int]] = {}
+        for s, node in frontier.items():
+            k_ = (node, _walk_hash(s, t, node) % int(deg[node]))
+            want.setdefault(k_, []).append(s)  # walkers may collide
+        keys = pa.array([u * (1 << 32) + r for u, r in sorted(want)],
+                        pa.int64())
+        hit_rows = nbr.map_batches(
+            lambda b, ks=keys: b.filter(pc.is_in(pc.add(
+                pc.multiply(b["u"], 1 << 32), b["rank"]),
+                value_set=ks)).select(["u", "rank", "v"]),
+            batch_format="pyarrow")
+        nxt = {}
+        for bt in hit_rows.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            for u, r, v in zip(bt["u"].to_pylist(),
+                               bt["rank"].to_pylist(),
+                               bt["v"].to_pylist()):
+                nxt[(int(u), int(r))] = int(v)
+        frontier = {s: nxt[k] for k, ss in want.items() for s in ss}
+        walks.extend((s, t + 1, n) for s, n in frontier.items())
+    walks.sort()
+    return walks
+
+
+RANDOM_WALKS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v FROM e
+       UNION ALL SELECT b AS u, a AS v FROM e),
+nbr AS (SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk,
+               count(*) OVER (PARTITION BY u) AS deg
+        FROM bo),
+walk(start, step, node) AS (
+  SELECT u, 0, u FROM (SELECT DISTINCT u FROM bo WHERE u <= 8)
+  UNION ALL
+  SELECT w.start, w.step + 1, n.v
+  FROM walk w JOIN nbr n ON n.u = w.node
+   AND n.rk = CAST('0x' || substr(md5(
+           CAST(w.start AS VARCHAR) || '-' ||
+           CAST(w.step AS VARCHAR) || '-' ||
+           CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % n.deg
+  WHERE w.step < 4)
+SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM walk
+"""
+
+
+def concurrent_sessions_peak(sf_dir: str, k: int = 10):
+    """SWEEP-LINE interval concurrency: the k moments of peak
+    simultaneous sessions — the capacity-planning number an ops
+    dashboard reads (sessions = the 30-min-gap rule shared with
+    :func:`sessionize_events`). Each session contributes +1 at its
+    first event and −1 at its last; the level after each boundary is
+    the running sum over the global (t, +1-before-−1, user) order.
+
+    Scale shape — a GLOBAL running sum with NO global sort: boundaries
+    bucket by time RANGE (256 order-preserving buckets), pass 1 folds
+    per-bucket delta sums into exclusive prefix offsets (256-row
+    driver state, the pack.py two-pass pattern), pass 2 computes each
+    bucket's within-order cumsum + base AND its local top-k in
+    parallel; the driver merges ≤ 256·k candidate rows."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), bool)
+        new[1:] = np.diff(ts) > gap_us
+        sid = np.cumsum(new)
+        df = pd.DataFrame({"sid": sid, "t": ts})
+        iv = df.groupby("sid")["t"].agg(["min", "max"])
+        u = np.int64(g["user_id"].iloc[0])
+        return pd.DataFrame({
+            "t": np.concatenate([iv["min"].to_numpy(np.int64),
+                                 iv["max"].to_numpy(np.int64)]),
+            "delta": np.concatenate([
+                np.ones(len(iv), np.int64),
+                -np.ones(len(iv), np.int64)]),
+            "user_id": np.full(2 * len(iv), u, np.int64)})
+
+    b = (ds.groupby("user_id").map_groups(bounds, batch_format="pandas")
+         .materialize())
+    agg = b.aggregate(Min("t", alias_name="lo"),
+                      Max("t", alias_name="hi"), Count(alias_name="n"))
+    if not (agg["n"] or 0):
+        return pa.table({"epoch_us": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.int64())})
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    span = hi - lo + 1
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((tt - lo) * 256 // span, pa.int64()))
+
+    kd = b.map_batches(bucketed, batch_format="pyarrow").materialize()
+    bsum = {int(r["bucket"]): int(r["s"])
+            for r in kd.groupby("bucket")
+            .aggregate(Sum("delta", alias_name="s")).take_all()}
+    base, acc = {}, 0
+    for bk in range(256):
+        base[bk] = acc
+        acc += bsum.get(bk, 0)
+    bref = ray.put(base)
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "delta", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        lvl = np.cumsum(g["delta"].to_numpy(np.int64)) \
+            + ray.get(bref)[int(g["bucket"].iloc[0])]
+        out = pd.DataFrame({"epoch_us": g["t"].to_numpy(np.int64),
+                            "user_id": g["user_id"].to_numpy(np.int64),
+                            "level": lvl})
+        return out.sort_values(["level", "epoch_us", "user_id"],
+                               ascending=[False, True, True],
+                               kind="stable").head(k)
+
+    cand = (kd.groupby("bucket").map_groups(within,
+                                            batch_format="pandas"))
+    rows = []
+    for bt in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(zip(bt["level"].to_pylist(),
+                        bt["epoch_us"].to_pylist(),
+                        bt["user_id"].to_pylist()))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    rows = rows[:k]
+    return pa.table({
+        "epoch_us": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "level": pa.array([r[0] for r in rows], pa.int64())})
+
+
+CONCURRENT_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+iv AS (SELECT user_id, sid, min(t) AS st, max(t) AS en
+       FROM sess GROUP BY user_id, sid),
+bnd AS (SELECT user_id, st AS t, 1 AS delta FROM iv
+        UNION ALL SELECT user_id, en, -1 FROM iv),
+r AS (SELECT t, user_id, delta,
+             sum(delta) OVER (ORDER BY t, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS level
+      FROM bnd)
+SELECT CAST(t AS BIGINT) AS epoch_us,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(level AS BIGINT) AS level
+FROM r
+QUALIFY row_number() OVER (ORDER BY level DESC, t, user_id) <= 10
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -14528,6 +14802,8 @@ QUERIES = {
     "winnow_copy_pairs": winnow_copy_pairs,
     "quantile_normalize_chars": quantile_normalize_chars,
     "twap_value_by_user": twap_value_by_user,
+    "random_walks_crawl": random_walks_crawl,
+    "concurrent_sessions_peak": concurrent_sessions_peak,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -14724,4 +15000,6 @@ ORACLES = {
     "sample_bias_chi2": SAMPLE_BIAS_SQL,
     "quantile_normalize_chars": QUANTILE_NORM_SQL,
     "twap_value_by_user": TWAP_SQL,
+    "random_walks_crawl": RANDOM_WALKS_SQL,
+    "concurrent_sessions_peak": CONCURRENT_SESSIONS_SQL,
 }

@@ -500,3 +500,70 @@ def test_twap_brute(ray_session):
     pd.testing.assert_frame_equal(out.astype("int64"),
                                   want.astype("int64"))
     assert diff_seen
+
+
+def test_random_walks_two_forms_and_validity(ray_session):
+    """The forced-distributed indexed-adjacency walk equals the driver
+    fold bit-for-bit, and every hop follows a real graph edge chosen
+    by the documented hash rule."""
+    from rendler_ray.pipelines.queries import (_orders_graph_edges,
+                                               _walk_hash,
+                                               random_walks_crawl)
+
+    drv = random_walks_crawl(SF).to_pandas() \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+    dist = random_walks_crawl(SF, driver_max=0).to_pandas() \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
+
+    e = _orders_graph_edges(SF).to_pandas()
+    adj = {}
+    for r in e.itertuples():
+        adj.setdefault(int(r.a), []).append(int(r.b))
+        adj.setdefault(int(r.b), []).append(int(r.a))
+    for u in adj:
+        adj[u].sort()
+    assert len(drv) > 0
+    for s, g in drv.groupby("start"):
+        g = g.sort_values("step")
+        assert list(g.step) == list(range(len(g)))
+        node = int(g.iloc[0].node)
+        assert node == s
+        for t in range(1, len(g)):
+            nbrs = adj[node]
+            want = nbrs[_walk_hash(int(s), t - 1, node) % len(nbrs)]
+            node = int(g.iloc[t].node)
+            assert node == want
+
+
+def test_concurrent_sessions_brute(ray_session):
+    """Top-10 concurrency moments match a single-process sweep, and
+    real overlap exists (peak > 1)."""
+    from rendler_ray.pipelines.queries import concurrent_sessions_peak
+
+    out = concurrent_sessions_peak(SF).to_pandas()
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+    bounds = []
+    for u, g in ev.groupby("user_id"):
+        ts = g.ts.to_numpy("datetime64[us]").astype(np.int64)
+        new = np.ones(len(ts), bool)
+        new[1:] = np.diff(ts) > 30 * 60 * 10**6
+        sid = np.cumsum(new)
+        for i in pd.Series(sid).unique():
+            seg = ts[sid == i]
+            bounds.append((int(seg.min()), 1, int(u)))
+            bounds.append((int(seg.max()), -1, int(u)))
+    bounds.sort(key=lambda r: (r[0], -r[1], r[2]))
+    lvl = 0
+    rows = []
+    for t, d, u in bounds:
+        lvl += d
+        rows.append((lvl, t, u))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = pd.DataFrame([(t, u, l) for l, t, u in rows[:10]],
+                        columns=["epoch_us", "user_id", "level"])
+    assert want.level.iloc[0] > 1
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
