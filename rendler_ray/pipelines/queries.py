@@ -14564,6 +14564,192 @@ QUALIFY row_number() OVER (ORDER BY level DESC, t, user_id) <= 10
 """
 
 
+def customers_all_priorities(sf_dir: str):
+    """RELATIONAL DIVISION (the "for-all" query shape): customers
+    whose orders span EVERY distinct order priority — the universal
+    quantifier SQL expresses as count(DISTINCT)=total, and the one
+    classic relational operator the registry lacked. Plan: per-batch
+    distinct (cust, priority) pairs → one distinct exchange → a
+    grouped COUNT per customer on the sorted-agg fast path → a
+    stateless filter against the broadcast divisor cardinality (a
+    bounded distinct fold — priorities, not customers)."""
+    from rendler_ray.functions.groupagg import sorted_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    prios: set[str] = set()
+    for bt in (ds.map_batches(
+            lambda t: pa.table({"p": pc.unique(
+                t["o_orderpriority"].combine_chunks())}),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")):
+        prios.update(bt["p"].to_pylist())
+    plist = sorted(prios)
+    pidx = {p: i for i, p in enumerate(plist)}
+    n_p = len(plist)
+    assert n_p <= 63
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ix = np.array([pidx[x] for x in
+                       t["o_orderpriority"].to_numpy(
+                           zero_copy_only=False)], np.int64)
+        return pa.table({"pk": pa.array(np.unique(u * 64 + ix),
+                                        pa.int64())})
+
+    distinct = sorted_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        "pk", [("pk", "count", "x")])
+    counts = sorted_group_agg(
+        distinct.map_batches(
+            lambda t: pa.table({
+                "o_custkey": pa.array(
+                    t["pk"].to_numpy(zero_copy_only=False) // 64,
+                    pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "o_custkey", [("one", "sum", "np")])
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t["np"], n_p)).select(["o_custkey"]),
+        batch_format="pyarrow")
+
+
+REL_DIVISION_SQL = """
+SELECT o_custkey
+FROM (SELECT o_custkey,
+             count(DISTINCT o_orderpriority) AS np
+      FROM orders GROUP BY o_custkey)
+WHERE np = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+def dup_weight_docs(sf_dir: str):
+    """Duplicate-aware TRAINING WEIGHTS (the SlimPajama/D4 practice of
+    down-weighting instead of dropping): every doc annotated with its
+    exact-duplicate group size n, so a trainer can weight the example
+    1/n — emitted as the integer denominator (no float crosses the
+    boundary; unique docs get 1). One hash-partitioned exchange on the
+    md5 fingerprint (the exact-dedup key) with a vectorized per-group
+    size broadcast back onto each member row."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp": pa.array([hashlib.md5(x.encode()).hexdigest()
+                            for x in t["text"].to_pylist()],
+                           pa.string())})
+
+    def size_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "dup_group_n": np.full(len(g), len(g), np.int64)})
+
+    return (ds.map_batches(fp, batch_format="pyarrow")
+            .groupby("fp").map_groups(size_group, batch_format="pandas"))
+
+
+DUP_WEIGHT_SQL = """
+SELECT doc_id,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+         AS dup_group_n
+FROM documents
+"""
+
+
+def markov_next_type_eval(sf_dir: str):
+    """Markov NEXT-EVENT prediction eval: fit first-order transition
+    counts on the train split (even event_id), predict each test-split
+    transition's next type as the train argmax row, and report
+    per-from-type accuracy — the composition of the transition-matrix
+    op with a held-out eval that turns "we computed a matrix" into "we
+    measured what it buys". Deterministic argmax ties break on
+    (count desc, type asc); accuracy is the guarded e6 truncating
+    division. Both per-user pair passes are the
+    :func:`event_transition_matrix` shape (vectorized per-group LAG,
+    ≤ types² combiner rows); everything after is bounded driver
+    state. Test from-types unseen in train are dropped (inner join
+    semantics, mirrored in SQL)."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"])
+
+    def pair_counts(parity: int):
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["event_id"] % 2 == parity]
+            g = g.sort_values(["ts", "event_id"])
+            et = g["event_type"].to_numpy()
+            if len(et) < 2:
+                return pd.DataFrame({
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64)})
+            return (pd.DataFrame({"from_type": et[:-1],
+                                  "to_type": et[1:]})
+                    .groupby(["from_type", "to_type"], sort=False)
+                    .size().reset_index(name="n"))
+
+        fold: dict[tuple[str, str], int] = {}
+        for bt in (ds.groupby("user_id")
+                   .map_groups(pairs, batch_format="pandas")
+                   .iter_batches(batch_size=None,
+                                 batch_format="pyarrow")):
+            for f, t_, n in zip(bt["from_type"].to_pylist(),
+                                bt["to_type"].to_pylist(),
+                                bt["n"].to_pylist()):
+                fold[(f, t_)] = fold.get((f, t_), 0) + int(n)
+        return fold
+
+    train = pair_counts(0)
+    test = pair_counts(1)
+    pred: dict[str, str] = {}
+    for (f, t_), n in sorted(train.items()):  # t asc → first-max wins
+        cur = pred.get(f)
+        if cur is None or n > train[(f, cur)]:
+            pred[f] = t_
+    rows = []
+    for f in sorted({f for f, _ in test} & set(pred)):
+        nt = sum(n for (ff, _), n in test.items() if ff == f)
+        nc = test.get((f, pred[f]), 0)
+        rows.append((f, pred[f], nc, nt, 10**6 * nc // nt))
+    return pa.table({
+        "from_type": pa.array([r[0] for r in rows], pa.string()),
+        "pred_type": pa.array([r[1] for r in rows], pa.string()),
+        "n_correct": pa.array([r[2] for r in rows], pa.int64()),
+        "n_total": pa.array([r[3] for r in rows], pa.int64()),
+        "acc_e6": pa.array([r[4] for r in rows], pa.int64())})
+
+
+MARKOV_EVAL_SQL = """
+WITH tr AS (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events WHERE event_id % 2 = 0),
+tc AS (SELECT prev, event_type AS t, count(*) AS n
+       FROM tr WHERE prev IS NOT NULL GROUP BY prev, t),
+pred AS (SELECT prev, t AS pred_type FROM tc
+         QUALIFY row_number() OVER (PARTITION BY prev
+                                    ORDER BY n DESC, t) = 1),
+te AS (SELECT event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+       FROM events WHERE event_id % 2 = 1),
+tec AS (SELECT prev, event_type AS t, count(*) AS n
+        FROM te WHERE prev IS NOT NULL GROUP BY prev, t),
+agg AS (SELECT tec.prev AS from_type, p.pred_type,
+               CAST(COALESCE(sum(CASE WHEN tec.t = p.pred_type
+                                      THEN tec.n END), 0) AS BIGINT)
+                 AS n_correct,
+               CAST(sum(tec.n) AS BIGINT) AS n_total
+        FROM tec JOIN pred p ON p.prev = tec.prev
+        GROUP BY 1, 2)
+SELECT from_type, pred_type, n_correct, n_total,
+       1000000 * n_correct // n_total AS acc_e6
+FROM agg
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -14804,6 +14990,9 @@ QUERIES = {
     "twap_value_by_user": twap_value_by_user,
     "random_walks_crawl": random_walks_crawl,
     "concurrent_sessions_peak": concurrent_sessions_peak,
+    "customers_all_priorities": customers_all_priorities,
+    "dup_weight_docs": dup_weight_docs,
+    "markov_next_type_eval": markov_next_type_eval,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15002,4 +15191,7 @@ ORACLES = {
     "twap_value_by_user": TWAP_SQL,
     "random_walks_crawl": RANDOM_WALKS_SQL,
     "concurrent_sessions_peak": CONCURRENT_SESSIONS_SQL,
+    "customers_all_priorities": REL_DIVISION_SQL,
+    "dup_weight_docs": DUP_WEIGHT_SQL,
+    "markov_next_type_eval": MARKOV_EVAL_SQL,
 }

@@ -567,3 +567,73 @@ def test_concurrent_sessions_brute(ray_session):
     assert want.level.iloc[0] > 1
     pd.testing.assert_frame_equal(out.astype("int64"),
                                   want.astype("int64"))
+
+
+def test_relational_division_brute(ray_session):
+    """Division result matches pandas, is non-degenerate (some
+    customers qualify, some don't)."""
+    from rendler_ray.pipelines.queries import customers_all_priorities
+
+    out = sorted(customers_all_priorities(SF).to_pandas().o_custkey)
+    o = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_custkey", "o_orderpriority"]).to_pandas()
+    total = o.o_orderpriority.nunique()
+    per = o.groupby("o_custkey")["o_orderpriority"].nunique()
+    want = sorted(per[per == total].index)
+    assert 0 < len(want) < o.o_custkey.nunique()
+    assert out == want
+
+
+def test_dup_weight_brute(ray_session):
+    """Group sizes match pandas at sf0.001 and the annotation is
+    non-degenerate at sf0.1 (real duplicate groups exist there)."""
+    from rendler_ray.pipelines.queries import dup_weight_docs
+
+    out = dup_weight_docs(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    want = d.text.map(d.text.value_counts()).to_numpy(np.int64)
+    d2 = d.sort_values("doc_id")
+    assert (out.dup_group_n.to_numpy()
+            == d2.text.map(d.text.value_counts()).to_numpy(np.int64)).all()
+
+    big = dup_weight_docs("/root/testdata/sf0.1").to_pandas()
+    assert (big.dup_group_n > 1).any()
+
+
+def test_markov_eval_brute(ray_session):
+    """Per-from-type accuracy matches a pandas recompute of the
+    identical split/fit/argmax/eval rules, and accuracy is
+    non-degenerate (neither all-0 nor all-perfect)."""
+    from rendler_ray.pipelines.queries import markov_next_type_eval
+
+    out = markov_next_type_eval(SF).to_pandas().set_index("from_type")
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+
+    def fold(parity):
+        c = {}
+        for _, g in ev[ev.event_id % 2 == parity].groupby("user_id"):
+            et = g.event_type.to_list()
+            for a, b in zip(et, et[1:]):
+                c[(a, b)] = c.get((a, b), 0) + 1
+        return c
+
+    train, test = fold(0), fold(1)
+    pred = {}
+    for (f, t), n in sorted(train.items()):
+        if f not in pred or n > train[(f, pred[f])]:
+            pred[f] = t
+    accs = []
+    for f in sorted({f for f, _ in test} & set(pred)):
+        nt = sum(n for (ff, _), n in test.items() if ff == f)
+        nc = test.get((f, pred[f]), 0)
+        assert out.loc[f, "pred_type"] == pred[f]
+        assert out.loc[f, "n_correct"] == nc
+        assert out.loc[f, "n_total"] == nt
+        assert out.loc[f, "acc_e6"] == 10**6 * nc // nt
+        accs.append(nc / nt)
+    assert len(accs) > 0
+    assert any(a > 0 for a in accs) and any(a < 1 for a in accs)
