@@ -14750,6 +14750,157 @@ FROM agg
 """
 
 
+def psi_score_halves(sf_dir: str, n_buckets: int = 10):
+    """POPULATION STABILITY INDEX between doc_id-parity snapshot
+    halves of the classifier-score distribution — the industry drift
+    companion to :func:`ks_drift_by_source` (KS is the max CDF gap;
+    PSI weights every bucket's shift, the credit-scoring convention
+    with its 0.1 / 0.25 alert bands). Per-bucket output: EXACT counts
+    plus the e6 fixed-point PSI term round(1e6·(p−q)·ln(p/q)) with
+    Laplace +1 smoothing so empty buckets stay finite — the term is
+    rounded per bucket BEFORE the integer sum (the token-entropy
+    convention), and the float expression tree is mirrored verbatim
+    in the SQL so both sides compute the identical doubles.
+
+    Scale shape: global score bounds from one bounded min/max fold;
+    a single shuffle-free pass then combines (bucket, parity) counts
+    per batch — the fold is 2·n_buckets rows, never the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        return pa.table({
+            "parity": pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % 2,
+                pa.int64()),
+            "clf_score": pa.array(s, pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    agg = scored.aggregate(Min("clf_score", alias_name="lo"),
+                           Max("clf_score", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    width = max(hi - lo + 1, 1)  # zero-width guard: all rows bucket 0
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        s = t["clf_score"].to_numpy(zero_copy_only=False)
+        b = (s - lo) * n_buckets // width
+        df = pd.DataFrame({
+            "bucket": b,
+            "parity": t["parity"].to_numpy(zero_copy_only=False),
+            "c": 1})
+        g = df.groupby(["bucket", "parity"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ca = np.zeros(n_buckets, np.int64)
+    cb = np.zeros(n_buckets, np.int64)
+    for bt in (scored.map_batches(bucketed, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for b, p, c in zip(bt["bucket"].to_pylist(),
+                           bt["parity"].to_pylist(),
+                           bt["c"].to_pylist()):
+            (ca if p == 0 else cb)[int(b)] += int(c)
+    na, nb = int(ca.sum()), int(cb.sum())
+    p = (ca + 1.0) / (na + n_buckets)
+    q = (cb + 1.0) / (nb + n_buckets)
+    term = np.rint((p - q) * np.log(p / q) * 1_000_000).astype(np.int64)
+    return pa.table({
+        "bucket": pa.array(np.arange(n_buckets, dtype=np.int64),
+                           pa.int64()),
+        "n_even": pa.array(ca, pa.int64()),
+        "n_odd": pa.array(cb, pa.int64()),
+        "psi_term_e6": pa.array(term, pa.int64())})
+
+
+PSI_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id % 2 AS parity,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score
+      FROM tok GROUP BY doc_id),
+r AS (SELECT min(clf_score) AS lo,
+             greatest(max(clf_score) - min(clf_score) + 1, 1) AS width
+      FROM s),
+b AS (SELECT (clf_score - lo) * 10 // width AS bucket, parity
+      FROM s, r),
+g AS (SELECT gs.bucket,
+             CAST(COALESCE(sum(CASE WHEN b.parity = 0
+                                    THEN 1 END), 0) AS BIGINT) AS n_even,
+             CAST(COALESCE(sum(CASE WHEN b.parity = 1
+                                    THEN 1 END), 0) AS BIGINT) AS n_odd
+      FROM generate_series(0, 9) AS gs(bucket)
+      LEFT JOIN b ON b.bucket = gs.bucket
+      GROUP BY gs.bucket),
+t AS (SELECT CAST(sum(n_even) AS BIGINT) AS na,
+             CAST(sum(n_odd) AS BIGINT) AS nb
+      FROM g)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_even, n_odd,
+       CAST(round(((CAST(n_even AS DOUBLE) + 1.0) / (na + 10)
+                   - (CAST(n_odd AS DOUBLE) + 1.0) / (nb + 10))
+                  * ln(((CAST(n_even AS DOUBLE) + 1.0) / (na + 10))
+                       / ((CAST(n_odd AS DOUBLE) + 1.0) / (nb + 10)))
+                  * 1000000) AS BIGINT) AS psi_term_e6
+FROM g, t
+"""
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Period-over-period reporting: monthly revenue with the
+    previous-month value and the exact cents delta (LAG default 0 for
+    the first month — both sides share the rule). The calendar
+    aggregate is :func:`monthly_revenue`'s shuffle shape; the lag runs
+    on the bounded months table folded on the driver (a decade is 120
+    rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[M]").astype(np.int64))
+        return pa.table({"month": pa.array(m, pa.int64()),
+                         "rev": _cents(t["o_totalprice"])})
+
+    monthly = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("month")
+               .aggregate(Sum("rev", alias_name="revenue_c")))
+    rows = []
+    for bt in monthly.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        rows.extend(zip(bt["month"].to_pylist(),
+                        bt["revenue_c"].to_pylist()))
+    rows.sort()
+    months = [r[0] for r in rows]
+    rev = [int(r[1]) for r in rows]
+    prev = [0] + rev[:-1]
+    return pa.table({
+        "month": pa.array(months, pa.int64()),
+        "revenue_c": pa.array(rev, pa.int64()),
+        "prev_revenue_c": pa.array(prev, pa.int64()),
+        "delta_c": pa.array([a - b for a, b in zip(rev, prev)],
+                            pa.int64())})
+
+
+MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY month)
+SELECT month, revenue_c,
+       CAST(lag(revenue_c, 1, 0) OVER (ORDER BY month) AS BIGINT)
+         AS prev_revenue_c,
+       CAST(revenue_c - lag(revenue_c, 1, 0) OVER (ORDER BY month)
+            AS BIGINT) AS delta_c
+FROM m
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -14993,6 +15144,8 @@ QUERIES = {
     "customers_all_priorities": customers_all_priorities,
     "dup_weight_docs": dup_weight_docs,
     "markov_next_type_eval": markov_next_type_eval,
+    "psi_score_halves": psi_score_halves,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15194,4 +15347,6 @@ ORACLES = {
     "customers_all_priorities": REL_DIVISION_SQL,
     "dup_weight_docs": DUP_WEIGHT_SQL,
     "markov_next_type_eval": MARKOV_EVAL_SQL,
+    "psi_score_halves": PSI_SQL,
+    "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
 }

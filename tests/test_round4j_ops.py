@@ -637,3 +637,55 @@ def test_markov_eval_brute(ray_session):
         accs.append(nc / nt)
     assert len(accs) > 0
     assert any(a > 0 for a in accs) and any(a < 1 for a in accs)
+
+
+def test_psi_brute(ray_session):
+    """Per-bucket counts and e6 PSI terms match a numpy recompute of
+    the identical smoothing/expression, and the drift is non-trivial
+    (some nonzero term)."""
+    from rendler_ray.functions import text as F_text  # noqa: F401
+    from rendler_ray.pipelines.queries import (_clf_weights,
+                                               psi_score_halves)
+
+    out = psi_score_halves(SF).to_pandas().set_index("bucket")
+
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    scores = []
+    for r in d.itertuples():
+        toks = np.array(r.text.split(" "), dtype=object)
+        scores.append(int(np.rint(_clf_weights(toks).sum())))
+    s = np.array(scores, np.int64)
+    par = d.doc_id.to_numpy(np.int64) % 2
+    lo, hi = int(s.min()), int(s.max())
+    width = max(hi - lo + 1, 1)
+    b = (s - lo) * 10 // width
+    ca = np.bincount(b[par == 0], minlength=10).astype(np.int64)
+    cb = np.bincount(b[par == 1], minlength=10).astype(np.int64)
+    p = (ca + 1.0) / (ca.sum() + 10)
+    q = (cb + 1.0) / (cb.sum() + 10)
+    term = np.rint((p - q) * np.log(p / q) * 1_000_000).astype(np.int64)
+    assert (out.n_even.to_numpy() == ca).all()
+    assert (out.n_odd.to_numpy() == cb).all()
+    assert (out.psi_term_e6.to_numpy() == term).all()
+    assert (term != 0).any()
+    # PSI total is non-negative by construction (each term is)
+    assert out.psi_term_e6.sum() >= 0
+
+
+def test_monthly_growth_brute(ray_session):
+    """Deltas reproduce pandas diffs with the first-month-0 rule."""
+    from rendler_ray.pipelines.queries import monthly_revenue_growth
+
+    out = monthly_revenue_growth(SF).to_pandas()
+    o = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    o["m"] = o.o_orderdate.to_numpy("datetime64[M]").astype(np.int64)
+    o["c"] = np.rint(o.o_totalprice.to_numpy(np.float64) * 100) \
+        .astype(np.int64)
+    g = o.groupby("m")["c"].sum().sort_index()
+    assert list(out.month) == list(g.index)
+    assert list(out.revenue_c) == list(g.to_numpy())
+    prev = np.concatenate([[0], g.to_numpy()[:-1]])
+    assert (out.prev_revenue_c.to_numpy() == prev).all()
+    assert (out.delta_c.to_numpy() == g.to_numpy() - prev).all()
