@@ -14901,6 +14901,99 @@ FROM m
 """
 
 
+def crawl_host_budget_audit(sf_dir: str, budget: int = 50):
+    """POLITENESS COMPLIANCE audit: per-(round, host) fetch counts of a
+    budgeted crawl, read back from the crawl's own per-round
+    checkpoint layout (``out/round=N/fetch.parquet`` — the audit
+    consumes the resumable sink as a data source, which is exactly how
+    an offline compliance job would run against a finished crawl). The
+    invariant a regulator reads off this table — no (round, host) cell
+    exceeds the crawl-delay budget — is pytest-asserted along with the
+    budget actually BINDING somewhere (otherwise the audit proves
+    nothing). Deterministic; rows-only (golden)."""
+    import glob as _glob
+
+    from rendler_ray.functions.canon import hosts_np
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    out_dir = os.path.join(_ckpt_root(),
+                           f"budget-audit-{os.path.basename(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                      seeds=default_seeds(1), max_depth=3,
+                      host_budget_per_round=budget, out_dir=out_dir))
+
+    legs = []
+    for rdir in sorted(_glob.glob(os.path.join(out_dir, "round=*"))):
+        rnum = int(os.path.basename(rdir).split("=", 1)[1])
+        files = sorted(_glob.glob(os.path.join(rdir, "fetch.parquet",
+                                               "*.parquet")))
+        if not files:
+            continue
+
+        def count_hosts(t: pa.Table, rnum=rnum) -> pa.Table:
+            h = hosts_np(t["url"].to_numpy(zero_copy_only=False))
+            uh, cnt = np.unique(h, return_counts=True)
+            return pa.table({
+                "round": pa.array([rnum] * len(uh), pa.int64()),
+                "host": pa.array(uh, pa.string()),
+                "n_fetched": pa.array(cnt, pa.int64())})
+
+        legs.append(rd.read_parquet(files, columns=["url"])
+                    .map_batches(count_hosts, batch_format="pyarrow"))
+    if not legs:
+        return pa.table({"round": pa.array([], pa.int64()),
+                         "host": pa.array([], pa.string()),
+                         "n_fetched": pa.array([], pa.int64())})
+    all_rounds = legs[0] if len(legs) == 1 else legs[0].union(*legs[1:])
+    return (all_rounds.groupby(["round", "host"])
+            .aggregate(Sum("n_fetched", alias_name="n_fetched")))
+
+
+def crawl_depth_histogram(sf_dir: str):
+    """Crawl FRONTIER GROWTH curve: pages and distinct hosts reached
+    per BFS depth — the fan-out profile that sizes every round's
+    resources (a depth whose page count explodes is where adaptive
+    batch sizing and host budgets earn their keep). One pass over the
+    flagship crawl's fetch table with per-batch (depth, host) dedup
+    partials; the final fold is depths × hosts rows. Deterministic;
+    rows-only (golden)."""
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
+                            seeds=default_seeds(1), max_depth=4))
+    fetched = res.fetched.select_columns(["host", "depth"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "depth": t["depth"].to_numpy(zero_copy_only=False),
+            "host": t["host"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["depth", "host"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    pages: dict[int, int] = {}
+    hosts: dict[int, set] = {}
+    for bt in (fetched.map_batches(partial, batch_format="pyarrow")
+               .groupby(["depth", "host"])
+               .aggregate(Sum("n", alias_name="n"))
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for d, h, n in zip(bt["depth"].to_pylist(),
+                           bt["host"].to_pylist(), bt["n"].to_pylist()):
+            pages[int(d)] = pages.get(int(d), 0) + int(n)
+            hosts.setdefault(int(d), set()).add(h)
+    depths = sorted(pages)
+    return pa.table({
+        "depth": pa.array(depths, pa.int64()),
+        "n_pages": pa.array([pages[d] for d in depths], pa.int64()),
+        "n_hosts": pa.array([len(hosts[d]) for d in depths],
+                            pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15146,6 +15239,8 @@ QUERIES = {
     "markov_next_type_eval": markov_next_type_eval,
     "psi_score_halves": psi_score_halves,
     "monthly_revenue_growth": monthly_revenue_growth,
+    "crawl_host_budget_audit": crawl_host_budget_audit,
+    "crawl_depth_histogram": crawl_depth_histogram,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,

@@ -92,6 +92,8 @@ GOLDEN_QUERIES = [
     "personalized_pagerank_crawl",
     "dedup_threshold_sweep",
     "winnow_copy_pairs",
+    "crawl_host_budget_audit",
+    "crawl_depth_histogram",
 ]
 
 

@@ -689,3 +689,41 @@ def test_monthly_growth_brute(ray_session):
     prev = np.concatenate([[0], g.to_numpy()[:-1]])
     assert (out.prev_revenue_c.to_numpy() == prev).all()
     assert (out.delta_c.to_numpy() == g.to_numpy() - prev).all()
+
+
+def test_budget_audit_invariants(ray_session):
+    """No (round, host) cell exceeds the budget, the budget BINDS
+    somewhere (some cell == budget), and over-budget hosts drain into
+    later rounds (a host appears in >1 round)."""
+    from rendler_ray.pipelines.queries import crawl_host_budget_audit
+
+    out = crawl_host_budget_audit(SF, budget=10).to_pandas()
+    assert (out.n_fetched <= 10).all()
+    assert (out.n_fetched == 10).any()
+    assert out.groupby("host")["round"].nunique().max() > 1
+    # audit totals must equal the crawl's fetched pages
+    from rendler_ray.pipelines.queries import _synth_docs_for
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                            seeds=default_seeds(1), max_depth=3,
+                            host_budget_per_round=10))
+    assert out.n_fetched.sum() == res.pages_fetched
+
+
+def test_depth_histogram_invariants(ray_session):
+    """Depth 0 is exactly the seed, depths are contiguous, totals
+    match the flagship crawl, and fan-out actually grows somewhere."""
+    from rendler_ray.pipelines.queries import (_synth_docs_for,
+                                               crawl_depth_histogram)
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.sources.synthweb import default_seeds
+
+    out = crawl_depth_histogram(SF).to_pandas()
+    assert list(out.depth) == list(range(len(out)))
+    assert out.n_pages.iloc[0] == 1 and out.n_hosts.iloc[0] == 1
+    assert (out.n_pages.diff().dropna() > 0).any()
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                            seeds=default_seeds(1), max_depth=4))
+    assert out.n_pages.sum() == res.pages_fetched
