@@ -14994,6 +14994,168 @@ def crawl_depth_histogram(sf_dir: str):
                             pa.int64())})
 
 
+def cusum_changepoint_days(sf_dir: str, k2_num: int = 1,
+                           k2_den: int = 1):
+    """CUSUM CHANGEPOINT monitor over daily event volume — the
+    level-shift detector that catches slow drifts the per-bucket
+    z-test (:func:`event_anomaly_hours`) misses: the running sum of
+    deviations wanders past its √d envelope only when the mean
+    actually moved. Exact integers end-to-end: with daily counts c,
+    D days, S = Σc, Q = Σc², the scaled deviation e_d = D·c_d − S sums
+    to zero over the full window, and day d flags iff
+    cusum_d² > k²·d·(D·Q − S²) (Var(e) = D·Q − S²; independence
+    envelope). Default k² = 1 — a sensitive monitor tuned to the
+    testdata's uniform month; raise for production alerting.
+
+    Scale shape: one per-batch daily-count combine + one groupby to
+    the bounded days table (a decade is 3653 rows); the running sum
+    and the HUGEINT-squaring filter run on the driver in Python ints
+    (the SQL mirror windows in HUGEINT)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = us // 86_400_000_000
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="c")))
+    rows = []
+    for bt in daily.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        rows.extend(zip(bt["day"].to_pylist(), bt["c"].to_pylist()))
+    rows.sort()
+    n = len(rows)
+    s = sum(c for _, c in rows)
+    q = sum(c * c for _, c in rows)
+    var_e = n * q - s * s
+    out_d, out_c, out_cu = [], [], []
+    cu = 0
+    for i, (d, c) in enumerate(rows, start=1):
+        cu += n * c - s
+        if cu * cu * k2_den > k2_num * i * var_e:
+            out_d.append(d * 86400)
+            out_c.append(c)
+            out_cu.append(cu)
+    return pa.table({"day_epoch": pa.array(out_d, pa.int64()),
+                     "n_events": pa.array(out_c, pa.int64()),
+                     "cusum_scaled": pa.array(out_cu, pa.int64())})
+
+
+CUSUM_SQL = """
+WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                  count(*) AS c
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT)
+        AS s, CAST(sum(c * c) AS HUGEINT) AS q FROM d),
+r AS (SELECT day, c,
+             sum(c * n - s) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cu,
+             row_number() OVER (ORDER BY day) AS i, n, s, q
+      FROM d, t)
+SELECT day * 86400 AS day_epoch, CAST(c AS BIGINT) AS n_events,
+       CAST(cu AS BIGINT) AS cusum_scaled
+FROM r WHERE cu * cu > i * (n * q - s * s)
+"""
+
+
+def dataset_card_report(sf_dir: str):
+    """DATASET CARD headline stats in one labeled table — the numbers
+    a corpus release publishes (docs, tokens, chars, exact vocabulary,
+    sources, languages, exact duplicate docs): the capstone that folds
+    the corpus-profiling family into the artifact a consumer actually
+    reads. Scalar stats combine per batch and fold on the driver;
+    the two EXACT distinct counts (vocabulary, duplicate texts) go
+    through per-batch dedup → one distinct exchange each (the
+    :func:`profile_orders_columns` shape — hot values collapse in the
+    combiner; the driver never holds a value set)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "lang", "n_chars"])
+
+    def scalars(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        return pa.table({
+            "docs": pa.array([t.num_rows], pa.int64()),
+            "tokens": pa.array(
+                [int(pc.sum(pc.list_value_length(toks)).as_py() or 0)],
+                pa.int64()),
+            "chars": pa.array(
+                [int(pc.sum(t["n_chars"]).as_py() or 0)], pa.int64())})
+
+    n_docs = n_tokens = n_chars = 0
+    for bt in (ds.map_batches(scalars, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n_docs += int(bt["docs"][0].as_py())
+        n_tokens += int(bt["tokens"][0].as_py())
+        n_chars += int(bt["chars"][0].as_py())
+
+    def vocab_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        return pa.table({"v": pc.unique(pc.list_flatten(toks))})
+
+    vocab = (ds.map_batches(vocab_rows, batch_format="pyarrow")
+             .groupby("v").aggregate(Count(alias_name="x")).count())
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"fp": pa.array(
+            [hashlib.md5(x.encode()).hexdigest()
+             for x in t["text"].to_pylist()], pa.string())})
+
+    n_uniq_text = (ds.map_batches(fp_rows, batch_format="pyarrow")
+                   .groupby("fp").aggregate(Count(alias_name="x"))
+                   .count())
+
+    small: dict[str, set] = {"source": set(), "lang": set()}
+    for bt in (ds.map_batches(
+            lambda t: pa.table({
+                "source": pc.unique(t["source"].combine_chunks()),
+            }), batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")):
+        small["source"].update(bt["source"].to_pylist())
+    for bt in (ds.map_batches(
+            lambda t: pa.table({
+                "lang": pc.unique(t["lang"].combine_chunks()),
+            }), batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")):
+        small["lang"].update(bt["lang"].to_pylist())
+
+    metrics = [("n_docs", n_docs), ("n_tokens", n_tokens),
+               ("n_chars", n_chars), ("vocab_size", vocab),
+               ("n_sources", len(small["source"])),
+               ("n_langs", len(small["lang"])),
+               ("n_dup_docs", n_docs - n_uniq_text)]
+    return pa.table({
+        "metric": pa.array([m for m, _ in metrics], pa.string()),
+        "value": pa.array([int(v) for _, v in metrics], pa.int64())})
+
+
+DATASET_CARD_SQL = """
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'vocab_size', CAST(count(DISTINCT token) AS BIGINT)
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+UNION ALL
+SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_dup_docs',
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15241,6 +15403,8 @@ QUERIES = {
     "monthly_revenue_growth": monthly_revenue_growth,
     "crawl_host_budget_audit": crawl_host_budget_audit,
     "crawl_depth_histogram": crawl_depth_histogram,
+    "cusum_changepoint_days": cusum_changepoint_days,
+    "dataset_card_report": dataset_card_report,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15444,4 +15608,6 @@ ORACLES = {
     "markov_next_type_eval": MARKOV_EVAL_SQL,
     "psi_score_halves": PSI_SQL,
     "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
+    "cusum_changepoint_days": CUSUM_SQL,
+    "dataset_card_report": DATASET_CARD_SQL,
 }

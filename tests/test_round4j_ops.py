@@ -727,3 +727,53 @@ def test_depth_histogram_invariants(ray_session):
     res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
                             seeds=default_seeds(1), max_depth=4))
     assert out.n_pages.sum() == res.pages_fetched
+
+
+def test_cusum_brute(ray_session):
+    """Flagged days match an arbitrary-precision recompute, the
+    running deviation sums to zero over the full window, and the
+    monitor is non-degenerate."""
+    from rendler_ray.pipelines.queries import cusum_changepoint_days
+
+    out = cusum_changepoint_days(SF).to_pandas() \
+        .sort_values("day_epoch").reset_index(drop=True)
+
+    ev = _events()
+    d = (ev.ts.astype("int64") // 10**6 // 86400).value_counts() \
+        .sort_index()
+    n = len(d)
+    s = int(d.sum())
+    q = int((d.astype(object) ** 2).sum())
+    var_e = n * q - s * s
+    cu = 0
+    want = []
+    total = 0
+    for i, (day, c) in enumerate(d.items(), start=1):
+        cu += n * int(c) - s
+        total = cu
+        if cu * cu > i * var_e:
+            want.append((day * 86400, int(c), cu))
+    assert total == 0  # deviations sum to zero by construction
+    assert 0 < len(want) < n
+    wantdf = pd.DataFrame(want, columns=["day_epoch", "n_events",
+                                         "cusum_scaled"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  wantdf.astype("int64"))
+
+
+def test_dataset_card_brute(ray_session):
+    """Every headline metric matches a pandas recompute."""
+    from rendler_ray.pipelines.queries import dataset_card_report
+
+    out = dataset_card_report(SF).to_pandas().set_index("metric")
+    d = pq.read_table(os.path.join(SF, "documents.parquet")).to_pandas()
+    toks = d.text.str.split(" ")
+    assert out.loc["n_docs", "value"] == len(d)
+    assert out.loc["n_tokens", "value"] == int(toks.map(len).sum())
+    assert out.loc["n_chars", "value"] == int(d.n_chars.sum())
+    assert out.loc["vocab_size", "value"] == \
+        len(set().union(*toks.to_list()))
+    assert out.loc["n_sources", "value"] == d.source.nunique()
+    assert out.loc["n_langs", "value"] == d.lang.nunique()
+    assert out.loc["n_dup_docs", "value"] == \
+        len(d) - d.text.nunique()
