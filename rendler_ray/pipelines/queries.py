@@ -15156,6 +15156,137 @@ FROM documents
 """
 
 
+def autocorr_daily_counts(sf_dir: str):
+    """Lag-1 AUTOCORRELATION of daily event volume — the seasonality/
+    persistence statistic that decides whether a forecast beats the
+    mean (r ≈ 0 = white noise, r → 1 = strong day-over-day memory).
+    EXACT int64 rational, sqrt-free: with D days, S = Σc, the scaled
+    deviations e_t = D·c_t − S give
+    r = Σ e_t·e_{t+1} / Σ e_t² — numerator over consecutive pairs,
+    denominator over all days (the standard acf normalization), both
+    plain integer sums (HUGEINT in the SQL mirror; Python ints here).
+    One bounded daily-counts fold (a decade is 3653 rows) after a
+    per-batch count combine."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = us // 86_400_000_000
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="c")))
+    rows = []
+    for bt in daily.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        rows.extend(zip(bt["day"].to_pylist(), bt["c"].to_pylist()))
+    rows.sort()
+    n = len(rows)
+    s = sum(c for _, c in rows)
+    e = [n * c - s for _, c in rows]
+    num = sum(a * b for a, b in zip(e, e[1:]))
+    den = sum(a * a for a in e)
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "acf1_num": pa.array([num], pa.int64()),
+                     "acf1_den": pa.array([den], pa.int64())})
+
+
+AUTOCORR_SQL = """
+WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                  count(*) AS c
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s FROM d),
+e AS (SELECT day, c * n - s AS e,
+             lead(c * n - s) OVER (ORDER BY day) AS e_next
+      FROM d, t)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(COALESCE(sum(e * e_next), 0) AS BIGINT) AS acf1_num,
+       CAST(sum(e * e) AS BIGINT) AS acf1_den
+FROM e
+"""
+
+
+def kl_unigram_by_source(sf_dir: str):
+    """Per-source KL DIVERGENCE from the global unigram distribution —
+    the information-theoretic "how different is this domain's
+    language" number (the DSIR/importance-sampling quantity; completes
+    the family next to per-source entropy and χ² feature selection).
+    Support(source) ⊆ support(global) always, so no smoothing is
+    needed. Per-(source, token) terms are e6-rounded BEFORE the
+    per-source integer sum (the token-entropy convention), with the
+    float expression tree mirrored verbatim in SQL:
+    term = (c_st/n_s)·ln((c_st·N)/(n_s·c_gt)). One (source, token)
+    groupby carries the corpus; the global token table folds under
+    the vocabulary gate."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)[par]
+        df = pd.DataFrame({"source": src, "token": flat, "c": 1})
+        g = df.groupby(["source", "token"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = (ds.map_batches(tok_counts, batch_format="pyarrow")
+          .groupby(["source", "token"])
+          .aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    nst = st.count()
+    assert nst <= 5_000_000, \
+        f"(source, token) table {nst} exceeds the driver fold gate"
+    gtok: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    rows = []
+    for bt in st.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for s_, tok, c in zip(bt["source"].to_pylist(),
+                              bt["token"].to_pylist(),
+                              bt["c"].to_pylist()):
+            gtok[tok] = gtok.get(tok, 0) + int(c)
+            ns[s_] = ns.get(s_, 0) + int(c)
+            rows.append((s_, tok, int(c)))
+    n_total = sum(gtok.values())
+    kl: dict[str, int] = {s_: 0 for s_ in ns}
+    for s_, tok, c in rows:
+        p = c / ns[s_]
+        term = p * np.log((c * n_total) / (ns[s_] * gtok[tok]))
+        kl[s_] += int(np.rint(term * 1_000_000))
+    srcs = sorted(ns)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array([ns[s_] for s_ in srcs], pa.int64()),
+        "kl_e6": pa.array([kl[s_] for s_ in srcs], pa.int64())})
+
+
+KL_UNIGRAM_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, token),
+g AS (SELECT token, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY token),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st
+      GROUP BY source),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+term AS (SELECT st.source,
+                CAST(round((CAST(st.c AS DOUBLE) / s.ns)
+                           * ln((CAST(st.c AS DOUBLE) * t.n)
+                                / (CAST(s.ns AS DOUBLE) * g.cg))
+                           * 1000000) AS BIGINT) AS e
+         FROM st
+         JOIN g ON g.token = st.token
+         JOIN s ON s.source = st.source
+         CROSS JOIN t)
+SELECT term.source, s.ns AS n_tokens,
+       CAST(sum(term.e) AS BIGINT) AS kl_e6
+FROM term JOIN s ON s.source = term.source
+GROUP BY term.source, s.ns
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15405,6 +15536,8 @@ QUERIES = {
     "crawl_depth_histogram": crawl_depth_histogram,
     "cusum_changepoint_days": cusum_changepoint_days,
     "dataset_card_report": dataset_card_report,
+    "autocorr_daily_counts": autocorr_daily_counts,
+    "kl_unigram_by_source": kl_unigram_by_source,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15610,4 +15743,6 @@ ORACLES = {
     "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
     "cusum_changepoint_days": CUSUM_SQL,
     "dataset_card_report": DATASET_CARD_SQL,
+    "autocorr_daily_counts": AUTOCORR_SQL,
+    "kl_unigram_by_source": KL_UNIGRAM_SQL,
 }

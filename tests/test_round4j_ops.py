@@ -777,3 +777,53 @@ def test_dataset_card_brute(ray_session):
     assert out.loc["n_langs", "value"] == d.lang.nunique()
     assert out.loc["n_dup_docs", "value"] == \
         len(d) - d.text.nunique()
+
+
+def test_autocorr_brute(ray_session):
+    """The exact rational matches an arbitrary-precision recompute
+    and |r| <= 1 by Cauchy-Schwarz."""
+    from rendler_ray.pipelines.queries import autocorr_daily_counts
+
+    out = autocorr_daily_counts(SF).to_pandas().iloc[0]
+    ev = _events()
+    d = (ev.ts.astype("int64") // 10**6 // 86400).value_counts() \
+        .sort_index()
+    n = len(d)
+    s = int(d.sum())
+    e = [n * int(c) - s for c in d]
+    assert out.n_days == n
+    assert out.acf1_num == sum(a * b for a, b in zip(e, e[1:]))
+    assert out.acf1_den == sum(a * a for a in e)
+    assert abs(out.acf1_num) <= out.acf1_den
+
+
+def test_kl_unigram_brute(ray_session):
+    """Per-source KL matches a numpy recompute of the identical
+    expression tree, is >= 0 for every source up to the e6 rounding
+    grain, and at least one source genuinely diverges."""
+    from rendler_ray.pipelines.queries import kl_unigram_by_source
+
+    out = kl_unigram_by_source(SF).to_pandas().set_index("source")
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["source", "text"]).to_pandas()
+    st = {}
+    for r in d.itertuples():
+        for tok in r.text.split(" "):
+            st[(r.source, tok)] = st.get((r.source, tok), 0) + 1
+    gtok = {}
+    ns = {}
+    for (s_, tok), c in st.items():
+        gtok[tok] = gtok.get(tok, 0) + c
+        ns[s_] = ns.get(s_, 0) + c
+    n = sum(gtok.values())
+    kl = {s_: 0 for s_ in ns}
+    for (s_, tok), c in st.items():
+        p = c / ns[s_]
+        kl[s_] += int(np.rint(
+            p * np.log((c * n) / (ns[s_] * gtok[tok])) * 10**6))
+    for s_ in ns:
+        assert out.loc[s_, "n_tokens"] == ns[s_]
+        assert out.loc[s_, "kl_e6"] == kl[s_]
+        # KL >= 0 up to the per-term rounding grain (#terms ulps)
+        assert out.loc[s_, "kl_e6"] >= -len(gtok)
+    assert (out.kl_e6 > 0).any()
