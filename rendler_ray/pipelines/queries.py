@@ -15287,6 +15287,173 @@ GROUP BY term.source, s.ns
 """
 
 
+def graph_diameter_bound(sf_dir: str, driver_max: int = 5_000_000):
+    """Graph DIAMETER lower bound by the classic DOUBLE SWEEP: BFS
+    from node 1 to its farthest reachable node u (ties → min id),
+    then BFS from u — ecc(u) lower-bounds the component's diameter
+    and is exact on trees, usually tight in practice (the standard
+    cheap estimator where an exact all-pairs diameter is quadratic).
+    Output one row (ecc_seed, far_node, diameter_lb). The oracle
+    chains TWO recursive CTEs, the second seeded by the first's
+    argmax — the deepest recursive oracle in the registry.
+
+    Scale shape: the edge fold runs under the same driver gate as
+    :func:`bfs_distances_graph`; past the gate the sweep is that op's
+    per-round distributed frontier-join machinery run twice (gate
+    asserted here rather than silently degrading)."""
+    edges = _orders_graph_edges(sf_dir).materialize()
+    ne = edges.count()
+    assert ne <= driver_max, \
+        f"edges {ne} exceed driver gate {driver_max}; run the " \
+        "bfs_distances_graph distributed rounds twice instead"
+    t = pa.concat_tables(
+        edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(t["a"].to_numpy(), t["b"].to_numpy()):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+
+    def bfs(src: int) -> dict[int, int]:
+        dist = {src: 0}
+        frontier = [src]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    d1 = bfs(1)
+    ecc_seed = max(d1.values())
+    far = min(n for n, d in d1.items() if d == ecc_seed)
+    d2 = bfs(far)
+    return pa.table({"ecc_seed": pa.array([ecc_seed], pa.int64()),
+                     "far_node": pa.array([far], pa.int64()),
+                     "diameter_lb": pa.array([max(d2.values())],
+                                             pa.int64())})
+
+
+DIAMETER_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v FROM e
+       UNION ALL SELECT b AS u, a AS v FROM e),
+w1(node, dist) AS (
+  SELECT 1, 0
+  UNION
+  SELECT bo.v, w.dist + 1 FROM w1 w JOIN bo ON bo.u = w.node
+  WHERE w.dist < 64),
+d1 AS (SELECT node, min(dist) AS dist FROM w1 GROUP BY node),
+far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+w2(node, dist) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT bo.v, w.dist + 1 FROM w2 w JOIN bo ON bo.u = w.node
+  WHERE w.dist < 64),
+d2 AS (SELECT node, min(dist) AS dist FROM w2 GROUP BY node)
+SELECT CAST((SELECT max(dist) FROM d1) AS BIGINT) AS ecc_seed,
+       CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+       CAST((SELECT max(dist) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+
+def km_survival_curve(sf_dir: str, window_h: int = 48):
+    """KAPLAN–MEIER risk table for time-to-conversion: per user, HOURS
+    from first 'view' to first subsequent 'purchase', administratively
+    CENSORED at the ``window_h``-hour conversion window (the product
+    definition — conversions slower than the window don't count, and
+    the censoring is real in every testdata scale, not a dead branch).
+    Output one row per EVENT time: (t_hours, n_risk, n_events) with
+    the standard risk-set rule n_risk(t) = #users observed ≥ t — all
+    exact integers (the S(t) product is the consumer's float; the
+    counts table is the engine's exact artifact, which is why a SQL
+    suffix-sum window can hash-match it).
+
+    Scale shape: one ``groupby(user)`` pass (the shared per-user key)
+    emits each user's (observed hours, event flag); the fold is the
+    bounded distinct-times table (≤ window_h + 1 rows)."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    win_us = window_h * 3_600_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        views = us[et == "view"]
+        empty = pd.DataFrame({"t_hours": pd.Series([], dtype=np.int64),
+                              "ev": pd.Series([], dtype=np.int64)})
+        if not len(views):
+            return empty
+        v0 = views[0]
+        purch = us[(et == "purchase") & (us >= v0)
+                   & (us < v0 + win_us)]
+        if len(purch):
+            t_h = (purch[0] - v0) // 3_600_000_000
+            ev = 1
+        else:
+            t_h = window_h
+            ev = 0
+        return pd.DataFrame({"t_hours": [np.int64(t_h)],
+                             "ev": [np.int64(ev)]})
+
+    obs = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas")
+    cnt: dict[int, list[int]] = {}
+    for bt in obs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for t_, e in zip(bt["t_hours"].to_pylist(),
+                         bt["ev"].to_pylist()):
+            c = cnt.setdefault(int(t_), [0, 0])
+            c[0] += 1
+            c[1] += int(e)
+    times = sorted(cnt)
+    suffix = 0
+    n_risk: dict[int, int] = {}
+    for t_ in reversed(times):
+        suffix += cnt[t_][0]
+        n_risk[t_] = suffix
+    ev_times = [t_ for t_ in times if cnt[t_][1] > 0]
+    return pa.table({
+        "t_hours": pa.array(ev_times, pa.int64()),
+        "n_risk": pa.array([n_risk[t_] for t_ in ev_times], pa.int64()),
+        "n_events": pa.array([cnt[t_][1] for t_ in ev_times],
+                             pa.int64())})
+
+
+KM_SURVIVAL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS v0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p0
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.v0
+       AND epoch_us(e.ts) - epoch_us(v.v0) < 48 * 3600000000
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+obs AS (SELECT v.user_id,
+               CASE WHEN p.p0 IS NOT NULL
+                    THEN (epoch_us(p.p0) - epoch_us(v.v0)) // 3600000000
+                    ELSE 48 END AS t_hours,
+               CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM v LEFT JOIN p ON p.user_id = v.user_id),
+g AS (SELECT t_hours, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM obs GROUP BY t_hours)
+SELECT CAST(t_hours AS BIGINT) AS t_hours,
+       CAST(sum(c) OVER (ORDER BY t_hours DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+       d AS n_events
+FROM g
+QUALIFY d > 0
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15538,6 +15705,8 @@ QUERIES = {
     "dataset_card_report": dataset_card_report,
     "autocorr_daily_counts": autocorr_daily_counts,
     "kl_unigram_by_source": kl_unigram_by_source,
+    "graph_diameter_bound": graph_diameter_bound,
+    "km_survival_curve": km_survival_curve,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15745,4 +15914,6 @@ ORACLES = {
     "dataset_card_report": DATASET_CARD_SQL,
     "autocorr_daily_counts": AUTOCORR_SQL,
     "kl_unigram_by_source": KL_UNIGRAM_SQL,
+    "graph_diameter_bound": DIAMETER_SQL,
+    "km_survival_curve": KM_SURVIVAL_SQL,
 }

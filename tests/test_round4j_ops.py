@@ -827,3 +827,79 @@ def test_kl_unigram_brute(ray_session):
         # KL >= 0 up to the per-term rounding grain (#terms ulps)
         assert out.loc[s_, "kl_e6"] >= -len(gtok)
     assert (out.kl_e6 > 0).any()
+
+
+def test_diameter_brute(ray_session):
+    """The double-sweep bound matches a networkx-free brute force:
+    ecc(far) from the op equals the true eccentricity of the sweep's
+    far node, and it lower-bounds the exact diameter of the seed
+    component (computed by all-pairs BFS, feasible at sf0.001)."""
+    from collections import deque
+
+    from rendler_ray.pipelines.queries import (_orders_graph_edges,
+                                               graph_diameter_bound)
+
+    out = graph_diameter_bound(SF).to_pandas().iloc[0]
+    e = _orders_graph_edges(SF).to_pandas()
+    adj = {}
+    for r in e.itertuples():
+        adj.setdefault(int(r.a), set()).add(int(r.b))
+        adj.setdefault(int(r.b), set()).add(int(r.a))
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    d1 = bfs(1)
+    ecc = max(d1.values())
+    far = min(n for n, d in d1.items() if d == ecc)
+    assert out.ecc_seed == ecc and out.far_node == far
+    assert out.diameter_lb == max(bfs(far).values())
+    comp = list(d1)
+    true_diam = max(max(bfs(s).values()) for s in comp)
+    assert out.diameter_lb <= true_diam
+    assert out.diameter_lb >= ecc  # sweep can only improve the bound
+
+
+def test_km_brute(ray_session):
+    """Risk table matches a pandas recompute, censoring is REAL (the
+    48 h window leaves both classes non-empty), and the risk set is
+    monotonically non-increasing in time."""
+    from rendler_ray.pipelines.queries import km_survival_curve
+
+    out = km_survival_curve(SF).to_pandas()
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+    win = 48 * 3_600_000_000
+    obs = []
+    for u, g in ev.groupby("user_id"):
+        us = g.ts.to_numpy("datetime64[us]").astype(np.int64)
+        et = g.event_type.to_numpy()
+        views = us[et == "view"]
+        if not len(views):
+            continue
+        v0 = views[0]
+        purch = us[(et == "purchase") & (us >= v0) & (us < v0 + win)]
+        if len(purch):
+            obs.append(((purch[0] - v0) // 3_600_000_000, 1))
+        else:
+            obs.append((48, 0))
+    df = pd.DataFrame(obs, columns=["t", "ev"])
+    assert (df.ev == 0).any() and (df.ev == 1).any()  # censoring real
+    g = df.groupby("t").agg(c=("ev", "size"), d=("ev", "sum")) \
+        .sort_index(ascending=False)
+    g["n_risk"] = g.c.cumsum()
+    g = g.sort_index()
+    want = g[g.d > 0].reset_index()
+    assert list(out.t_hours) == list(want.t)
+    assert list(out.n_risk) == list(want.n_risk)
+    assert list(out.n_events) == list(want.d)
+    assert (out.n_risk.diff().dropna() <= 0).all()
