@@ -199,7 +199,7 @@ def test_knn_outlier_brute(ray_session):
     m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     sims = m @ m.T
-    np.fill_diagonal(sims, -np.inf)
+    np.fill_diagonal(sims, -2.0)  # below any cosine; keeps the cast finite
     ids = emb.vec_id.to_numpy(np.int64)
     rows = []
     for i in range(len(ids)):
