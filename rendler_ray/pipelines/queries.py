@@ -15576,6 +15576,187 @@ GROUP BY thr.pctl, thr.threshold
 """
 
 
+def k_anonymity_audit(sf_dir: str, k: int = 5, l_min: int = 3):
+    """K-ANONYMITY + L-DIVERSITY release audit (Sweeney IJUFKS'02,
+    Machanavajjhala ICDE'06) — the privacy gate a data owner runs
+    before releasing an event log: group rows by the quasi-identifier
+    (event_type, day, hour) and flag groups re-identifiable because
+    they hold fewer than ``k`` rows, or attribute-disclosing because
+    the sensitive column (user_id) takes fewer than ``l_min`` distinct
+    values. The grouped COUNT(DISTINCT) rides the composite-key
+    distinct shape of :func:`distinct_users_by_type` (shuffle key
+    includes user_id, so a hot QI cohort spreads across reducers);
+    the final fold is the bounded QI table (≤ types·days·24 rows —
+    calendar-bounded at any corpus size, never the event count)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def qi_pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "day": us // 86_400_000_000,
+            "hour": (us // 3_600_000_000) % 24,
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        g = df.groupby(["event_type", "day", "hour", "user_id"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (ds.map_batches(qi_pairs, batch_format="pyarrow")
+                .groupby(["event_type", "day", "hour", "user_id"])
+                .aggregate(Sum("n", alias_name="n")))
+    per_qi = (per_user.map_batches(
+        lambda t: t.drop_columns(["user_id"]).append_column(
+            "u", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+        .groupby(["event_type", "day", "hour"])
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Sum("u", alias_name="n_users")))
+
+    def flags(t: pa.Table) -> pa.Table:
+        nr = t["n_rows"].to_numpy(zero_copy_only=False)
+        nu = t["n_users"].to_numpy(zero_copy_only=False)
+        return (t.append_column(
+            "k_anon", pa.array((nr >= k).astype(np.int64)))
+            .append_column(
+            "l_diverse", pa.array((nu >= l_min).astype(np.int64))))
+
+    return per_qi.map_batches(flags, batch_format="pyarrow")
+
+
+K_ANONYMITY_SQL = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) >= 5 AS BIGINT) AS k_anon,
+       CAST(count(DISTINCT user_id) >= 3 AS BIGINT) AS l_diverse
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def benford_digit_audit(sf_dir: str):
+    """BENFORD'S-LAW first-digit audit over order totals — the
+    classic forensic-accounting / data-fabrication screen (Benford'38,
+    Nigrini'12): observed leading-digit counts of the cents amounts
+    vs the log-law expectation N·log10(1+1/d), with the per-digit χ²
+    contribution. Expected values and χ² terms are e6 fixed-point
+    with the float expression tree mirrored VERBATIM in the SQL (the
+    psi/kl convention) so both sides compute identical doubles; the
+    leading digit is exact integer repeated-division, never a float
+    log10 (10^k boundaries are unsafe in doubles). One shuffle-free
+    9-row-per-batch partial pass; the fold is the 9-row digit table."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        v = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        v = v[v > 0].copy()
+        while (v >= 10).any():
+            m = v >= 10
+            v[m] //= 10
+        n = np.bincount(v, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n_obs": pa.array(n.astype(np.int64))})
+
+    folded = (ds.map_batches(digits, batch_format="pyarrow")
+              .groupby("digit").aggregate(Sum("n_obs",
+                                              alias_name="n_obs")))
+    rows = {int(r["digit"]): int(r["n_obs"]) for r in folded.take_all()}
+    total = sum(rows.values())
+    d = np.array(sorted(dd for dd in rows if rows[dd] > 0), np.int64)
+    n_obs = np.array([rows[dd] for dd in d], np.float64)
+    exp = total * (np.log(1.0 + 1.0 / d) / np.log(10.0))
+    dev = n_obs - exp
+    return pa.table({
+        "digit": pa.array(d, pa.int64()),
+        "n_obs": pa.array(n_obs.astype(np.int64), pa.int64()),
+        "expected_e6": pa.array(
+            np.rint(1_000_000 * exp).astype(np.int64), pa.int64()),
+        "chi2_term_e6": pa.array(
+            np.rint(1_000_000 * (dev * dev / exp)).astype(np.int64),
+            pa.int64())})
+
+
+BENFORD_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d)
+SELECT digit, n_obs,
+       CAST(round(1000000 * (n * (ln(1.0 + 1.0 / digit) / ln(10.0))))
+            AS BIGINT) AS expected_e6,
+       CAST(round(1000000 *
+                  ((n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   * (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   / (n * (ln(1.0 + 1.0 / digit) / ln(10.0)))))
+            AS BIGINT) AS chi2_term_e6
+FROM d, t
+"""
+
+
+def winsorize_order_values(sf_dir: str):
+    """WINSORIZATION at exact global p5/p95 order statistics — the
+    standard robust-preprocessing clip (Tukey'62 shape) before moment
+    statistics or model features: every order's cents amount clipped
+    into [v(p5), v(p95)] where v(p) is the value at 0-based rank
+    p·(N−1)//100 of the sorted corpus. The thresholds come from the
+    shared :func:`_grouped_value_bisect` engine (one 'all' group, two
+    rank targets resolved together) — exact order statistics with NO
+    global sort and O(1) driver state; the clip itself is a stateless
+    broadcast pass."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "grp": pa.array(["all"] * t.num_rows, pa.string()),
+            "value_c": _cents(t["o_totalprice"])})
+
+    scored = ds.map_batches(cents, batch_format="pyarrow")
+    agg = scored.aggregate(Min("value_c", alias_name="lo"),
+                           Max("value_c", alias_name="hi"),
+                           Count(alias_name="n"))
+    lo, hi, n = int(agg["lo"]), int(agg["hi"]), int(agg["n"])
+    state = {("all", 5): [lo, hi, 5 * (n - 1) // 100 + 1],
+             ("all", 95): [lo, hi, 95 * (n - 1) // 100 + 1]}
+    got = _grouped_value_bisect(scored, "grp", "value_c", state)
+    p5, p95 = got[("all", 5)], got[("all", 95)]
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t["value_c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "value_c": t["value_c"],
+            "winsor_c": pa.array(np.clip(v, p5, p95), pa.int64())})
+
+    return scored.map_batches(clip, batch_format="pyarrow")
+
+
+WINSORIZE_SQL = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS value_c
+           FROM orders),
+r AS (SELECT value_c,
+             row_number() OVER (ORDER BY value_c) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM c),
+t AS (SELECT max(CASE WHEN rk = 5 * (n - 1) // 100
+                      THEN value_c END) AS lo,
+             max(CASE WHEN rk = 95 * (n - 1) // 100
+                      THEN value_c END) AS hi
+      FROM r)
+SELECT c.o_orderkey, c.value_c,
+       CAST(least(greatest(c.value_c, t.lo), t.hi) AS BIGINT)
+         AS winsor_c
+FROM c, t
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -15831,6 +16012,9 @@ QUERIES = {
     "km_survival_curve": km_survival_curve,
     "feature_hash_docs": feature_hash_docs,
     "quality_threshold_sweep": quality_threshold_sweep,
+    "k_anonymity_audit": k_anonymity_audit,
+    "benford_digit_audit": benford_digit_audit,
+    "winsorize_order_values": winsorize_order_values,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -16042,4 +16226,7 @@ ORACLES = {
     "km_survival_curve": KM_SURVIVAL_SQL,
     "feature_hash_docs": FEATURE_HASH_SQL,
     "quality_threshold_sweep": QUALITY_SWEEP_SQL,
+    "k_anonymity_audit": K_ANONYMITY_SQL,
+    "benford_digit_audit": BENFORD_SQL,
+    "winsorize_order_values": WINSORIZE_SQL,
 }
