@@ -15757,6 +15757,299 @@ FROM c, t
 """
 
 
+def closeness_centrality_seeds(sf_dir: str, max_depth: int = 6,
+                               driver_max: int = 2_000_000):
+    """CLOSENESS CENTRALITY for a fixed seed sample (nodes 1–4) over
+    the derived undirected graph, bounded to ``max_depth`` hops (the
+    Wasserman–Faust within-radius form — at web scale full-eccentricity
+    closeness is unbounded BFS, so production systems fix a radius;
+    the SQL oracle shares the same bound). Per seed: nodes reached,
+    exact hop-sum, and closeness (n_reached−1)·1e6 // sum_dist as an
+    exact integer division.
+
+    Scale shape: ONE multi-source BFS carrying (src, node, dist) keys
+    — the 4 sources ride the same per-round join + groupby-min
+    exchanges instead of 4 sequential BFS runs; below the edge gate a
+    driver adjacency fold (the bfs_distances_graph pattern)."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    seeds = [1, 2, 3, 4]
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        adj: dict[int, list[int]] = {}
+        for u, v in zip(t["a"].to_numpy(), t["b"].to_numpy()):
+            adj.setdefault(int(u), []).append(int(v))
+            adj.setdefault(int(v), []).append(int(u))
+        out = []
+        for s in seeds:
+            dist = {s: 0}
+            frontier = [s]
+            for d in range(1, max_depth + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+                if not frontier:
+                    break
+            nr, sd = len(dist), sum(dist.values())
+            out.append((s, nr, sd,
+                        (nr - 1) * 1_000_000 // sd if sd else 0))
+        return pa.table({
+            "src": pa.array([r[0] for r in out], pa.int64()),
+            "n_reached": pa.array([r[1] for r in out], pa.int64()),
+            "sum_dist": pa.array([r[2] for r in out], pa.int64()),
+            "closeness_e6": pa.array([r[3] for r in out], pa.int64())})
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([t["a"].to_numpy(),
+                                          t["b"].to_numpy()]), pa.int64()),
+            "v": pa.array(np.concatenate([t["b"].to_numpy(),
+                                          t["a"].to_numpy()]), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    dist_ds = rd.from_arrow(pa.table({
+        "src": pa.array(seeds, pa.int64()),
+        "node": pa.array(seeds, pa.int64()),
+        "dist": pa.array([0] * len(seeds), pa.int64())})).materialize()
+    for d in range(1, max_depth + 1):
+        frontier = _nonempty_blocks(dist_ds.map_batches(
+            lambda t, d=d: t.filter(pc.equal(t["dist"], d - 1))
+            .select(["src", "node"]), batch_format="pyarrow")
+            .materialize())
+        if frontier is None:
+            break
+        nbr = _nonempty_blocks(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src", "u"]),
+                batch_format="pyarrow")
+            .join(both, join_type="inner", num_partitions=8, on=("u",))
+            .materialize())
+        if nbr is None:
+            break
+        cand = nbr.map_batches(
+            lambda t, d=d: pa.table({
+                "src": pc.cast(t["src"], pa.int64()),
+                "node": pc.cast(t["v"], pa.int64()),
+                "dist": pa.array(np.full(t.num_rows, d, np.int64))}),
+            batch_format="pyarrow")
+        dist_ds = (dist_ds.union(cand).groupby(["src", "node"])
+                   .aggregate(Min("dist", alias_name="dist"))
+                   .materialize())
+    per_src = (dist_ds.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("one", alias_name="n_reached"),
+                   Sum("dist", alias_name="sum_dist")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nr = t["n_reached"].to_numpy(zero_copy_only=False)
+        sd = t["sum_dist"].to_numpy(zero_copy_only=False)
+        cl = np.where(sd > 0, (nr - 1) * 1_000_000 // np.maximum(sd, 1),
+                      0)
+        return t.append_column("closeness_e6", pa.array(cl, pa.int64()))
+
+    return per_src.map_batches(finish, batch_format="pyarrow")
+
+
+CLOSENESS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v FROM e
+       UNION ALL SELECT b AS u, a AS v FROM e),
+walk(src, node, dist) AS (
+  SELECT s.src, s.src, 0 FROM (VALUES (1), (2), (3), (4)) s(src)
+  UNION
+  SELECT w.src, bo.v, w.dist + 1
+  FROM walk w JOIN bo ON bo.u = w.node
+  WHERE w.dist < 6),
+d AS (SELECT src, node, min(dist) AS dist FROM walk
+      GROUP BY src, node)
+SELECT CAST(src AS BIGINT) AS src,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN sum(dist) = 0 THEN 0
+                 ELSE (count(*) - 1) * 1000000 // sum(dist) END
+            AS BIGINT) AS closeness_e6
+FROM d GROUP BY src
+"""
+
+
+def bipartite_check_graph(sf_dir: str, max_depth: int = 6,
+                          driver_max: int = 2_000_000):
+    """BIPARTITENESS / ODD-CYCLE check within ``max_depth`` hops of
+    the seed — the structural sanity test run before algorithms that
+    assume two-colorability (matching, some embedding inits). A node
+    reachable by both an even- and an odd-length walk from the seed
+    witnesses an odd closed walk (⇒ an odd cycle in its component);
+    the op emits per-node walk-parity flags and the odd_witness bit,
+    computed over the DEDUP'd (node, walk-length) relation — exactly
+    the recursive CTE's fixpoint, so the oracle is hash-exact by
+    construction.
+
+    Scale shape: per-round frontier join + DISTINCT on (node, dist)
+    (the walk relation, ≤ depth+1 rows per node); below the edge gate
+    a driver level-set fold."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    seed = 1
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        adj: dict[int, set[int]] = {}
+        for u, v in zip(t["a"].to_numpy(), t["b"].to_numpy()):
+            adj.setdefault(int(u), set()).add(int(v))
+            adj.setdefault(int(v), set()).add(int(u))
+        seen: dict[int, set[int]] = {seed: {0}}
+        level = {seed}
+        for d in range(1, max_depth + 1):
+            nxt = set()
+            for u in level:
+                for v in adj.get(u, ()):
+                    s = seen.setdefault(v, set())
+                    if d not in s:
+                        s.add(d)
+                        nxt.add(v)
+            level = nxt
+            if not level:
+                break
+        ks = sorted(seen)
+        he = [int(any(x % 2 == 0 for x in seen[k])) for k in ks]
+        ho = [int(any(x % 2 == 1 for x in seen[k])) for k in ks]
+        return pa.table({
+            "node": pa.array(ks, pa.int64()),
+            "has_even": pa.array(he, pa.int64()),
+            "has_odd": pa.array(ho, pa.int64()),
+            "odd_witness": pa.array(
+                [a & b for a, b in zip(he, ho)], pa.int64())})
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([t["a"].to_numpy(),
+                                          t["b"].to_numpy()]), pa.int64()),
+            "v": pa.array(np.concatenate([t["b"].to_numpy(),
+                                          t["a"].to_numpy()]), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    walk = rd.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    for d in range(1, max_depth + 1):
+        frontier = _nonempty_blocks(walk.map_batches(
+            lambda t, d=d: t.filter(pc.equal(t["dist"], d - 1))
+            .select(["node"]), batch_format="pyarrow").materialize())
+        if frontier is None:
+            break
+        nbr = _nonempty_blocks(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["u"]), batch_format="pyarrow")
+            .join(both, join_type="inner", num_partitions=8, on=("u",))
+            .materialize())
+        if nbr is None:
+            break
+        cand = nbr.map_batches(
+            lambda t, d=d: pa.table({
+                "node": pc.cast(t["v"], pa.int64()),
+                "dist": pa.array(np.full(t.num_rows, d, np.int64))}),
+            batch_format="pyarrow")
+        walk = (walk.union(cand).groupby(["node", "dist"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["node", "dist"]).materialize())
+
+    def parity(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t["node"],
+            "e": pa.array((1 - d % 2).astype(np.int64)),
+            "o": pa.array((d % 2).astype(np.int64))})
+
+    flags = (walk.map_batches(parity, batch_format="pyarrow")
+             .groupby("node")
+             .aggregate(Max("e", alias_name="has_even"),
+                        Max("o", alias_name="has_odd")))
+    return flags.map_batches(
+        lambda t: t.append_column(
+            "odd_witness",
+            pc.cast(pc.and_(pc.equal(t["has_even"], 1),
+                            pc.equal(t["has_odd"], 1)), pa.int64())),
+        batch_format="pyarrow")
+
+
+BIPARTITE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v FROM e
+       UNION ALL SELECT b AS u, a AS v FROM e),
+walk(node, dist) AS (
+  SELECT 1 AS node, 0 AS dist
+  UNION
+  SELECT bo.v, w.dist + 1
+  FROM walk w JOIN bo ON bo.u = w.node
+  WHERE w.dist < 6)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(max(CASE WHEN dist % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_even,
+       CAST(max(CASE WHEN dist % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_odd,
+       CAST(max(CASE WHEN dist % 2 = 0 THEN 1 ELSE 0 END)
+            * max(CASE WHEN dist % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS odd_witness
+FROM walk GROUP BY node
+"""
+
+
+def betweenness_seed_sample(sf_dir: str, topk: int = 20,
+                            driver_max: int = 2_000_000):
+    """Source-sampled BETWEENNESS centrality (Brandes JMS'01;
+    Brandes–Pich'07 sampling) from the fixed seed set {1,2,3,4} —
+    the broker-node score used to pick crawl hubs and graph-cut
+    candidates. Exact ``Fraction`` arithmetic end-to-end (see
+    :func:`rendler_ray.functions.graph.brandes_betweenness`), emitted
+    e9 fixed-point via exact integer division, top-``topk`` by
+    (−btw, node).
+
+    Scale shape: gate-asserted driver fold of the edge list (the
+    graph_diameter_bound convention); per-source passes are
+    independent — the at-scale form runs one task per source over the
+    broadcast edge list (O(sources·E) total, no all-to-all), falling
+    back to distributed per-source BFS-DAG rounds only when edges
+    exceed worker memory."""
+    from rendler_ray.functions.graph import brandes_betweenness
+
+    edges = _orders_graph_edges(sf_dir).materialize()
+    n = edges.count()
+    assert n <= driver_max, \
+        f"betweenness driver fold gated at {driver_max} edges (got {n})"
+    t = pa.concat_tables(
+        edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+    btw = brandes_betweenness(t["a"].to_numpy(), t["b"].to_numpy(),
+                              [1, 2, 3, 4])
+    rows = sorted(((f.numerator * 1_000_000_000) // f.denominator, k)
+                  for k, f in btw.items())
+    rows = [(k, v) for v, k in rows if v > 0]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:topk]
+    return pa.table({
+        "node": pa.array([r[0] for r in rows], pa.int64()),
+        "btw_e9": pa.array([r[1] for r in rows], pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -16015,6 +16308,9 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "benford_digit_audit": benford_digit_audit,
     "winsorize_order_values": winsorize_order_values,
+    "closeness_centrality_seeds": closeness_centrality_seeds,
+    "bipartite_check_graph": bipartite_check_graph,
+    "betweenness_seed_sample": betweenness_seed_sample,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -16229,4 +16525,6 @@ ORACLES = {
     "k_anonymity_audit": K_ANONYMITY_SQL,
     "benford_digit_audit": BENFORD_SQL,
     "winsorize_order_values": WINSORIZE_SQL,
+    "closeness_centrality_seeds": CLOSENESS_SQL,
+    "bipartite_check_graph": BIPARTITE_SQL,
 }

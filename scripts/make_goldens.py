@@ -94,6 +94,7 @@ GOLDEN_QUERIES = [
     "winnow_copy_pairs",
     "crawl_host_budget_audit",
     "crawl_depth_histogram",
+    "betweenness_seed_sample",
 ]
 
 

@@ -93,3 +93,169 @@ def test_winsorize_brute(ray_session):
     assert (want.winsor_c == hi).sum() > (cents == hi).sum()
     assert math.isclose(
         np.clip(cents, lo, hi).mean(), cents.mean(), rel_tol=0.2)
+
+
+def _edges_001() -> pd.DataFrame:
+    o = _orders()
+    u = o.o_custkey.to_numpy(np.int64)
+    v = (o.o_orderkey.to_numpy(np.int64) % 1500) + 1
+    a, b = np.minimum(u, v), np.maximum(u, v)
+    keep = a != b
+    return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+
+
+def _adj_001() -> dict:
+    adj: dict = {}
+    for a, b in _edges_001().itertuples(index=False):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    return adj
+
+
+def test_brandes_known_graphs():
+    """Star and path graphs reproduce the closed-form betweenness;
+    a 4-cycle exercises exact Fraction split over two shortest
+    paths."""
+    from fractions import Fraction
+
+    from rendler_ray.functions.graph import brandes_betweenness
+
+    # star K1,4: center 0 carries 2*C(4,2) = 12 over all sources
+    a = np.array([0, 0, 0, 0]), np.array([1, 2, 3, 4])
+    btw = brandes_betweenness(a[0], a[1], [0, 1, 2, 3, 4])
+    assert btw[0] == 12 and all(btw.get(i, 0) == 0 for i in (1, 2, 3, 4))
+    # path 0-1-2-3-4: btw = 2 * (left * right)
+    p = np.array([0, 1, 2, 3]), np.array([1, 2, 3, 4])
+    btw = brandes_betweenness(p[0], p[1], [0, 1, 2, 3, 4])
+    assert btw[1] == 6 and btw[2] == 8 and btw[3] == 6
+    # 4-cycle: two shortest paths 0→3 split 1/2 + 1/2 per middle node
+    c = np.array([0, 1, 0, 2]), np.array([1, 3, 2, 3])
+    btw = brandes_betweenness(c[0], c[1], [0, 1, 2, 3])
+    assert btw[1] == Fraction(1) and btw[2] == Fraction(1)
+
+
+def test_betweenness_seed_sample_brute(ray_session):
+    """The sf0.001 top-20 matches an independent per-source
+    shortest-path enumeration (sigma ratios recomputed via pair DP)."""
+    from fractions import Fraction
+
+    from rendler_ray.pipelines.queries import betweenness_seed_sample
+
+    out = betweenness_seed_sample(SF).to_pandas()
+    adj = _adj_001()
+
+    from collections import deque
+    btw: dict = {}
+    for s in (1, 2, 3, 4):
+        dist, sigma, order = {s: 0}, {s: 1}, [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v], sigma[v] = dist[u] + 1, 0
+                    order.append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        # delta via pair DP: for each target t, walk the DAG backward
+        for t in order:
+            if t == s:
+                continue
+            # fraction of s→t shortest paths through v
+            thru = {t: Fraction(1)}
+            lvl = sorted((n for n in thru), key=lambda n: -dist[n])
+            pend = deque([t])
+            while pend:
+                w = pend.popleft()
+                for v in adj[w]:
+                    if dist.get(v, -1) == dist[w] - 1:
+                        add = thru[w] * Fraction(sigma[v], sigma[w])
+                        if v not in thru:
+                            thru[v] = Fraction(0)
+                            pend.append(v)
+                        thru[v] += add
+            for v, f in thru.items():
+                if v not in (s, t):
+                    btw[v] = btw.get(v, Fraction(0)) + f
+    rows = sorted(((f.numerator * 10**9) // f.denominator, k)
+                  for k, f in btw.items())
+    want = [(k, v) for v, k in rows if v > 0]
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = want[:20]
+    got = list(zip(out.node.tolist(), out.btw_e9.tolist()))
+    assert got == want
+
+
+def test_closeness_brute_and_two_form(ray_session):
+    """Driver closeness matches a BFS brute force, and the forced
+    distributed multi-source form agrees exactly."""
+    from rendler_ray.pipelines.queries import closeness_centrality_seeds
+
+    out = closeness_centrality_seeds(SF).to_pandas() \
+        .sort_values("src").reset_index(drop=True)
+    adj = _adj_001()
+    from collections import deque
+    rows = []
+    for s in (1, 2, 3, 4):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        nr, sd = len(dist), sum(dist.values())
+        rows.append((s, nr, sd, (nr - 1) * 10**6 // sd if sd else 0))
+    want = pd.DataFrame(rows, columns=[
+        "src", "n_reached", "sum_dist", "closeness_e6"])
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    dist_form = closeness_centrality_seeds(SF, driver_max=0) \
+        .to_pandas().sort_values("src").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        dist_form.astype("int64"), want.astype("int64"))
+
+
+def test_bipartite_brute_and_two_form(ray_session):
+    """Walk-parity flags match a level-set brute force; the derived
+    graph has triangles so odd witnesses exist; forced distributed
+    form agrees exactly."""
+    from rendler_ray.pipelines.queries import bipartite_check_graph
+
+    out = bipartite_check_graph(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    adj = _adj_001()
+    seen = {1: {0}}
+    level = {1}
+    for d in range(1, 7):
+        nxt = set()
+        for u in level:
+            for v in adj.get(u, ()):
+                s = seen.setdefault(v, set())
+                if d not in s:
+                    s.add(d)
+                    nxt.add(v)
+        level = nxt
+    ks = sorted(seen)
+    he = [int(any(x % 2 == 0 for x in seen[k])) for k in ks]
+    ho = [int(any(x % 2 == 1 for x in seen[k])) for k in ks]
+    want = pd.DataFrame({
+        "node": ks, "has_even": he, "has_odd": ho,
+        "odd_witness": [a & b for a, b in zip(he, ho)]})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # sf0.001's orders graph is near-forest density: node 1's 6-hop
+    # ball is genuinely bipartite there (every node single-parity).
+    # The denser sf0.01 graph has odd cycles — the witness bit fires.
+    assert want.odd_witness.sum() == 0
+    assert (want.has_even == 1).any() and (want.has_odd == 1).any()
+    out01 = bipartite_check_graph("/root/testdata/sf0.01").to_pandas()
+    assert out01.odd_witness.sum() > 0
+
+    dist_form = bipartite_check_graph(SF, driver_max=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        dist_form.astype("int64"), want.astype("int64"))
