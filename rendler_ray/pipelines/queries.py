@@ -16050,6 +16050,293 @@ def betweenness_seed_sample(sf_dir: str, topk: int = 20,
         "btw_e9": pa.array([r[1] for r in rows], pa.int64())})
 
 
+def _prefix_verify_driver(ds, cdf: "pd.DataFrame", ids_arr):
+    """Driver-side exact verify for the prefix-filter join: fetch only
+    CANDIDATE docs' texts (distributed is_in filter, bounded pull),
+    re-shingle each doc once, emit (a, b, inter, uni) for pairs with
+    2·inter ≥ uni."""
+    idref = ray.put(ids_arr)
+    txt = pa.concat_tables(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"],
+                                        value_set=ray.get(idref))),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    texts = dict(zip(txt["doc_id"].to_pylist(), txt["text"].to_pylist()))
+    gsets: dict[int, frozenset] = {}
+    out: dict[tuple[int, int], tuple[int, int]] = {}
+    for _, g in cdf.groupby("bucket_key", sort=False):
+        ids_b = sorted(set(g["doc_id"]))
+        if len(ids_b) < 2:
+            continue
+        for i in ids_b:
+            if i not in gsets:
+                gsets[i] = F_text.ngram_set(texts[i], 3)
+        for x in range(len(ids_b)):
+            for y in range(x + 1, len(ids_b)):
+                k = (ids_b[x], ids_b[y])
+                if k in out:
+                    continue
+                ga, gb = gsets[k[0]], gsets[k[1]]
+                inter = len(ga & gb)
+                uni = len(ga) + len(gb) - inter
+                if 2 * inter >= uni:
+                    out[k] = (inter, uni)
+    keys = sorted(out)
+    return rd.from_arrow(pa.table({
+        "a": pa.array([k[0] for k in keys], pa.int64()),
+        "b": pa.array([k[1] for k in keys], pa.int64()),
+        "inter": pa.array([out[k][0] for k in keys], pa.int64()),
+        "uni": pa.array([out[k][1] for k in keys], pa.int64())}))
+
+
+def prefix_filter_jaccard_pairs(sf_dir: str, driver_max: int | None = None,
+                                gram_driver_max: int = 5_000_000):
+    """EXACT set-similarity self-join with PREFIX FILTERING (SSJoin,
+    Chaudhuri ICDE'06; PPJoin, Xiao WWW'08) — ALL document pairs with
+    word-3-gram Jaccard ≥ 0.5, COMPLETE by theorem (unlike the
+    LSH-probabilistic :func:`ngram_jaccard_pairs`): order the gram
+    universe globally by (df asc, hash) and each doc's candidate
+    prefix is its first |d| − ⌈t·|d|⌉ + 1 grams in that order; any
+    pair with Jaccard ≥ t MUST share a prefix gram, so the bucket
+    join over prefix postings misses nothing while rare-first
+    ordering keeps postings short. Output (a, b, inter, uni) as
+    exact int64 set sizes (2·inter ≥ uni ⟺ jaccard ≥ 0.5), so the
+    all-pairs SQL oracle is hash-exact.
+
+    Scale shape: grams are replaced by 128-bit hashes at the explode
+    task (the dup_span convention — strings never shuffle); df is one
+    int-keyed groupby; the per-doc prefix cut is one map_groups; the
+    candidate bucket filter reuses :func:`_hot_bucket_candidates`
+    (broadcast under the hot-key cap); the exact verify is the shared
+    driver-gate / distributed two-form. Materialize barriers cap each
+    execution at ≤2 shuffle stages (the r4e deadlock lesson)."""
+    import pandas.util as pdu
+
+    if driver_max is None:
+        driver_max = _VERIFY_DRIVER_MAX
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 3)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
+        garr = np.asarray(grams, dtype=object)
+        g1 = pdu.hash_array(garr, categorize=False).view(np.int64)
+        g2 = pdu.hash_array(garr, hash_key="rendlerprefixj2!",
+                            categorize=False).view(np.int64)
+        g = (pd.DataFrame({"g1": g1, "g2": g2, "doc_id": ids})
+             .drop_duplicates())
+        n = g.groupby("doc_id")["g1"].transform("size") \
+            .to_numpy(np.int64)
+        return pa.table({
+            "g1": pa.array(g["g1"].to_numpy(np.int64), pa.int64()),
+            "g2": pa.array(g["g2"].to_numpy(np.int64), pa.int64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "n": pa.array(n, pa.int64())})
+
+    grams = ds.map_batches(gram_rows,
+                           batch_format="pyarrow").materialize()
+
+    if grams.count() <= gram_driver_max:
+        # size-gated driver fold (the dup_span pattern): the combined
+        # int64 gram partials fit one bounded pull; df, the global
+        # rare-first order, and every doc's prefix cut are vectorized
+        # in a single lexsort — zero further shuffles below the gate
+        gt = pa.concat_tables(
+            grams.iter_batches(batch_size=None, batch_format="pyarrow"))
+        gdf = gt.to_pandas()
+        gdf["df"] = gdf.groupby(["g1", "g2"])["doc_id"] \
+            .transform("size").to_numpy(np.int64)
+        o = np.lexsort((gdf["g2"].to_numpy(), gdf["g1"].to_numpy(),
+                        gdf["df"].to_numpy(), gdf["doc_id"].to_numpy()))
+        gdf = gdf.iloc[o]
+        rank = gdf.groupby("doc_id", sort=False).cumcount() \
+            .to_numpy(np.int64)
+        n = gdf["n"].to_numpy(np.int64)
+        plen = n - ((n + 1) // 2) + 1  # |d| − ⌈0.5·|d|⌉ + 1
+        p = gdf[rank < plen]
+        occ = p.groupby(["g1", "g2"], sort=False)["doc_id"] \
+            .transform("size")
+        cdf = p[occ.to_numpy() >= 2]
+        cdf = pd.DataFrame({
+            "bucket_key": [f"{a & 0xFFFFFFFFFFFFFFFF:016x}"
+                           f"{b & 0xFFFFFFFFFFFFFFFF:016x}"
+                           for a, b in zip(cdf["g1"], cdf["g2"])],
+            "doc_id": cdf["doc_id"].to_numpy(np.int64)})
+        ids_arr = pa.array(sorted(set(cdf["doc_id"])), pa.int64())
+        return _prefix_verify_driver(ds, cdf, ids_arr)
+
+    df_tbl = (grams.map_batches(
+        lambda t: t.select(["g1", "g2"]).append_column(
+            "c", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+        .groupby(["g1", "g2"]).aggregate(Sum("c", alias_name="df"))
+        .materialize())
+    joined = grams.join(df_tbl, join_type="inner", num_partitions=8,
+                        on=("g1", "g2")).materialize()
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "g1", "g2"], kind="stable")
+        n = int(g["n"].iloc[0])
+        plen = n - ((n + 1) // 2) + 1  # |d| − ⌈0.5·|d|⌉ + 1
+        p = g.head(plen)
+        key = [f"{a & 0xFFFFFFFFFFFFFFFF:016x}"
+               f"{b & 0xFFFFFFFFFFFFFFFF:016x}"
+               for a, b in zip(p["g1"], p["g2"])]
+        return pd.DataFrame({"bucket_key": key,
+                             "doc_id": p["doc_id"].to_numpy(np.int64)})
+
+    postings = (joined.groupby("doc_id")
+                .map_groups(prefix, batch_format="pandas")
+                .materialize())
+    cand = _hot_bucket_candidates(postings).materialize()
+
+    if cand.count() <= driver_max:
+        ct = pa.concat_tables(
+            cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return _prefix_verify_driver(ds, cdf, ids_arr)
+
+    cand_txt = cand.join(ds, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "inter": pd.Series([], dtype=np.int64),
+                              "uni": pd.Series([], dtype=np.int64)})
+        if len(ids) < 2:
+            return empty
+        texts = dict(zip(g["doc_id"], g["text"]))
+        gsets = {i: F_text.ngram_set(texts[i], 3) for i in ids}
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ga, gb = gsets[ids[i]], gsets[ids[j]]
+                inter = len(ga & gb)
+                uni = len(ga) + len(gb) - inter
+                if 2 * inter >= uni:
+                    rows.append((ids[i], ids[j], inter, uni))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
+            .astype(np.int64)
+
+    # a pair can surface from several prefix grams: grouped Min dedups
+    # (inter/uni identical from any bucket)
+    return (cand_txt.groupby("bucket_key")
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Min("inter", alias_name="inter"),
+                       Min("uni", alias_name="uni")))
+
+
+PREFIX_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+gi AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 2)) AS i
+       FROM t WHERE len(toks) >= 3),
+gs AS (SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+       FROM gi
+       UNION
+       SELECT DISTINCT doc_id, text AS gram FROM t
+       WHERE len(toks) < 3),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gs
+       GROUP BY doc_id),
+iv AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT)
+         AS i
+       FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       GROUP BY 1, 2)
+SELECT iv.a, iv.b, i AS inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS uni
+FROM iv JOIN sz sa ON sa.doc_id = iv.a
+        JOIN sz sb ON sb.doc_id = iv.b
+WHERE 2 * i >= sa.n + sb.n - i
+"""
+
+
+def ann_bq_topk(sf_dir: str):
+    """BINARY-QUANTIZED ANN (sign-bit codes; Charikar STOC'02
+    hyperplane sketches as deployed in modern vector stores) — the
+    third point on the registry's compression–recall curve after
+    int8 scalar quantization and PQ: 1 bit/dim (512× vs float64),
+    query scoring is XOR+popcount over packed uint64 codes, and only
+    the per-batch Hamming survivors get an exact cosine re-rank, so
+    emitted scores are true cosines. ONE stateless scan + the shared
+    fixed-point top-k reduce. Approximate by construction (cross-batch
+    prefilter misses only): golden-pinned, recall vs brute force
+    asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _query_vecs(sf_dir, 8)
+    return F_ann.bq_topk(ds, queries, k=10, cand=64)
+
+
+def negative_sample_pairs(sf_dir: str, k: int = 4):
+    """Deterministic CONTRASTIVE NEGATIVE SAMPLING — the in-batch /
+    random-negative generator for embedding or reranker training
+    (DPR's random-negative leg): for every anchor doc, ``k`` negatives
+    chosen by a seeded md5 STEP over the dense corpus ranking —
+    neg_idx = (idx + 1 + md5(anchor:j) mod (n−1)) mod n — so the draw
+    is reproducible, never the anchor itself, and exactly
+    SQL-expressible (row_number + the registry's md5 convention).
+
+    Scale shape: one global sort + metadata zip-with-index builds the
+    dense rank (`with_row_seq`), one stateless pass emits (anchor,
+    j, neg_idx), and ONE int-keyed hash join resolves indices back to
+    doc_ids — no broadcast of the corpus, no per-row Python in the
+    hot path beyond the md5 calls (k per doc, the pack.py-pinned
+    convention)."""
+    import hashlib
+
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+    idx = with_row_seq(ds, ["doc_id"], start=0,
+                       column="idx").materialize()
+
+    def targets(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ix = t["idx"].to_numpy(zero_copy_only=False)
+        out_a, out_j, out_n = [], [], []
+        for d, i in zip(ids.tolist(), ix.tolist()):
+            for j in range(1, k + 1):
+                h = int(hashlib.md5(
+                    f"{d}:{j}".encode()).hexdigest()[:15], 16)
+                out_a.append(d)
+                out_j.append(j)
+                out_n.append((i + 1 + h % (n - 1)) % n)
+        return pa.table({"anchor_id": pa.array(out_a, pa.int64()),
+                         "j": pa.array(out_j, pa.int64()),
+                         "idx": pa.array(out_n, pa.int64())})
+
+    tg = idx.map_batches(targets, batch_format="pyarrow")
+    joined = tg.join(idx.map_batches(
+        lambda t: t.rename_columns(["neg_id", "idx"]),
+        batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("idx",))
+    return joined.select_columns(["anchor_id", "j", "neg_id"])
+
+
+NEGATIVE_SAMPLE_SQL = """
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+                  count(*) OVER () AS n
+           FROM documents),
+t AS (SELECT r.doc_id AS anchor_id, CAST(s.j AS BIGINT) AS j,
+             (idx + 1 + CAST('0x' || substr(md5(
+                  CAST(r.doc_id AS VARCHAR) || ':'
+                  || CAST(s.j AS VARCHAR)), 1, 15) AS BIGINT)
+              % (n - 1)) % n AS neg_idx
+      FROM r, generate_series(1, 4) s(j))
+SELECT t.anchor_id, t.j, r2.doc_id AS neg_id
+FROM t JOIN r r2 ON r2.idx = t.neg_idx
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -16311,6 +16598,9 @@ QUERIES = {
     "closeness_centrality_seeds": closeness_centrality_seeds,
     "bipartite_check_graph": bipartite_check_graph,
     "betweenness_seed_sample": betweenness_seed_sample,
+    "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
+    "ann_bq_topk": ann_bq_topk,
+    "negative_sample_pairs": negative_sample_pairs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -16527,4 +16817,6 @@ ORACLES = {
     "winsorize_order_values": WINSORIZE_SQL,
     "closeness_centrality_seeds": CLOSENESS_SQL,
     "bipartite_check_graph": BIPARTITE_SQL,
+    "prefix_filter_jaccard_pairs": PREFIX_JACCARD_SQL,
+    "negative_sample_pairs": NEGATIVE_SAMPLE_SQL,
 }

@@ -95,6 +95,7 @@ GOLDEN_QUERIES = [
     "crawl_host_budget_audit",
     "crawl_depth_histogram",
     "betweenness_seed_sample",
+    "ann_bq_topk",
 ]
 
 

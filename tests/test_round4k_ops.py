@@ -259,3 +259,105 @@ def test_bipartite_brute_and_two_form(ray_session):
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         dist_form.astype("int64"), want.astype("int64"))
+
+
+def test_prefix_filter_jaccard_complete(ray_session):
+    """The prefix-filtered join returns EXACTLY the all-pairs truth
+    (completeness is the PPJoin theorem; soundness is the exact
+    verify), and both the driver fold and the fully distributed form
+    agree."""
+    from rendler_ray.functions.text import ngram_set
+    from rendler_ray.pipelines.queries import prefix_filter_jaccard_pairs
+
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    gsets = {int(r.doc_id): ngram_set(r.text, 3)
+             for r in docs.itertuples(index=False)}
+    ids = sorted(gsets)
+    want = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ga, gb = gsets[ids[i]], gsets[ids[j]]
+            inter = len(ga & gb)
+            uni = len(ga) + len(gb) - inter
+            if 2 * inter >= uni:
+                want.append((ids[i], ids[j], inter, uni))
+    out = prefix_filter_jaccard_pairs(SF).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want and len(want) > 0
+
+    dist = prefix_filter_jaccard_pairs(SF, gram_driver_max=0,
+                                       driver_max=0).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    got_d = [(int(a), int(b), int(i), int(u))
+             for a, b, i, u in dist.itertuples(index=False, name=None)]
+    assert got_d == want
+
+
+def test_bq_topk_recall(ray_session):
+    """Binary-quantized ANN: emitted scores are TRUE cosines (subset
+    of brute-force scores) and recall@10 vs brute force clears the
+    sign-code floor on the uniform corpus; known-signature unit check
+    on the encoder."""
+    import pyarrow as pa  # noqa: F401
+
+    from rendler_ray.functions.ann import bq_encode
+    from rendler_ray.pipelines.queries import ann_bq_topk
+
+    m = np.array([[1.0, -2.0, 0.5, -0.1], [-1.0, 3.0, -0.5, 0.2]])
+    codes = bq_encode(m)
+    assert codes.shape == (2, 1)
+    assert int(codes[0, 0]) >> 62 == 0b10
+    assert int(codes[1, 0]) >> 62 == 0b01
+
+    out = ann_bq_topk(SF).to_pandas()
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet")) \
+        .to_pandas()
+    vecs = np.stack(emb.embedding.to_numpy())
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy(np.int64)
+    hits = tot = 0
+    for qid in range(8):
+        qv = vecs[ids == qid][0]
+        sims = vecs @ qv
+        se6 = np.round(sims * 1e6).astype(np.int64)
+        order = np.lexsort((ids, -se6))[:10]
+        want = set(ids[order])
+        got = set(out[out.query_id == qid].vec_id)
+        assert len(got) == 10
+        # every emitted score is the true cosine of that pair (±1 ulp
+        # of e6 rounding — matmul summation order differs per batch)
+        for r in out[out.query_id == qid].itertuples(index=False):
+            truth = se6[ids == r.vec_id][0]
+            assert abs(r.score_e6 - truth) <= 1
+        hits += len(got & want)
+        tot += 10
+    assert hits / tot >= 0.5  # sign codes on uniform vectors: floor
+
+
+def test_negative_sample_brute(ray_session):
+    """Negatives reproduce the md5-step rule exactly, never equal the
+    anchor, and cover a spread of the corpus."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import negative_sample_pairs
+
+    out = negative_sample_pairs(SF).to_pandas() \
+        .sort_values(["anchor_id", "j"]).reset_index(drop=True)
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id"]).to_pandas()
+    ids = np.sort(docs.doc_id.to_numpy(np.int64))
+    n = len(ids)
+    pos = {int(d): i for i, d in enumerate(ids)}
+    rows = []
+    for d in ids.tolist():
+        for j in range(1, 5):
+            h = int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[:15],
+                    16)
+            rows.append((d, j, int(ids[(pos[d] + 1 + h % (n - 1)) % n])))
+    want = pd.DataFrame(rows, columns=["anchor_id", "j", "neg_id"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+    assert (out.anchor_id != out.neg_id).all()
+    assert out.neg_id.nunique() > n // 2
