@@ -16337,6 +16337,251 @@ FROM t JOIN r r2 ON r2.idx = t.neg_idx
 """
 
 
+def sssp_bounded_graph(sf_dir: str, max_hops: int = 6,
+                       driver_max: int = 2_000_000):
+    """WEIGHTED single-source shortest paths within ``max_hops``
+    relaxation rounds — bounded Bellman–Ford, the weighted sibling of
+    :func:`bfs_distances_graph` (hop-bounded SSSP is the production
+    form at web scale: full convergence is unbounded rounds). Edge
+    weights are deterministic ints 1 + (7·min + 13·max) % 9 on the
+    canonical edge so both engines derive identical weights. The
+    Ray rounds mirror the recursive CTE's fixpoint EXACTLY: the
+    frontier at round r is every DISTINCT (node, dist, hops=r−1)
+    triple, expansions dedup on the triple, and the answer is the
+    per-node Min over all walks ≤ max_hops — so the oracle is
+    hash-exact by construction.
+
+    Scale shape: per-round join + triple-distinct groupby (the crawl's
+    BFS round shape with a weight column); driver level-set fold below
+    the edge gate."""
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    seed = 1
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for a, b in zip(t["a"].to_numpy(), t["b"].to_numpy()):
+            a, b = int(a), int(b)
+            w = 1 + (7 * a + 13 * b) % 9
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        best: dict[int, int] = {seed: 0}
+        level = {(seed, 0)}
+        for _ in range(max_hops):
+            nxt = {(v, d + w) for (u, d) in level
+                   for v, w in adj.get(u, ())}
+            level = nxt
+            for v, d in nxt:
+                if d < best.get(v, 1 << 60):
+                    best[v] = d
+            if not nxt:
+                break
+        ks = sorted(best)
+        return pa.table({"node": pa.array(ks, pa.int64()),
+                         "dist": pa.array([best[k] for k in ks],
+                                          pa.int64())})
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([t["a"].to_numpy(),
+                                          t["b"].to_numpy()]), pa.int64()),
+            "v": pa.array(np.concatenate([t["b"].to_numpy(),
+                                          t["a"].to_numpy()]), pa.int64()),
+            "w": pa.array(np.tile(
+                1 + (7 * t["a"].to_numpy() + 13 * t["b"].to_numpy()) % 9,
+                2), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    walk = rd.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+        "hops": pa.array([0], pa.int64())})).materialize()
+    for r in range(1, max_hops + 1):
+        frontier = _nonempty_blocks(walk.map_batches(
+            lambda t, r=r: t.filter(pc.equal(t["hops"], r - 1))
+            .select(["node", "dist"]), batch_format="pyarrow")
+            .materialize())
+        if frontier is None:
+            break
+        nbr = _nonempty_blocks(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["u", "dist"]),
+                batch_format="pyarrow")
+            .join(both, join_type="inner", num_partitions=8, on=("u",))
+            .materialize())
+        if nbr is None:
+            break
+        cand = nbr.map_batches(
+            lambda t, r=r: pa.table({
+                "node": pc.cast(t["v"], pa.int64()),
+                "dist": pa.array(
+                    t["dist"].to_numpy(zero_copy_only=False)
+                    + t["w"].to_numpy(zero_copy_only=False), pa.int64()),
+                "hops": pa.array(np.full(t.num_rows, r, np.int64))}),
+            batch_format="pyarrow")
+        walk = (walk.union(cand).groupby(["node", "dist", "hops"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["node", "dist", "hops"]).materialize())
+    return (walk.groupby("node")
+            .aggregate(Min("dist", alias_name="dist")))
+
+
+SSSP_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+bo AS (SELECT a AS u, b AS v, 1 + (7 * a + 13 * b) % 9 AS w FROM e
+       UNION ALL
+       SELECT b AS u, a AS v, 1 + (7 * a + 13 * b) % 9 AS w FROM e),
+walk(node, dist, hops) AS (
+  SELECT 1 AS node, 0 AS dist, 0 AS hops
+  UNION
+  SELECT bo.v, w.dist + bo.w, w.hops + 1
+  FROM walk w JOIN bo ON bo.u = w.node
+  WHERE w.hops < 6)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+def theil_sen_daily_trend(sf_dir: str):
+    """THEIL–SEN robust trend estimator over daily event volumes —
+    the median of all pairwise day-over-day slopes (Theil'50, Sen'68),
+    the monitoring-grade alternative to OLS that one outlier day
+    cannot move. Slopes are ordered by the EXACT integer key
+    floor(Δn·10¹² / Δday) (explicit floor-division CASE in the SQL —
+    DuckDB ``//`` truncates toward zero where numpy floors, the
+    CLAUDE.md rule); the median is emitted ×2 (lo+hi ranks) in the
+    registry's even-count convention.
+
+    Scale shape: ONE shuffle-free per-batch (day, n) combine + a
+    calendar-bounded groupby; the O(days²) pair table (a month is
+    ~435 pairs) folds on the driver."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n")))
+    rows = sorted((int(r["day"]), int(r["n"])) for r in daily.take_all())
+    keys = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dy = rows[j][1] - rows[i][1]
+            dx = rows[j][0] - rows[i][0]
+            keys.append((dy * 10**12) // dx)  # python // floors
+    keys.sort()
+    m = len(keys)
+    med2 = keys[(m - 1) // 2] + keys[m // 2]
+    return pa.table({
+        "n_days": pa.array([len(rows)], pa.int64()),
+        "n_pairs": pa.array([m], pa.int64()),
+        "med_slope_e12_x2": pa.array([med2], pa.int64())})
+
+
+THEIL_SEN_SQL = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+p AS (SELECT (b.n - a.n) AS dy, (b.day - a.day) AS dx
+      FROM d a JOIN d b ON b.day > a.day),
+k AS (SELECT CASE WHEN dy >= 0 THEN (dy * 1000000000000) // dx
+                  ELSE -(((-dy) * 1000000000000 + dx - 1) // dx)
+             END AS k
+      FROM p),
+r AS (SELECT k, row_number() OVER (ORDER BY k) AS rk,
+             count(*) OVER () AS m
+      FROM k)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(max(m) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN rk = (m + 1) // 2 OR rk = m // 2 + 1
+                     THEN k ELSE 0 END)
+            + CASE WHEN max(m) % 2 = 1
+                   THEN sum(CASE WHEN rk = (m + 1) // 2
+                                 THEN k ELSE 0 END) ELSE 0 END
+            AS BIGINT) AS med_slope_e12_x2
+FROM r
+"""
+
+
+def trending_types_daily(sf_dir: str, topk: int = 3):
+    """TRENDING report — per day, the top-``topk`` event types by
+    volume with each type's previous-day rank and the rank delta (the
+    dashboards' movers-and-shakers table). The heavy pass is one
+    per-batch (day, type) combine into a calendar-bounded groupby
+    (days × types rows); ranking and the day-over-day LAG run on that
+    bounded table on the driver. Rank ties break by type (both
+    sides); a type absent from the previous day gets prev_rank 0."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        df = pd.DataFrame({
+            "day": d,
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        g = df.groupby(["day", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+    df = counts.to_pandas()
+    df = df.sort_values(["day", "n", "event_type"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("day").cumcount() + 1
+    prev = df[["day", "event_type", "rank"]].copy()
+    prev["day"] += 1
+    prev = prev.rename(columns={"rank": "prev_rank"})
+    out = df.merge(prev, on=["day", "event_type"], how="left")
+    out["prev_rank"] = out["prev_rank"].fillna(0).astype(np.int64)
+    out = out[out["rank"] <= topk]
+    out["rank_delta"] = out["prev_rank"] - out["rank"]
+    out.loc[out["prev_rank"] == 0, "rank_delta"] = 0
+    out = out.sort_values(["day", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(out["day"].to_numpy(np.int64), pa.int64()),
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(out["rank"].to_numpy(np.int64), pa.int64()),
+        "prev_rank": pa.array(out["prev_rank"].to_numpy(np.int64),
+                              pa.int64()),
+        "rank_delta": pa.array(out["rank_delta"].to_numpy(np.int64),
+                               pa.int64())})
+
+
+TRENDING_SQL = """
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rank
+      FROM c),
+j AS (SELECT r.day, r.event_type, r.n, r.rank,
+             COALESCE(p.rank, 0) AS prev_rank
+      FROM r LEFT JOIN r p ON p.day = r.day - 1
+                          AND p.event_type = r.event_type)
+SELECT day, event_type, n, CAST(rank AS BIGINT) AS rank,
+       CAST(prev_rank AS BIGINT) AS prev_rank,
+       CAST(CASE WHEN prev_rank = 0 THEN 0
+                 ELSE prev_rank - rank END AS BIGINT) AS rank_delta
+FROM j WHERE rank <= 3
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -16601,6 +16846,9 @@ QUERIES = {
     "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
     "ann_bq_topk": ann_bq_topk,
     "negative_sample_pairs": negative_sample_pairs,
+    "sssp_bounded_graph": sssp_bounded_graph,
+    "theil_sen_daily_trend": theil_sen_daily_trend,
+    "trending_types_daily": trending_types_daily,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -16819,4 +17067,7 @@ ORACLES = {
     "bipartite_check_graph": BIPARTITE_SQL,
     "prefix_filter_jaccard_pairs": PREFIX_JACCARD_SQL,
     "negative_sample_pairs": NEGATIVE_SAMPLE_SQL,
+    "sssp_bounded_graph": SSSP_SQL,
+    "theil_sen_daily_trend": THEIL_SEN_SQL,
+    "trending_types_daily": TRENDING_SQL,
 }

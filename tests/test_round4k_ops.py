@@ -361,3 +361,109 @@ def test_negative_sample_brute(ray_session):
                                   want.astype("int64"))
     assert (out.anchor_id != out.neg_id).all()
     assert out.neg_id.nunique() > n // 2
+
+
+def test_sssp_brute_and_two_form(ray_session):
+    """Hop-bounded weighted distances match an independent
+    Bellman–Ford DP, weights actually vary (not plain BFS), and the
+    forced distributed round form agrees exactly."""
+    from rendler_ray.pipelines.queries import sssp_bounded_graph
+
+    out = sssp_bounded_graph(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    adj: dict = {}
+    for a, b in _edges_001().itertuples(index=False):
+        a, b = int(a), int(b)
+        w = 1 + (7 * a + 13 * b) % 9
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    INF = 1 << 60
+    d = {1: 0}
+    best = {1: 0}
+    for _ in range(6):
+        nd: dict = {}
+        for u, du in d.items():
+            for v, w in adj.get(u, ()):
+                c = du + w
+                if c < nd.get(v, INF):
+                    nd[v] = c
+        d = nd
+        for v, dv in nd.items():
+            if dv < best.get(v, INF):
+                best[v] = dv
+    want = pd.DataFrame({"node": sorted(best),
+                         "dist": [best[k] for k in sorted(best)]})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # weighted: more distinct distances than the 6 hop counts a plain
+    # BFS could produce
+    assert want[want.node != 1].dist.nunique() > 6
+
+    dist_form = sssp_bounded_graph(SF, driver_max=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        dist_form.astype("int64"), want.astype("int64"))
+
+
+def test_theil_sen_brute(ray_session):
+    """The e12-quantized slope median matches an independent
+    recomputation, negative slopes are present (the floor-division
+    CASE in the SQL is exercised), and the quantized median brackets
+    the exact Fraction median."""
+    from fractions import Fraction
+
+    from rendler_ray.pipelines.queries import theil_sen_daily_trend
+
+    out = theil_sen_daily_trend(SF).to_pandas()
+    ev = _events()
+    d = ev.ts.to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    u, c = np.unique(d, return_counts=True)
+    keys, fracs = [], []
+    for i in range(len(u)):
+        for j in range(i + 1, len(u)):
+            dy = int(c[j]) - int(c[i])
+            dx = int(u[j]) - int(u[i])
+            keys.append((dy * 10**12) // dx)
+            fracs.append(Fraction(dy, dx))
+    keys.sort()
+    fracs.sort()
+    m = len(keys)
+    assert out.n_days[0] == len(u) and out.n_pairs[0] == m
+    assert out.med_slope_e12_x2[0] == keys[(m - 1) // 2] + keys[m // 2]
+    assert any(k < 0 for k in keys)  # negative slopes exercised
+    fmed2 = fracs[(m - 1) // 2] + fracs[m // 2]
+    assert abs(Fraction(int(out.med_slope_e12_x2[0]), 10**12) - fmed2) \
+        <= Fraction(2, 10**12)
+
+
+def test_trending_brute(ray_session):
+    """Per-day top-3 with previous-day ranks matches a pandas window
+    brute force; rank deltas are nonzero somewhere."""
+    from rendler_ray.pipelines.queries import trending_types_daily
+
+    out = trending_types_daily(SF).to_pandas() \
+        .sort_values(["day", "rank"]).reset_index(drop=True)
+    ev = _events()
+    d = ev.ts.to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    g = ev.assign(day=d).groupby(["day", "event_type"]) \
+        .size().reset_index(name="n")
+    g = g.sort_values(["day", "n", "event_type"],
+                      ascending=[True, False, True], kind="stable")
+    g["rank"] = g.groupby("day").cumcount() + 1
+    prev = g[["day", "event_type", "rank"]].copy()
+    prev["day"] += 1
+    prev = prev.rename(columns={"rank": "prev_rank"})
+    w = g.merge(prev, on=["day", "event_type"], how="left")
+    w["prev_rank"] = w["prev_rank"].fillna(0).astype(np.int64)
+    w = w[w["rank"] <= 3]
+    w["rank_delta"] = np.where(w.prev_rank == 0, 0,
+                               w.prev_rank - w["rank"])
+    w = w.sort_values(["day", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, w[["day", "event_type", "n", "rank", "prev_rank",
+                "rank_delta"]].astype(
+            {"day": np.int64, "n": np.int64, "rank": np.int64,
+             "prev_rank": np.int64, "rank_delta": np.int64}),
+        check_dtype=False)
+    assert (w.rank_delta != 0).any()
