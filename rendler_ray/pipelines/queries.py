@@ -16582,6 +16582,273 @@ FROM j WHERE rank <= 3
 """
 
 
+def kendall_tau_docs(sf_dir: str):
+    """KENDALL rank correlation between two per-doc signals (token
+    count vs classifier score) as EXACT integer pair counts — the
+    distribution-free "does quality rise with length" check (Kendall
+    1938; tau-b's tie terms emitted separately so the caller owns the
+    sqrt): concordant, discordant, tied-on-x-only, tied-on-y-only,
+    tied-on-both over all C(n,2) doc pairs — never enumerated:
+    the counts fold over the JOINT VALUE HISTOGRAM with a Fenwick
+    tree over y-ranks (O(V log V) for V distinct (x, y) cells, the
+    value-range-bounded table), processed in ascending-x groups. One
+    shuffle-free scoring pass + one (x, y) groupby; the cell fold is
+    gate-free because V is bounded by the signal ranges, not the
+    corpus. SQL oracle: histogram self-join on the lexicographic
+    ordered-pair condition (each unordered pair counted once)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"x": nt.astype(np.int64), "y": s, "n": 1})
+        g = df.groupby(["x", "y"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(score, batch_format="pyarrow")
+            .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n")))
+    ht = pa.concat_tables(
+        hist.iter_batches(batch_size=None, batch_format="pyarrow"))
+    x = ht["x"].to_numpy(zero_copy_only=False)
+    y = ht["y"].to_numpy(zero_copy_only=False)
+    n = ht["n"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((y, x))
+    x, y, n = x[o], y[o], n[o]
+    yr = np.searchsorted(np.unique(y), y)  # dense y ranks
+    V = int(yr.max()) + 1 if len(yr) else 0
+    tree = [0] * (V + 1)
+
+    def fen_add(i: int, v: int) -> None:
+        i += 1
+        while i <= V:
+            tree[i] += v
+            i += i & (-i)
+
+    def fen_sum(i: int) -> int:  # counts with rank < i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    nc = nd = tx = ty = txy = tot = 0
+    i = 0
+    while i < len(x):
+        j = i
+        while j < len(x) and x[j] == x[i]:
+            j += 1
+        gsum = int(n[i:j].sum())
+        tx += (gsum * gsum - int((n[i:j] ** 2).sum())) // 2
+        for k in range(i, j):
+            r, c = int(yr[k]), int(n[k])
+            below = fen_sum(r)
+            at = fen_sum(r + 1) - below
+            nc += c * below
+            ty += c * at
+            nd += c * (tot - below - at)
+            txy += c * (c - 1) // 2
+        for k in range(i, j):
+            fen_add(int(yr[k]), int(n[k]))
+            tot += int(n[k])
+        i = j
+    return pa.table({
+        "n_docs": pa.array([tot], pa.int64()),
+        "concordant": pa.array([nc], pa.int64()),
+        "discordant": pa.array([nd], pa.int64()),
+        "tied_x": pa.array([tx], pa.int64()),
+        "tied_y": pa.array([ty], pa.int64()),
+        "tied_xy": pa.array([txy], pa.int64())})
+
+
+KENDALL_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+s AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                       % 1001) - 500) AS BIGINT) AS y
+      FROM tok GROUP BY doc_id),
+h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY x, y),
+p AS (SELECT
+        CAST(COALESCE(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                               THEN a.n * b.n END), 0) AS BIGINT) AS nc,
+        CAST(COALESCE(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                               THEN a.n * b.n END), 0) AS BIGINT) AS nd,
+        CAST(COALESCE(sum(CASE WHEN a.x = b.x
+                               THEN a.n * b.n END), 0) AS BIGINT) AS tx,
+        CAST(COALESCE(sum(CASE WHEN a.x < b.x AND a.y = b.y
+                               THEN a.n * b.n END), 0) AS BIGINT) AS ty
+      FROM h a JOIN h b
+        ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS txy
+      FROM h)
+SELECT t.n_docs, p.nc AS concordant, p.nd AS discordant,
+       p.tx AS tied_x, p.ty AS tied_y, t.txy AS tied_xy
+FROM p, t
+"""
+
+
+def hourly_value_percentiles(sf_dir: str, n_hist: int = 1024):
+    """Hour-of-day latency-style percentile bands — exact p50/p90/p99
+    of the event value (cents) per hour cohort, the observability
+    table every ops dashboard carries. Grouped EXACT order statistics
+    via the shared ``_grouped_value_bisect`` engine (all 3×24 rank
+    targets resolved together, no per-group sorts, nothing pulled);
+    rank convention (n−1)·q // 100 + 1, the source_quartiles rule."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "hour": pa.array(((us // 3_600_000_000) % 24)
+                             .astype("U2").astype(object), pa.string()),
+            "cents": _cents(t["value"])})
+
+    scored = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    agg = scored.aggregate(Min("cents", alias_name="lo"),
+                           Max("cents", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    cnts = (scored.groupby("hour")
+            .aggregate(Count(alias_name="n")).take_all())
+    state: dict[tuple[str, int], list[int]] = {}
+    for r in cnts:
+        n = int(r["n"])
+        for w, q in enumerate((50, 90, 99)):
+            state[(r["hour"], w)] = [lo, hi, (n - 1) * q // 100 + 1]
+    sel = _grouped_value_bisect(scored, "hour", "cents", state, n_hist)
+    hours = sorted({k[0] for k in state})
+    return pa.table({
+        "hour": pa.array([int(h) for h in hours], pa.int64()),
+        "p50": pa.array([sel[(h, 0)] for h in hours], pa.int64()),
+        "p90": pa.array([sel[(h, 1)] for h in hours], pa.int64()),
+        "p99": pa.array([sel[(h, 2)] for h in hours], pa.int64())})
+
+
+HOURLY_PCTL_SQL = """
+WITH c AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST((list(cents ORDER BY cents))
+            [(count(*) - 1) * 50 // 100 + 1] AS BIGINT) AS p50,
+       CAST((list(cents ORDER BY cents))
+            [(count(*) - 1) * 90 // 100 + 1] AS BIGINT) AS p90,
+       CAST((list(cents ORDER BY cents))
+            [(count(*) - 1) * 99 // 100 + 1] AS BIGINT) AS p99
+FROM c GROUP BY hour
+"""
+
+
+def _matching_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic per-edge priority for greedy matching: a 31-bit
+    multiplicative mix of the canonical endpoints (unique TOTAL order
+    comes from tie-breaking on (a, b))."""
+    return ((a * 2654435761 + b * 40503) % 2147483648).astype(np.int64)
+
+
+def maximal_matching_graph(sf_dir: str, driver_max: int = 2_000_000):
+    """GREEDY MAXIMAL MATCHING over the derived graph — the classic
+    parallel symmetry-breaking primitive (local-minima rounds are
+    Israeli–Itai'86 / Luby-style; with UNIQUE edge priorities the
+    parallel fixpoint equals the sequential greedy scan, which makes
+    the output deterministic and two-form checkable). Edge priority is
+    a seeded mix with (a, b) tie-break.
+
+    Scale shape: below the edge gate one driver scan over key-sorted
+    edges; above it local-minima rounds — per round ONE per-vertex
+    Min(packed key) groupby + one broadcast filter dropping matched
+    vertices (O(nodes) driver state, the pagerank-broadcast bound);
+    expected O(log n) rounds. Golden + invariants + sequential
+    equality pytests (iterative — not SQL-expressible)."""
+    edges = _orders_graph_edges(sf_dir).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        k = _matching_key(a, b)
+        packed = [f"{kk:010d}:{aa:012d}:{bb:012d}"
+                  for kk, aa, bb in zip(k, a, b)]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "p": pa.array(packed, pa.string())})
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        k = _matching_key(a, b)
+        order = np.lexsort((b, a, k))
+        matched: set[int] = set()
+        out = []
+        for i in order:
+            u, v = int(a[i]), int(b[i])
+            if u not in matched and v not in matched:
+                matched.add(u)
+                matched.add(v)
+                out.append((u, v))
+        out.sort()
+        return pa.table({
+            "a": pa.array([r[0] for r in out], pa.int64()),
+            "b": pa.array([r[1] for r in out], pa.int64())})
+
+    live = edges.map_batches(keyed, batch_format="pyarrow").materialize()
+    sel_a: list[int] = []
+    sel_b: list[int] = []
+    while live.count() > 0:
+        both = live.map_batches(
+            lambda t: pa.table({
+                "v": pa.array(np.concatenate(
+                    [t["a"].to_numpy(), t["b"].to_numpy()]), pa.int64()),
+                "p": pa.array(t["p"].to_pylist() * 2, pa.string())}),
+            batch_format="pyarrow")
+        vmin = both.groupby("v").aggregate(Min("p", alias_name="pmin"))
+        vm = {int(r["v"]): r["pmin"] for r in vmin.take_all()}
+        vref = ray.put(vm)
+
+        def winners(t: pa.Table) -> pa.Table:
+            m = ray.get(vref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            ps = t["p"].to_pylist()
+            keep = [i for i in range(len(ps))
+                    if m.get(int(a[i])) == ps[i]
+                    and m.get(int(b[i])) == ps[i]]
+            return t.take(pa.array(keep, pa.int64()))
+
+        win = pa.concat_tables(
+            live.map_batches(winners, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        if win.num_rows == 0:
+            break
+        wa = win["a"].to_numpy(zero_copy_only=False)
+        wb = win["b"].to_numpy(zero_copy_only=False)
+        sel_a.extend(wa.tolist())
+        sel_b.extend(wb.tolist())
+        mref = ray.put(pa.array(np.concatenate([wa, wb]), pa.int64()))
+
+        def drop(t: pa.Table) -> pa.Table:
+            ms = ray.get(mref)
+            keep = pc.and_(
+                pc.invert(pc.is_in(t["a"], value_set=ms)),
+                pc.invert(pc.is_in(t["b"], value_set=ms)))
+            return t.filter(keep)
+
+        live = live.map_batches(drop,
+                                batch_format="pyarrow").materialize()
+    rows = sorted(zip(sel_a, sel_b))
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -16849,6 +17116,9 @@ QUERIES = {
     "sssp_bounded_graph": sssp_bounded_graph,
     "theil_sen_daily_trend": theil_sen_daily_trend,
     "trending_types_daily": trending_types_daily,
+    "kendall_tau_docs": kendall_tau_docs,
+    "hourly_value_percentiles": hourly_value_percentiles,
+    "maximal_matching_graph": maximal_matching_graph,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -17070,4 +17340,6 @@ ORACLES = {
     "sssp_bounded_graph": SSSP_SQL,
     "theil_sen_daily_trend": THEIL_SEN_SQL,
     "trending_types_daily": TRENDING_SQL,
+    "kendall_tau_docs": KENDALL_SQL,
+    "hourly_value_percentiles": HOURLY_PCTL_SQL,
 }

@@ -96,6 +96,7 @@ GOLDEN_QUERIES = [
     "crawl_depth_histogram",
     "betweenness_seed_sample",
     "ann_bq_topk",
+    "maximal_matching_graph",
 ]
 
 

@@ -467,3 +467,98 @@ def test_trending_brute(ray_session):
              "prev_rank": np.int64, "rank_delta": np.int64}),
         check_dtype=False)
     assert (w.rank_delta != 0).any()
+
+
+def test_kendall_brute(ray_session):
+    """Fenwick-folded pair counts match an O(n²) enumeration over the
+    docs, all five buckets partition C(n,2), and ties exist (tau-b's
+    correction terms are live)."""
+    from rendler_ray.pipelines.queries import _clf_weights, \
+        kendall_tau_docs
+
+    out = kendall_tau_docs(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    xs, ys = [], []
+    for txt in docs.text:
+        toks = txt.split(" ")
+        u, inv = np.unique(np.array(toks, object), return_inverse=True)
+        w = _clf_weights(u)[inv]
+        xs.append(len(toks))
+        ys.append(int(np.rint(w.sum())))
+    x = np.array(xs, np.int64)
+    y = np.array(ys, np.int64)
+    n = len(x)
+    nc = nd = tx = ty = txy = 0
+    for i in range(n):
+        dx = x[i + 1:] - x[i]
+        dy = y[i + 1:] - y[i]
+        nc += int(((dx > 0) & (dy > 0)).sum()
+                  + ((dx < 0) & (dy < 0)).sum())
+        nd += int(((dx > 0) & (dy < 0)).sum()
+                  + ((dx < 0) & (dy > 0)).sum())
+        tx += int(((dx == 0) & (dy != 0)).sum())
+        ty += int(((dx != 0) & (dy == 0)).sum())
+        txy += int(((dx == 0) & (dy == 0)).sum())
+    assert out.n_docs[0] == n
+    assert (out.concordant[0], out.discordant[0], out.tied_x[0],
+            out.tied_y[0], out.tied_xy[0]) == (nc, nd, tx, ty, txy)
+    assert nc + nd + tx + ty + txy == n * (n - 1) // 2
+    assert tx > 0 and ty >= 0
+
+
+def test_hourly_percentiles_brute(ray_session):
+    """Exact per-hour order statistics match numpy, p50 ≤ p90 ≤ p99."""
+    from rendler_ray.pipelines.queries import hourly_value_percentiles
+
+    out = hourly_value_percentiles(SF).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    ev = _events()
+    us = ev.ts.to_numpy("datetime64[us]").astype(np.int64)
+    hour = (us // 3_600_000_000) % 24
+    cents = np.rint(ev.value.to_numpy(np.float64) * 100).astype(np.int64)
+    rows = []
+    for h in sorted(set(hour.tolist())):
+        v = np.sort(cents[hour == h])
+        n = len(v)
+        rows.append((h, int(v[(n - 1) * 50 // 100]),
+                     int(v[(n - 1) * 90 // 100]),
+                     int(v[(n - 1) * 99 // 100])))
+    want = pd.DataFrame(rows, columns=["hour", "p50", "p90", "p99"])
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (want.p50 <= want.p90).all() and (want.p90 <= want.p99).all()
+
+
+def test_maximal_matching(ray_session):
+    """Driver greedy: valid matching (no shared endpoint), MAXIMAL
+    (every live edge touches a matched vertex), equals the sequential
+    key-order greedy; forced distributed local-minima rounds agree
+    exactly."""
+    from rendler_ray.pipelines.queries import (_matching_key,
+                                               maximal_matching_graph)
+
+    out = maximal_matching_graph(SF).to_pandas()
+    e = _edges_001()
+    a = e.a.to_numpy(np.int64)
+    b = e.b.to_numpy(np.int64)
+    k = _matching_key(a, b)
+    order = np.lexsort((b, a, k))
+    matched: set = set()
+    want = []
+    for i in order:
+        u, v = int(a[i]), int(b[i])
+        if u not in matched and v not in matched:
+            matched.update((u, v))
+            want.append((u, v))
+    want.sort()
+    assert list(out.itertuples(index=False, name=None)) == want
+    # matching: endpoints unique
+    eps = [x for p in want for x in p]
+    assert len(eps) == len(set(eps))
+    # maximal: every edge touches a matched vertex
+    ms = set(eps)
+    assert all(int(u) in ms or int(v) in ms
+               for u, v in zip(a.tolist(), b.tolist()))
+
+    dist_form = maximal_matching_graph(SF, driver_max=0).to_pandas()
+    assert list(dist_form.itertuples(index=False, name=None)) == want
