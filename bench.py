@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "interval_join_attribution",   # r4j: stream-stream interval join
     "quantile_normalize_chars",    # r4j: two-sort + pos-join normalize
     "knn_outlier_docs",            # r4j: kNN-distance outlier screen
+    "prefix_filter_jaccard_pairs",  # r4k: exact prefix-filtered join
+    "sssp_bounded_graph",          # r4k: weighted BFS-round family
+    "kendall_tau_docs",            # r4k: rank-correlation hist fold
+    "winsorize_order_values",      # r4k: bisection order statistics
 ]
 
 

@@ -16849,6 +16849,233 @@ def maximal_matching_graph(sf_dir: str, driver_max: int = 2_000_000):
         "b": pa.array([r[1] for r in rows], pa.int64())})
 
 
+def consistent_hash_assignment(sf_dir: str, n_shards: int = 8,
+                               vnodes: int = 16):
+    """CONSISTENT-HASH ring assignment (Karger STOC'97, the
+    memcached/Dynamo shard router) — doc → shard via the nearest
+    clockwise virtual node, plus the same assignment with ONE shard
+    added, and the moved flag: the op that demonstrates the ring's
+    defining property (scale-out moves ~1/(S+1) of keys, not a full
+    re-mod). Ring positions and doc positions use the registry's
+    md5-15-hex convention so the ASOF-style SQL mirror is hash-exact.
+
+    Scale shape: the ring (shards × vnodes rows) broadcasts once; the
+    assignment is one stateless searchsorted pass — no shuffle."""
+    import hashlib
+
+    def ring(s: int) -> tuple[np.ndarray, np.ndarray]:
+        pos, sh = [], []
+        for j in range(s):
+            for i in range(vnodes):
+                pos.append(int(hashlib.md5(
+                    f"s{j}:vn{i}".encode()).hexdigest()[:15], 16))
+                sh.append(j)
+        o = np.argsort(np.array(pos, np.int64), kind="stable")
+        return (np.array(pos, np.int64)[o],
+                np.array(sh, np.int64)[o])
+
+    ring_a = ring(n_shards)
+    ring_b = ring(n_shards + 1)
+    rref = ray.put((ring_a, ring_b))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        (pa_pos, pa_sh), (pb_pos, pb_sh) = ray.get(rref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array([int(hashlib.md5(
+            str(int(d)).encode()).hexdigest()[:15], 16)
+            for d in ids], np.int64)
+        ia = np.searchsorted(pa_pos, h, side="left") % len(pa_pos)
+        ib = np.searchsorted(pb_pos, h, side="left") % len(pb_pos)
+        sa, sb = pa_sh[ia], pb_sh[ib]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(sa, pa.int64()),
+            "shard_plus": pa.array(sb, pa.int64()),
+            "moved": pa.array((sa != sb).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+CONSISTENT_HASH_SQL = """
+WITH ring AS (
+  SELECT j.s AS shard, 8 AS ns,
+         CAST('0x' || substr(md5('s' || CAST(j.s AS VARCHAR) || ':vn'
+              || CAST(i.v AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+  FROM generate_series(0, 7) j(s), generate_series(0, 15) i(v)
+  UNION ALL
+  SELECT j.s AS shard, 9 AS ns,
+         CAST('0x' || substr(md5('s' || CAST(j.s AS VARCHAR) || ':vn'
+              || CAST(i.v AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+  FROM generate_series(0, 8) j(s), generate_series(0, 15) i(v)),
+d AS (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents),
+pick AS (
+  SELECT d.doc_id, r.ns,
+         COALESCE(
+           min_by(r.shard, r.pos) FILTER (WHERE r.pos >= d.h),
+           min_by(r.shard, r.pos)) AS shard
+  FROM d CROSS JOIN ring r
+  GROUP BY d.doc_id, r.ns)
+SELECT a.doc_id, a.shard, b.shard AS shard_plus,
+       CAST(a.shard <> b.shard AS BIGINT) AS moved
+FROM pick a JOIN pick b ON b.doc_id = a.doc_id AND b.ns = 9
+WHERE a.ns = 8
+"""
+
+
+def weekly_active_users(sf_dir: str):
+    """Rolling 7-day DISTINCT user counts (WAU) per day — the
+    engagement metric whose sliding DISTINCT cannot be merged from
+    daily counts (a user active twice in the window counts once).
+    Exact shape: composite-key distinct (user, day) pairs (the skew-
+    proof distinct of distinct_users_by_type), a stateless 7-day
+    target explode (each pair contributes to 7 window anchors), a
+    second distinct, and a calendar-bounded count fold. Output days
+    are restricted to days present in the data (both sides)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "day": us // 86_400_000_000}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["user_id", "day"])).materialize()
+    day_rows = (uniq.groupby("day").aggregate(Count(alias_name="_n"))
+                .take_all())
+    days = {int(r["day"]) for r in day_rows}
+    dref = ray.put(np.array(sorted(days), np.int64))
+
+    def explode(t: pa.Table) -> pa.Table:
+        dv = ray.get(dref)
+        u = np.repeat(t["user_id"].to_numpy(zero_copy_only=False), 7)
+        td = (np.repeat(t["day"].to_numpy(zero_copy_only=False), 7)
+              + np.tile(np.arange(7, dtype=np.int64), t.num_rows))
+        keep = np.isin(td, dv)
+        df = pd.DataFrame({"user_id": u[keep],
+                           "day": td[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (uniq.map_batches(explode, batch_format="pyarrow")
+            .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: t.select(["day"]).append_column(
+                "u", pa.array(np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("u", alias_name="wau")))
+
+
+WAU_SQL = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+days AS (SELECT DISTINCT day FROM p),
+x AS (SELECT DISTINCT p.user_id, p.day + o.o AS day
+      FROM p, generate_series(0, 6) o(o))
+SELECT x.day, CAST(count(*) AS BIGINT) AS wau
+FROM x JOIN days ON days.day = x.day
+GROUP BY x.day
+"""
+
+
+class _MaxSimScan:
+    """``map_batches`` actor stage for late-interaction retrieval:
+    the chunker + embedder stub build ONCE per actor; per batch,
+    chunk each doc into 32-token windows (≤8), embed all chunks in
+    one vectorized call, score maxsim = Σ_qvec max_chunk cosine, and
+    emit per-batch partial top-k rows."""
+
+    def __init__(self, qref, k: int):
+        from rendler_ray.stages.embed import TextEmbedder
+
+        self.q = ray.get(qref)  # {qid: (c_q × dim) normalized}
+        self.embed = TextEmbedder()
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids >= 4  # the 4 query docs are not corpus
+        if not keep.any():
+            return empty
+        ids = ids[keep]
+        texts = [x for x, m in zip(t["text"].to_pylist(), keep) if m]
+        c_doc, c_txt = [], []
+        for d, txt in zip(ids.tolist(), texts):
+            toks = txt.split(" ")
+            for s in range(0, min(len(toks), 8 * 32), 32):
+                c_doc.append(d)
+                c_txt.append(" ".join(toks[s: s + 32]))
+        ct = self.embed(pa.table({"text": pa.array(c_txt, pa.string())}))
+        cm = np.stack([np.asarray(v, np.float64)
+                       for v in ct["embedding"].to_pylist()])
+        cdoc = np.array(c_doc, np.int64)
+        udoc, inv = np.unique(cdoc, return_inverse=True)
+        out_q, out_v, out_s = [], [], []
+        for qid in sorted(self.q):
+            qm = self.q[qid]               # (c_q, dim)
+            sims = qm @ cm.T               # (c_q, n_chunks)
+            per_doc = np.full((len(qm), len(udoc)), -2.0)
+            np.maximum.at(per_doc, (slice(None), inv), sims)
+            score = per_doc.sum(axis=0)    # Σ_qvec max_chunk
+            kk = min(self.k, len(udoc))
+            sel = np.argpartition(-score, kk - 1)[:kk] \
+                if len(udoc) > kk else np.arange(len(udoc))
+            out_q.extend([qid] * len(sel))
+            out_v.extend(udoc[sel].tolist())
+            out_s.extend(score[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def maxsim_multivector_topk(sf_dir: str, k: int = 10):
+    """LATE-INTERACTION (ColBERT-style, Khattab SIGIR'20) multi-vector
+    retrieval over the documents table: each doc and query is a BAG of
+    32-token chunk vectors (the sandbox's deterministic TextEmbedder
+    stub — the plumbing is the real shape), score =
+    Σ_{query vec} max_{doc vec} cosine. Query docs 0–3 come from a
+    PUSHED-DOWN filtered read; their chunk matrices broadcast once;
+    ONE actor-pool scan chunks+embeds+scores each batch (doc chunks
+    never leave their batch) and emits partial top-k; the shared
+    fixed-point reduce finishes. Golden + driver-brute pytest
+    (model-stub op — not SQL-expressible)."""
+    import pyarrow.dataset as pds
+
+    from rendler_ray.stages.embed import TextEmbedder
+
+    qt = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filter=pds.field("doc_id") < 4)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    emb = TextEmbedder()
+    qmats: dict[int, np.ndarray] = {}
+    for d, txt in zip(qt["doc_id"].to_pylist(), qt["text"].to_pylist()):
+        toks = txt.split(" ")
+        chunks = [" ".join(toks[s: s + 32])
+                  for s in range(0, min(len(toks), 4 * 32), 32)]
+        et = emb(pa.table({"text": pa.array(chunks, pa.string())}))
+        qmats[int(d)] = np.stack([np.asarray(v, np.float64)
+                                  for v in et["embedding"].to_pylist()])
+    qref = ray.put(qmats)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = ds.map_batches(_MaxSimScan, fn_constructor_kwargs={
+        "qref": qref, "k": k}, concurrency=(1, 4),
+        batch_format="pyarrow", num_cpus=1)
+    return cands.groupby("query_id").map_groups(
+        F_ann.topk_reduce(k), batch_format="pandas")
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -17119,6 +17346,9 @@ QUERIES = {
     "kendall_tau_docs": kendall_tau_docs,
     "hourly_value_percentiles": hourly_value_percentiles,
     "maximal_matching_graph": maximal_matching_graph,
+    "consistent_hash_assignment": consistent_hash_assignment,
+    "weekly_active_users": weekly_active_users,
+    "maxsim_multivector_topk": maxsim_multivector_topk,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -17342,4 +17572,6 @@ ORACLES = {
     "trending_types_daily": TRENDING_SQL,
     "kendall_tau_docs": KENDALL_SQL,
     "hourly_value_percentiles": HOURLY_PCTL_SQL,
+    "consistent_hash_assignment": CONSISTENT_HASH_SQL,
+    "weekly_active_users": WAU_SQL,
 }

@@ -97,6 +97,7 @@ GOLDEN_QUERIES = [
     "betweenness_seed_sample",
     "ann_bq_topk",
     "maximal_matching_graph",
+    "maxsim_multivector_topk",
 ]
 
 

@@ -562,3 +562,110 @@ def test_maximal_matching(ray_session):
 
     dist_form = maximal_matching_graph(SF, driver_max=0).to_pandas()
     assert list(dist_form.itertuples(index=False, name=None)) == want
+
+
+def test_consistent_hash_brute(ray_session):
+    """Assignments match a searchsorted brute force; scale-out moves
+    a nonzero minority of keys (the ring's defining property)."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import consistent_hash_assignment
+
+    out = consistent_hash_assignment(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def ring(s):
+        pos, sh = [], []
+        for j in range(s):
+            for i in range(16):
+                pos.append(int(hashlib.md5(
+                    f"s{j}:vn{i}".encode()).hexdigest()[:15], 16))
+                sh.append(j)
+        o = np.argsort(np.array(pos, np.int64), kind="stable")
+        return np.array(pos, np.int64)[o], np.array(sh, np.int64)[o]
+
+    pa_pos, pa_sh = ring(8)
+    pb_pos, pb_sh = ring(9)
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id"]).to_pandas()
+    ids = np.sort(docs.doc_id.to_numpy(np.int64))
+    h = np.array([int(hashlib.md5(str(int(d)).encode())
+                      .hexdigest()[:15], 16) for d in ids], np.int64)
+    sa = pa_sh[np.searchsorted(pa_pos, h, side="left") % len(pa_pos)]
+    sb = pb_sh[np.searchsorted(pb_pos, h, side="left") % len(pb_pos)]
+    want = pd.DataFrame({"doc_id": ids, "shard": sa, "shard_plus": sb,
+                         "moved": (sa != sb).astype(np.int64)})
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+    frac = want.moved.mean()
+    assert 0.0 < frac < 0.35  # ≈ 1/(S+1), never a full re-mod
+    assert want.shard.nunique() == 8 and want.shard_plus.nunique() == 9
+
+
+def test_wau_brute(ray_session):
+    """Rolling 7-day distinct user counts match a per-day set brute
+    force, and WAU ≥ DAU everywhere (with strict > somewhere)."""
+    from rendler_ray.pipelines.queries import weekly_active_users
+
+    out = weekly_active_users(SF).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    ev = _events()
+    day = ev.ts.to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    df = pd.DataFrame({"u": ev.user_id.to_numpy(np.int64), "d": day})
+    days = sorted(set(day.tolist()))
+    rows = []
+    for d in days:
+        w = df[(df.d >= d - 6) & (df.d <= d)]
+        rows.append((d, w.u.nunique()))
+    want = pd.DataFrame(rows, columns=["day", "wau"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+    dau = df.groupby("d").u.nunique()
+    assert (want.set_index("day").wau >= dau).all()
+    assert (want.set_index("day").wau > dau).any()
+
+
+def test_maxsim_brute(ray_session):
+    """Late-interaction scores match a driver recompute with the same
+    chunker + embedder stub, and maxsim differs from single-vector
+    scoring (the multi-vector structure is live)."""
+    from rendler_ray.pipelines.queries import maxsim_multivector_topk
+    from rendler_ray.stages.embed import TextEmbedder
+    import pyarrow as pa
+
+    out = maxsim_multivector_topk(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    emb = TextEmbedder()
+
+    def chunks(txt, cap):
+        toks = txt.split(" ")
+        return [" ".join(toks[s: s + 32])
+                for s in range(0, min(len(toks), cap * 32), 32)]
+
+    def mat(txts):
+        et = emb(pa.table({"text": pa.array(txts, pa.string())}))
+        return np.stack([np.asarray(v, np.float64)
+                         for v in et["embedding"].to_pylist()])
+
+    qm = {int(r.doc_id): mat(chunks(r.text, 4))
+          for r in docs[docs.doc_id < 4].itertuples(index=False)}
+    corpus = docs[docs.doc_id >= 4]
+    multi_beats_single = False
+    for qid, q in qm.items():
+        scores = {}
+        for r in corpus.itertuples(index=False):
+            cm = mat(chunks(r.text, 8))
+            sims = q @ cm.T
+            scores[int(r.doc_id)] = float(sims.max(axis=1).sum())
+        se6 = {d: int(np.rint(s * 1e6)) for d, s in scores.items()}
+        order = sorted(se6, key=lambda d: (-se6[d], d))[:10]
+        sub = out[out.query_id == qid].sort_values("rank")
+        assert sub.vec_id.tolist() == order
+        for r in sub.itertuples(index=False):
+            assert abs(r.score_e6 - se6[r.vec_id]) <= 1
+        if len(q) > 1:
+            multi_beats_single = True
+    assert multi_beats_single  # at least one query is multi-vector
