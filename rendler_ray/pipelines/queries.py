@@ -17076,6 +17076,216 @@ def maxsim_multivector_topk(sf_dir: str, k: int = 10):
         F_ann.topk_reduce(k), batch_format="pandas")
 
 
+def boolean_search_docs(sf_dir: str):
+    """BOOLEAN retrieval (AND / OR / AND-NOT posting algebra) for the
+    shared 2-term query set — the set-operation layer under every
+    search stack (BM25 ranks; booleans FILTER). One shuffle-free pass:
+    per batch, each query term's doc set comes from one vectorized
+    token-equality mask (docs never re-tokenized per term), and the
+    three set modes emit (query_id, mode, doc_id) rows — no postings
+    shuffle because each doc lives in exactly one batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qref = ray.put(_BM25_QUERIES)
+
+    def modes(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_m, out_d = [], [], []
+        for qid in sorted(qs):
+            t1, t2 = qs[qid]
+            h1 = np.zeros(t.num_rows, bool)
+            h2 = np.zeros(t.num_rows, bool)
+            h1[par[flat == t1]] = True
+            h2[par[flat == t2]] = True
+            for mode, mask in (("and", h1 & h2), ("or", h1 | h2),
+                               ("not", h1 & ~h2)):
+                sel = ids[mask]
+                out_q.extend([qid] * len(sel))
+                out_m.extend([mode] * len(sel))
+                out_d.extend(sel.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "mode": pa.array(out_m, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    return ds.map_batches(modes, batch_format="pyarrow")
+
+
+BOOLEAN_SEARCH_SQL = """
+WITH q(query_id, t1, t2) AS (VALUES
+  (0, 'hash', 'join'), (1, 'sort', 'merge'),
+  (2, 'window', 'stream'), (3, 'table', 'scan')),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+p AS (SELECT q.query_id, t.doc_id,
+             max(CASE WHEN t.token = q.t1 THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN t.token = q.t2 THEN 1 ELSE 0 END) AS h2
+      FROM tok t CROSS JOIN q
+      WHERE t.token = q.t1 OR t.token = q.t2
+      GROUP BY q.query_id, t.doc_id)
+SELECT query_id, 'and' AS mode, doc_id FROM p WHERE h1 = 1 AND h2 = 1
+UNION ALL
+SELECT query_id, 'or' AS mode, doc_id FROM p
+UNION ALL
+SELECT query_id, 'not' AS mode, doc_id FROM p WHERE h1 = 1 AND h2 = 0
+"""
+
+
+def postings_compression_stats(sf_dir: str, topk: int = 100):
+    """Inverted-index POSTINGS COMPRESSION report — per high-df token,
+    the byte cost of its sorted doc-id posting list under delta +
+    varint (LEB128) coding vs raw int64, the storage decision every
+    search/lakehouse index makes (gap coding is why postings compress
+    ~10×). Exact integers: gaps over the sorted DISTINCT doc ids
+    (first element encoded as id+1 so zero never hits the varint),
+    varint size via the 128^k ladder — mirrored as a CASE ladder in
+    the SQL.
+
+    Scale shape: the top-``topk`` vocabulary cut reuses
+    ``_token_freq_topk`` (driver Arrow fold under its gate); the gap
+    pass filters to those tokens (broadcast set), one (token, doc)
+    distinct combiner, one ``map_groups`` per token — ``topk``
+    bounded."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    top = _token_freq_topk(ds, topk)  # token strings, freq-desc
+    toks = pa.array(list(top), pa.string())
+    tref = ray.put(toks)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = ray.get(tref)
+        lst = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = lst.values
+        par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        m = pc.is_in(flat, value_set=keep).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "token": flat.to_numpy(zero_copy_only=False)[m],
+            "doc_id": ids[par[m]]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["token", "doc_id"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["token", "doc_id"]))
+    bounds = 128.0 ** np.arange(1, 10)  # float: 128^9 overflows int64
+
+    def encode(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        gaps = np.diff(ids, prepend=-1)  # first element coded as id+1
+        nbytes = np.digitize(gaps.astype(np.float64), bounds) + 1
+        df = len(ids)
+        var = int(nbytes.sum())
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": [np.int64(df)],
+            "raw_bytes": [np.int64(8 * df)],
+            "varint_bytes": [np.int64(var)],
+            "ratio_e6": [np.int64(8 * df * 1_000_000 // var)]})
+
+    return uniq.groupby("token").map_groups(encode,
+                                            batch_format="pandas")
+
+
+POSTINGS_COMPRESSION_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token
+         ORDER BY c DESC, token LIMIT 100),
+p AS (SELECT DISTINCT t.token, t.doc_id FROM tok t
+      JOIN freq USING (token)),
+g AS (SELECT token,
+             doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY token
+                                                 ORDER BY doc_id), -1)
+               AS gap
+      FROM p),
+b AS (SELECT token,
+             CASE WHEN gap < 128 THEN 1
+                  WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3
+                  WHEN gap < 268435456 THEN 4
+                  WHEN gap < 34359738368 THEN 5
+                  WHEN gap < 4398046511104 THEN 6
+                  WHEN gap < 562949953421312 THEN 7
+                  WHEN gap < 72057594037927936 THEN 8
+                  ELSE 9 END AS nb
+      FROM g)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+       CAST(sum(nb) AS BIGINT) AS varint_bytes,
+       CAST(8 * count(*) * 1000000 // sum(nb) AS BIGINT) AS ratio_e6
+FROM b GROUP BY token
+"""
+
+
+def cohort_retention_weeks(sf_dir: str):
+    """COHORT RETENTION MATRIX — the product-analytics staple: users
+    grouped by their first-activity DAY (cohort), each cell
+    (cohort_day, week_offset) counting distinct users from that cohort
+    active offset weeks later (day-grain cohorts × week-grain offsets
+    — the corpus spans ~a month, so day cohorts keep the matrix
+    non-degenerate while week offsets keep it readable). Exact shape:
+    per-user Min(day) (one groupby), composite-key distinct
+    (user, week-of-activity) pairs, ONE int-keyed hash join to attach
+    cohorts, and a days×weeks-bounded count fold — no per-user state
+    on the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "day": us // 86_400_000_000}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["user_id", "day"])).materialize()
+    from rendler_ray.state.politeness import _nonempty_blocks
+
+    first = _nonempty_blocks(
+        (uniq.groupby("user_id")
+         .aggregate(Min("day", alias_name="d0"))
+         .map_batches(lambda t: pa.table({
+             "user_id": pc.cast(t["user_id"], pa.int64()),
+             "d0": pc.cast(t["d0"], pa.int64())}),
+             batch_format="pyarrow")).materialize())
+    joined = uniq.join(first, join_type="inner", num_partitions=8,
+                       on=("user_id",))
+    pairs2 = joined.map_batches(
+        lambda t: pa.Table.from_pandas(pd.DataFrame({
+            "cohort_day": t["d0"].to_numpy(zero_copy_only=False),
+            "week_offset": (t["day"].to_numpy(zero_copy_only=False)
+                            - t["d0"].to_numpy(zero_copy_only=False))
+            // 7,
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates(), preserve_index=False),
+        batch_format="pyarrow")
+    return (pairs2.groupby(["cohort_day", "week_offset", "user_id"])
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: pa.table({
+                "cohort_day": pc.cast(t["cohort_day"], pa.int64()),
+                "week_offset": pc.cast(t["week_offset"], pa.int64()),
+                "u": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow")
+            .groupby(["cohort_day", "week_offset"])
+            .aggregate(Sum("u", alias_name="n_users")))
+
+
+COHORT_RETENTION_SQL = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS d0 FROM p GROUP BY user_id),
+x AS (SELECT DISTINCT f.d0 AS cohort_day,
+             (p.day - f.d0) // 7 AS week_offset, p.user_id
+      FROM p JOIN f ON f.user_id = p.user_id)
+SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM x GROUP BY 1, 2
+"""
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -17349,6 +17559,9 @@ QUERIES = {
     "consistent_hash_assignment": consistent_hash_assignment,
     "weekly_active_users": weekly_active_users,
     "maxsim_multivector_topk": maxsim_multivector_topk,
+    "boolean_search_docs": boolean_search_docs,
+    "postings_compression_stats": postings_compression_stats,
+    "cohort_retention_weeks": cohort_retention_weeks,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -17574,4 +17787,7 @@ ORACLES = {
     "hourly_value_percentiles": HOURLY_PCTL_SQL,
     "consistent_hash_assignment": CONSISTENT_HASH_SQL,
     "weekly_active_users": WAU_SQL,
+    "boolean_search_docs": BOOLEAN_SEARCH_SQL,
+    "postings_compression_stats": POSTINGS_COMPRESSION_SQL,
+    "cohort_retention_weeks": COHORT_RETENTION_SQL,
 }

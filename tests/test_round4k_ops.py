@@ -669,3 +669,95 @@ def test_maxsim_brute(ray_session):
         if len(q) > 1:
             multi_beats_single = True
     assert multi_beats_single  # at least one query is multi-vector
+
+
+def test_boolean_search_brute(ray_session):
+    """AND/OR/AND-NOT doc sets match python set algebra for every
+    query, and all three modes are distinct somewhere."""
+    from rendler_ray.pipelines.queries import (_BM25_QUERIES,
+                                               boolean_search_docs)
+
+    out = boolean_search_docs(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    tsets = {int(r.doc_id): set(r.text.split(" "))
+             for r in docs.itertuples(index=False)}
+    saw_diff = False
+    for qid, (t1, t2) in _BM25_QUERIES.items():
+        s1 = {d for d, s in tsets.items() if t1 in s}
+        s2 = {d for d, s in tsets.items() if t2 in s}
+        want = {"and": s1 & s2, "or": s1 | s2, "not": s1 - s2}
+        for mode, w in want.items():
+            got = set(out[(out.query_id == qid)
+                          & (out["mode"] == mode)].doc_id)
+            assert got == w, (qid, mode)
+        if want["and"] != want["or"] != want["not"]:
+            saw_diff = True
+    assert saw_diff
+
+
+def test_postings_compression_brute(ray_session):
+    """Varint byte sums match a per-token LEB128 recompute; gap coding
+    actually compresses (ratio > 1 for every high-df token)."""
+    from rendler_ray.pipelines.queries import postings_compression_stats
+
+    out = postings_compression_stats(SF).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter, defaultdict
+    freq: Counter = Counter()
+    posting = defaultdict(set)
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        freq.update(toks)
+        for t in set(toks):
+            posting[t].add(int(r.doc_id))
+    top = sorted(freq, key=lambda t: (-freq[t], t))[:100]
+
+    def leb(n):
+        assert n >= 1
+        b = 0
+        while n > 0:
+            b += 1
+            n >>= 7
+        return b
+
+    rows = []
+    for t in sorted(top):
+        ids = sorted(posting[t])
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        var = sum(leb(g) for g in gaps)
+        rows.append((t, len(ids), 8 * len(ids), var,
+                     8 * len(ids) * 10**6 // var))
+    want = pd.DataFrame(rows, columns=[
+        "token", "df", "raw_bytes", "varint_bytes", "ratio_e6"])
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (want.ratio_e6 > 10**6).all()
+
+
+def test_cohort_retention_brute(ray_session):
+    """Cohort cells match a pandas brute force; offsets span multiple
+    weeks; week-0 cell is the cohort size (everyone is active in
+    their own first week)."""
+    from rendler_ray.pipelines.queries import cohort_retention_weeks
+
+    out = cohort_retention_weeks(SF).to_pandas() \
+        .sort_values(["cohort_day", "week_offset"]).reset_index(drop=True)
+    ev = _events()
+    day = ev.ts.to_numpy("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    p = pd.DataFrame({"u": ev.user_id.to_numpy(np.int64),
+                      "d": day}).drop_duplicates()
+    d0 = p.groupby("u").d.min()
+    p = p.assign(c=p.u.map(d0), w=(p.d - p.u.map(d0)) // 7)
+    want = p[["c", "w", "u"]].drop_duplicates() \
+        .groupby(["c", "w"]).size().reset_index(name="n_users") \
+        .rename(columns={"c": "cohort_day", "w": "week_offset"}) \
+        .sort_values(["cohort_day", "week_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  want.astype("int64"))
+    assert out.week_offset.nunique() >= 2
+    wk0 = out[out.week_offset == 0].set_index("cohort_day").n_users
+    sizes = d0.reset_index().groupby("d").u.nunique()
+    assert (wk0 == sizes.reindex(wk0.index)).all()
