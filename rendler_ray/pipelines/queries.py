@@ -16360,28 +16360,40 @@ def sssp_bounded_graph(sf_dir: str, max_hops: int = 6,
     edges = _orders_graph_edges(sf_dir).materialize()
 
     if edges.count() <= driver_max:
+        # vectorized level sets: the walk relation is a boolean
+        # (node × dist) matrix, one scatter-OR per distinct weight per
+        # hop — python tuple-sets cost 14 s on the dense sf0.1 graph,
+        # this runs in milliseconds with identical output
         t = pa.concat_tables(
             edges.iter_batches(batch_size=None, batch_format="pyarrow"))
-        adj: dict[int, list[tuple[int, int]]] = {}
-        for a, b in zip(t["a"].to_numpy(), t["b"].to_numpy()):
-            a, b = int(a), int(b)
-            w = 1 + (7 * a + 13 * b) % 9
-            adj.setdefault(a, []).append((b, w))
-            adj.setdefault(b, []).append((a, w))
-        best: dict[int, int] = {seed: 0}
-        level = {(seed, 0)}
+        ea = t["a"].to_numpy(zero_copy_only=False)
+        eb = t["b"].to_numpy(zero_copy_only=False)
+        ew = 1 + (7 * ea + 13 * eb) % 9
+        nodes = np.unique(np.concatenate([ea, eb, [seed]]))
+        ia = np.searchsorted(nodes, ea)
+        ib = np.searchsorted(nodes, eb)
+        u = np.concatenate([ia, ib])
+        v = np.concatenate([ib, ia])
+        w = np.concatenate([ew, ew])
+        dmax = 9 * max_hops
+        cur = np.zeros((len(nodes), dmax + 1), bool)
+        cur[np.searchsorted(nodes, seed), 0] = True
+        seen = cur.copy()
         for _ in range(max_hops):
-            nxt = {(v, d + w) for (u, d) in level
-                   for v, w in adj.get(u, ())}
-            level = nxt
-            for v, d in nxt:
-                if d < best.get(v, 1 << 60):
-                    best[v] = d
-            if not nxt:
+            nxt = np.zeros_like(cur)
+            for wt in range(1, 10):
+                m = w == wt
+                if not m.any():
+                    continue
+                np.logical_or.at(nxt[:, wt:], v[m], cur[u[m], :-wt])
+            cur = nxt
+            if not cur.any():
                 break
-        ks = sorted(best)
-        return pa.table({"node": pa.array(ks, pa.int64()),
-                         "dist": pa.array([best[k] for k in ks],
+            seen |= cur
+        has = seen.any(axis=1)
+        dist = np.argmax(seen[has], axis=1)  # first True = min dist
+        return pa.table({"node": pa.array(nodes[has], pa.int64()),
+                         "dist": pa.array(dist.astype(np.int64),
                                           pa.int64())})
 
     both = edges.map_batches(
@@ -17286,6 +17298,242 @@ SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
 FROM x GROUP BY 1, 2
 """
 
+# Poisson(1) inverse-CDF thresholds on the md5-15-hex 60-bit uniform:
+# draw k = #{j : u >= T_j}, capped at 8 (P(k>8) ~ 1e-6; the cap is
+# mirrored in the SQL so exactness holds). Literals derive from one
+# import-time computation shared by BOTH sides.
+_POIS_T = []
+_acc, _term = 0.0, 1.0
+import math as _math  # noqa: E402
+
+for _k in range(8):
+    _term = _math.exp(-1.0) if _k == 0 else _term / _k
+    _acc += _term
+    _POIS_T.append(int(_acc * 16 ** 15))
+del _acc, _term, _k
+
+
+def bootstrap_mean_ci_events(sf_dir: str, n_reps: int = 8):
+    """POISSON BOOTSTRAP of the mean order value (Chamandy/Google
+    'Estimating Uncertainty for Massive Data Streams', the
+    one-pass-replicate trick): each event joins replicate b with a
+    DETERMINISTIC Poisson(1) weight drawn from md5(event_id:b) via the
+    inverse CDF, so all ``n_reps`` resampled means come out of ONE
+    streaming pass — no per-replicate rescans, no RNG state — and the
+    draw is exactly SQL-expressible (the cms_user_counts philosophy:
+    a deterministic sketch IS oracle-checkable). Emits per replicate
+    the exact integer (n_eff, sum_c, mean_e6); the spread across rows
+    is the bootstrap CI."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def reps(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        thr = np.array(_POIS_T, np.int64)
+        out_b, out_n, out_s = [], [], []
+        for b in range(n_reps):
+            u = np.array([int(hashlib.md5(
+                f"{e}:{b}".encode()).hexdigest()[:15], 16)
+                for e in ids.tolist()], np.int64)
+            w = (u[:, None] >= thr[None, :]).sum(axis=1)
+            out_b.append(b)
+            out_n.append(int(w.sum()))
+            out_s.append(int((w * c).sum()))
+        return pa.table({"b": pa.array(out_b, pa.int64()),
+                         "n_eff": pa.array(out_n, pa.int64()),
+                         "sum_c": pa.array(out_s, pa.int64())})
+
+    folded = (ds.map_batches(reps, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("n_eff", alias_name="n_eff"),
+                                      Sum("sum_c", alias_name="sum_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_eff"].to_numpy(zero_copy_only=False)
+        s = t["sum_c"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "mean_e6", pa.array(s * 1_000_000 // np.maximum(n, 1),
+                                pa.int64()))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+BOOTSTRAP_SQL = f"""
+WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT b.b, e.c,
+             CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                  || CAST(b.b AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      FROM e, generate_series(0, 7) b(b)),
+w AS (SELECT b, c,
+             {" + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
+                         for t in _POIS_T)} AS w
+      FROM r)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * c) AS BIGINT) AS sum_c,
+       CAST(sum(w * c) * 1000000 // greatest(sum(w), 1) AS BIGINT)
+         AS mean_e6
+FROM w GROUP BY b
+"""
+
+
+def federated_union_ingest(sf_dir: str):
+    """FEDERATED multi-format ingest — one logical table striped
+    across three physical formats (event_id % 3: parquet stays at the
+    source, CSV and JSONL shards under the cached ingest dir), read
+    with three sources, UNIONed, and aggregated — the landing-zone
+    reality where history lives in parquet and fresh drops arrive as
+    CSV/JSONL. The oracle is the plain full-table SQL: the federation
+    must be lossless and bit-exact."""
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    root = f"/tmp/rendler_ray_ingest/{tag}/events_fed"
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    if not os.path.exists(root + ".done"):
+        base = rd.read_parquet(
+            src, columns=["event_id", "ts", "user_id", "event_type",
+                          "value"]).map_batches(conv,
+                                                batch_format="pyarrow")
+        shutil.rmtree(root, ignore_errors=True)
+        base.map_batches(
+            lambda t: t.filter(pa.array(
+                t["event_id"].to_numpy(zero_copy_only=False) % 3 == 1)),
+            batch_format="pyarrow").write_csv(root + "/csv")
+        base.map_batches(
+            lambda t: t.filter(pa.array(
+                t["event_id"].to_numpy(zero_copy_only=False) % 3 == 2)),
+            batch_format="pyarrow").write_json(root + "/json")
+        open(root + ".done", "w").close()
+
+    pq_leg = rd.read_parquet(
+        src, columns=["event_id", "ts", "user_id", "event_type",
+                      "value"]).map_batches(conv, batch_format="pyarrow"
+                                            ).map_batches(
+        lambda t: t.filter(pa.array(
+            t["event_id"].to_numpy(zero_copy_only=False) % 3 == 0)),
+        batch_format="pyarrow")
+    csv_leg = rd.read_csv(root + "/csv")
+    json_leg = rd.read_json(root + "/json")
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pc.cast(t["event_type"],
+                                               pa.string()),
+                         "cents": pc.cast(t["cents"], pa.int64()),
+                         "ts_us": pc.cast(t["ts_us"], pa.int64())})
+
+    legs = [leg.map_batches(norm, batch_format="pyarrow")
+            for leg in (pq_leg, csv_leg, json_leg)]
+    return (legs[0].union(legs[1]).union(legs[2])
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents"),
+                       Min("ts_us", alias_name="first_us"),
+                       Max("ts_us", alias_name="last_us")))
+
+
+def rle_column_stats(sf_dir: str):
+    """RUN-LENGTH ENCODING layout report — for each candidate column
+    (event_type, user_id), the exact run count in arrival (ts,
+    event_id) order vs the sorted layout (where runs collapse to the
+    distinct count), with the 12-bytes-per-run vs 8-bytes-per-row cost
+    model: the measurement behind every 'sort by low-cardinality
+    columns before writing' lakehouse rule. The neighbor comparison is
+    a distributed zip-with-index (`with_row_seq`) + ONE int-keyed
+    shifted self-join — no ordered full scan on the driver; the SQL
+    mirror is a LAG window."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"]})
+
+    keyed = with_row_seq(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["ts_us", "event_id"], start=0,
+                         column="seq").materialize()
+    nxt = keyed.map_batches(
+        lambda t: pa.table({
+            "seq": pa.array(t["seq"].to_numpy(zero_copy_only=False) - 1,
+                            pa.int64()),
+            "nt": t["event_type"], "nu": t["user_id"]}),
+        batch_format="pyarrow")
+    joined = keyed.join(nxt, join_type="inner", num_partitions=8,
+                        on=("seq",))
+
+    def changes(t: pa.Table) -> pa.Table:
+        ct = (t["event_type"].to_numpy(zero_copy_only=False)
+              != t["nt"].to_numpy(zero_copy_only=False)).sum()
+        cu = (t["user_id"].to_numpy(zero_copy_only=False)
+              != t["nu"].to_numpy(zero_copy_only=False)).sum()
+        return pa.table({"col": pa.array(["event_type", "user_id"]),
+                         "chg": pa.array([int(ct), int(cu)], pa.int64())})
+
+    chg = {r["col"]: int(r["chg"])
+           for r in (joined.map_batches(changes, batch_format="pyarrow")
+                     .groupby("col").aggregate(Sum("chg",
+                                                   alias_name="chg"))
+                     .take_all())}
+    n = keyed.count()
+    dt = (keyed.groupby("event_type").aggregate(Count(alias_name="_n"))
+          .count())
+    du = (keyed.groupby("user_id").aggregate(Count(alias_name="_n"))
+          .count())
+    rows = []
+    for col, dn in (("event_type", dt), ("user_id", du)):
+        runs = chg.get(col, 0) + (1 if n else 0)
+        rows.append((col, n, runs, dn, 8 * n, 12 * runs, 12 * dn))
+    return pa.table({
+        "col": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "runs_time_order": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+        "raw_bytes": pa.array([r[4] for r in rows], pa.int64()),
+        "rle_bytes_time": pa.array([r[5] for r in rows], pa.int64()),
+        "rle_bytes_sorted": pa.array([r[6] for r in rows], pa.int64())})
+
+
+RLE_STATS_SQL = """
+WITH o AS (SELECT event_type, user_id,
+                  lag(event_type) OVER w AS pt,
+                  lag(user_id) OVER w AS pu
+           FROM events
+           WINDOW w AS (ORDER BY ts, event_id)),
+s AS (SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN pt IS NULL OR event_type <> pt
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rt,
+        CAST(sum(CASE WHEN pu IS NULL OR user_id <> pu
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ru,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS dt,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS du
+      FROM o)
+SELECT 'event_type' AS col, n AS n_rows, rt AS runs_time_order,
+       dt AS n_distinct, 8 * n AS raw_bytes,
+       12 * rt AS rle_bytes_time, 12 * dt AS rle_bytes_sorted
+FROM s
+UNION ALL
+SELECT 'user_id' AS col, n, ru, du, 8 * n, 12 * ru, 12 * du FROM s
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -17562,6 +17810,9 @@ QUERIES = {
     "boolean_search_docs": boolean_search_docs,
     "postings_compression_stats": postings_compression_stats,
     "cohort_retention_weeks": cohort_retention_weeks,
+    "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
+    "federated_union_ingest": federated_union_ingest,
+    "rle_column_stats": rle_column_stats,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -17790,4 +18041,7 @@ ORACLES = {
     "boolean_search_docs": BOOLEAN_SEARCH_SQL,
     "postings_compression_stats": POSTINGS_COMPRESSION_SQL,
     "cohort_retention_weeks": COHORT_RETENTION_SQL,
+    "bootstrap_mean_ci_events": BOOTSTRAP_SQL,
+    "federated_union_ingest": EVENTS_INGEST_SQL,
+    "rle_column_stats": RLE_STATS_SQL,
 }
