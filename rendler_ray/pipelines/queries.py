@@ -10312,8 +10312,15 @@ def scd2_user_type_history(sf_dir: str):
     sort + change-point diff — no per-event state store, no driver
     state. Strict (ts, event_id) ordering on both sides makes the SQL
     window oracle exact."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                  "event_type"])
+    return _scd2_intervals(_read(sf_dir, "events",
+                                 ["event_id", "ts", "user_id",
+                                  "event_type"]))
+
+
+def _scd2_intervals(ds):
+    """events-shaped stream → SCD2 validity intervals (one row per
+    consecutive run of equal event_type per user; shared by
+    ``scd2_user_type_history`` and ``pit_join_events``)."""
     sentinel = 4102444800
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -17534,6 +17541,308 @@ SELECT 'user_id' AS col, n, ru, du, 8 * n, 12 * ru, 12 * du FROM s
 """
 
 
+def kmv_distinct_users(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-count sketch per event_type
+    (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07 unbiased
+    estimator): keep the k smallest DISTINCT 60-bit md5 hashes of
+    user_id; if fewer than k distinct hashes exist the count is exact,
+    else the k-th order statistic h_k estimates d ≈ (k−1)·2^60/h_k.
+    Unlike HLL the sketch is fully deterministic, so the DuckDB oracle
+    reproduces it bit-exactly (the cms_user_counts philosophy) — this
+    is the mergeable distinct sketch lakehouses persist per partition
+    and fold at query time.
+
+    Scale shape: per batch ONE md5 per unique user and a per-type
+    prune to the k smallest hashes, so the exchange carries ≤ k·types
+    rows per batch regardless of corpus size; the per-type merge
+    (distinct union, take k smallest) is the standard KMV sketch union
+    over ≤ k·n_batches rows. The estimate uses Python-int arithmetic —
+    (k−1)·2^60 overflows int64; the SQL mirrors with HUGEINT."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "u": t["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        hmap = {int(u): int(hashlib.md5(str(int(u)).encode())
+                            .hexdigest()[:15], 16)
+                for u in df["u"].unique().tolist()}
+        df["h"] = df["u"].map(hmap).astype(np.int64)
+        df = df.sort_values("h", kind="stable") \
+               .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(df[["event_type", "h"]],
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy(np.int64))[:k]
+        n_kept = len(hs)
+        kth = int(hs[-1])
+        est = n_kept if n_kept < k else (k - 1) * (16 ** 15) // kth
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_kept": [np.int64(n_kept)],
+            "kth_hash": [np.int64(kth)],
+            "est_distinct": [np.int64(est)]})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge,
+                                              batch_format="pandas"))
+
+
+KMV_SQL = """
+WITH h AS (SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rk
+      FROM h)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+            ELSE CAST(63 AS HUGEINT) * 1152921504606846976 // max(h)
+            END AS BIGINT) AS est_distinct
+FROM r WHERE rk <= 64 GROUP BY event_type
+"""
+
+
+def pit_join_events(sf_dir: str):
+    """POINT-IN-TIME (temporal) join — the feature-store lookup every
+    training-set builder runs: the even-event_id half of the stream
+    builds an SCD2 event_type dimension (``_scd2_intervals``), and
+    each odd-event_id event probes its user's history AS OF its own
+    timestamp ([valid_from, valid_to) half-open; 'none'/version 0
+    before the user's first interval). PIT-correct lookups are what
+    keep feature leakage out of training data; the even/odd split is
+    the registry's standard two-stream derivation
+    (markov_next_type_eval's convention).
+
+    Scale shape: dimension and probe streams are tagged into one
+    schema and co-partitioned by ONE groupby(user_id); the per-user
+    resolve is a vectorized searchsorted of probe times into that
+    user's interval starts — no per-probe scans, no driver state, and
+    a user's intervals and probes meet exactly once."""
+    def even_rows(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    dim = _scd2_intervals(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"])
+        .map_batches(even_rows, batch_format="pyarrow"))
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int64)),
+            "t_epoch": pc.cast(t["valid_from"], pa.int64()),
+            "valid_to": pc.cast(t["valid_to"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "version": pc.cast(t["version"], pa.int64()),
+            "event_id": pa.array(np.zeros(n, np.int64))})
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        m = ids % 2 == 1
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[m] // 1_000_000
+        n = int(m.sum())
+        return pa.table({
+            "user_id": pa.array(
+                t["user_id"].to_numpy(zero_copy_only=False)[m],
+                type=pa.int64()),
+            "kind": pa.array(np.ones(n, np.int64)),
+            "t_epoch": pa.array(ts, type=pa.int64()),
+            "valid_to": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array([""] * n, pa.string()),
+            "version": pa.array(np.zeros(n, np.int64)),
+            "event_id": pa.array(ids[m], type=pa.int64())})
+
+    probes = _read(sf_dir, "events", ["event_id", "ts", "user_id"]) \
+        .map_batches(probe_rows, batch_format="pyarrow")
+    tagged = dim.map_batches(dim_rows, batch_format="pyarrow") \
+        .union(probes)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0].sort_values("t_epoch", kind="stable")
+        p = g[g["kind"] == 1]
+        if len(p) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "t_epoch": pd.Series(dtype=np.int64),
+                "event_type": pd.Series(dtype=object),
+                "version": pd.Series(dtype=np.int64)})
+        t = p["t_epoch"].to_numpy(np.int64)
+        if len(d) == 0:
+            et = np.full(len(p), "none", object)
+            ver = np.zeros(len(p), np.int64)
+        else:
+            vf = d["t_epoch"].to_numpy(np.int64)
+            vt = d["valid_to"].to_numpy(np.int64)
+            idx = np.searchsorted(vf, t, side="right") - 1
+            idxc = np.clip(idx, 0, None)
+            ok = (idx >= 0) & (t < vt[idxc])
+            et = np.where(ok, d["event_type"].to_numpy(object)[idxc],
+                          "none")
+            ver = np.where(ok, d["version"].to_numpy(np.int64)[idxc], 0)
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy(np.int64),
+            "user_id": p["user_id"].to_numpy(np.int64),
+            "t_epoch": t,
+            "event_type": et,
+            "version": ver.astype(np.int64)})
+
+    return tagged.groupby("user_id").map_groups(resolve,
+                                                batch_format="pandas")
+
+
+PIT_JOIN_SQL = """
+WITH src AS (SELECT * FROM events WHERE event_id % 2 = 0),
+e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM e),
+v AS (SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from
+      FROM r GROUP BY user_id, event_type, version),
+dim AS (SELECT user_id, event_type, version, valid_from,
+               COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                               ORDER BY version),
+                        4102444800) AS valid_to
+        FROM v),
+p AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_epoch
+      FROM events WHERE event_id % 2 = 1)
+SELECT p.event_id, p.user_id, p.t_epoch,
+       COALESCE(d.event_type, 'none') AS event_type,
+       CAST(COALESCE(d.version, 0) AS BIGINT) AS version
+FROM p LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.t_epoch AND p.t_epoch < d.valid_to
+"""
+
+
+# fixed (pre, suf) wildcard query set for pre*suf token search — chosen
+# to span selectivities over the synthetic corpus vocabulary
+_WILDCARD_QUERIES = {0: ("s", ""), 1: ("", "er"), 2: ("qu", "ry"),
+                     3: ("c", "n")}
+
+
+def _permuterm_match(vocab, pre: str, suf: str) -> np.ndarray:
+    """Permuterm-index probe: boolean mask over ``vocab`` (array of
+    unique tokens) for the wildcard query pre*suf. Builds the rotations
+    of ``t + '$'`` per token and prefix-matches the single key
+    ``suf + '$' + pre`` — by construction this enforces
+    startswith(pre) AND endswith(suf) AND non-overlap
+    (len(t) ≥ len(pre)+len(suf)), because the rotation chosen by the
+    '$' position consumes suf and pre from disjoint ends. The rotation
+    loop runs over the batch's UNIQUE tokens only (the per-unique-token
+    convention of feature_hash_docs)."""
+    key = suf + "$" + pre
+    toks = list(vocab)
+    rot_tok: list[int] = []
+    rot: list[str] = []
+    for j, tok in enumerate(toks):
+        aug = tok + "$"
+        for i in range(len(aug)):
+            rot_tok.append(j)
+            rot.append(aug[i:] + aug[:i])
+    hit = pd.Series(rot, dtype=object).str.startswith(key).to_numpy()
+    mask = np.zeros(len(toks), bool)
+    mask[np.asarray(rot_tok, np.int64)[hit]] = True
+    return mask
+
+
+def wildcard_search_docs(sf_dir: str):
+    """WILDCARD token search — ``pre*suf`` queries answered through
+    Garfield's PERMUTERM index (the rotated-token trick IR systems use
+    so one B-tree prefix scan answers mid-token wildcards). Emits per
+    query the matched-vocabulary size, matching doc count, and posting
+    count.
+
+    Scale shape: rotations are built per batch over the batch's unique
+    tokens and probed locally — nothing rotated ever leaves the task;
+    matched (query, token, doc) postings are globally distinct by
+    construction (per-batch dedup + each doc living in exactly one
+    batch), so the stats fold through two tiny matched-rows-only
+    groupbys (token grain → query grain, and doc grain → query grain)
+    and a ≤|queries|-row driver merge."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qref = ray.put(dict(_WILDCARD_QUERIES))
+
+    def match(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        lst = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = lst.values.to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        posts = pd.DataFrame({"token": flat, "doc_id": ids[par]}) \
+            .drop_duplicates()
+        vocab = posts["token"].unique()
+        out = []
+        for qid in sorted(qs):
+            pre, suf = qs[qid]
+            mt = vocab[_permuterm_match(vocab, pre, suf)]
+            hit = posts[posts["token"].isin(mt)]
+            out.append(pd.DataFrame({
+                "qid": np.int64(qid), "token": hit["token"],
+                "doc_id": hit["doc_id"]}))
+        res = pd.concat(out, ignore_index=True)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    posts = ds.map_batches(match, batch_format="pyarrow")
+    tok_stats = (posts.groupby(["qid", "token"])
+                 .aggregate(Count(alias_name="df"))
+                 .groupby("qid")
+                 .aggregate(Count(alias_name="n_tokens"),
+                            Sum("df", alias_name="n_postings")))
+    doc_stats = (posts.groupby(["qid", "doc_id"])
+                 .aggregate(Count(alias_name="_n"))
+                 .groupby("qid").aggregate(Count(alias_name="n_docs")))
+    tok_rows = {int(r["qid"]): r for r in tok_stats.take_all()}
+    doc_rows = {int(r["qid"]): r for r in doc_stats.take_all()}
+    qids = sorted(tok_rows)
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "n_tokens": pa.array([int(tok_rows[q]["n_tokens"])
+                              for q in qids], pa.int64()),
+        "n_docs": pa.array([int(doc_rows[q]["n_docs"])
+                            for q in qids], pa.int64()),
+        "n_postings": pa.array([int(tok_rows[q]["n_postings"])
+                                for q in qids], pa.int64())})
+
+
+WILDCARD_SQL = """
+WITH q(qid, pre, suf) AS (VALUES
+  (0, 's', ''), (1, '', 'er'), (2, 'qu', 'ry'), (3, 'c', 'n')),
+tok AS (SELECT DISTINCT doc_id, token FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents)),
+m AS (SELECT q.qid, t.token, t.doc_id
+      FROM tok t JOIN q
+        ON t.token LIKE q.pre || '%' AND t.token LIKE '%' || q.suf
+       AND length(t.token) >= length(q.pre) + length(q.suf))
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_postings
+FROM m GROUP BY qid
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -17813,6 +18122,9 @@ QUERIES = {
     "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
     "federated_union_ingest": federated_union_ingest,
     "rle_column_stats": rle_column_stats,
+    "kmv_distinct_users": kmv_distinct_users,
+    "pit_join_events": pit_join_events,
+    "wildcard_search_docs": wildcard_search_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -18044,4 +18356,7 @@ ORACLES = {
     "bootstrap_mean_ci_events": BOOTSTRAP_SQL,
     "federated_union_ingest": EVENTS_INGEST_SQL,
     "rle_column_stats": RLE_STATS_SQL,
+    "kmv_distinct_users": KMV_SQL,
+    "pit_join_events": PIT_JOIN_SQL,
+    "wildcard_search_docs": WILDCARD_SQL,
 }
