@@ -17843,6 +17843,295 @@ FROM m GROUP BY qid
 """
 
 
+def _mst_pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Unique int64 MST edge key w<<44 | a<<22 | b over the canonical
+    a<b edge with the registry's deterministic weight
+    w = 1 + (7a+13b) % 9 (shared with sssp_bounded_graph). UNIQUE keys
+    (the (a, b) tie-break) make the minimum spanning forest unique, so
+    any correct algorithm — and any parallelism level — emits the
+    identical edge set. Vertex ids must fit 22 bits (asserted; custkey
+    ≤ 4.1M covers every advertised test scale — widen the shifts
+    before the key overflows at larger id spaces)."""
+    assert a.max(initial=0) < (1 << 22) and b.max(initial=0) < (1 << 22)
+    w = 1 + (7 * a + 13 * b) % 9
+    return (w.astype(np.int64) << 44) | (a.astype(np.int64) << 22) \
+        | b.astype(np.int64)
+
+
+class _UF:
+    """Array union-find (path halving + union by index) — driver-side
+    component labels for Borůvka/Kruskal. O(V) ints of driver state,
+    the documented driver-rank bound class."""
+
+    def __init__(self, n: int):
+        self.p = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.p
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return int(x)
+
+    def union(self, x: int, y: int) -> bool:
+        rx, ry = self.find(x), self.find(y)
+        if rx == ry:
+            return False
+        self.p[max(rx, ry)] = min(rx, ry)
+        return True
+
+
+def mst_crawl_graph(sf_dir: str, driver_max: int = 2_000_000):
+    """MINIMUM SPANNING FOREST of the orders-derived graph — Borůvka's
+    1926 algorithm, the textbook DISTRIBUTED MST (each component picks
+    its minimum-weight outgoing edge; components at least halve per
+    round, so ≤ log₂V rounds). Weights are the registry's
+    deterministic ints with a unique (a, b) tie-break (``_mst_pack``),
+    so the forest is UNIQUE and the output is golden-pinnable and
+    parallelism-invariant.
+
+    Scale shape: the EDGE table (the big thing) never leaves the
+    cluster — each round is one broadcast-label ``map_batches`` pass
+    emitting per-batch per-component champion keys plus a
+    ``groupby(label).Min`` whose result is ≤ #components rows; the
+    packed key encodes (w, a, b) completely, so Min IS argmin and the
+    driver decodes champions without a second lookup. Driver state is
+    the O(V) union-find (the documented ≤5M driver-rank bound class);
+    below ``driver_max`` edges a driver Kruskal fold replaces the
+    rounds (size-gated two-form, pytest-equal)."""
+    edges = _orders_graph_edges(sf_dir).materialize()
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("w", pa.int64())])
+
+    def emit(ks: "list[int]") -> pa.Table:
+        ks = sorted(ks)
+        karr = np.asarray(ks, np.int64)
+        mask = (1 << 22) - 1
+        return pa.table({
+            "a": pa.array((karr >> 22) & mask, pa.int64()),
+            "b": pa.array(karr & mask, pa.int64()),
+            "w": pa.array(karr >> 44, pa.int64())},
+            schema=out_schema)
+
+    if edges.count() <= driver_max:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        k = _mst_pack(a, b)
+        order = np.argsort(k)  # Kruskal: unique keys, stable not needed
+        nodes = np.unique(np.concatenate([a, b]))
+        uf = _UF(len(nodes))
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        chosen = [int(k[i]) for i in order
+                  if uf.union(int(ia[i]), int(ib[i]))]
+        return emit(chosen)
+
+    # distributed Borůvka: champion edge per component per round
+    nodes = np.sort(np.unique(np.concatenate([
+        r.to_pandas()["v"].to_numpy(np.int64)
+        for r in edges.map_batches(
+            lambda t: pa.table({"v": pa.array(np.unique(np.concatenate(
+                [t["a"].to_numpy(), t["b"].to_numpy()])), pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("v").aggregate(Count(alias_name="_n"))
+        .select_columns(["v"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")])))
+    uf = _UF(len(nodes))
+    chosen: set[int] = set()
+    for _ in range(64):  # ≤ log2(V) rounds; hard stop is a backstop
+        lab = np.array([uf.find(i) for i in range(len(nodes))],
+                       np.int64)
+        ref = ray.put({"nodes": nodes, "lab": lab})
+
+        def cross_min(t: pa.Table, _ref=ref) -> pa.Table:
+            s = ray.get(_ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            la = s["lab"][np.searchsorted(s["nodes"], a)]
+            lb = s["lab"][np.searchsorted(s["nodes"], b)]
+            m = la != lb
+            if not m.any():
+                return pa.table({"label": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64())})
+            kk = _mst_pack(a[m], b[m])
+            df = (pd.DataFrame({
+                "label": np.concatenate([la[m], lb[m]]),
+                "k": np.tile(kk, 2)})
+                .groupby("label", sort=False)["k"].min().reset_index())
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        champs = (edges.map_batches(cross_min, batch_format="pyarrow")
+                  .groupby("label").aggregate(Min("k", alias_name="k")))
+        rows = champs.take_all()
+        if not rows:
+            break
+        mask = (1 << 22) - 1
+        progressed = False
+        # ascending key order: deterministic unions (ties impossible —
+        # keys are unique — but cycle-skips stay order-independent)
+        for kv in sorted(int(r["k"]) for r in rows):
+            ea, eb = (kv >> 22) & mask, kv & mask
+            if uf.union(int(np.searchsorted(nodes, ea)),
+                        int(np.searchsorted(nodes, eb))):
+                chosen.add(kv)
+                progressed = True
+        if not progressed:
+            break
+    return emit(list(chosen))
+
+
+def ewma_daily_counts(sf_dir: str):
+    """Exponentially weighted moving average of daily event volume —
+    Brown'56 simple exponential smoothing with α = 1/2, the standard
+    traffic-smoothing monitor. The dyadic α makes every step
+    s_t = (s_{t−1} + n_t) / 2.0 a single IEEE add plus an exact
+    exponent decrement, and the DuckDB oracle replays the IDENTICAL
+    recurrence through a recursive CTE in the same day order — so the
+    doubles agree bit-for-bit and floor(s·1e6) is hash-exact (the
+    first sequential-recurrence recursive-CTE oracle; the graph ones
+    are fixpoints).
+
+    Scale shape: ONE shuffle-free per-batch (day, n) combine + a
+    calendar-bounded groupby; the inherently-sequential smoothing runs
+    over the ≤ #days driver rows (theil_sen's convention)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n")))
+    rows = sorted((int(r["day"]), int(r["n"])) for r in daily.take_all())
+    rn, day, n, e6 = [], [], [], []
+    s = 0.0
+    for i, (d, cnt) in enumerate(rows):
+        s = float(cnt) if i == 0 else (s + cnt) / 2.0
+        rn.append(i + 1)
+        day.append(d)
+        n.append(cnt)
+        e6.append(math.floor(s * 1000000.0))
+    return pa.table({"rn": pa.array(rn, pa.int64()),
+                     "day": pa.array(day, pa.int64()),
+                     "n": pa.array(n, pa.int64()),
+                     "ewma_e6": pa.array(e6, pa.int64())})
+
+
+EWMA_SQL = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day),
+o AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
+w(rn, day, n, s) AS (
+  SELECT rn, day, n, CAST(n AS DOUBLE) FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.n, (w.s + o.n) / 2.0
+  FROM w JOIN o ON o.rn = w.rn + 1)
+SELECT CAST(rn AS BIGINT) AS rn, CAST(day AS BIGINT) AS day, n,
+       CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_e6
+FROM w
+"""
+
+
+def attribution_u_shape_events(sf_dir: str):
+    """POSITION-BASED (U-shaped) multi-touch attribution — the
+    marketing-analytics staple: each 'purchase' conversion credits the
+    user's touchpoints in the 24 h before it, 40% to the first touch,
+    40% to the last, 20% split over the middles (k=1 → 100%, k=2 →
+    50/50). Credits are EXACT int64 rationals (credit_num,
+    credit_den) — 2/5 for first/last, 1/(5(k−2)) per middle — the
+    rrf_hybrid_search_docs convention, so no float crosses the engine
+    boundary and the per-conversion credit sum is exactly 1
+    (pytest-asserted via Fraction).
+
+    Scale shape: conversions and touches meet in ONE groupby(user_id)
+    co-partition; the per-user resolve is a double searchsorted of
+    purchase times into the user's (ts, event_id)-ordered touch
+    stream (interval_join_attribution's merge shape) — the 24 h window
+    bounds output rows linearly, never the O(n²/users) all-history
+    explode."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    cols = ["pid", "tid", "k", "pos", "credit_num", "credit_den"]
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, t_us))
+        t_us, eid = t_us[order], eid[order]
+        et = g["event_type"].to_numpy(object)[order]
+        isp = et == "purchase"
+        pts, pid = t_us[isp], eid[isp]
+        tts, tid = t_us[~isp], eid[~isp]
+        empty = pd.DataFrame({c: pd.Series(
+            dtype=object if c == "pos" else np.int64) for c in cols})
+        if len(pts) == 0 or len(tts) == 0:
+            return empty
+        lo = np.searchsorted(tts, pts - 86_400_000_000, side="left")
+        hi = np.searchsorted(tts, pts, side="left")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        lo, hi, cnt, pid = lo[keep], hi[keep], cnt[keep], pid[keep]
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        k = np.repeat(cnt, cnt)
+        rk = idx - np.repeat(lo, cnt) + 1
+        first, last = rk == 1, rk == k
+        pos = np.where(k == 1, "only",
+                       np.where(first, "first",
+                                np.where(last, "last", "middle")))
+        num = np.where(k == 1, 1,
+                       np.where(first | last,
+                                np.where(k == 2, 1, 2), 1))
+        den = np.where(k == 1, 1,
+                       np.where(first | last,
+                                np.where(k == 2, 2, 5), 5 * (k - 2)))
+        return pd.DataFrame({
+            "pid": np.repeat(pid, cnt), "tid": tid[idx],
+            "k": k.astype(np.int64), "pos": pos,
+            "credit_num": num.astype(np.int64),
+            "credit_den": den.astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+ATTRIBUTION_U_SQL = """
+WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT p.pid, e.event_id AS tid,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY epoch_us(e.ts), e.event_id)
+               AS rk,
+             count(*) OVER (PARTITION BY p.pid) AS k
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+       AND epoch_us(e.ts) < p.pus
+       AND epoch_us(e.ts) >= p.pus - 86400000000)
+SELECT pid, tid, CAST(k AS BIGINT) AS k,
+       CASE WHEN k = 1 THEN 'only' WHEN rk = 1 THEN 'first'
+            WHEN rk = k THEN 'last' ELSE 'middle' END AS pos,
+       CAST(CASE WHEN k = 1 THEN 1
+                 WHEN rk = 1 OR rk = k THEN
+                      CASE WHEN k = 2 THEN 1 ELSE 2 END
+                 ELSE 1 END AS BIGINT) AS credit_num,
+       CAST(CASE WHEN k = 1 THEN 1
+                 WHEN rk = 1 OR rk = k THEN
+                      CASE WHEN k = 2 THEN 2 ELSE 5 END
+                 ELSE 5 * (k - 2) END AS BIGINT) AS credit_den
+FROM t
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -18125,6 +18414,9 @@ QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
     "pit_join_events": pit_join_events,
     "wildcard_search_docs": wildcard_search_docs,
+    "mst_crawl_graph": mst_crawl_graph,
+    "ewma_daily_counts": ewma_daily_counts,
+    "attribution_u_shape_events": attribution_u_shape_events,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -18359,4 +18651,6 @@ ORACLES = {
     "kmv_distinct_users": KMV_SQL,
     "pit_join_events": PIT_JOIN_SQL,
     "wildcard_search_docs": WILDCARD_SQL,
+    "ewma_daily_counts": EWMA_SQL,
+    "attribution_u_shape_events": ATTRIBUTION_U_SQL,
 }

@@ -98,6 +98,7 @@ GOLDEN_QUERIES = [
     "ann_bq_topk",
     "maximal_matching_graph",
     "maxsim_multivector_topk",
+    "mst_crawl_graph",
 ]
 
 
