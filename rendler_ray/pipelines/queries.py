@@ -18132,6 +18132,277 @@ FROM t
 """
 
 
+def welch_t_ab_test(sf_dir: str):
+    """WELCH'S t-TEST A/B experiment report — the experimentation-
+    platform staple: users split into arms by user_id parity, per
+    event_type the unequal-variance t² statistic and Welch–
+    Satterthwaite degrees of freedom on order value. All corpus
+    reductions are EXACT integer moments (n, Σcents, Σcents² — the
+    OLS convention, Python-int / HUGEINT so squares never overflow);
+    the t² / df floats are computed on the driver from those integers
+    with the expression tree mirrored VERBATIM in SQL (the
+    psi_score_halves convention), then floor(·1e6) — so the doubles
+    bit-agree and the output is hash-exact.
+
+    Scale shape: one shuffle-free per-batch (event_type, arm) moment
+    combine + a ≤ 2·#types groupby — the driver fold is bounded by
+    the type vocabulary, never the corpus."""
+    import math
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        arm = (t["user_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "arm": arm, "n": 1,
+                           "s": cents, "q": cents * cents})
+        g = df.groupby(["event_type", "arm"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ds.map_batches(moments, batch_format="pyarrow")
+            .groupby(["event_type", "arm"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("q", alias_name="q"))
+            .take_all())  # ≤ 2 rows per event type
+    by_type: dict[str, dict[int, tuple[int, int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[int(r["arm"])] = (
+            int(r["n"]), int(r["s"]), int(r["q"]))
+    out = []
+    for et in sorted(by_type):
+        arms = by_type[et]
+        if 0 not in arms or 1 not in arms:
+            continue
+        (na, sa, qa), (nb, sb, qb) = arms[0], arms[1]
+        if na < 2 or nb < 2:
+            continue
+        # identical float tree to the SQL below, operation by operation
+        ma = float(sa) / na
+        mb = float(sb) / nb
+        va = (float(qa) - float(sa) * ma) / (na - 1)
+        vb = (float(qb) - float(sb) * mb) / (nb - 1)
+        sea = va / na
+        seb = vb / nb
+        se = sea + seb
+        if se <= 0.0:
+            t2_e6, df_e6 = 0, 0
+        else:
+            t2 = (ma - mb) * (ma - mb) / se
+            dfw = (se * se) / (sea * sea / (na - 1)
+                               + seb * seb / (nb - 1))
+            t2_e6 = math.floor(t2 * 1_000_000.0)
+            df_e6 = math.floor(dfw * 1_000_000.0)
+        out.append((et, na, nb, sa, sb, t2_e6, df_e6))
+    return pa.table({
+        "event_type": pa.array([o[0] for o in out], pa.string()),
+        "n_a": pa.array([o[1] for o in out], pa.int64()),
+        "n_b": pa.array([o[2] for o in out], pa.int64()),
+        "sum_a_c": pa.array([o[3] for o in out], pa.int64()),
+        "sum_b_c": pa.array([o[4] for o in out], pa.int64()),
+        "t2_e6": pa.array([o[5] for o in out], pa.int64()),
+        "df_e6": pa.array([o[6] for o in out], pa.int64())})
+
+
+WELCH_AB_SQL = """
+WITH m AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT)
+           AS q
+  FROM events GROUP BY event_type, arm),
+p AS (
+  SELECT a.event_type, a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+         CAST(a.s AS DOUBLE) / a.n AS ma,
+         CAST(b.s AS DOUBLE) / b.n AS mb,
+         (CAST(a.q AS DOUBLE)
+          - CAST(a.s AS DOUBLE) * (CAST(a.s AS DOUBLE) / a.n))
+           / (a.n - 1) AS va,
+         (CAST(b.q AS DOUBLE)
+          - CAST(b.s AS DOUBLE) * (CAST(b.s AS DOUBLE) / b.n))
+           / (b.n - 1) AS vb
+  FROM m a JOIN m b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n >= 2 AND b.n >= 2),
+e AS (SELECT *, va / na AS sea, vb / nb AS seb,
+             va / na + vb / nb AS se FROM p)
+SELECT event_type, na AS n_a, nb AS n_b, sa AS sum_a_c, sb AS sum_b_c,
+       CASE WHEN se <= 0.0 THEN 0
+            ELSE CAST(floor((ma - mb) * (ma - mb) / se * 1000000.0)
+                      AS BIGINT) END AS t2_e6,
+       CASE WHEN se <= 0.0 THEN 0
+            ELSE CAST(floor((se * se) / (sea * sea / (na - 1)
+                                         + seb * seb / (nb - 1))
+                            * 1000000.0) AS BIGINT) END AS df_e6
+FROM e
+"""
+
+
+def gini_simpson_by_source(sf_dir: str):
+    """GINI–SIMPSON token diversity index per source — the ecology
+    diversity number (1 − Σ c(c−1)/(n(n−1)), the probability two
+    token draws WITHOUT replacement differ) that data-mix analyses
+    report next to entropy: entropy weights rare types, Simpson is
+    dominated by the head, so together they separate "big vocabulary"
+    from "flat distribution". EXACT integer rationals end to end —
+    gini_e6 = (n(n−1) − Σc(c−1))·10⁶ // (n(n−1)) with Python-int /
+    HUGEINT arithmetic, so the oracle is hash-exact with no float
+    convention needed (unlike the entropy/KL e6-term family).
+
+    Scale shape: the kl_unigram_by_source exchange — one per-batch
+    (source, token) combine + one (source, token) groupby; the
+    per-source reduction is a SECOND per-batch combine over the
+    already-globally-unique rows (Σc, Σc(c−1), #rows) + a ≤ #sources
+    groupby, so nothing unbounded reaches the driver."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)[par]
+        df = pd.DataFrame({"source": src, "token": flat, "c": 1})
+        g = df.groupby(["source", "token"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = (ds.map_batches(tok_counts, batch_format="pyarrow")
+          .groupby(["source", "token"])
+          .aggregate(Sum("c", alias_name="c")))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        # rows are globally unique per (source, token) after the
+        # groupby, so per-batch partials sum to the exact totals
+        c = t["c"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": t["source"].to_numpy(
+            zero_copy_only=False), "n": c, "cc": c * (c - 1), "d": 1})
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (st.map_batches(per_source, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum("n", alias_name="n"),
+                                         Sum("cc", alias_name="cc"),
+                                         Sum("d", alias_name="d"))
+            .take_all())  # one row per source
+    rows.sort(key=lambda r: r["source"])
+    gini = []
+    for r in rows:
+        n, cc = int(r["n"]), int(r["cc"])
+        den = n * (n - 1)
+        gini.append((den - cc) * 1_000_000 // den if den > 0 else 0)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_tokens": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "distinct_tokens": pa.array([int(r["d"]) for r in rows],
+                                    pa.int64()),
+        "gini_e6": pa.array(gini, pa.int64())})
+
+
+GINI_SIMPSON_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+st AS (SELECT source, token, CAST(count(*) AS HUGEINT) AS c
+       FROM tok GROUP BY source, token),
+s AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(c * (c - 1)) AS HUGEINT) AS cc,
+             CAST(count(*) AS BIGINT) AS d
+      FROM st GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens, d AS distinct_tokens,
+       CASE WHEN n * (n - 1) > 0
+            THEN CAST((n * (n - 1) - cc) * 1000000 // (n * (n - 1))
+                      AS BIGINT)
+            ELSE 0 END AS gini_e6
+FROM s
+"""
+
+
+def roc_curve_eval(sf_dir: str):
+    """Full ROC CURVE table for the hashed-feature quality classifier
+    against the lang = 'en' label — the threshold-choosing companion
+    to the scalar :func:`auc_quality_eval`: one row per DISTINCT
+    score s with the confusion counts and rates of the rule
+    "keep iff score ≥ s". Counts are exact integer suffix sums;
+    tpr/fpr are e6 floor-divisions, so the oracle is hash-exact.
+
+    Scale shape: auc_quality_eval's machinery verbatim — a
+    shuffle-free scoring pass with per-batch (score, label) combine,
+    one groupby over the distinct-score table (bounded by the SCORE
+    RANGE, corpus-size-independent), and an O(range) driver
+    cumulative fold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        pos = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"s": s, "p": pos.astype(np.int64)}) \
+            .groupby("s", sort=False).agg(np_=("p", "sum"),
+                                          nn_=("p", "size"))
+        return pa.table({
+            "s": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "np_": pa.array(g["np_"].to_numpy(np.int64), pa.int64()),
+            "nn_": pa.array((g["nn_"] - g["np_"]).to_numpy(np.int64),
+                            pa.int64())})
+
+    rows = (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("s").aggregate(Sum("np_", alias_name="np_"),
+                                    Sum("nn_", alias_name="nn_"))
+            .take_all())  # bounded by the score RANGE, not the corpus
+    rows.sort(key=lambda r: -r["s"])
+    np_t = sum(int(r["np_"]) for r in rows)
+    nn_t = sum(int(r["nn_"]) for r in rows)
+    s_col, tp_col, fp_col, tpr, fpr = [], [], [], [], []
+    tp = fp = 0
+    for r in rows:  # descending: suffix sums = "score >= s" counts
+        tp += int(r["np_"])
+        fp += int(r["nn_"])
+        s_col.append(int(r["s"]))
+        tp_col.append(tp)
+        fp_col.append(fp)
+        tpr.append(1_000_000 * tp // np_t if np_t else 0)
+        fpr.append(1_000_000 * fp // nn_t if nn_t else 0)
+    return pa.table({"s": pa.array(s_col, pa.int64()),
+                     "tp": pa.array(tp_col, pa.int64()),
+                     "fp": pa.array(fp_col, pa.int64()),
+                     "tpr_e6": pa.array(tpr, pa.int64()),
+                     "fpr_e6": pa.array(fpr, pa.int64())})
+
+
+ROC_CURVE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+sc AS (SELECT doc_id,
+              CAST(sum((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                        % 1001) - 500) AS BIGINT) AS s
+       FROM tok GROUP BY doc_id),
+lab AS (SELECT sc.s,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents d JOIN sc USING (doc_id)),
+g AS (SELECT s, CAST(sum(pos) AS BIGINT) AS np_,
+             CAST(count(*) - sum(pos) AS BIGINT) AS nn_
+      FROM lab GROUP BY s),
+c AS (SELECT s,
+             CAST(sum(np_) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(sum(nn_) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+      FROM g),
+t AS (SELECT CAST(sum(np_) AS BIGINT) AS np_t,
+             CAST(sum(nn_) AS BIGINT) AS nn_t FROM g)
+SELECT c.s, c.tp, c.fp,
+       CASE WHEN t.np_t = 0 THEN 0
+            ELSE CAST(1000000 * c.tp // t.np_t AS BIGINT) END AS tpr_e6,
+       CASE WHEN t.nn_t = 0 THEN 0
+            ELSE CAST(1000000 * c.fp // t.nn_t AS BIGINT) END AS fpr_e6
+FROM c CROSS JOIN t
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -18417,6 +18688,9 @@ QUERIES = {
     "mst_crawl_graph": mst_crawl_graph,
     "ewma_daily_counts": ewma_daily_counts,
     "attribution_u_shape_events": attribution_u_shape_events,
+    "welch_t_ab_test": welch_t_ab_test,
+    "gini_simpson_by_source": gini_simpson_by_source,
+    "roc_curve_eval": roc_curve_eval,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -18653,4 +18927,7 @@ ORACLES = {
     "wildcard_search_docs": WILDCARD_SQL,
     "ewma_daily_counts": EWMA_SQL,
     "attribution_u_shape_events": ATTRIBUTION_U_SQL,
+    "welch_t_ab_test": WELCH_AB_SQL,
+    "gini_simpson_by_source": GINI_SIMPSON_SQL,
+    "roc_curve_eval": ROC_CURVE_SQL,
 }
