@@ -18403,6 +18403,296 @@ FROM c CROSS JOIN t
 """
 
 
+def ktruss_crawl_graph(sf_dir: str, k: int = 4,
+                       driver_max: int = 2_000_000,
+                       _force_distributed: bool = False):
+    """k-TRUSS subgraph (Cohen 2008) of the orders-derived graph — the
+    triangle-based cohesion decomposition next to k-core: keep exactly
+    the edges supported by ≥ k−2 triangles among SURVIVING edges (the
+    fixpoint), the standard community-core primitive that k-core
+    over-approximates (a k-core edge needs degree, a k-truss edge
+    needs closed wedges). Output the surviving (a, b) edges with their
+    fixpoint support — deterministic, golden-pinned (iterative edge
+    deletion has no SQL form).
+
+    Scale shape: raw edge counts ≤ ``driver_max`` peel on the driver
+    with the classic queue algorithm (compute support once, decrement
+    common-neighbour supports on each deletion — O(Σ min-deg), one
+    corpus fold). Above the gate (or forced in tests): per-round
+    DISTRIBUTED support recount via triangle_counts' two-join wedge
+    closure emitting all THREE triangle edges, a support groupby, and
+    an edge filter — edges leave only as (a, b, support) rows, each
+    round materialized so no plan exceeds two shuffle stages (the
+    fused-plan deadlock lesson)."""
+    edges = _orders_graph_edges(sf_dir).materialize()
+    need = max(k - 2, 0)
+    if edges.count() <= driver_max and not _force_distributed:
+        t = pa.concat_tables(edges.iter_batches(batch_size=None,
+                                                batch_format="pyarrow"))
+        av = t["a"].to_numpy(zero_copy_only=False)
+        bv = t["b"].to_numpy(zero_copy_only=False)
+        adj: dict[int, set] = {}
+        for x, y in zip(av.tolist(), bv.tolist()):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        sup = {(x, y): len(adj[x] & adj[y])
+               for x, y in zip(av.tolist(), bv.tolist())}
+        queue = [e for e, s in sup.items() if s < need]
+        alive = set(sup)
+        while queue:
+            e = queue.pop()
+            if e not in alive:
+                continue
+            alive.discard(e)
+            x, y = e
+            for c in adj[x] & adj[y]:
+                for f in ((min(x, c), max(x, c)),
+                          (min(y, c), max(y, c))):
+                    if f in alive:
+                        sup[f] -= 1
+                        if sup[f] == need - 1:
+                            queue.append(f)
+            adj[x].discard(y)
+            adj[y].discard(x)
+        rows = sorted(alive)
+        return pa.table({
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "support": pa.array([sup[r] for r in rows], pa.int64())})
+
+    from rendler_ray.state.politeness import _nonempty_blocks
+    cur = edges
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    while True:
+        n_cur = cur.count()
+        if n_cur == 0:
+            return empty
+        right = cur.map_batches(
+            lambda t: t.rename_columns(["a", "c"]),
+            batch_format="pyarrow")
+        wedges = (cur.join(right, join_type="inner", num_partitions=8,
+                           on=("a",))
+                  .map_batches(lambda t: t.filter(
+                      pc.less(t["b"], t["c"])), batch_format="pyarrow"))
+        wedges = _nonempty_blocks(wedges.materialize())
+        if wedges is None:
+            return empty
+        closing = cur.map_batches(
+            lambda t: t.rename_columns(["b", "c"]),
+            batch_format="pyarrow")
+        tri = wedges.join(closing, join_type="inner", num_partitions=8,
+                          on=("b", "c")).materialize()
+
+        def tri_edges(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            c = t["c"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": pa.array(np.concatenate([a, a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([b, c, c]), pa.int64()),
+                "n": pa.array(np.ones(3 * len(a), np.int64),
+                              pa.int64())})
+
+        tri = _nonempty_blocks(tri)
+        if tri is None:
+            return empty
+        sup_ds = (tri.map_batches(tri_edges, batch_format="pyarrow")
+                  .groupby(["a", "b"]).aggregate(Sum("n",
+                                                     alias_name="n"))
+                  .map_batches(lambda t: t.filter(
+                      pc.greater_equal(t["n"], need)),
+                      batch_format="pyarrow")
+                  .materialize())
+        sup_ds = _nonempty_blocks(sup_ds)
+        if sup_ds is None:
+            return empty
+        n_keep = sup_ds.count()
+        if n_keep == n_cur:
+            return sup_ds.map_batches(
+                lambda t: t.rename_columns(["a", "b", "support"]),
+                batch_format="pyarrow").sort(["a", "b"])
+        cur = sup_ds.select_columns(["a", "b"]).materialize()
+
+
+def rocchio_expand_search(sf_dir: str, k_fb: int = 10, k: int = 10):
+    """ROCCHIO pseudo-relevance feedback (Rocchio 1971, the SMART
+    relevance-feedback formula, β-only blind variant): for each dense
+    query take its cosine top-``k_fb`` as pseudo-relevant, expand the
+    query q' = q + ½·mean(feedback vectors), and re-rank the corpus
+    against q'. The expansion is EXACT-INTEGER on both sides:
+    components are e6-floored per vector BEFORE combining —
+    E = 20·⌊q·10⁶⌋ + Σ_fb ⌊v·10⁶⌋ (α=1, β=½, |fb|=10, scaled ×20) —
+    so the expanded vector is bit-identical across engines and only
+    the final cosine uses the established e6-round convention
+    (rrf_hybrid's dense leg).
+
+    Scale shape: two shuffle-free brute_force_topk passes (broadcast
+    query matrix, per-batch partial top-k); the feedback vectors are
+    fetched by one bounded ``isin`` fold (≤ |Q|·k_fb rows)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _query_vecs(sf_dir, len(_BM25_QUERIES))
+    fb_rows = F_ann.brute_force_topk(ds, queries, k=k_fb).take_all()
+    need = np.array(sorted({int(r["vec_id"]) for r in fb_rows}),
+                    dtype=np.int64)
+    nref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, ray.get(nref))))
+
+    fbt = pa.concat_tables(
+        ds.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(fbt["vec_id"].to_pylist(),
+                            fbt["embedding"].to_pylist())}
+    expanded = {}
+    for qid, qv in queries.items():
+        e = 20.0 * np.floor(qv * 1_000_000.0)
+        for r in fb_rows:
+            if int(r["query_id"]) == qid:
+                e = e + np.floor(vecs[int(r["vec_id"])] * 1_000_000.0)
+        expanded[qid] = e
+    return F_ann.brute_force_topk(ds, expanded, k=k)
+
+
+def _rocchio_sql(k_fb: int = 10, k: int = 10) -> str:
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {nq}),
+dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
+               CAST(round(list_cosine_similarity(dq.qv,
+                 CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+                 AS score_e6
+        FROM dq CROSS JOIN embeddings e),
+dtop AS (SELECT query_id, doc_id FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, doc_id)
+                    AS rank
+           FROM dsc) WHERE rank <= {k_fb}),
+fb AS (SELECT t.query_id,
+              unnest(range(1, len(e.embedding) + 1)) AS dim,
+              CAST(floor(unnest(CAST(e.embedding AS DOUBLE[]))
+                         * 1000000.0) AS BIGINT) AS c
+       FROM dtop t JOIN embeddings e ON e.vec_id = t.doc_id),
+fbs AS (SELECT query_id, dim, CAST(sum(c) AS BIGINT) AS sd
+        FROM fb GROUP BY query_id, dim),
+qc AS (SELECT query_id, unnest(range(1, len(qv) + 1)) AS dim,
+              CAST(20 * floor(unnest(qv) * 1000000.0) AS BIGINT) AS qq
+       FROM dq),
+ev AS (SELECT query_id,
+              list(CAST(qq + sd AS DOUBLE) ORDER BY dim) AS evec
+       FROM qc JOIN fbs USING (query_id, dim) GROUP BY query_id),
+esc AS (SELECT ev.query_id, e.vec_id,
+               CAST(round(list_cosine_similarity(ev.evec,
+                 CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+                 AS score_e6
+        FROM ev CROSS JOIN embeddings e)
+SELECT query_id, vec_id, score_e6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_e6 DESC, vec_id) AS rank
+FROM esc QUALIFY rank <= {k}
+"""
+
+
+ROCCHIO_SQL = _rocchio_sql()
+
+
+def snippet_extract_docs(sf_dir: str, window: int = 10):
+    """SNIPPET / best-passage extraction for the BM25 top-10 result
+    set — the search-result highlighting step: per (query, hit doc)
+    the ``window``-token window with the most query-term occurrences,
+    windows ANCHORED at a query-term hit (some max-count window always
+    starts at a hit — sliding a window right to its first hit drops
+    nothing — so anchoring loses no optimum and makes the tie rule
+    well-defined: max hits, then smallest start). Exact integers
+    end to end.
+
+    Scale shape: the BM25 top-10 fold is bounded (≤ |Q|·10 rows,
+    broadcast); ONE shuffle-free corpus pass filters to the hit docs
+    per batch and resolves each doc's best window with two
+    searchsorteds over its hit-position list — the corpus is never
+    shuffled and non-hit docs contribute zero rows."""
+    top = bm25_search_docs(sf_dir).take_all()
+    byq: dict[int, set] = {}
+    for r in top:
+        byq.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
+    terms = {qid: set(_BM25_QUERIES[qid]) for qid in byq}
+    bref = ray.put((byq, terms))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    docset = {d for s in byq.values() for d in s}
+    dref = ray.put(np.array(sorted(docset), dtype=np.int64))
+
+    def best_windows(t: pa.Table) -> pa.Table:
+        byq_, terms_ = ray.get(bref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, ray.get(dref))
+        out_q, out_d, out_s, out_n = [], [], [], []
+        if mask.any():
+            sub = t.filter(pa.array(mask))
+            for did, text in zip(
+                    sub["doc_id"].to_pylist(), sub["text"].to_pylist()):
+                toks = text.split(" ")
+                for qid, docs in byq_.items():
+                    if did not in docs:
+                        continue
+                    hits = np.array(
+                        [p for p, tok in enumerate(toks, 1)
+                         if tok in terms_[qid]], dtype=np.int64)
+                    # a BM25 hit doc always contains >=1 query term
+                    ends = np.searchsorted(hits, hits + window,
+                                           side="left")
+                    n = ends - np.arange(len(hits))
+                    best = int(np.argmax(n))  # first max = smallest p
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_s.append(int(hits[best]))
+                    out_n.append(int(n[best]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "best_start": pa.array(out_s, pa.int64()),
+                         "n_hits": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(best_windows, batch_format="pyarrow")
+
+
+def _snippet_sql(window: int = 10) -> str:
+    return f"""{_bm25_cte()},
+topd AS (SELECT query_id, doc_id FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, doc_id)
+                    AS rank
+           FROM sc) WHERE rank <= 10),
+pos AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM topd)),
+hits AS (SELECT t.query_id, pos.doc_id, pos.p
+         FROM pos JOIN q ON q.term = pos.token
+         JOIN topd t ON t.query_id = q.query_id
+                    AND t.doc_id = pos.doc_id),
+win AS (SELECT h0.query_id, h0.doc_id, h0.p AS best_start,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM hits h0 JOIN hits h1
+          ON h1.query_id = h0.query_id AND h1.doc_id = h0.doc_id
+         AND h1.p >= h0.p AND h1.p < h0.p + {window}
+        GROUP BY h0.query_id, h0.doc_id, h0.p)
+SELECT query_id, doc_id, best_start, n_hits
+FROM win
+QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+                           ORDER BY n_hits DESC, best_start) = 1
+"""
+
+
+SNIPPET_SQL = _snippet_sql()
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -18691,6 +18981,9 @@ QUERIES = {
     "welch_t_ab_test": welch_t_ab_test,
     "gini_simpson_by_source": gini_simpson_by_source,
     "roc_curve_eval": roc_curve_eval,
+    "ktruss_crawl_graph": ktruss_crawl_graph,
+    "rocchio_expand_search": rocchio_expand_search,
+    "snippet_extract_docs": snippet_extract_docs,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -18930,4 +19223,6 @@ ORACLES = {
     "welch_t_ab_test": WELCH_AB_SQL,
     "gini_simpson_by_source": GINI_SIMPSON_SQL,
     "roc_curve_eval": ROC_CURVE_SQL,
+    "rocchio_expand_search": ROCCHIO_SQL,
+    "snippet_extract_docs": SNIPPET_SQL,
 }

@@ -99,6 +99,7 @@ GOLDEN_QUERIES = [
     "maximal_matching_graph",
     "maxsim_multivector_topk",
     "mst_crawl_graph",
+    "ktruss_crawl_graph",
 ]
 
 

@@ -122,3 +122,111 @@ def test_roc_curve_brute(ray_session):
     auc_e6 = 10 ** 6 * auc2 // (2 * np_t * nn_t)
     ref = int(auc_quality_eval(SF).to_pandas()["auc_e6"][0])
     assert abs(auc_e6 - ref) <= 1
+
+
+def _edges_df(sf):
+    o = pq.read_table(os.path.join(sf, "orders.parquet"),
+                      columns=["o_custkey", "o_orderkey"]).to_pandas()
+    a = np.minimum(o.o_custkey, o.o_orderkey % 1500 + 1).to_numpy()
+    b = np.maximum(o.o_custkey, o.o_orderkey % 1500 + 1).to_numpy()
+    keep = a != b
+    return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+
+
+def _ktruss_brute(e, k):
+    """Independent recompute-everything peeling (no decrement queue)."""
+    edges = {(int(r.a), int(r.b)) for r in e.itertuples()}
+    while True:
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        sup = {(x, y): len(adj[x] & adj[y]) for x, y in edges}
+        drop = {f for f, s in sup.items() if s < k - 2}
+        if not drop:
+            return sorted(edges), sup
+        edges -= drop
+
+
+def test_ktruss_brute_and_two_form(ray_session):
+    """Driver output equals an independent full-recompute peel at two
+    sfs (incl. the empty 4-truss at sf0.001); the forced-distributed
+    rounds produce the identical table; the truss invariant holds."""
+    from rendler_ray.pipelines.queries import ktruss_crawl_graph
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        out = ktruss_crawl_graph(sf).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        exp_edges, sup = _ktruss_brute(_edges_df(sf), 4)
+        assert [(int(r.a), int(r.b)) for r in out.itertuples()] \
+            == exp_edges
+        for r in out.itertuples():
+            assert int(r.support) == sup[(int(r.a), int(r.b))]
+            assert int(r.support) >= 2  # k - 2 within the fixpoint
+        dist = ktruss_crawl_graph(sf, _force_distributed=True) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert dist.astype("int64").equals(out.astype("int64")), sf
+
+
+def test_rocchio_brute(ray_session):
+    """Expanded-query ranking equals a direct numpy recompute of the
+    Rocchio formula (top-10 feedback, E = 20⌊q·1e6⌋ + Σ⌊v·1e6⌋)."""
+    from rendler_ray.pipelines.queries import rocchio_expand_search
+
+    out = rocchio_expand_search(SF).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet")) \
+        .to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                        1e-300)
+    for qid in range(4):
+        q = m[ids == qid][0]
+        qn = q / np.linalg.norm(q)
+        s = np.round(mn @ qn * 1e6).astype(np.int64)
+        order = np.lexsort((ids, -s))[:10]
+        fb = ids[order]
+        e = 20.0 * np.floor(q * 1e6)
+        for d in fb:
+            e = e + np.floor(m[ids == d][0] * 1e6)
+        en = e / np.linalg.norm(e)
+        s2 = np.round(mn @ en * 1e6).astype(np.int64)
+        order2 = np.lexsort((ids, -s2))[:10]
+        got = out[out.query_id == qid]
+        assert got["vec_id"].tolist() == ids[order2].tolist()
+        assert got["score_e6"].tolist() == s2[order2].tolist()
+
+
+def test_snippet_anchored_is_global_opt(ray_session):
+    """Best anchored window equals brute enumeration over ALL window
+    starts (the anchoring argument), and hit counts are exact."""
+    from rendler_ray.pipelines.queries import (_BM25_QUERIES,
+                                               snippet_extract_docs)
+
+    out = snippet_extract_docs(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")
+    assert len(out) == 40  # one row per (query, top-10 doc)
+    for r in out.itertuples():
+        toks = docs.loc[int(r.doc_id), "text"].split(" ")
+        terms = set(_BM25_QUERIES[int(r.query_id)])
+        ismatch = np.array([t in terms for t in toks])
+        # global optimum over EVERY start position 1..len
+        best_n, best_p = -1, -1
+        for p in range(1, len(toks) + 1):
+            n = int(ismatch[p - 1:p - 1 + 10].sum())
+            if n > best_n:
+                best_n, best_p = n, p
+        assert int(r.n_hits) == best_n
+        # the anchored start is a hit position achieving the optimum
+        assert ismatch[int(r.best_start) - 1]
+        got_n = int(ismatch[int(r.best_start) - 1:
+                            int(r.best_start) - 1 + 10].sum())
+        assert got_n == best_n
+        # smallest anchored start among optima
+        for p in (np.flatnonzero(ismatch) + 1):
+            if p >= int(r.best_start):
+                break
+            assert int(ismatch[p - 1:p - 1 + 10].sum()) < best_n
