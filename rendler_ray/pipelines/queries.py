@@ -18693,6 +18693,342 @@ QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
 SNIPPET_SQL = _snippet_sql()
 
 
+def dbscan_embeddings(sf_dir: str, thr_e6: int = 300_000,
+                      min_pts: int = 5, edge_max: int = 5_000_000):
+    """DBSCAN density clustering (Ester et al., KDD'96) over the
+    embedding corpus with a cosine neighborhood (sim_e6 ≥ ``thr_e6``,
+    self excluded) — the density-based family next to the in-tree
+    k-means / k-center / SemDeDup clusterers: cores have ≥ ``min_pts``
+    neighbors, clusters are connected components of the core-core
+    ε-graph labeled by MIN core id, borders take the smallest label
+    among their core neighbors, noise is −1. Deterministic, so the
+    DuckDB oracle (cross-join ε-graph + recursive min-label closure)
+    is hash-exact.
+
+    Scale shape: the ε-graph comes from ONE blocked scan on the
+    BlockKnnScan layout — corpus normalized once into plasma blocks,
+    each task matmuls its block against the stream, emitting only
+    pairs above the threshold. The label/assign fold runs on the
+    ε-EDGE table, which density bounds far below n² (gate-asserted,
+    the betweenness convention); past the gate the components would
+    run on the in-tree star-contraction CC + groupby-count forms."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "unit": pa.array([], pa.list_(pa.float64()))})
+        m = F_ann._normalize(F_ann.batch_to_matrix(t))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "unit": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), m.shape[1])})
+
+    mat = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    refs = list(mat.to_arrow_refs())
+
+    def edges(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        q_ids, qm = F_ann._ref_to_matrix(batch)
+        out_a, out_b = [], []
+        for ref in refs:
+            tb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            if tb.num_rows == 0:
+                continue
+            b_ids, bm = F_ann._ref_to_matrix(tb)
+            sim = np.round(qm @ bm.T * 1e6).astype(np.int64)
+            hit = (sim >= thr_e6) & (q_ids[:, None] != b_ids[None, :])
+            qi, bi = np.nonzero(hit)
+            out_a.append(q_ids[qi])
+            out_b.append(b_ids[bi])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a),
+                                       pa.int64()),
+                         "b": pa.array(np.concatenate(out_b),
+                                       pa.int64())})
+
+    et = (mat.map_batches(edges, batch_format="pyarrow")
+          .materialize())
+    ne = et.count()
+    assert ne <= edge_max, \
+        f"eps-graph {ne} edges exceeds the driver fold gate"
+    all_ids = np.sort(np.concatenate(
+        [b["vec_id"].to_numpy(zero_copy_only=False)
+         for b in mat.iter_batches(batch_size=None,
+                                   batch_format="pyarrow")]))
+    if ne:
+        etab = pa.concat_tables(et.iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        ea = etab["a"].to_numpy(zero_copy_only=False)
+        eb = etab["b"].to_numpy(zero_copy_only=False)
+    else:
+        ea = eb = np.array([], np.int64)
+    n_nbrs = {int(i): 0 for i in all_ids}
+    for x in ea.tolist():
+        n_nbrs[x] += 1
+    core = {i for i, c in n_nbrs.items() if c >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ea.tolist(), eb.tolist()):
+        if x in core and y in core:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    # min core id per component (find roots are already minima under
+    # the min-union rule above, made exact by one more pass)
+    root_min: dict[int, int] = {}
+    for i in core:
+        r = find(i)
+        root_min[r] = min(root_min.get(r, i), i)
+    label = {i: root_min[find(i)] for i in core}
+    for x, y in zip(ea.tolist(), eb.tolist()):
+        if x not in core and y in core:
+            cur = label.get(x)
+            label[x] = label[y] if cur is None else min(cur, label[y])
+    ids = [int(i) for i in all_ids]
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "label": pa.array([label.get(i, -1) for i in ids], pa.int64()),
+        "is_core": pa.array([int(i in core) for i in ids], pa.int64()),
+        "n_nbrs": pa.array([n_nbrs[i] for i in ids], pa.int64())})
+
+
+def _dbscan_sql(thr_e6: int = 300_000, min_pts: int = 5) -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE CAST(round(list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+        >= {thr_e6}),
+nb AS (SELECT v.vec_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_nbrs
+       FROM embeddings v LEFT JOIN
+         (SELECT i, count(*) AS n FROM e GROUP BY i) c
+         ON c.i = v.vec_id),
+core AS (SELECT vec_id FROM nb WHERE n_nbrs >= {min_pts}),
+ce AS (SELECT e.i, e.j FROM e
+       WHERE e.i IN (SELECT vec_id FROM core)
+         AND e.j IN (SELECT vec_id FROM core)),
+reach(node, root) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT ce.j, reach.root FROM reach JOIN ce ON ce.i = reach.node),
+lab AS (SELECT node AS vec_id, CAST(min(root) AS BIGINT) AS label
+        FROM reach GROUP BY node),
+blab AS (SELECT e.i AS vec_id, CAST(min(lab.label) AS BIGINT) AS label
+         FROM e JOIN lab ON lab.vec_id = e.j
+         WHERE e.i NOT IN (SELECT vec_id FROM core)
+         GROUP BY e.i)
+SELECT nb.vec_id,
+       CAST(coalesce(lab.label, blab.label, -1) AS BIGINT) AS label,
+       CAST(CASE WHEN lab.vec_id IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_core,
+       nb.n_nbrs
+FROM nb LEFT JOIN lab ON lab.vec_id = nb.vec_id
+        LEFT JOIN blab ON blab.vec_id = nb.vec_id
+"""
+
+
+DBSCAN_SQL = _dbscan_sql()
+
+
+def kmv_overlap_types(sf_dir: str, k: int = 64):
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07 §4): per
+    event-type-PAIR union / intersection / Jaccard estimates from the
+    per-type KMV sketches alone — the mergeable-sketch query a
+    lakehouse answers without rescanning ("how many users do
+    'click' and 'purchase' share?"). From the union sketch's k-th
+    order statistic K: D̂_∪ = (k−1)·2⁶⁰/K; Ĵ = n_both/n_kept where
+    n_both counts union-sketch members present in BOTH input
+    sketches; D̂_∩ = n_both·D̂_∪/n_kept. Everything is a deterministic
+    function of the 60-bit md5 hashes, so the oracle is cell-exact
+    (the kmv_distinct_users philosophy; sub-k pairs degrade to exact
+    counts by the same formulas).
+
+    Scale shape: ONE corpus pass builds all per-type sketches
+    (kmv_distinct_users' per-batch prune — ≤ k·types rows leave any
+    batch); the pairwise algebra folds ≤ k·types driver rows into
+    types·(types−1)/2 output rows. The corpus is never rescanned per
+    pair."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "u": t["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        hmap = {int(u): int(hashlib.md5(str(int(u)).encode())
+                            .hexdigest()[:15], 16)
+                for u in df["u"].unique().tolist()}
+        df["h"] = df["u"].map(hmap).astype(np.int64)
+        df = df.sort_values("h", kind="stable") \
+               .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(df[["event_type", "h"]],
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy(np.int64))[:k]
+        return pd.DataFrame({"event_type": g["event_type"].iloc[0],
+                             "h": hs})
+
+    rows = (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge,
+                                              batch_format="pandas")
+            .take_all())  # bounded: <= k rows per event type
+    sk: dict[str, list] = {}
+    for r in rows:
+        sk.setdefault(r["event_type"], []).append(int(r["h"]))
+    types = sorted(sk)
+    out = {c: [] for c in ("type_a", "type_b", "n_kept", "n_both",
+                           "union_est", "jaccard_e6", "inter_est")}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            sa, sb = set(sk[ta]), set(sk[tb])
+            union = sorted(sa | sb)[:k]
+            n_kept, kth = len(union), union[-1]
+            u_est = n_kept if n_kept < k else (k - 1) * (16 ** 15) // kth
+            n_both = sum(1 for h in union if h in sa and h in sb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_kept"].append(n_kept)
+            out["n_both"].append(n_both)
+            out["union_est"].append(u_est)
+            out["jaccard_e6"].append(n_both * 10 ** 6 // n_kept)
+            out["inter_est"].append(n_both * u_est // n_kept)
+    return pa.table({c: pa.array(v, pa.string() if c[0] == "t"
+                                 else pa.int64())
+                     for c, v in out.items()})
+
+
+KMV_OVERLAP_SQL = """
+WITH h AS (SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rk
+      FROM h),
+s AS (SELECT event_type, h FROM r WHERE rk <= 64),
+t AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type),
+un AS (SELECT p.type_a, p.type_b, s.h
+       FROM p JOIN s ON s.event_type IN (p.type_a, p.type_b)
+       GROUP BY p.type_a, p.type_b, s.h),
+ur AS (SELECT type_a, type_b, h,
+              row_number() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY h) AS rk
+       FROM un),
+uk AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(max(h) AS BIGINT) AS kth
+       FROM ur WHERE rk <= 64 GROUP BY type_a, type_b),
+bo AS (SELECT uk.type_a, uk.type_b, CAST(count(*) AS BIGINT) AS n_both
+       FROM uk
+       JOIN s sa ON sa.event_type = uk.type_a AND sa.h <= uk.kth
+       JOIN s sb ON sb.event_type = uk.type_b AND sb.h = sa.h
+       GROUP BY uk.type_a, uk.type_b),
+est AS (SELECT uk.type_a, uk.type_b, uk.n_kept,
+               CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+               CAST(CASE WHEN uk.n_kept < 64 THEN uk.n_kept
+                    ELSE CAST(63 AS HUGEINT) * 1152921504606846976
+                         // uk.kth END AS BIGINT) AS union_est
+        FROM uk LEFT JOIN bo
+          ON bo.type_a = uk.type_a AND bo.type_b = uk.type_b)
+SELECT type_a, type_b, n_kept, n_both, union_est,
+       CAST(n_both * 1000000 // n_kept AS BIGINT) AS jaccard_e6,
+       CAST(CAST(n_both AS HUGEINT) * union_est // n_kept AS BIGINT)
+         AS inter_est
+FROM est
+"""
+
+
+def isotonic_calibrate_scores(sf_dir: str):
+    """ISOTONIC REGRESSION calibration of the quality classifier by
+    POOL-ADJACENT-VIOLATORS (Ayer et al. 1955; the calibrator behind
+    sklearn's ``CalibratedClassifierCV(method='isotonic')``) against
+    the lang = 'en' label — the monotone score → probability map the
+    reliability-diagram op (:func:`calibration_curve_docs`) motivates.
+    Output per distinct score: its pooled block's calibrated
+    probability as an EXACT reduced rational (iso_num / iso_den) —
+    PAV pooling is pure integer arithmetic, so the result is
+    golden-pinned (the sequential pooling fixpoint has no SQL form).
+
+    Scale shape: auc_quality_eval's machinery — shuffle-free scoring
+    pass, per-batch (score, label) combine, one bounded groupby; PAV
+    itself runs over the O(score-range) driver histogram with a
+    stack (each block merges at most once per push — linear)."""
+    from fractions import Fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        w = _clf_weights(uniq)[inv]
+        s = np.rint(np.bincount(par, weights=w, minlength=t.num_rows)) \
+            .astype(np.int64)
+        pos = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"s": s, "p": pos.astype(np.int64)}) \
+            .groupby("s", sort=False).agg(np_=("p", "sum"),
+                                          n_=("p", "size"))
+        return pa.table({
+            "s": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "np_": pa.array(g["np_"].to_numpy(np.int64), pa.int64()),
+            "n_": pa.array(g["n_"].to_numpy(np.int64), pa.int64())})
+
+    rows = (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("s").aggregate(Sum("np_", alias_name="np_"),
+                                    Sum("n_", alias_name="n_"))
+            .take_all())  # bounded by the score RANGE
+    rows.sort(key=lambda r: r["s"])
+    # PAV stack: blocks (n_pos, n, first_index); merge while the
+    # previous block's rate exceeds the new one's (weighted mean)
+    stack: list[list[int]] = []
+    for r in rows:
+        blk = [int(r["np_"]), int(r["n_"])]
+        while stack and stack[-1][0] * blk[1] > blk[0] * stack[-1][1]:
+            prev = stack.pop()
+            blk = [prev[0] + blk[0], prev[1] + blk[1]]
+        stack.append(blk)
+    import math
+
+    s_col, n_col, np_col, inum, iden = [], [], [], [], []
+    it = iter(rows)
+    for blk in stack:
+        left = blk[1]
+        g = math.gcd(blk[0], blk[1])
+        while left > 0:
+            r = next(it)
+            s_col.append(int(r["s"]))
+            n_col.append(int(r["n_"]))
+            np_col.append(int(r["np_"]))
+            inum.append(blk[0] // g)
+            iden.append(blk[1] // g)
+            left -= int(r["n_"])
+    return pa.table({"s": pa.array(s_col, pa.int64()),
+                     "n": pa.array(n_col, pa.int64()),
+                     "n_pos": pa.array(np_col, pa.int64()),
+                     "iso_num": pa.array(inum, pa.int64()),
+                     "iso_den": pa.array(iden, pa.int64())})
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -18984,6 +19320,9 @@ QUERIES = {
     "ktruss_crawl_graph": ktruss_crawl_graph,
     "rocchio_expand_search": rocchio_expand_search,
     "snippet_extract_docs": snippet_extract_docs,
+    "dbscan_embeddings": dbscan_embeddings,
+    "kmv_overlap_types": kmv_overlap_types,
+    "isotonic_calibrate_scores": isotonic_calibrate_scores,
     "crawl_content_dedup": crawl_content_dedup,
     "crawl_incremental": crawl_incremental,
     "crawl_diff_edges": crawl_diff_edges,
@@ -19225,4 +19564,6 @@ ORACLES = {
     "roc_curve_eval": ROC_CURVE_SQL,
     "rocchio_expand_search": ROCCHIO_SQL,
     "snippet_extract_docs": SNIPPET_SQL,
+    "dbscan_embeddings": DBSCAN_SQL,
+    "kmv_overlap_types": KMV_OVERLAP_SQL,
 }

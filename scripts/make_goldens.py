@@ -100,6 +100,7 @@ GOLDEN_QUERIES = [
     "maxsim_multivector_topk",
     "mst_crawl_graph",
     "ktruss_crawl_graph",
+    "isotonic_calibrate_scores",
 ]
 
 

@@ -230,3 +230,130 @@ def test_snippet_anchored_is_global_opt(ray_session):
             if p >= int(r.best_start):
                 break
             assert int(ismatch[p - 1:p - 1 + 10].sum()) < best_n
+
+
+def test_dbscan_brute(ray_session):
+    """Labels/cores/counts equal a direct numpy+BFS recompute at
+    sf0.001, and all three populations (core, border, noise) occur."""
+    from rendler_ray.pipelines.queries import dbscan_embeddings
+
+    out = dbscan_embeddings(SF).to_pandas().set_index("vec_id")
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet")) \
+        .to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = np.round(mn @ mn.T * 1e6).astype(np.int64)
+    np.fill_diagonal(sim, -(10 ** 9))
+    adjm = sim >= 300_000
+    nb = adjm.sum(1)
+    core = nb >= 5
+    # BFS components over the core-core graph
+    lab = {}
+    for s_i in np.flatnonzero(core):
+        if int(ids[s_i]) in lab:
+            continue
+        comp, stack = [], [s_i]
+        seen = {s_i}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in np.flatnonzero(adjm[x] & core):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        root = int(ids[list(comp)].min())
+        for x in comp:
+            lab[int(ids[x])] = root
+    for i in range(len(ids)):
+        vid = int(ids[i])
+        row = out.loc[vid]
+        assert int(row["n_nbrs"]) == int(nb[i])
+        assert int(row["is_core"]) == int(core[i])
+        if core[i]:
+            assert int(row["label"]) == lab[vid]
+        else:
+            cn = [lab[int(ids[j])]
+                  for j in np.flatnonzero(adjm[i] & core)]
+            assert int(row["label"]) == (min(cn) if cn else -1)
+    assert (out["is_core"] == 1).any()
+    assert ((out["is_core"] == 0) & (out["label"] >= 0)).any()  # border
+    assert (out["label"] == -1).any()                           # noise
+    assert out[out.is_core == 1]["label"].nunique() > 1
+
+
+def test_kmv_overlap_brute_and_accuracy(ray_session):
+    """Sketch algebra equals an independent hash recompute, and the
+    estimates land near the EXACT truth (k=64 ⇒ ~1/√64 rel. error)."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import kmv_overlap_types
+
+    out = kmv_overlap_types(SF).to_pandas()
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_type", "user_id"]).to_pandas()
+    users = {t: set(g["user_id"].tolist())
+             for t, g in ev.groupby("event_type")}
+
+    def sketch(us):
+        return sorted(int(hashlib.md5(str(int(u)).encode())
+                          .hexdigest()[:15], 16) for u in us)[:64]
+
+    assert len(out) == len(users) * (len(users) - 1) // 2
+    for r in out.itertuples():
+        sa, sb = set(sketch(users[r.type_a])), \
+            set(sketch(users[r.type_b]))
+        union = sorted(sa | sb)[:64]
+        n_kept, kth = len(union), union[-1]
+        u_est = n_kept if n_kept < 64 else 63 * 16 ** 15 // kth
+        n_both = sum(1 for h in union if h in sa and h in sb)
+        assert int(r.n_kept) == n_kept and int(r.n_both) == n_both
+        assert int(r.union_est) == u_est
+        assert int(r.inter_est) == n_both * u_est // n_kept
+        tu = len(users[r.type_a] | users[r.type_b])
+        ti = len(users[r.type_a] & users[r.type_b])
+        assert abs(int(r.union_est) - tu) <= 0.5 * tu
+        assert abs(int(r.jaccard_e6) / 1e6 - ti / tu) <= 0.25
+
+
+def _pav_brute(pairs):
+    """O(n²) reference PAV: repeatedly merge ANY adjacent violating
+    pair (order independent — the PAV fixpoint is unique)."""
+    blocks = [[p, n] for p, n in pairs]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            a, b = blocks[i], blocks[i + 1]
+            if a[0] * b[1] > b[0] * a[1]:
+                blocks[i:i + 2] = [[a[0] + b[0], a[1] + b[1]]]
+                changed = True
+                break
+    return blocks
+
+
+def test_isotonic_pav_brute(ray_session):
+    """The stack PAV equals the quadratic merge-any-violator reference;
+    rates are monotone; mass is conserved per block."""
+    from fractions import Fraction
+
+    from rendler_ray.pipelines.queries import isotonic_calibrate_scores
+
+    out = isotonic_calibrate_scores(SF).to_pandas()
+    hist = out.sort_values("s")[["n_pos", "n"]].to_numpy()
+    blocks = _pav_brute([(int(p), int(n)) for p, n in hist])
+    # expand reference blocks over rows and compare rationals
+    it = iter(out.sort_values("s").itertuples())
+    rates = []
+    for bp, bn in blocks:
+        left = bn
+        f = Fraction(bp, bn)
+        rates.append(f)
+        while left > 0:
+            r = next(it)
+            assert Fraction(int(r.iso_num), int(r.iso_den)) == f
+            left -= int(r.n)
+    assert all(x <= y for x, y in zip(rates, rates[1:]))
+    assert out["n_pos"].sum() == sum(p for p, _ in blocks)
+    assert (out["iso_num"] <= out["iso_den"]).all()
+    assert out["s"].is_monotonic_increasing
