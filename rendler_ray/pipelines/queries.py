@@ -8828,16 +8828,17 @@ FROM nb ORDER BY bucket
 """
 
 
-def _token_freq_topk(ds, k: int, driver_max: int = 2_000_000):
-    """Top-``k`` tokens of a (…, text) Dataset by (freq desc, token
-    asc) — the vocabulary cut shared by oov_rate_docs /
-    nb_lang_fit_predict. Per-batch value_counts partials stream to the
-    driver and fold through Arrow's C++ hash aggregate while the
-    partial-row total stays ≤ ``driver_max`` (zero shuffles — a
-    distributed sort+limit of a vocab-sized table costs ~4 s of pure
-    exchange fixed costs at 32 cpus, the ccnet/tfidf finding); past
-    the gate it falls back to the distributed groupby + sort + limit
-    with identical output (two-form equality pytest-asserted)."""
+def _token_freq_topk_counts(ds, k: int, driver_max: int = 2_000_000):
+    """Top-``k`` (token, count) pairs of a (…, text) Dataset by
+    (freq desc, token asc) — the vocabulary cut shared by
+    oov_rate_docs / nb_lang_fit_predict / zipf_fit_tokens. Per-batch
+    value_counts partials stream to the driver and fold through
+    Arrow's C++ hash aggregate while the partial-row total stays
+    ≤ ``driver_max`` (zero shuffles — a distributed sort+limit of a
+    vocab-sized table costs ~4 s of pure exchange fixed costs at 32
+    cpus, the ccnet/tfidf finding); past the gate it falls back to
+    the distributed groupby + sort + limit with identical output
+    (two-form equality pytest-asserted)."""
     def tok_counts(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
             pc.split_pattern(t["text"].combine_chunks(), " "))
@@ -8862,12 +8863,18 @@ def _token_freq_topk(ds, k: int, driver_max: int = 2_000_000):
         t = pa.concat_tables(tables).group_by("token") \
             .aggregate([("c", "sum")]).rename_columns(["token", "c"])
         df = t.to_pandas().sort_values(["c", "token"],
-                                       ascending=[False, True])
-        return df["token"].head(k).tolist()
+                                       ascending=[False, True]).head(k)
+        return list(zip(df["token"].tolist(),
+                        (int(v) for v in df["c"].tolist())))
     freq = partials.groupby("token").aggregate(Sum("c", alias_name="c"))
     top = freq.sort(["c", "token"], descending=[True, False]) \
         .limit(k).take_all()
-    return [x["token"] for x in top]
+    return [(x["token"], int(x["c"])) for x in top]
+
+
+def _token_freq_topk(ds, k: int, driver_max: int = 2_000_000):
+    """Token names only — see :func:`_token_freq_topk_counts`."""
+    return [t for t, _ in _token_freq_topk_counts(ds, k, driver_max)]
 
 
 def _round_half_away(x: "np.ndarray") -> "np.ndarray":
@@ -19029,6 +19036,308 @@ def isotonic_calibrate_scores(sf_dir: str):
                      "iso_den": pa.array(iden, pa.int64())})
 
 
+def anova_order_priority(sf_dir: str):
+    """ONE-WAY ANOVA F-test of order value across the five order
+    priorities — the k-arm generalization of :func:`welch_t_ab_test`
+    (is ANY priority's mean spend different?). EXACT integer end to
+    end, no float convention at all: with per-group moments
+    (n_g, s_g = Σcents) and the global square sum Q = Σcents², the
+    e6-scaled sums of squares a_e6 = Σ_g s_g²·10⁶ // n_g and
+    b_e6 = S²·10⁶ // n give ssb_e6 = max(a_e6 − b_e6, 0) (the floor
+    residue can dip −k below the Cauchy–Schwarz zero, clamped BOTH
+    sides), ssw_e6 = Q·10⁶ − a_e6, and
+    F_e6 = ssb_e6·(n−k)·10⁶ // (ssw_e6·(k−1)) — every division a
+    floor of non-negative integers (Python int / HUGEINT), so the
+    oracle is hash-exact (the gini_simpson property; Welch's t needed
+    a float tree, the F ratio doesn't).
+
+    Scale shape: one shuffle-free per-batch priority-moment combine +
+    a ≤ k groupby. Per-row cents² reaches 2⁵², so batch-partial Q
+    sums would overflow int64 — partials carry q decomposed as
+    (q >> 31, q & (2³¹−1)) int64 pairs and the driver reassembles the
+    exact Python int (the overflow-safe split the HUGEINT side gets
+    for free)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        qq = cents * cents  # < 2^52 per row
+        df = pd.DataFrame({"p": pr, "n": 1, "s": cents,
+                           "q_hi": qq >> 31,
+                           "q_lo": qq & ((1 << 31) - 1)})
+        g = df.groupby("p", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (ds.map_batches(moments, batch_format="pyarrow")
+            .groupby("p")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("q_hi", alias_name="q_hi"),
+                       Sum("q_lo", alias_name="q_lo"))
+            .take_all())  # one row per priority
+    k = len(rows)
+    n = sum(int(r["n"]) for r in rows)
+    s_tot = sum(int(r["s"]) for r in rows)
+    q_tot = sum((int(r["q_hi"]) << 31) + int(r["q_lo"]) for r in rows)
+    a_e6 = sum(int(r["s"]) * int(r["s"]) * 1_000_000 // int(r["n"])
+               for r in rows)
+    ssb_e6 = max(a_e6 - s_tot * s_tot * 1_000_000 // n, 0)
+    ssw_e6 = q_tot * 1_000_000 - a_e6
+    eta2_e6 = (ssb_e6 * 1_000_000 // (ssb_e6 + ssw_e6)
+               if ssb_e6 + ssw_e6 > 0 else 0)
+    f_e6 = (ssb_e6 * (n - k) * 1_000_000 // (ssw_e6 * (k - 1))
+            if ssw_e6 > 0 and k > 1 else 0)
+    return pa.table({"k_groups": pa.array([k], pa.int64()),
+                     "n": pa.array([n], pa.int64()),
+                     "sum_c": pa.array([s_tot], pa.int64()),
+                     "eta2_e6": pa.array([eta2_e6], pa.int64()),
+                     "f_e6": pa.array([f_e6], pa.int64())})
+
+
+ANOVA_PRIORITY_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS HUGEINT))
+              AS HUGEINT) AS q
+  FROM orders GROUP BY o_orderpriority),
+g AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(n) AS n, sum(s) AS s,
+             sum(q) AS q, sum(s * s * 1000000 // n) AS a_e6
+      FROM m),
+f AS (SELECT k, n, s,
+             greatest(a_e6 - s * s * 1000000 // n,
+                      CAST(0 AS HUGEINT)) AS ssb_e6,
+             q * 1000000 - a_e6 AS ssw_e6
+      FROM g)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS sum_c,
+       CASE WHEN ssb_e6 + ssw_e6 > 0
+            THEN CAST(ssb_e6 * 1000000 // (ssb_e6 + ssw_e6) AS BIGINT)
+            ELSE 0 END AS eta2_e6,
+       CASE WHEN ssw_e6 > 0 AND k > 1
+            THEN CAST(ssb_e6 * (n - k) * 1000000
+                      // (ssw_e6 * (k - 1)) AS BIGINT)
+            ELSE 0 END AS f_e6
+FROM f
+"""
+
+
+def mann_kendall_daily(sf_dir: str):
+    """MANN–KENDALL trend test on daily event volume — the
+    non-parametric "is traffic drifting?" monitor that pairs with
+    :func:`theil_sen_daily_trend` (MK tests the sign, Theil–Sen sizes
+    the slope — the classic combination). S = Σ_{i<j} sign(c_j − c_i)
+    and the tie-corrected 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    are exact integers; the normal-approximation z (continuity-
+    corrected: (S∓1)/√(Var)) is the only float, computed from those
+    integers with the expression tree mirrored verbatim in SQL then
+    floor·10⁶ (the welch_t convention).
+
+    Scale shape: the autocorr_daily_counts fold — per-batch day-count
+    combine + one bounded groupby (a decade is 3653 rows); the O(D²)
+    pair sum runs on the bounded daily table (numpy here, a self-join
+    in SQL), never on events."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = us // 86_400_000_000
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="c")))
+    rows = []
+    for bt in daily.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        rows.extend(zip(bt["day"].to_pylist(), bt["c"].to_pylist()))
+    rows.sort()
+    c = np.array([v for _, v in rows], np.int64)
+    n = len(c)
+    iu = np.triu_indices(n, 1)
+    s_stat = int(np.sign(c[None, :] - c[:, None])[iu].sum()) if n > 1 \
+        else 0
+    _, tcnt = np.unique(c, return_counts=True)
+    ties = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcnt)
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    if var18 <= 0 or s_stat == 0:
+        z_e6 = 0
+    else:
+        sd = math.sqrt(var18 / 18.0)
+        z = (s_stat - 1) / sd if s_stat > 0 else (s_stat + 1) / sd
+        z_e6 = math.floor(z * 1_000_000.0)
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "s_stat": pa.array([s_stat], pa.int64()),
+                     "var18": pa.array([var18], pa.int64()),
+                     "z_e6": pa.array([z_e6], pa.int64())})
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+p AS (SELECT CAST(COALESCE(sum(CASE WHEN b.c > a.c THEN 1
+                                    WHEN b.c < a.c THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s
+      FROM d a JOIN d b ON b.day > a.day),
+t AS (SELECT CAST(COALESCE(sum(t_ * (t_ - 1) * (2 * t_ + 5)), 0)
+                  AS BIGINT) AS tie
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t_ FROM d GROUP BY c)),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+v AS (SELECT n_.n AS n, p.s AS s,
+             n_.n * (n_.n - 1) * (2 * n_.n + 5) - t.tie AS var18
+      FROM p, t, n_)
+SELECT n AS n_days, s AS s_stat, var18,
+       CASE WHEN var18 <= 0 OR s = 0 THEN 0
+            WHEN s > 0 THEN CAST(floor(
+              (s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              * 1000000.0) AS BIGINT)
+            ELSE CAST(floor(
+              (s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              * 1000000.0) AS BIGINT) END AS z_e6
+FROM v
+"""
+
+
+def interarrival_burstiness_users(sf_dir: str):
+    """Per-user INTER-ARRIVAL BURSTINESS (squared coefficient of
+    variation of the gaps between a user's consecutive events) — the
+    Goh–Barabási bursty-vs-Poisson diagnostic bot-detection and
+    capacity models run per entity (CV² ≈ 1 = Poisson, ≪ 1 = metronome
+    bot, ≫ 1 = bursty human). Sqrt-free and EXACT: with per-user gap
+    moments (m gaps, G = Σg, Q = Σg²) over whole-second gaps,
+    cv2_e6 = (m·Q − G²)·10⁶ // G² — a non-negative integer rational
+    (Cauchy–Schwarz), Python-int / HUGEINT. Users need ≥ 2 gaps and
+    G > 0 to be emitted (a variance and a mean to divide by).
+
+    Scale shape: the dedup_events_window co-partition — one
+    ``groupby(user_id)`` hash exchange, per-group vectorized sort +
+    diff, one output row per group; no driver state, no window
+    shuffle beyond the key exchange."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    _empty = {"user_id": np.array([], np.int64),
+              "n_gaps": np.array([], np.int64),
+              "sum_gap_s": np.array([], np.int64),
+              "cv2_e6": np.array([], np.int64)}
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        sec = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // 1_000_000)
+        gaps = np.diff(sec)  # ordered by ts ⇒ every gap ≥ 0
+        m = len(gaps)
+        if m < 2:
+            return pd.DataFrame(_empty)
+        sg = int(gaps.sum())
+        if sg == 0:
+            return pd.DataFrame(_empty)
+        sq = int((gaps * gaps).sum())  # gaps < 2^26 s ⇒ int64-safe
+        cv2 = (m * sq - sg * sg) * 1_000_000 // (sg * sg)
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
+            "n_gaps": np.array([m], np.int64),
+            "sum_gap_s": np.array([sg], np.int64),
+            "cv2_e6": np.array([cv2], np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+INTERARRIVAL_SQL = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+g AS (SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap
+      FROM e),
+s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(gap) AS HUGEINT) AS sg,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sq
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(m AS BIGINT) AS n_gaps,
+       CAST(sg AS BIGINT) AS sum_gap_s,
+       CAST((m * sq - sg * sg) * 1000000 // (sg * sg) AS BIGINT)
+         AS cv2_e6
+FROM s WHERE m >= 2 AND sg > 0
+"""
+
+
+def zipf_fit_tokens(sf_dir: str, k: int = 200):
+    """ZIPF-LAW FIT over the top-k token frequencies — the
+    corpus-health number every dataset card quotes (natural text sits
+    near slope −1; boilerplate-heavy crawls flatten, template spam
+    steepens): OLS slope of ln(freq) on ln(rank) for the top-200
+    tokens. Each (x, y) = (ln rank, ln count) point is e6
+    fixed-pointed FIRST (DuckDB round() half-away mirror), so the
+    normal-equation sums Σx, Σy, Σxy, Σx² are exact integers and the
+    slope is the exact rational (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) —
+    reported as num/den plus the floor-e6 quotient (explicit
+    floor-division CASE in SQL, the theil_sen convention, since the
+    Zipf slope is negative and DuckDB ``//`` truncates toward zero).
+    Rank ties share a count, so the fitted point set is deterministic
+    without a tie-break.
+
+    Scale shape: the shared :func:`_token_freq_topk_counts` vocabulary
+    cut — per-batch value-counts partials, driver Arrow fold under the
+    2M-row gate, distributed groupby + sort + limit above it; the
+    regression itself runs on ≤ 200 points."""
+    ds = _read(sf_dir, "documents", ["text"])
+    pairs = _token_freq_topk_counts(ds, k)
+    n = len(pairs)
+    if n == 0:
+        return pa.table({"n_ranks": pa.array([], pa.int64()),
+                         "slope_num": pa.array([], pa.int64()),
+                         "slope_den": pa.array([], pa.int64()),
+                         "slope_e6": pa.array([], pa.int64())})
+    c = np.array([p[1] for p in pairs], np.float64)
+    x = _round_half_away(
+        np.log(np.arange(1, n + 1, dtype=np.float64)) * 1e6)
+    y = _round_half_away(np.log(c) * 1e6)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_e6 = (num * 1_000_000) // den if den > 0 else 0
+    return pa.table({"n_ranks": pa.array([n], pa.int64()),
+                     "slope_num": pa.array([num], pa.int64()),
+                     "slope_den": pa.array([den], pa.int64()),
+                     "slope_e6": pa.array([slope_e6], pa.int64())})
+
+
+ZIPF_FIT_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+f AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      GROUP BY token),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk
+      FROM f QUALIFY rnk <= 200),
+v AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000)
+                  AS HUGEINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                  AS HUGEINT) AS y
+      FROM r),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM v),
+o AS (SELECT n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den FROM s)
+SELECT CAST(n AS BIGINT) AS n_ranks, CAST(num AS BIGINT) AS slope_num,
+       CAST(den AS BIGINT) AS slope_den,
+       CASE WHEN den <= 0 THEN 0
+            WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+            ELSE CAST(-(((-num) * 1000000 + den - 1) // den) AS BIGINT)
+       END AS slope_e6
+FROM o
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -19336,6 +19645,10 @@ QUERIES = {
     "media_frame_samples": media_frame_samples,
     "media_audio_segments": media_audio_segments,
     "render_interleaved": render_interleaved,
+    "anova_order_priority": anova_order_priority,
+    "mann_kendall_daily": mann_kendall_daily,
+    "interarrival_burstiness_users": interarrival_burstiness_users,
+    "zipf_fit_tokens": zipf_fit_tokens,
 }
 
 ORACLES = {
@@ -19566,4 +19879,8 @@ ORACLES = {
     "snippet_extract_docs": SNIPPET_SQL,
     "dbscan_embeddings": DBSCAN_SQL,
     "kmv_overlap_types": KMV_OVERLAP_SQL,
+    "anova_order_priority": ANOVA_PRIORITY_SQL,
+    "mann_kendall_daily": MANN_KENDALL_SQL,
+    "interarrival_burstiness_users": INTERARRIVAL_SQL,
+    "zipf_fit_tokens": ZIPF_FIT_SQL,
 }
