@@ -1567,3 +1567,68 @@ def brandes_betweenness(a: "np.ndarray", b: "np.ndarray",
             if w != s:
                 btw[w] = btw.get(w, Fraction(0)) + delta[w]
     return btw
+
+
+def bridges_articulation(a: "np.ndarray", b: "np.ndarray"):
+    """Tarjan BRIDGES + ARTICULATION POINTS (Tarjan 1974 low-link) over
+    an undirected DISTINCT edge list, one iterative DFS (explicit
+    stack — the test graphs have paths far past Python's recursion
+    limit). The single parent-edge skip is exact because the edge list
+    is distinct (no parallel edges — _orders_graph_edges guarantees
+    this). Returns (bridges, cuts): bridges as a sorted list of
+    canonical (min, max) pairs, cuts as a sorted node list — both are
+    set-valued graph properties, so DFS visit order can't leak into
+    the result. O(V + E) driver state; at scale this is the
+    gate-asserted driver fold of the betweenness/diameter family (per
+    component independent — components partition the work)."""
+    adj: dict[int, list[int]] = {}
+    for u, v in zip(a.tolist(), b.tolist()):
+        u, v = int(u), int(v)
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    parent: dict[int, int] = {}
+    it: dict[int, int] = {}
+    bridges: list[tuple[int, int]] = []
+    cuts: set[int] = set()
+    timer = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        parent[root] = -1
+        disc[root] = low[root] = timer
+        timer += 1
+        it[root] = 0
+        root_children = 0
+        st = [root]
+        while st:
+            u = st[-1]
+            i = it[u]
+            if i < len(adj[u]):
+                it[u] += 1
+                v = adj[u][i]
+                if v not in disc:
+                    parent[v] = u
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    it[v] = 0
+                    st.append(v)
+                elif v != parent[u]:
+                    if disc[v] < low[u]:
+                        low[u] = disc[v]
+            else:
+                st.pop()
+                p = parent[u]
+                if p != -1:
+                    if low[u] < low[p]:
+                        low[p] = low[u]
+                    if low[u] > disc[p]:
+                        bridges.append((min(p, u), max(p, u)))
+                    if parent[p] != -1 and low[u] >= disc[p]:
+                        cuts.add(p)
+                    if p == root:
+                        root_children += 1
+        if root_children >= 2:
+            cuts.add(root)
+    return sorted(bridges), sorted(cuts)

@@ -19338,6 +19338,304 @@ FROM o
 """
 
 
+def bridges_crawl_graph(sf_dir: str, driver_max: int = 2_000_000):
+    """BRIDGE EDGES of the orders-derived test graph (Tarjan 1974) —
+    the single-point-of-failure edges whose removal disconnects a
+    component: the link-infrastructure audit a crawl-graph owner runs
+    before pruning low-value edges (every bridge is in NO cycle, so
+    near-forest regions are almost all bridges). One iterative
+    low-link DFS in :func:`rendler_ray.functions.graph.
+    bridges_articulation`; the output is the SET of bridges —
+    DFS-order independent by construction.
+
+    Scale shape: gate-asserted driver fold of the distinct edge list
+    (the betweenness/diameter convention); components are independent,
+    so the at-scale form shards by component label from
+    connected_components_auto and runs one task per shard."""
+    from rendler_ray.functions.graph import bridges_articulation
+
+    edges = _orders_graph_edges(sf_dir).materialize()
+    n = edges.count()
+    assert n <= driver_max, \
+        f"bridges driver fold gated at {driver_max} edges (got {n})"
+    t = pa.concat_tables(
+        edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+    br, _ = bridges_articulation(t["a"].to_numpy(), t["b"].to_numpy())
+    return pa.table({"a": pa.array([e[0] for e in br], pa.int64()),
+                     "b": pa.array([e[1] for e in br], pa.int64())})
+
+
+def articulation_points_graph(sf_dir: str, driver_max: int = 2_000_000):
+    """ARTICULATION POINTS (cut vertices) of the orders-derived test
+    graph — the nodes whose removal disconnects a component, the
+    vertex-side companion of :func:`bridges_crawl_graph` (same Tarjan
+    low-link pass, same gate-asserted driver fold, same per-component
+    at-scale sharding)."""
+    from rendler_ray.functions.graph import bridges_articulation
+
+    edges = _orders_graph_edges(sf_dir).materialize()
+    n = edges.count()
+    assert n <= driver_max, \
+        f"articulation driver fold gated at {driver_max} edges (got {n})"
+    t = pa.concat_tables(
+        edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+    _, cuts = bridges_articulation(t["a"].to_numpy(), t["b"].to_numpy())
+    return pa.table({"node": pa.array(cuts, pa.int64())})
+
+
+def holt_linear_daily(sf_dir: str):
+    """HOLT'S LINEAR-TREND double exponential smoothing of daily event
+    volume (Holt 1957) — the level+trend upgrade of
+    :func:`ewma_daily_counts` that a capacity forecast actually uses
+    (EWMA lags a drifting series; Holt tracks the drift). α = β = 1/2:
+    l_t = (y_t + l_{t−1} + b_{t−1}) / 2, b_t = (l_t − l_{t−1} +
+    b_{t−1}) / 2, initialized l_1 = y_1, b_1 = 0. The DuckDB oracle
+    replays the IDENTICAL recurrence through a recursive CTE in the
+    same day order — a sequential TWO-variable recurrence this time —
+    so the doubles agree bit-for-bit and floor(·1e6) is hash-exact
+    (the ewma convention).
+
+    Scale shape: one shuffle-free per-batch (day, n) combine + a
+    calendar-bounded groupby; the inherently-sequential smoothing runs
+    over the ≤ #days driver rows."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n")))
+    rows = sorted((int(r["day"]), int(r["n"])) for r in daily.take_all())
+    rn, day, n, lv, tr = [], [], [], [], []
+    l = b = 0.0
+    for i, (d, cnt) in enumerate(rows):
+        if i == 0:
+            l, b = float(cnt), 0.0
+        else:
+            l_new = (cnt + l + b) / 2.0
+            b = (l_new - l + b) / 2.0
+            l = l_new
+        rn.append(i + 1)
+        day.append(d)
+        n.append(cnt)
+        lv.append(math.floor(l * 1000000.0))
+        tr.append(math.floor(b * 1000000.0))
+    return pa.table({"rn": pa.array(rn, pa.int64()),
+                     "day": pa.array(day, pa.int64()),
+                     "n": pa.array(n, pa.int64()),
+                     "level_e6": pa.array(lv, pa.int64()),
+                     "trend_e6": pa.array(tr, pa.int64())})
+
+
+HOLT_LINEAR_SQL = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day),
+o AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
+w(rn, day, n, l, b) AS (
+  -- the anchor's trend must be CAST: a bare 0.0 literal would type
+  -- the recursive column DECIMAL(2,1) and quantize every step
+  SELECT rn, day, n, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.n,
+         (o.n + w.l + w.b) / 2.0,
+         ((o.n + w.l + w.b) / 2.0 - w.l + w.b) / 2.0
+  FROM w JOIN o ON o.rn = w.rn + 1)
+SELECT CAST(rn AS BIGINT) AS rn, CAST(day AS BIGINT) AS day, n,
+       CAST(floor(l * 1000000.0) AS BIGINT) AS level_e6,
+       CAST(floor(b * 1000000.0) AS BIGINT) AS trend_e6
+FROM w
+"""
+
+
+def seasonal_naive_eval(sf_dir: str):
+    """SEASONAL-NAIVE forecast evaluation on daily event volume — the
+    baseline every traffic forecast must beat (ŷ_d = y_{d−7}, the
+    same-weekday-last-week rule), scored on the days where the
+    calendar lag exists. EXACT integers end to end: per-day absolute
+    error |y_d − y_{d−7}| and per-day APE term |err|·10⁶ // y_d are
+    integer-floored BEFORE their sums (the token-entropy convention,
+    trivially exact here since everything is a count), so the one-row
+    report (n_eval_days, Σ|err|, MAE e6, Σ APE e6) is hash-exact.
+
+    Scale shape: the bounded daily fold + an O(#days) driver pass
+    (calendar join in SQL); nothing beyond day-count partials ever
+    shuffles."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n")))
+    cnt = {int(r["day"]): int(r["n"]) for r in daily.take_all()}
+    n_eval = sum_abs = sum_ape = 0
+    for d, y in sorted(cnt.items()):
+        prev = cnt.get(d - 7)
+        if prev is None:
+            continue
+        err = abs(y - prev)
+        n_eval += 1
+        sum_abs += err
+        sum_ape += err * 1_000_000 // y
+    mae_e6 = sum_abs * 1_000_000 // n_eval if n_eval else 0
+    return pa.table({
+        "n_eval_days": pa.array([n_eval], pa.int64()),
+        "sum_abs_err": pa.array([sum_abs], pa.int64()),
+        "mae_e6": pa.array([mae_e6], pa.int64()),
+        "sum_ape_e6": pa.array([sum_ape], pa.int64())})
+
+
+SEASONAL_NAIVE_SQL = """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+e AS (SELECT a.day, a.n, abs(a.n - b.n) AS err
+      FROM d a JOIN d b ON b.day = a.day - 7),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(COALESCE(sum(err), 0) AS BIGINT) AS sum_abs,
+             CAST(COALESCE(sum(err * 1000000 // n), 0) AS BIGINT)
+               AS sum_ape
+      FROM e)
+SELECT n_eval AS n_eval_days, sum_abs AS sum_abs_err,
+       CASE WHEN n_eval > 0
+            THEN CAST(sum_abs * 1000000 // n_eval AS BIGINT)
+            ELSE 0 END AS mae_e6,
+       sum_ape AS sum_ape_e6
+FROM s
+"""
+
+
+def logreg_quality_fit(sf_dir: str, steps: int = 3):
+    """LOGISTIC-REGRESSION training ON-CLUSTER — full-batch gradient
+    descent for the lang = 'en' label on features (1, n_chars/1000),
+    the from-scratch counterpart of the fitted NB classifier
+    (:func:`nb_lang_fit_predict`): 3 steps, η = 1/4, w kept as e6
+    INTEGERS between steps. Each step is one shuffle-free pass: the
+    per-row gradient addends (p − y)·10⁶ and (p − y)·x·10⁶ are
+    half-away-rounded to ints BEFORE the sum (order-free — the
+    token-entropy convention), the sigmoid's float tree
+    p = 1/(1+exp(−(w0 + w1·x)/10⁶)) is mirrored VERBATIM in SQL from
+    the same integer weights, and the update w ← w − ⌊g/(4n)⌋ is an
+    explicit floor division (CASE-mirrored for negative gradients, the
+    theil_sen convention) — so the full 3-step trajectory is
+    hash-exact. Output: one row per step with the gradient sums and
+    post-update weights.
+
+    Scale shape: per-step cost is ONE map_batches pass emitting 3
+    ints per batch + a driver fold of those partials; the model (2
+    ints) broadcasts by closure. This is exactly how full-batch GD
+    distributes — gradient partials combine, weights are
+    broadcast-sized by definition."""
+    ds = _read(sf_dir, "documents", ["n_chars", "lang"])
+
+    def fdiv(p: int, q: int) -> int:
+        return p // q  # python floors; SQL mirrors with a CASE
+
+    w0 = w1 = 0  # e6
+    out = []
+    for step in range(1, steps + 1):
+        w0c, w1c = w0, w1
+
+        def grads(t: pa.Table, w0c=w0c, w1c=w1c) -> pa.Table:
+            x = (t["n_chars"].to_numpy(zero_copy_only=False)
+                 .astype(np.float64) / 1000.0)
+            y = pc.equal(t["lang"], "en") \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            m = (float(w0c) + float(w1c) * x) / 1000000.0
+            p = 1.0 / (1.0 + np.exp(-m))
+            g0 = _round_half_away((p - y) * 1000000.0)
+            g1 = _round_half_away(((p - y) * x) * 1000000.0)
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "g0": pa.array([int(g0.sum())], pa.int64()),
+                "g1": pa.array([int(g1.sum())], pa.int64())})
+
+        parts = ds.map_batches(grads, batch_format="pyarrow").take_all()
+        n = sum(int(r["n"]) for r in parts)
+        g0 = sum(int(r["g0"]) for r in parts)
+        g1 = sum(int(r["g1"]) for r in parts)
+        w0 = w0 - fdiv(g0, 4 * n)
+        w1 = w1 - fdiv(g1, 4 * n)
+        out.append((step, n, g0, g1, w0, w1))
+    return pa.table({
+        "step": pa.array([o[0] for o in out], pa.int64()),
+        "n": pa.array([o[1] for o in out], pa.int64()),
+        "g0_e6": pa.array([o[2] for o in out], pa.int64()),
+        "g1_e6": pa.array([o[3] for o in out], pa.int64()),
+        "w0_e6": pa.array([o[4] for o in out], pa.int64()),
+        "w1_e6": pa.array([o[5] for o in out], pa.int64())})
+
+
+LOGREG_FIT_SQL = """
+WITH f AS (SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+s1 AS (SELECT
+  CAST(sum(CAST(round((1.0 / (1.0 + exp(-((0.0 + 0.0 * x)
+    / 1000000.0))) - y) * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+  CAST(sum(CAST(round(((1.0 / (1.0 + exp(-((0.0 + 0.0 * x)
+    / 1000000.0))) - y) * x) * 1000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM f),
+w1_ AS (SELECT g0, g1,
+  0 - (CASE WHEN g0 >= 0 THEN g0 // (4 * n)
+            ELSE -(((-g0) + 4 * n - 1) // (4 * n)) END) AS w0,
+  0 - (CASE WHEN g1 >= 0 THEN g1 // (4 * n)
+            ELSE -(((-g1) + 4 * n - 1) // (4 * n)) END) AS w1
+  FROM s1, n_),
+s2 AS (SELECT
+  CAST(sum(CAST(round((1.0 / (1.0 + exp(-((CAST(w.w0 AS DOUBLE)
+    + CAST(w.w1 AS DOUBLE) * x) / 1000000.0))) - y) * 1000000.0)
+    AS BIGINT)) AS BIGINT) AS g0,
+  CAST(sum(CAST(round(((1.0 / (1.0 + exp(-((CAST(w.w0 AS DOUBLE)
+    + CAST(w.w1 AS DOUBLE) * x) / 1000000.0))) - y) * x) * 1000000.0)
+    AS BIGINT)) AS BIGINT) AS g1
+  FROM f, w1_ w),
+w2_ AS (SELECT s2.g0, s2.g1,
+  w.w0 - (CASE WHEN s2.g0 >= 0 THEN s2.g0 // (4 * n)
+               ELSE -(((-s2.g0) + 4 * n - 1) // (4 * n)) END) AS w0,
+  w.w1 - (CASE WHEN s2.g1 >= 0 THEN s2.g1 // (4 * n)
+               ELSE -(((-s2.g1) + 4 * n - 1) // (4 * n)) END) AS w1
+  FROM s2, w1_ w, n_),
+s3 AS (SELECT
+  CAST(sum(CAST(round((1.0 / (1.0 + exp(-((CAST(w.w0 AS DOUBLE)
+    + CAST(w.w1 AS DOUBLE) * x) / 1000000.0))) - y) * 1000000.0)
+    AS BIGINT)) AS BIGINT) AS g0,
+  CAST(sum(CAST(round(((1.0 / (1.0 + exp(-((CAST(w.w0 AS DOUBLE)
+    + CAST(w.w1 AS DOUBLE) * x) / 1000000.0))) - y) * x) * 1000000.0)
+    AS BIGINT)) AS BIGINT) AS g1
+  FROM f, w2_ w),
+w3_ AS (SELECT s3.g0, s3.g1,
+  w.w0 - (CASE WHEN s3.g0 >= 0 THEN s3.g0 // (4 * n)
+               ELSE -(((-s3.g0) + 4 * n - 1) // (4 * n)) END) AS w0,
+  w.w1 - (CASE WHEN s3.g1 >= 0 THEN s3.g1 // (4 * n)
+               ELSE -(((-s3.g1) + 4 * n - 1) // (4 * n)) END) AS w1
+  FROM s3, w2_ w, n_)
+SELECT 1 AS step, n_.n, w1_.g0 AS g0_e6, w1_.g1 AS g1_e6,
+       CAST(w1_.w0 AS BIGINT) AS w0_e6, CAST(w1_.w1 AS BIGINT) AS w1_e6
+FROM w1_, n_
+UNION ALL
+SELECT 2, n_.n, w2_.g0, w2_.g1, CAST(w2_.w0 AS BIGINT),
+       CAST(w2_.w1 AS BIGINT) FROM w2_, n_
+UNION ALL
+SELECT 3, n_.n, w3_.g0, w3_.g1, CAST(w3_.w0 AS BIGINT),
+       CAST(w3_.w1 AS BIGINT) FROM w3_, n_
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -19649,6 +19947,11 @@ QUERIES = {
     "mann_kendall_daily": mann_kendall_daily,
     "interarrival_burstiness_users": interarrival_burstiness_users,
     "zipf_fit_tokens": zipf_fit_tokens,
+    "bridges_crawl_graph": bridges_crawl_graph,
+    "articulation_points_graph": articulation_points_graph,
+    "holt_linear_daily": holt_linear_daily,
+    "seasonal_naive_eval": seasonal_naive_eval,
+    "logreg_quality_fit": logreg_quality_fit,
 }
 
 ORACLES = {
@@ -19883,4 +20186,7 @@ ORACLES = {
     "mann_kendall_daily": MANN_KENDALL_SQL,
     "interarrival_burstiness_users": INTERARRIVAL_SQL,
     "zipf_fit_tokens": ZIPF_FIT_SQL,
+    "holt_linear_daily": HOLT_LINEAR_SQL,
+    "seasonal_naive_eval": SEASONAL_NAIVE_SQL,
+    "logreg_quality_fit": LOGREG_FIT_SQL,
 }

@@ -101,6 +101,8 @@ GOLDEN_QUERIES = [
     "mst_crawl_graph",
     "ktruss_crawl_graph",
     "isotonic_calibrate_scores",
+    "bridges_crawl_graph",
+    "articulation_points_graph",
 ]
 
 

@@ -165,3 +165,184 @@ def test_token_freq_topk_counts_matches_names(ray_session):
     cnt = Counter(t for txt in docs["text"] for t in txt.split(" "))
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert pairs == exp
+
+
+def _load_edges():
+    od = pq.read_table(os.path.join(SF, "orders.parquet"),
+                       columns=["o_custkey", "o_orderkey"]).to_pandas()
+    u = od["o_custkey"].to_numpy(np.int64)
+    v = od["o_orderkey"].to_numpy(np.int64) % 1500 + 1
+    a, b = np.minimum(u, v), np.maximum(u, v)
+    keep = a != b
+    return sorted(set(zip(a[keep].tolist(), b[keep].tolist())))
+
+
+def _components(nodes, edges):
+    adj = {n: [] for n in nodes}
+    for x, y in edges:
+        if x in adj and y in adj:
+            adj[x].append(y)
+            adj[y].append(x)
+    seen, comps = set(), 0
+    for n in nodes:
+        if n in seen:
+            continue
+        comps += 1
+        stack = [n]
+        seen.add(n)
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+    return comps
+
+
+def test_bridges_brute(ray_session):
+    """Tarjan bridges equal the per-edge-removal definition on the
+    sf0.001 graph (near-forest: most edges ARE bridges)."""
+    from rendler_ray.pipelines.queries import bridges_crawl_graph
+
+    out = bridges_crawl_graph(SF).to_pandas()
+    got = set(zip(out["a"].tolist(), out["b"].tolist()))
+    edges = _load_edges()
+    nodes = sorted({n for e in edges for n in e})
+    base = _components(nodes, edges)
+    expect = set()
+    for e in edges:
+        rest = [x for x in edges if x != e]
+        if _components(nodes, rest) > base:
+            expect.add(e)
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_articulation_brute(ray_session):
+    """Cut vertices equal the per-node-removal definition."""
+    from rendler_ray.pipelines.queries import articulation_points_graph
+
+    got = set(articulation_points_graph(SF).to_pandas()["node"])
+    edges = _load_edges()
+    nodes = sorted({n for e in edges for n in e})
+    base = _components(nodes, edges)
+    expect = set()
+    for n in nodes:
+        rest_nodes = [x for x in nodes if x != n]
+        rest_edges = [e for e in edges if n not in e]
+        # removing an isolated-after-removal component root still
+        # counts iff component count among REMAINING nodes grows
+        if _components(rest_nodes, rest_edges) > base:
+            expect.add(n)
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_bridges_known_graph():
+    """Path 1-2-3 + triangle 3-4-5: bridges (1,2),(2,3); cuts 2,3."""
+    from rendler_ray.functions.graph import bridges_articulation
+
+    a = np.array([1, 2, 3, 4, 5])
+    b = np.array([2, 3, 4, 5, 3])
+    br, cuts = bridges_articulation(a, b)
+    assert br == [(1, 2), (2, 3)]
+    assert cuts == [2, 3]
+
+
+def test_holt_linear_brute(ray_session):
+    """The emitted trajectory replays the recurrence exactly, starts
+    at (y1, 0), and the level stays inside the running data range."""
+    from rendler_ray.pipelines.queries import holt_linear_daily
+
+    out = holt_linear_daily(SF).to_pandas().sort_values("rn")
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["ts"]).to_pandas()
+    day = (ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    daily = sorted(Counter(day).items())
+    assert out["n"].tolist() == [n for _, n in daily]
+    l = b = 0.0
+    for i, (row, (_, y)) in enumerate(zip(out.itertuples(), daily)):
+        if i == 0:
+            l, b = float(y), 0.0
+        else:
+            l_new = (y + l + b) / 2.0
+            b = (l_new - l + b) / 2.0
+            l = l_new
+        assert row.level_e6 == math.floor(l * 1e6)
+        assert row.trend_e6 == math.floor(b * 1e6)
+    assert out.iloc[0]["level_e6"] == daily[0][1] * 1_000_000
+    assert out.iloc[0]["trend_e6"] == 0
+    counts = [n for _, n in daily]
+    assert min(counts) * 1e6 - 1 <= out["level_e6"].iloc[-1] \
+        <= max(counts) * 1e6 + abs(out["trend_e6"]).max()
+
+
+def test_seasonal_naive_brute(ray_session):
+    """MAE / APE sums agree with a dict-based recompute over the
+    calendar (not row-lag) definition."""
+    from rendler_ray.pipelines.queries import seasonal_naive_eval
+
+    out = seasonal_naive_eval(SF).to_pandas().iloc[0]
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["ts"]).to_pandas()
+    day = (ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    cnt = dict(Counter(day))
+    n_eval = sum_abs = sum_ape = 0
+    for d, y in sorted(cnt.items()):
+        if d - 7 not in cnt:
+            continue
+        err = abs(y - cnt[d - 7])
+        n_eval += 1
+        sum_abs += err
+        sum_ape += err * 1_000_000 // y
+    assert int(out["n_eval_days"]) == n_eval > 0
+    assert int(out["sum_abs_err"]) == sum_abs
+    assert int(out["mae_e6"]) == sum_abs * 1_000_000 // n_eval
+    assert int(out["sum_ape_e6"]) == sum_ape
+
+
+def test_logreg_fit_brute(ray_session):
+    """The 3-step GD trajectory matches a single-process recompute
+    (same rounding conventions), the first step moves the weights,
+    and training log-loss does not increase over the run."""
+    from rendler_ray.pipelines.queries import logreg_quality_fit
+
+    out = logreg_quality_fit(SF).to_pandas().sort_values("step")
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["n_chars", "lang"]).to_pandas()
+    x = docs["n_chars"].to_numpy(np.float64) / 1000.0
+    y = (docs["lang"] == "en").to_numpy(np.float64)
+    n = len(x)
+
+    def rha(v):
+        return np.where(v >= 0, np.floor(v + 0.5),
+                        np.ceil(v - 0.5)).astype(np.int64)
+
+    def loss(w0, w1):
+        m = (float(w0) + float(w1) * x) / 1e6
+        p = 1.0 / (1.0 + np.exp(-m))
+        eps = 1e-12
+        return float(-(y * np.log(p + eps)
+                       + (1 - y) * np.log(1 - p + eps)).mean())
+
+    w0 = w1 = 0
+    losses = [loss(0, 0)]
+    for step in range(3):
+        m = (float(w0) + float(w1) * x) / 1e6
+        p = 1.0 / (1.0 + np.exp(-m))
+        g0 = int(rha((p - y) * 1e6).sum())
+        g1 = int(rha(((p - y) * x) * 1e6).sum())
+        w0 -= g0 // (4 * n)
+        w1 -= g1 // (4 * n)
+        row = out.iloc[step]
+        assert int(row["n"]) == n
+        assert int(row["g0_e6"]) == g0
+        assert int(row["g1_e6"]) == g1
+        assert int(row["w0_e6"]) == w0
+        assert int(row["w1_e6"]) == w1
+        losses.append(loss(w0, w1))
+    assert (int(out.iloc[0]["w0_e6"]), int(out.iloc[0]["w1_e6"])) \
+        != (0, 0)
+    assert losses[-1] <= losses[0]
