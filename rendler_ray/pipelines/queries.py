@@ -19636,6 +19636,270 @@ SELECT 3, n_.n, w3_.g0, w3_.g1, CAST(w3_.w0 AS BIGINT),
 """
 
 
+def rich_club_graph(sf_dir: str, driver_max: int = 2_000_000):
+    """RICH-CLUB COEFFICIENT curve (Zhou & Mondragón 2004) of the
+    orders-derived test graph — do high-degree hubs preferentially
+    link to each other? For k ∈ {1, 2, 4, 8, 16}: the club is the
+    nodes with degree > k, and φ(k) = 2·E_k / (N_k(N_k−1)) is the
+    fraction of possible club-internal edges realized. EXACT integer
+    rationals (φ e6 = 2·E_k·10⁶ // (N_k(N_k−1))), hash-exact SQL.
+
+    Scale shape: one both-endpoints explode + a vertex-bounded degree
+    groupby; the degree table (gate-asserted ≤ ``driver_max`` rows)
+    broadcasts ONCE via ``ray.put`` and each edge batch counts its
+    club memberships vectorized — no per-k passes, no edge shuffle.
+    Past the gate the same semantics run as two hash joins of edges
+    against the degree table."""
+    edges = _orders_graph_edges(sf_dir)
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg_rows = (edges.map_batches(both_ends, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("c", alias_name="d"))
+                .take_all())  # bounded by the vertex count
+    assert len(deg_rows) <= driver_max, \
+        f"rich-club degree table gated at {driver_max} vertices"
+    deg = {int(r["v"]): int(r["d"]) for r in deg_rows}
+    ks = [1, 2, 4, 8, 16]
+    n_k = {k: sum(1 for d in deg.values() if d > k) for k in ks}
+    dref = ray.put(deg)
+
+    def club_edges(t: pa.Table) -> pa.Table:
+        dd = ray.get(dref)
+        da = pd.Series(t["a"].to_numpy(zero_copy_only=False)).map(dd) \
+            .to_numpy(np.int64)
+        db = pd.Series(t["b"].to_numpy(zero_copy_only=False)).map(dd) \
+            .to_numpy(np.int64)
+        m = np.minimum(da, db)
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "e": pa.array([int((m > k).sum()) for k in ks], pa.int64())})
+
+    e_rows = (edges.map_batches(club_edges, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("e", alias_name="e"))
+              .take_all())
+    e_k = {int(r["k"]): int(r["e"]) for r in e_rows}
+    phi = []
+    for k in ks:
+        nk = n_k[k]
+        phi.append(2 * e_k.get(k, 0) * 1_000_000 // (nk * (nk - 1))
+                   if nk >= 2 else 0)
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "n_nodes": pa.array([n_k[k] for k in ks], pa.int64()),
+        "n_edges": pa.array([e_k.get(k, 0) for k in ks], pa.int64()),
+        "phi_e6": pa.array(phi, pa.int64())})
+
+
+RICH_CLUB_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey <> o_orderkey % 1500 + 1),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY v),
+ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+nk AS (SELECT ks.k, CAST(count(deg.v) AS BIGINT) AS n_nodes
+       FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+ek AS (SELECT ks.k, CAST(count(d1) AS BIGINT) AS n_edges
+       FROM ks LEFT JOIN (
+         SELECT da.d AS d1, db.d AS d2
+         FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b)
+         ON least(d1, d2) > ks.k
+       GROUP BY ks.k)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes, ek.n_edges,
+       CASE WHEN nk.n_nodes >= 2
+            THEN CAST(2 * ek.n_edges * 1000000
+                      // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT)
+            ELSE 0 END AS phi_e6
+FROM nk JOIN ek ON ek.k = nk.k
+"""
+
+
+def user_journey_strings(sf_dir: str, topk: int = 10):
+    """TOP USER JOURNEYS — the path-analysis staple next to the
+    funnel: each user's first THREE event types (by ts, event_id)
+    joined `a>b>c`, ranked by how many users share the prefix
+    (count desc, journey asc — deterministic cut). Users with fewer
+    than 3 events don't form a journey.
+
+    Scale shape: one ``groupby(user_id)`` co-partition (per-group
+    head-3 + join), then a groupby over the journey vocabulary —
+    bounded by |event types|³, corpus-size-independent — and a ≤ that
+    driver sort."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 3:
+            return pd.DataFrame({"journey": np.array([], object)})
+        g = g.sort_values(["ts", "event_id"], kind="stable").head(3)
+        return pd.DataFrame(
+            {"journey": [">".join(g["event_type"].tolist())]})
+
+    rows = (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .groupby("journey").aggregate(Count(alias_name="n_users"))
+            .take_all())  # ≤ |event types|³ rows
+    rows.sort(key=lambda r: (-r["n_users"], r["journey"]))
+    rows = rows[:topk]
+    return pa.table({
+        "journey": pa.array([r["journey"] for r in rows], pa.string()),
+        "n_users": pa.array([int(r["n_users"]) for r in rows],
+                            pa.int64())})
+
+
+USER_JOURNEY_SQL = """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+j AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS journey
+      FROM r WHERE rn <= 3 GROUP BY user_id HAVING count(*) = 3)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY journey
+ORDER BY n_users DESC, journey LIMIT 10
+"""
+
+
+def gram_novelty_docs(sf_dir: str, driver_max: int = 5_000_000):
+    """Per-document GRAM NOVELTY — the redundancy accounting a
+    curriculum/mixing pipeline reads next to dup-span stats: of a
+    doc's DISTINCT word 5-grams, how many occur in NO earlier doc
+    (first occurrence = min doc_id over the corpus — the
+    vocab_growth_curve rule lifted from tokens to grams)?
+    novelty_e6 = n_novel·10⁶ // n_distinct. Exact integers; the
+    dup_span 128-bit hashed-gram convention (gram strings never leave
+    the explode task; two SipHash64 halves, collision odds ~n²/2¹²⁹).
+
+    Scale shape: one explode pass emits per-batch-DEDUP'd
+    (g1, g2, doc_id) rows; below the instance gate everything folds
+    on the driver through Arrow C++ hash aggregates (zero shuffles);
+    above it the identical semantics run distributed — a (g1, g2)
+    Min-groupby for first-owners, per-batch owner counts, and ONE
+    final groupby(doc_id) merging the distinct-count and novel-count
+    partials through a union (no join). Two-form equality
+    pytest-asserted."""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        grams, gpar, _ = F_text.kgram_rows(t["text"].combine_chunks(), 5)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gpar]
+        garr = np.asarray(grams, dtype=object)
+        g1 = pdu.hash_array(garr, categorize=False).view(np.int64)
+        g2 = pdu.hash_array(garr, hash_key="rendlernovelty2!",
+                            categorize=False).view(np.int64)
+        df = pd.DataFrame({"g1": g1, "g2": g2, "doc_id": ids}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def doc_totals(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "tf": pa.array(np.maximum(ntok - 4, 1),
+                                        pa.int64())})
+
+    tot = ds.map_batches(doc_totals, batch_format="pyarrow") \
+        .aggregate(Sum("tf", alias_name="tot"))["tot"] or 0
+    pairs = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    if tot <= driver_max:
+        ptbl = pa.concat_tables(
+            pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+        nd = pa.TableGroupBy(ptbl, "doc_id").aggregate([("g1", "count")])
+        mn = pa.TableGroupBy(ptbl, ["g1", "g2"]).aggregate(
+            [("doc_id", "min")])
+        nv = pa.TableGroupBy(mn, "doc_id_min").aggregate(
+            [("g1", "count")])
+        nvd = dict(zip(nv["doc_id_min"].to_pylist(),
+                       nv["g1_count"].to_pylist()))
+        doc = nd["doc_id"].to_pylist()
+        ndist = [int(v) for v in nd["g1_count"].to_pylist()]
+        nnov = [int(nvd.get(d, 0)) for d in doc]
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_distinct": pa.array(ndist, pa.int64()),
+            "n_novel": pa.array(nnov, pa.int64()),
+            "novelty_e6": pa.array(
+                [nv_ * 1_000_000 // nd_ for nv_, nd_ in
+                 zip(nnov, ndist)], pa.int64())})
+
+    # distributed: same semantics, two int-keyed exchanges, no join
+    pairs = pairs.materialize()
+
+    def dcount(t: pa.Table) -> pa.Table:
+        # materialize may split a doc's rows across blocks — partials
+        u, c = np.unique(t["doc_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "nd": pa.array(c.astype(np.int64), pa.int64()),
+                         "nv": pa.array(np.zeros(len(u), np.int64))})
+
+    def ocount(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["min(doc_id)"].to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "nd": pa.array(np.zeros(len(u), np.int64)),
+                         "nv": pa.array(c.astype(np.int64), pa.int64())})
+
+    owners = (pairs.groupby(["g1", "g2"])
+              .aggregate(Min("doc_id"))
+              .map_batches(ocount, batch_format="pyarrow"))
+    merged = (pairs.map_batches(dcount, batch_format="pyarrow")
+              .union(owners)
+              .groupby("doc_id")
+              .aggregate(Sum("nd", alias_name="n_distinct"),
+                         Sum("nv", alias_name="n_novel")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd_ = t["n_distinct"].to_numpy(zero_copy_only=False)
+        nv_ = t["n_novel"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_distinct": t["n_distinct"],
+            "n_novel": t["n_novel"],
+            "novelty_e6": pa.array(nv_ * 1_000_000 // nd_, pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+GRAM_NOVELTY_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 4)) AS i
+      FROM t WHERE len(toks) >= 5),
+gr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram FROM g
+       UNION ALL
+       SELECT doc_id, text AS gram FROM t WHERE len(toks) < 5),
+dg AS (SELECT DISTINCT doc_id, gram FROM gr),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+       FROM dg GROUP BY doc_id),
+mn AS (SELECT gram, min(doc_id) AS mdoc FROM dg GROUP BY gram),
+nv AS (SELECT mdoc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       FROM mn GROUP BY mdoc)
+SELECT nd.doc_id, nd.n_distinct,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(nv.n_novel, 0) * 1000000 // nd.n_distinct
+            AS BIGINT) AS novelty_e6
+FROM nd LEFT JOIN nv ON nv.doc_id = nd.doc_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -19952,6 +20216,9 @@ QUERIES = {
     "holt_linear_daily": holt_linear_daily,
     "seasonal_naive_eval": seasonal_naive_eval,
     "logreg_quality_fit": logreg_quality_fit,
+    "rich_club_graph": rich_club_graph,
+    "user_journey_strings": user_journey_strings,
+    "gram_novelty_docs": gram_novelty_docs,
 }
 
 ORACLES = {
@@ -20189,4 +20456,7 @@ ORACLES = {
     "holt_linear_daily": HOLT_LINEAR_SQL,
     "seasonal_naive_eval": SEASONAL_NAIVE_SQL,
     "logreg_quality_fit": LOGREG_FIT_SQL,
+    "rich_club_graph": RICH_CLUB_SQL,
+    "user_journey_strings": USER_JOURNEY_SQL,
+    "gram_novelty_docs": GRAM_NOVELTY_SQL,
 }

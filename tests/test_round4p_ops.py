@@ -346,3 +346,111 @@ def test_logreg_fit_brute(ray_session):
     assert (int(out.iloc[0]["w0_e6"]), int(out.iloc[0]["w1_e6"])) \
         != (0, 0)
     assert losses[-1] <= losses[0]
+
+
+def test_rich_club_brute(ray_session):
+    """φ(k) agrees with the definitional recompute; φ is a valid
+    fraction and the club shrinks as k grows."""
+    from rendler_ray.pipelines.queries import rich_club_graph
+
+    out = rich_club_graph(SF).to_pandas().set_index("k").sort_index()
+    edges = _load_edges()
+    deg = Counter()
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    prev_n = None
+    for k in (1, 2, 4, 8, 16):
+        nk = sum(1 for d in deg.values() if d > k)
+        ek = sum(1 for x, y in edges if deg[x] > k and deg[y] > k)
+        row = out.loc[k]
+        assert int(row["n_nodes"]) == nk
+        assert int(row["n_edges"]) == ek
+        exp = (2 * ek * 1_000_000 // (nk * (nk - 1))) if nk >= 2 else 0
+        assert int(row["phi_e6"]) == exp
+        assert 0 <= exp <= 1_000_000
+        if prev_n is not None:
+            assert nk <= prev_n
+        prev_n = nk
+
+
+def test_user_journey_brute(ray_session):
+    """Top-10 equals a pandas recompute with the same (count desc,
+    journey asc) cut; journeys are 3 steps."""
+    from rendler_ray.pipelines.queries import user_journey_strings
+
+    out = user_journey_strings(SF).to_pandas()
+    ev = pq.read_table(
+        os.path.join(SF, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    js = []
+    for _, g in ev.groupby("user_id"):
+        if len(g) < 3:
+            continue
+        g = g.sort_values(["ts", "event_id"], kind="stable").head(3)
+        js.append(">".join(g["event_type"].tolist()))
+    exp = sorted(Counter(js).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["journey"], out["n_users"])) == exp
+    assert all(j.count(">") == 2 for j in out["journey"])
+
+
+def _novelty_brute():
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    by_doc = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = txt.split(" ")
+        if len(toks) < 5:
+            gs = {txt}
+        else:
+            gs = {" ".join(toks[i:i + 5])
+                  for i in range(len(toks) - 4)}
+        by_doc[int(did)] = gs
+    first = {}
+    for did in sorted(by_doc):
+        for g in by_doc[did]:
+            first.setdefault(g, did)
+    return {did: (len(gs),
+                  sum(1 for g in gs if first[g] == did))
+            for did, gs in by_doc.items()}
+
+
+def test_gram_novelty_brute(ray_session):
+    """Per-doc distinct/novel counts match a set-based recompute; the
+    smallest doc_id is 100% novel; totals conserve (Σ novel = distinct
+    gram vocabulary)."""
+    from rendler_ray.pipelines.queries import gram_novelty_docs
+
+    out = gram_novelty_docs(SF).to_pandas().set_index("doc_id")
+    exp = _novelty_brute()
+    assert set(out.index) == set(exp)
+    vocab = set()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    for txt in docs["text"]:
+        toks = txt.split(" ")
+        vocab |= ({txt} if len(toks) < 5 else
+                  {" ".join(toks[i:i + 5])
+                   for i in range(len(toks) - 4)})
+    for did, (nd, nv) in exp.items():
+        row = out.loc[did]
+        assert int(row["n_distinct"]) == nd
+        assert int(row["n_novel"]) == nv
+        assert int(row["novelty_e6"]) == nv * 1_000_000 // nd
+    mind = min(exp)
+    assert int(out.loc[mind]["novelty_e6"]) == 1_000_000
+    assert int(out["n_novel"].sum()) == len(vocab)
+
+
+def test_gram_novelty_two_form(ray_session):
+    """The forced-distributed form (gate 0) equals the driver fold."""
+    from rendler_ray.pipelines.queries import gram_novelty_docs
+
+    a = gram_novelty_docs(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b_ds = gram_novelty_docs(SF, driver_max=0)
+    b = b_ds.to_pandas() if hasattr(b_ds, "to_pandas") else b_ds
+    if not isinstance(b, pd.DataFrame):
+        b = b.to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
