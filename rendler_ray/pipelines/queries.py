@@ -19900,6 +19900,266 @@ FROM nd LEFT JOIN nv ON nv.doc_id = nd.doc_id
 """
 
 
+def bigram_greedy_generate(sf_dir: str, steps: int = 15,
+                           driver_max: int = 5_000_000):
+    """GREEDY DECODING from a corpus-fitted bigram language model —
+    the engine fits an n-gram LM on-cluster and DECODES from it, the
+    classic Shannon'48 text-generation demo turned smoke test for the
+    whole fit+serve loop. Start = the corpus's most frequent token
+    (the shared freq-desc/token-asc cut), then ``steps`` greedy
+    argmax moves next = argmax_c count(prev, ·) with token-asc
+    tie-break; the walk stops early if the prefix has no successor.
+    Deterministic and EXACTLY SQL-expressible: the oracle replays the
+    identical argmax walk through a recursive CTE with a correlated
+    ORDER BY c DESC, w2 LIMIT 1 subquery (the random_walks_crawl
+    md5-rule precedent, but argmax instead of hash-mod).
+
+    Scale shape: one per-batch bigram combine feeds either a driver
+    Arrow fold (≤ ``driver_max`` combined rows — the pmi gate) or, at
+    scale, the distributed bigram groupby + ``steps`` broadcast-
+    filtered argmax probes (each a one-row sort+limit over the
+    prefix's successors). Two-form equality pytest-asserted."""
+    ds = _read(sf_dir, "documents", ["text"])
+    start = _token_freq_topk(ds, 1)
+    if not start:
+        return pa.table({"step": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string())})
+    cur = start[0]
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        same = par[:-1] == par[1:]
+        g = (pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same],
+                           "c": 1})
+             .groupby(["w1", "w2"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bg = ds.map_batches(bigrams, batch_format="pyarrow")
+    tables, nrows, over = [], 0, False
+    for b in bg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tables.append(b)
+        nrows += b.num_rows
+        if nrows > driver_max:
+            over = True
+            break
+
+    out = [(0, cur)]
+    if not over:
+        t = pa.concat_tables(tables).group_by(["w1", "w2"]) \
+            .aggregate([("c", "sum")]).rename_columns(["w1", "w2", "c"])
+        best = (t.to_pandas()
+                .sort_values(["w1", "c", "w2"],
+                             ascending=[True, False, True])
+                .drop_duplicates("w1").set_index("w1")["w2"])
+        for s in range(1, steps + 1):
+            if cur not in best.index:
+                break
+            cur = best[cur]
+            out.append((s, cur))
+    else:
+        bgd = (bg.groupby(["w1", "w2"])
+               .aggregate(Sum("c", alias_name="c")).materialize())
+        for s in range(1, steps + 1):
+            cand = (bgd.map_batches(
+                lambda t, p=cur: t.filter(pc.equal(t["w1"], p)),
+                batch_format="pyarrow")
+                .sort(["c", "w2"], descending=[True, False])
+                .limit(1).take_all())
+            if not cand:
+                break
+            cur = cand[0]["w2"]
+            out.append((s, cur))
+    return pa.table({
+        "step": pa.array([o[0] for o in out], pa.int64()),
+        "token": pa.array([o[1] for o in out], pa.string())})
+
+
+BIGRAM_GENERATE_SQL = """
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+g AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2),
+bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2,
+              CAST(count(*) AS BIGINT) AS c
+       FROM g GROUP BY w1, w2),
+st AS (SELECT token FROM (SELECT unnest(string_split(text, ' '))
+                            AS token FROM documents) tk
+       GROUP BY token ORDER BY count(*) DESC, token LIMIT 1),
+walk(step, token) AS (
+  SELECT CAST(0 AS BIGINT), token FROM st
+  UNION ALL
+  SELECT w.step + 1,
+         (SELECT w2 FROM bg WHERE w1 = w.token
+          ORDER BY c DESC, w2 LIMIT 1)
+  FROM walk w
+  WHERE w.step < 15
+    AND EXISTS (SELECT 1 FROM bg WHERE w1 = w.token))
+SELECT step, token FROM walk
+"""
+
+
+def length_bucket_batching(sf_dir: str, batch_rows: int = 32):
+    """LENGTH-BUCKETED BATCHING pad-waste report — the training-
+    efficiency measurement behind "sort by length before batching":
+    pack docs into fixed 32-row batches in ARRIVAL (doc_id) order vs
+    LENGTH-SORTED order and report padded tokens (Σ per-batch
+    max_len·rows) vs real tokens. waste_e6 = (padded − total)·10⁶ //
+    padded — exact integers, and sorted waste ≤ arrival waste by
+    construction (pytest-asserted).
+
+    Scale shape: one token-count pass, then per plan a global
+    zip-with-index (``with_row_seq`` — sort + metadata-only offsets),
+    a batch-id groupby (n/32 groups) and a 3-int scalar fold. The
+    sort is the point of the op: it's exactly the shuffle a real
+    length-bucketed loader pays."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({"doc_id": t["doc_id"],
+                         "ln": ntok.cast(pa.int64())})
+
+    L = ds.map_batches(lens, batch_format="pyarrow")
+    plans = (("arrival", ["doc_id"]), ("sorted", ["ln", "doc_id"]))
+    rows = []
+    for plan, keys in plans:
+        seq = with_row_seq(L, keys, start=0, column="seq")
+
+        def bid(t: pa.Table, B=batch_rows) -> pa.Table:
+            return pa.table({
+                "b": pa.array(t["seq"].to_numpy(zero_copy_only=False)
+                              // B, pa.int64()),
+                "ln": t["ln"]})
+
+        per = (seq.map_batches(bid, batch_format="pyarrow")
+               .groupby("b")
+               .aggregate(Max("ln", alias_name="mx"),
+                          Sum("ln", alias_name="sm"),
+                          Count(alias_name="n")))
+
+        def fold(t: pa.Table) -> pa.Table:
+            mx = t["mx"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            sm = t["sm"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "padded": pa.array([int((mx * n).sum())], pa.int64()),
+                "tot": pa.array([int(sm.sum())], pa.int64()),
+                "nb": pa.array([t.num_rows], pa.int64())})
+
+        parts = per.map_batches(fold, batch_format="pyarrow").take_all()
+        padded = sum(int(r["padded"]) for r in parts)
+        tot = sum(int(r["tot"]) for r in parts)
+        nb = sum(int(r["nb"]) for r in parts)
+        waste = (padded - tot) * 1_000_000 // padded if padded else 0
+        rows.append((plan, nb, tot, padded, waste))
+    return pa.table({
+        "plan": pa.array([r[0] for r in rows], pa.string()),
+        "n_batches": pa.array([r[1] for r in rows], pa.int64()),
+        "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "padded_tokens": pa.array([r[3] for r in rows], pa.int64()),
+        "waste_e6": pa.array([r[4] for r in rows], pa.int64())})
+
+
+LENGTH_BUCKET_SQL = """
+WITH l AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ln
+           FROM documents),
+a AS (SELECT ln, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b
+      FROM l),
+s AS (SELECT ln,
+             (row_number() OVER (ORDER BY ln, doc_id) - 1) // 32 AS b
+      FROM l),
+ga AS (SELECT b, max(ln) AS mx, sum(ln) AS sm, count(*) AS n
+       FROM a GROUP BY b),
+gs AS (SELECT b, max(ln) AS mx, sum(ln) AS sm, count(*) AS n
+       FROM s GROUP BY b),
+u AS (
+  SELECT 'arrival' AS plan, CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(sm) AS BIGINT) AS total_tokens,
+         CAST(sum(mx * n) AS BIGINT) AS padded_tokens FROM ga
+  UNION ALL
+  SELECT 'sorted', CAST(count(*) AS BIGINT),
+         CAST(sum(sm) AS BIGINT), CAST(sum(mx * n) AS BIGINT) FROM gs)
+SELECT plan, n_batches, total_tokens, padded_tokens,
+       CASE WHEN padded_tokens > 0
+            THEN CAST((padded_tokens - total_tokens) * 1000000
+                      // padded_tokens AS BIGINT)
+            ELSE 0 END AS waste_e6
+FROM u
+"""
+
+
+def event_seq_entropy(sf_dir: str):
+    """CONDITIONAL ENTROPY H(next | prev) of the event-type stream per
+    user — the sequence-predictability number that tells a
+    next-event model how much signal the transition structure holds
+    (0 bits = deterministic journeys, ln|types| = memoryless). Per
+    prev type: n = outgoing transitions, h_e6 = Σ_next
+    round((c/n)·ln(n/c)·10⁶) — per-(prev, next) terms e6-rounded
+    BEFORE the sum (the token-entropy convention) with the float tree
+    mirrored verbatim in SQL.
+
+    Scale shape: one groupby(user_id) co-partition emits per-group
+    (prev, next) pair counts; the transition table is bounded by
+    |event types|², so the fold is corpus-size-independent."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy(object)
+        if len(et) < 2:
+            return pd.DataFrame({"prev": np.array([], object),
+                                 "nxt": np.array([], object),
+                                 "c": np.array([], np.int64)})
+        return (pd.DataFrame({"prev": et[:-1], "nxt": et[1:], "c": 1})
+                .groupby(["prev", "nxt"], as_index=False).sum())
+
+    rows = (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .groupby(["prev", "nxt"])
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all())  # ≤ |event types|² rows
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["prev"]] = totals.get(r["prev"], 0) + int(r["c"])
+    h: dict[str, int] = {p: 0 for p in totals}
+    for r in rows:
+        c, n = int(r["c"]), totals[r["prev"]]
+        term = (c / n) * np.log(n / c) * 1_000_000.0
+        h[r["prev"]] += int(_round_half_away(np.array([term]))[0])
+    prevs = sorted(totals)
+    return pa.table({
+        "prev": pa.array(prevs, pa.string()),
+        "n": pa.array([totals[p] for p in prevs], pa.int64()),
+        "h_e6": pa.array([h[p] for p in prevs], pa.int64())})
+
+
+EVENT_SEQ_ENTROPY_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+p AS (SELECT event_type AS prev, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY prev, nxt),
+n_ AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY prev)
+SELECT p.prev, n_.n AS n,
+       CAST(sum(CAST(round((CAST(c AS DOUBLE) / n_.n)
+                           * ln(CAST(n_.n AS DOUBLE) / c)
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS h_e6
+FROM p JOIN n_ ON n_.prev = p.prev
+GROUP BY p.prev, n_.n
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -20219,6 +20479,9 @@ QUERIES = {
     "rich_club_graph": rich_club_graph,
     "user_journey_strings": user_journey_strings,
     "gram_novelty_docs": gram_novelty_docs,
+    "bigram_greedy_generate": bigram_greedy_generate,
+    "length_bucket_batching": length_bucket_batching,
+    "event_seq_entropy": event_seq_entropy,
 }
 
 ORACLES = {
@@ -20459,4 +20722,7 @@ ORACLES = {
     "rich_club_graph": RICH_CLUB_SQL,
     "user_journey_strings": USER_JOURNEY_SQL,
     "gram_novelty_docs": GRAM_NOVELTY_SQL,
+    "bigram_greedy_generate": BIGRAM_GENERATE_SQL,
+    "length_bucket_batching": LENGTH_BUCKET_SQL,
+    "event_seq_entropy": EVENT_SEQ_ENTROPY_SQL,
 }

@@ -454,3 +454,96 @@ def test_gram_novelty_two_form(ray_session):
         b = b.to_pandas()
     b = b.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_bigram_generate_brute(ray_session):
+    """The walk replays a dict-based greedy argmax (count desc, token
+    asc ties) from the corpus-top token; forced-distributed probes
+    produce the identical walk."""
+    from rendler_ray.pipelines.queries import bigram_greedy_generate
+
+    out = bigram_greedy_generate(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    uni = Counter()
+    bg = Counter()
+    for txt in docs["text"]:
+        toks = txt.split(" ")
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    cur = min(uni.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    walk = [cur]
+    for _ in range(15):
+        nxt = [(w2, c) for (w1, w2), c in bg.items() if w1 == cur]
+        if not nxt:
+            break
+        cur = min(nxt, key=lambda kv: (-kv[1], kv[0]))[0]
+        walk.append(cur)
+    assert out["token"].tolist() == walk
+    assert out["step"].tolist() == list(range(len(walk)))
+    dist = bigram_greedy_generate(SF, driver_max=0).to_pandas()
+    assert dist["token"].tolist() == walk
+
+
+def test_length_bucket_brute(ray_session):
+    """Pad-waste matches an explicit batching recompute for both
+    plans, and sorting never increases waste."""
+    from rendler_ray.pipelines.queries import length_bucket_batching
+
+    out = length_bucket_batching(SF).to_pandas().set_index("plan")
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    docs["ln"] = [len(t.split(" ")) for t in docs["text"]]
+
+    def plan_stats(ordered):
+        padded = tot = nb = 0
+        for i in range(0, len(ordered), 32):
+            chunk = ordered[i:i + 32]
+            padded += max(chunk) * len(chunk)
+            tot += sum(chunk)
+            nb += 1
+        return nb, tot, padded
+
+    arr = docs.sort_values("doc_id")["ln"].tolist()
+    srt = docs.sort_values(["ln", "doc_id"])["ln"].tolist()
+    for plan, ordered in (("arrival", arr), ("sorted", srt)):
+        nb, tot, padded = plan_stats(ordered)
+        row = out.loc[plan]
+        assert int(row["n_batches"]) == nb
+        assert int(row["total_tokens"]) == tot
+        assert int(row["padded_tokens"]) == padded
+        assert int(row["waste_e6"]) == (padded - tot) * 1_000_000 \
+            // padded
+    assert int(out.loc["sorted"]["waste_e6"]) \
+        <= int(out.loc["arrival"]["waste_e6"])
+
+
+def test_event_seq_entropy_brute(ray_session):
+    """Per-prev conditional entropy matches a Counter recompute; h is
+    non-negative and bounded by ln(successor fan-out)."""
+    from rendler_ray.pipelines.queries import event_seq_entropy
+
+    out = event_seq_entropy(SF).to_pandas().set_index("prev")
+    ev = pq.read_table(
+        os.path.join(SF, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    pairs = Counter()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        et = g["event_type"].tolist()
+        pairs.update(zip(et, et[1:]))
+    totals = Counter()
+    for (p, _), c in pairs.items():
+        totals[p] += c
+    for p, n in totals.items():
+        succ = {q: c for (a, q), c in pairs.items() if a == p}
+        h = 0
+        for c in succ.values():
+            t = (c / n) * math.log(n / c) * 1e6
+            h += int(math.floor(t + 0.5) if t >= 0
+                     else math.ceil(t - 0.5))
+        row = out.loc[p]
+        assert int(row["n"]) == n
+        assert int(row["h_e6"]) == h
+        assert 0 <= h <= math.log(len(succ)) * 1e6 + len(succ)
+    assert set(out.index) == set(totals)
