@@ -20160,6 +20160,240 @@ GROUP BY p.prev, n_.n
 """
 
 
+def seasonal_decompose_daily(sf_dir: str):
+    """ADDITIVE SEASONAL DECOMPOSITION of daily event volume (the
+    STL-lite y = trend + weekly seasonal + residual every traffic
+    dashboard draws): trend = centered 7-row moving sum·10⁶ // 7
+    (rows with a full window only), weekly seasonal = per-(day mod 7)
+    floor-mean of the detrended values (explicit floor-division CASE —
+    detrended values go negative), residual = the exact remainder, so
+    trend + seasonal + residual == y·10⁶ row-for-row by construction
+    (pytest-asserted). All integers, hash-exact.
+
+    Scale shape: the bounded daily fold (≤ 3653 rows/decade) + an
+    O(#days) driver pass; nothing beyond day-count partials
+    shuffles."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (ds.map_batches(days, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="c")))
+    rows = sorted((int(r["day"]), int(r["c"])) for r in daily.take_all())
+    D = len(rows)
+    recs = []  # (day, c, dow, trend_e6, det_e6)
+    for i in range(3, D - 3):
+        s7 = sum(c for _, c in rows[i - 3:i + 4])
+        day, c = rows[i]
+        tr = s7 * 1_000_000 // 7
+        recs.append((day, c, day % 7, tr, c * 1_000_000 - tr))
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    for _, _, dow, _, det in recs:
+        num[dow] = num.get(dow, 0) + det
+        den[dow] = den.get(dow, 0) + 1
+    sea = {d: num[d] // den[d] for d in num}  # python // floors
+    return pa.table({
+        "day": pa.array([r[0] for r in recs], pa.int64()),
+        "n": pa.array([r[1] for r in recs], pa.int64()),
+        "dow": pa.array([r[2] for r in recs], pa.int64()),
+        "trend7_e6": pa.array([r[3] for r in recs], pa.int64()),
+        "seasonal_e6": pa.array([sea[r[2]] for r in recs], pa.int64()),
+        "resid_e6": pa.array([r[4] - sea[r[2]] for r in recs],
+                             pa.int64())})
+
+
+SEASONAL_DECOMP_SQL = """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+w AS (SELECT day, c,
+             sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS k7
+      FROM d),
+t AS (SELECT day, c, day % 7 AS dow,
+             s7 * 1000000 // 7 AS trend7_e6,
+             c * 1000000 - s7 * 1000000 // 7 AS det_e6
+      FROM w WHERE k7 = 7),
+sea AS (SELECT dow, CAST(sum(det_e6) AS BIGINT) AS num,
+               CAST(count(*) AS BIGINT) AS den
+        FROM t GROUP BY dow),
+sef AS (SELECT dow,
+               CASE WHEN num >= 0 THEN num // den
+                    ELSE -(((-num) + den - 1) // den) END AS seasonal_e6
+        FROM sea)
+SELECT t.day, t.c AS n, t.dow, CAST(t.trend7_e6 AS BIGINT) AS trend7_e6,
+       CAST(sef.seasonal_e6 AS BIGINT) AS seasonal_e6,
+       CAST(t.det_e6 - sef.seasonal_e6 AS BIGINT) AS resid_e6
+FROM t JOIN sef ON sef.dow = t.dow
+"""
+
+
+def sorted_neighborhood_pairs(sf_dir: str, window: int = 4):
+    """SORTED-NEIGHBORHOOD record-linkage blocking (Hernández–Stolfo
+    SIGMOD'95) over customer names — the other classic ER blocking
+    next to the SymSpell deletion banding of
+    :func:`fuzzy_name_pairs`: sort the distinct keys once, compare
+    each key only with its ``window`` successors, verify edit
+    distance ≤ 1 exactly. Unlike the deletion banding this is
+    recall-LIMITED by construction (a true pair > ``window`` ranks
+    apart is missed) — the pytest measures that recall against the
+    complete fuzzy join, which is the operational point of the op.
+
+    Scale shape: one distinct groupby + one ``with_row_seq``
+    zip-with-index + ONE int-keyed hash join (each name emits
+    ``window`` probe rows keyed rank+j against the base keyed rank),
+    then a vectorized verify — no all-pairs, no string-keyed
+    exchange."""
+    from rendler_ray.util import with_row_seq
+
+    names = _read(sf_dir, "customer", ["c_name"]) \
+        .groupby("c_name").aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["c_name"]),
+                     batch_format="pyarrow")
+    seq = with_row_seq(names, ["c_name"], start=0, column="rnk")
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["rnk"], "name_a": t["c_name"]})
+
+    def probes(t: pa.Table, w=window) -> pa.Table:
+        r = t["rnk"].to_numpy(zero_copy_only=False)
+        nm = t["c_name"].to_numpy(zero_copy_only=False)
+        ks = np.concatenate([r + j for j in range(1, w + 1)])
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "name_b": pa.array(np.tile(nm, w), pa.string())})
+
+    cand = (seq.map_batches(probes, batch_format="pyarrow")
+            .join(seq.map_batches(base, batch_format="pyarrow"),
+                  join_type="inner", num_partitions=8, on=("k",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        # probes carry the LOWER-ranked name as name_b: in sorted
+        # order name_b < name_a, emit canonically (min, max)
+        a = t["name_b"].to_numpy(zero_copy_only=False)
+        b = t["name_a"].to_numpy(zero_copy_only=False)
+        keep = _ed_le1_mask(a, b)
+        return pa.table({"name_a": pa.array(a[keep], pa.string()),
+                         "name_b": pa.array(b[keep], pa.string())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH n AS (SELECT DISTINCT c_name FROM customer),
+r AS (SELECT c_name,
+             row_number() OVER (ORDER BY c_name) - 1 AS rnk FROM n)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM r a JOIN r b
+  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def doc_feature_corr_matrix(sf_dir: str):
+    """Pairwise PEARSON CORRELATION matrix over per-doc features
+    (n_chars, n_tokens, max token length) — the feature-EDA table a
+    quality-model owner reads before training (near-1 pairs are
+    redundant features). Integer moments (n, Σx, Σy, Σx², Σy², Σxy)
+    are exact through one shuffle-free combine; per pair
+    num = nΣxy − ΣxΣy and variances d1, d2 are exact ints, and the
+    only float is corr = num / sqrt(d1·d2) with the expression tree
+    mirrored verbatim in SQL, floor·10⁶ (the welch convention).
+
+    Scale shape: ONE corpus pass emitting a 1-row 10-int partial per
+    batch + a scalar driver fold — no shuffle at all."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["n_chars", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x1 = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        x2 = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tl = pc.utf8_length(pc.list_flatten(toks)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        x3 = np.zeros(t.num_rows, np.int64)
+        np.maximum.at(x3, par, tl)
+        cols = {"n": np.int64(t.num_rows)}
+        for nm, v in (("x1", x1), ("x2", x2), ("x3", x3)):
+            cols["s_" + nm] = v.sum()
+            cols["q_" + nm] = (v * v).sum()
+        for anm, bnm, a, b in (("x1", "x2", x1, x2),
+                               ("x1", "x3", x1, x3),
+                               ("x2", "x3", x2, x3)):
+            cols[f"p_{anm}{bnm}"] = (a * b).sum()
+        return pa.table({k: pa.array([int(v)], pa.int64())
+                         for k, v in cols.items()})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    tot = {k: sum(int(r[k]) for r in parts) for k in parts[0]}
+    n = tot["n"]
+    names = {"x1": "n_chars", "x2": "n_tokens", "x3": "max_tok_len"}
+    out = []
+    for a, b in (("x1", "x2"), ("x1", "x3"), ("x2", "x3")):
+        num = n * tot[f"p_{a}{b}"] - tot["s_" + a] * tot["s_" + b]
+        d1 = n * tot["q_" + a] - tot["s_" + a] ** 2
+        d2 = n * tot["q_" + b] - tot["s_" + b] ** 2
+        corr = (math.floor(num / math.sqrt(float(d1) * float(d2))
+                           * 1_000_000.0)
+                if d1 > 0 and d2 > 0 else 0)
+        out.append((names[a], names[b], corr))
+    return pa.table({
+        "feat_a": pa.array([o[0] for o in out], pa.string()),
+        "feat_b": pa.array([o[1] for o in out], pa.string()),
+        "n": pa.array([n] * len(out), pa.int64()),
+        "corr_e6": pa.array([o[2] for o in out], pa.int64())})
+
+
+DOC_FEATURE_CORR_SQL = """
+WITH f AS (SELECT CAST(n_chars AS BIGINT) AS x1,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+                  CAST((SELECT max(length(t.tok)) FROM
+                        unnest(string_split(text, ' ')) AS t(tok))
+                       AS BIGINT) AS x3
+           FROM documents),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(x3) AS HUGEINT) AS s3,
+             CAST(sum(x1 * x1) AS HUGEINT) AS q1,
+             CAST(sum(x2 * x2) AS HUGEINT) AS q2,
+             CAST(sum(x3 * x3) AS HUGEINT) AS q3,
+             CAST(sum(x1 * x2) AS HUGEINT) AS p12,
+             CAST(sum(x1 * x3) AS HUGEINT) AS p13,
+             CAST(sum(x2 * x3) AS HUGEINT) AS p23
+      FROM f),
+p AS (
+  SELECT 'n_chars' AS feat_a, 'n_tokens' AS feat_b, n,
+         n * p12 - s1 * s2 AS num, n * q1 - s1 * s1 AS d1,
+         n * q2 - s2 * s2 AS d2 FROM m
+  UNION ALL
+  SELECT 'n_chars', 'max_tok_len', n, n * p13 - s1 * s3,
+         n * q1 - s1 * s1, n * q3 - s3 * s3 FROM m
+  UNION ALL
+  SELECT 'n_tokens', 'max_tok_len', n, n * p23 - s2 * s3,
+         n * q2 - s2 * s2, n * q3 - s3 * s3 FROM m)
+SELECT feat_a, feat_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN CAST(floor(CAST(num AS DOUBLE)
+                            / sqrt(CAST(d1 AS DOUBLE)
+                                   * CAST(d2 AS DOUBLE))
+                            * 1000000.0) AS BIGINT)
+            ELSE 0 END AS corr_e6
+FROM p
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -20482,6 +20716,9 @@ QUERIES = {
     "bigram_greedy_generate": bigram_greedy_generate,
     "length_bucket_batching": length_bucket_batching,
     "event_seq_entropy": event_seq_entropy,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "doc_feature_corr_matrix": doc_feature_corr_matrix,
 }
 
 ORACLES = {
@@ -20725,4 +20962,7 @@ ORACLES = {
     "bigram_greedy_generate": BIGRAM_GENERATE_SQL,
     "length_bucket_batching": LENGTH_BUCKET_SQL,
     "event_seq_entropy": EVENT_SEQ_ENTROPY_SQL,
+    "seasonal_decompose_daily": SEASONAL_DECOMP_SQL,
+    "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
+    "doc_feature_corr_matrix": DOC_FEATURE_CORR_SQL,
 }

