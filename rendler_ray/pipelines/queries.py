@@ -20394,6 +20394,217 @@ FROM p
 """
 
 
+def revenue_pareto_customers(sf_dir: str):
+    """REVENUE PARETO (80/20) decile table — the BI staple: customers
+    ranked by total spend, split into 10 equal-rank deciles (decile 0
+    = top spenders), each with its customer count, spend, revenue
+    share and cumulative share. Exact integers: share_e6 =
+    spend·10⁶ // total, cumulative share as suffix-exact running
+    sums of spend (cum·10⁶ // total) so no rounding accumulates.
+
+    Scale shape: one orders groupby(custkey) (customer-bounded), one
+    ``with_row_seq`` zip-with-index over (spend, custkey), a 10-row
+    decile groupby, driver fold of 10 rows. Rank ties share a spend
+    value, so decile boundaries are deterministic."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _fixed_point(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        {"o_totalprice": 2})
+    spend = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="spend_c"))
+    n_cust = spend.count()
+    seq = with_row_seq(spend, ["spend_c", "o_custkey"], start=0,
+                       column="seq")
+
+    def decile(t: pa.Table, n=n_cust) -> pa.Table:
+        r = n - 1 - t["seq"].to_numpy(zero_copy_only=False)  # desc rank
+        return pa.table({
+            "decile": pa.array(r * 10 // n, pa.int64()),
+            "n_customers": pa.array(np.ones(t.num_rows, np.int64)),
+            "spend_c": t["spend_c"]})
+
+    rows = (seq.map_batches(decile, batch_format="pyarrow")
+            .groupby("decile")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("spend_c", alias_name="spend_c"))
+            .take_all())
+    rows.sort(key=lambda r: r["decile"])
+    total = sum(int(r["spend_c"]) for r in rows)
+    cum, cums = 0, []
+    for r in rows:
+        cum += int(r["spend_c"])
+        cums.append(cum)
+    return pa.table({
+        "decile": pa.array([int(r["decile"]) for r in rows], pa.int64()),
+        "n_customers": pa.array([int(r["n_customers"]) for r in rows],
+                                pa.int64()),
+        "spend_c": pa.array([int(r["spend_c"]) for r in rows],
+                            pa.int64()),
+        "share_e6": pa.array(
+            [int(r["spend_c"]) * 1_000_000 // total for r in rows],
+            pa.int64()),
+        "cum_share_e6": pa.array([c * 1_000_000 // total for c in cums],
+                                 pa.int64())})
+
+
+REVENUE_PARETO_SQL = """
+WITH s AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS spend_c
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT spend_c,
+             (row_number() OVER (ORDER BY spend_c DESC,
+                                 o_custkey DESC) - 1) * 10
+               // (SELECT count(*) FROM s) AS decile
+      FROM s),
+d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(spend_c) AS BIGINT) AS spend_c
+      FROM r GROUP BY decile),
+t AS (SELECT CAST(sum(spend_c) AS BIGINT) AS total FROM d)
+SELECT decile, n_customers, spend_c,
+       CAST(spend_c * 1000000 // t.total AS BIGINT) AS share_e6,
+       CAST(CAST(sum(spend_c) OVER (ORDER BY decile) AS BIGINT)
+            * 1000000 // t.total AS BIGINT) AS cum_share_e6
+FROM d, t
+"""
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION embedding statistics (dead/outlier-dim report) —
+    the vector-column data card a retrieval owner reads before
+    quantizing or pruning dims: per dim n, min, max, floor-mean and
+    variance of the e6 fixed-point values. Each element is rounded to
+    v_e6 = round(v·10⁶) FIRST (f32→f64 exact, the quantize-op
+    convention), so all moments are exact integers; mean uses the
+    explicit floor-division CASE (values go negative), variance is
+    var_e12 = (n·Σv² − (Σv)²) // n² — non-negative by Cauchy–Schwarz.
+
+    Scale shape: one corpus pass with per-batch per-dim partials
+    (dims × 5 ints per batch), one dim-bounded groupby (64 rows)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        if not len(emb):
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64())})
+        d = pc.list_value_length(emb)[0].as_py()
+        e = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), d)
+        v = _round_half_away(e * 1_000_000.0)
+        return pa.table({
+            "i": pa.array(np.arange(1, d + 1), pa.int64()),
+            "n": pa.array(np.full(d, len(t), np.int64)),
+            "s": pa.array(v.sum(0), pa.int64()),
+            "q": pa.array((v * v).sum(0), pa.int64()),
+            "mn": pa.array(v.min(0), pa.int64()),
+            "mx": pa.array(v.max(0), pa.int64())})
+
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("q", alias_name="q"),
+                       Min("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx"))
+            .take_all())  # one row per dimension
+    rows.sort(key=lambda r: r["i"])
+    mean, var = [], []
+    for r in rows:
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        mean.append(s // n)  # python floors
+        var.append((n * q - s * s) // (n * n))
+    return pa.table({
+        "i": pa.array([int(r["i"]) for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "mn": pa.array([int(r["mn"]) for r in rows], pa.int64()),
+        "mx": pa.array([int(r["mx"]) for r in rows], pa.int64()),
+        "mean_e6": pa.array(mean, pa.int64()),
+        "var_e12": pa.array(var, pa.int64())})
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH x AS (SELECT i,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS v
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)),
+g AS (SELECT i, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q,
+             CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+      FROM x GROUP BY i)
+SELECT CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n, mn, mx,
+       CAST(CASE WHEN s >= 0 THEN s // n
+                 ELSE -(((-s) + n - 1) // n) END AS BIGINT) AS mean_e6,
+       CAST((n * q - s * s) // (n * n) AS BIGINT) AS var_e12
+FROM g
+"""
+
+
+def gini_mean_difference_values(sf_dir: str):
+    """GINI COEFFICIENT of order value — the revenue-inequality number
+    next to the Lorenz/Pareto tables, computed from the closed-form
+    rank expression: with x sorted ascending (rank i = 1..n),
+    Σ|xᵢ−xⱼ| over pairs equals 2·Σ(2i−n−1)xᵢ, so
+    gini_e6 = Σ(2i−n−1)xᵢ·10⁶ // ((n−1)·Σx) — EXACT integers, no
+    pair explosion (ties make the coefficient independent of tie
+    order: equal x share a weight sum that depends only on the rank
+    SET). One global sort + zip-with-index replaces the O(n²) pair
+    scan.
+
+    Scale shape: one count aggregate, one ``with_row_seq``
+    (sort + metadata offsets), one weighted-sum scalar fold."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _fixed_point(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        {"o_totalprice": 2})
+    n = ds.count()
+    seq = with_row_seq(ds, ["o_totalprice", "o_orderkey"], start=1,
+                       column="i")
+
+    def wsum(t: pa.Table, n=n) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array([int(((2 * i - n - 1) * x).sum())],
+                          pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64())})
+
+    parts = seq.map_batches(wsum, batch_format="pyarrow").take_all()
+    w = sum(int(r["w"]) for r in parts)
+    s = sum(int(r["s"]) for r in parts)
+    gini = w * 1_000_000 // ((n - 1) * s) if n > 1 and s > 0 else 0
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "sum_c": pa.array([s], pa.int64()),
+                     "gini_e6": pa.array([gini], pa.int64())})
+
+
+GINI_MEAN_DIFF_SQL = """
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                  o_orderkey
+           FROM orders),
+r AS (SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS i FROM v),
+n_ AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM r),
+s AS (SELECT n_.n AS n, CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum((2 * CAST(i AS HUGEINT) - n_.n - 1) * x)
+                  AS HUGEINT) AS w
+      FROM r, n_ GROUP BY n_.n)
+SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_c,
+       CASE WHEN n > 1 AND sx > 0
+            THEN CAST(w * 1000000 // ((n - 1) * sx) AS BIGINT)
+            ELSE 0 END AS gini_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -20719,6 +20930,9 @@ QUERIES = {
     "seasonal_decompose_daily": seasonal_decompose_daily,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "doc_feature_corr_matrix": doc_feature_corr_matrix,
+    "revenue_pareto_customers": revenue_pareto_customers,
+    "embedding_dim_stats": embedding_dim_stats,
+    "gini_mean_difference_values": gini_mean_difference_values,
 }
 
 ORACLES = {
@@ -20965,4 +21179,7 @@ ORACLES = {
     "seasonal_decompose_daily": SEASONAL_DECOMP_SQL,
     "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
     "doc_feature_corr_matrix": DOC_FEATURE_CORR_SQL,
+    "revenue_pareto_customers": REVENUE_PARETO_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "gini_mean_difference_values": GINI_MEAN_DIFF_SQL,
 }
