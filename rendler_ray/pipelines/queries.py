@@ -19161,10 +19161,31 @@ def mann_kendall_daily(sf_dir: str):
     rows.sort()
     c = np.array([v for _, v in rows], np.int64)
     n = len(c)
-    iu = np.triu_indices(n, 1)
-    s_stat = int(np.sign(c[None, :] - c[:, None])[iu].sum()) if n > 1 \
-        else 0
-    _, tcnt = np.unique(c, return_counts=True)
+    # S = Σ_{i<j} sign(c_j − c_i) in O(n log n) via a Fenwick-tree
+    # inversion count over compressed value ranks (no n×n pair
+    # matrix — a decade of daily rows would transiently cost 100 MB):
+    # with T = C(n,2), tie_pairs = Σ_t C(t,2) and I = #{i<j: c_j<c_i},
+    # S = (T − tie_pairs) − 2I.
+    uniq, tcnt = np.unique(c, return_counts=True)
+    if n > 1:
+        ranks = np.searchsorted(uniq, c)  # 0-based compressed rank
+        tree = np.zeros(len(uniq) + 1, np.int64)
+        inv = 0
+        for done, r in enumerate(ranks):
+            i = int(r) + 1
+            le = 0  # earlier elements with rank ≤ r
+            while i > 0:
+                le += int(tree[i])
+                i -= i & (-i)
+            inv += done - le  # earlier strictly greater
+            i = int(r) + 1
+            while i < len(tree):
+                tree[i] += 1
+                i += i & (-i)
+        tie_pairs = int((tcnt.astype(object) * (tcnt - 1) // 2).sum())
+        s_stat = n * (n - 1) // 2 - tie_pairs - 2 * inv
+    else:
+        s_stat = 0
     ties = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcnt)
     var18 = n * (n - 1) * (2 * n + 5) - ties
     if var18 <= 0 or s_stat == 0:
@@ -20497,7 +20518,10 @@ def embedding_dim_stats(sf_dir: str):
         d = pc.list_value_length(emb)[0].as_py()
         e = emb.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64).reshape(len(t), d)
-        v = _round_half_away(e * 1_000_000.0)
+        # int64 BEFORE summing (not float64 — those partials are only
+        # exact below 2⁵³); int64 v² sums stay exact for any batch
+        # under ~9M rows of e6-scaled unit vectors.
+        v = _round_half_away(e * 1_000_000.0).astype(np.int64)
         return pa.table({
             "i": pa.array(np.arange(1, d + 1), pa.int64()),
             "n": pa.array(np.full(d, len(t), np.int64)),

@@ -12,7 +12,7 @@ import pytest
 from rendler_ray.__main__ import main
 
 
-def _run(capsys, argv):
+def _run(capsys, argv, keys):
     rc = main(argv)
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
@@ -20,20 +20,26 @@ def _run(capsys, argv):
     # Ray session may asynchronously flush a PREVIOUS test's worker
     # log lines into this capture window (e.g. the groupby
     # schema-hash warning) — those are not the CLI's output, so the
-    # contract is asserted over the JSON-parseable lines.
+    # contract is asserted over lines that parse to a dict carrying
+    # the expected summary keys (a stray JSON-shaped log line without
+    # them would still fail the count, and a CLI emitting extra
+    # summary-shaped lines fails it too).
     parsed = []
     for line in out:
         try:
-            parsed.append(json.loads(line))
+            obj = json.loads(line)
         except json.JSONDecodeError:
-            pass
+            continue
+        if isinstance(obj, dict) and set(keys) <= set(obj):
+            parsed.append(obj)
     assert len(parsed) == 1
     return parsed[0]
 
 
 def test_cli_query_hash(ray_session, capsys):
     s = _run(capsys, ["query", "q1_lineitem_agg",
-                      "--sf-dir", "/root/testdata/sf0.001"])
+                      "--sf-dir", "/root/testdata/sf0.001"],
+             keys=("rows", "value_hash"))
     assert s["rows"] == 6
     assert len(s["value_hash"]) == 16
 
@@ -42,7 +48,8 @@ def test_cli_query_parquet_out(ray_session, capsys, tmp_path):
     out = str(tmp_path / "q_out")
     s = _run(capsys, ["query", "top10_orders",
                       "--sf-dir", "/root/testdata/sf0.001",
-                      "--out", out])
+                      "--out", out],
+             keys=("rows", "out"))
     assert s["rows"] == 10 and s["out"] == out
     import ray.data as rd
 
@@ -57,7 +64,8 @@ def test_cli_query_unknown_name(ray_session):
 def test_cli_crawl(ray_session, capsys, tmp_path, small_docs):
     dot = str(tmp_path / "g.dot")
     s = _run(capsys, ["crawl", "--docs", small_docs, "--seeds", "1",
-                      "--max-depth", "2", "--dot", dot])
+                      "--max-depth", "2", "--dot", dot],
+             keys=("pages_fetched", "rounds", "seen"))
     assert s["pages_fetched"] > 0 and s["rounds"] >= 1
     assert s["seen"] >= s["pages_fetched"]
     text = open(dot).read()

@@ -1,0 +1,107 @@
+"""Round-5 op tests, batch 1: brute-force pytests for the three
+round-4 snapshot-commit ops that shipped with SQL oracles only
+(ADVICE r4) — revenue Pareto deciles, per-dimension embedding stats,
+and the Gini mean-difference coefficient."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    # DuckDB round() is half-away-from-zero
+    return (np.floor(np.abs(x) * 100 + 0.5) * np.sign(x)).astype(np.int64)
+
+
+def test_revenue_pareto_brute(ray_session):
+    """Decile counts/spends/shares agree with a python recompute of
+    the desc-rank decile split; cumulative shares are monotone and
+    end at ≈1; the Pareto property (decile 0 share is the largest)
+    holds."""
+    from rendler_ray.pipelines.queries import revenue_pareto_customers
+
+    out = revenue_pareto_customers(SF).to_pandas()
+    od = pq.read_table(os.path.join(SF, "orders.parquet"),
+                       columns=["o_custkey", "o_totalprice"]).to_pandas()
+    od["c"] = _cents(od["o_totalprice"].to_numpy())
+    spend = od.groupby("o_custkey")["c"].sum()
+    n = len(spend)
+    # desc rank, ties broken by custkey desc == asc (spend, custkey)
+    # rank r = n-1-i with i the asc position
+    order = sorted(zip(spend.to_numpy(), spend.index.to_numpy()))
+    dec = {}
+    for i, (s, _) in enumerate(order):
+        d = (n - 1 - i) * 10 // n
+        cnt, tot = dec.get(d, (0, 0))
+        dec[d] = (cnt + 1, tot + int(s))
+    total = sum(t for _, t in dec.values())
+    assert list(out["decile"]) == sorted(dec)
+    cum = 0
+    for _, row in out.iterrows():
+        d = int(row["decile"])
+        assert int(row["n_customers"]) == dec[d][0]
+        assert int(row["spend_c"]) == dec[d][1]
+        assert int(row["share_e6"]) == dec[d][1] * 1_000_000 // total
+        cum += dec[d][1]
+        assert int(row["cum_share_e6"]) == cum * 1_000_000 // total
+    shares = out["share_e6"].to_numpy()
+    assert shares[0] == shares.max()          # top decile dominates
+    assert int(out["cum_share_e6"].iloc[-1]) in (999_999, 1_000_000)
+    assert (np.diff(out["cum_share_e6"].to_numpy()) >= 0).all()
+
+
+def test_embedding_dim_stats_brute(ray_session):
+    """Per-dim n/min/max/mean/var agree with an exact big-int numpy
+    recompute; variance is non-negative (Cauchy–Schwarz) and dims are
+    1..64 exactly once."""
+    from rendler_ray.pipelines.queries import embedding_dim_stats
+
+    out = embedding_dim_stats(SF).to_pandas()
+    em = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                       columns=["embedding"])
+    e = np.vstack(em["embedding"].to_pylist()).astype(np.float64)
+    v = (np.floor(np.abs(e * 1e6) + 0.5) * np.sign(e)).astype(np.int64)
+    n, d = v.shape
+    assert list(out["i"]) == list(range(1, d + 1))
+    for j in range(d):
+        col = [int(x) for x in v[:, j]]
+        s, q = sum(col), sum(x * x for x in col)
+        row = out.iloc[j]
+        assert int(row["n"]) == n
+        assert int(row["mn"]) == min(col) and int(row["mx"]) == max(col)
+        assert int(row["mean_e6"]) == s // n  # python floor division
+        var = (n * q - s * s) // (n * n)
+        assert int(row["var_e12"]) == var
+        assert var >= 0
+
+
+def test_gini_mean_difference_brute(ray_session):
+    """gini_e6 equals the O(n²)-definition recompute Σ|xi−xj| /
+    (2n(n−1)x̄) on a subsample identity check via the closed form, and
+    the full-table closed form recomputed in exact python ints; the
+    coefficient is in [0, 1e6]."""
+    from rendler_ray.pipelines.queries import gini_mean_difference_values
+
+    out = gini_mean_difference_values(SF).to_pandas().iloc[0]
+    od = pq.read_table(os.path.join(SF, "orders.parquet"),
+                       columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    x = _cents(od["o_totalprice"].to_numpy())
+    keys = od["o_orderkey"].to_numpy()
+    order = np.lexsort((keys, x))
+    xs = [int(v) for v in x[order]]
+    n, s = len(xs), sum(xs)
+    w = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(xs))
+    gini = w * 1_000_000 // ((n - 1) * s)
+    assert int(out["n"]) == n and int(out["sum_c"]) == s
+    assert int(out["gini_e6"]) == gini
+    assert 0 <= gini <= 1_000_000
+    # closed form == pair-sum definition on a small prefix:
+    # gini = Σ_{i,j}|xi−xj| / (2·n·(n−1)·mean) with our (n−1) scaling
+    sub = xs[:200]
+    m = len(sub)
+    pair = sum(abs(a - b) for a in sub for b in sub)
+    wsub = sum((2 * (i + 1) - m - 1) * v for i, v in enumerate(sub))
+    assert pair == 2 * wsub  # Σ|xi−xj| == 2·Σ(2i−n−1)x(i) when sorted
