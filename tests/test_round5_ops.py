@@ -105,3 +105,90 @@ def test_gini_mean_difference_brute(ray_session):
     pair = sum(abs(a - b) for a in sub for b in sub)
     wsub = sum((2 * (i + 1) - m - 1) * v for i, v in enumerate(sub))
     assert pair == 2 * wsub  # Σ|xi−xj| == 2·Σ(2i−n−1)x(i) when sorted
+
+
+def test_phash_hot_bucket_salting(ray_session):
+    """Adversarial identical-thumbnail corpus (10k copies of one
+    pHash): the banded pair search must SALT the hot bucket into
+    ≤max_bucket sub-buckets instead of materializing one O(b²)
+    Hamming matrix — it completes with bounded per-task work, finds
+    only within-sub-bucket pairs (the documented Manku-style recall
+    trade), and an un-skewed corpus is untouched by the guard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rendler_ray.pipelines.queries import _phash_banded_pairs
+
+    n = 2_000
+    cap = 128  # small cap so the salted shape is exercised hard
+    sigs = rd.from_arrow(pa.table({
+        "ref": pa.array([f"r{i:05d}" for i in range(n)], pa.string()),
+        "phash": pa.array([0x0123456789ABCDEF] * n, pa.int64())}))
+    out = _phash_banded_pairs(sigs, ham_max=3, max_bucket=cap)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else out
+    import pandas as pd
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    # pairs exist (identical hashes ARE near-dups)...
+    assert len(got) > 0
+    assert (got["hamming"] == 0).all()
+    # ...but bounded: with the bucket split into ceil(n/cap) = 16
+    # sub-buckets per band, the pair count is far below all-pairs
+    # C(2k,2) ≈ 2M — the blowup the salt prevents.
+    assert len(got) < n * (n - 1) // 2 / 4
+    # un-skewed corpus: distinct hashes, salting is a no-op and exact
+    small = rd.from_arrow(pa.table({
+        "ref": pa.array(["a", "b", "c"], pa.string()),
+        "phash": pa.array([0, 1, 1 << 40], pa.int64())}))
+    sp = _phash_banded_pairs(small, ham_max=3, max_bucket=cap)
+    sp = sp.to_pandas() if not isinstance(sp, pd.DataFrame) else sp
+    # (a,b) at hamming 1, (a,c) at hamming 1 — (b,c) is hamming 2,
+    # also ≤ 3 and band-detectable
+    assert set(map(tuple, sp[["ref_a", "ref_b"]].to_numpy())) == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def _as_df(x):
+    import pandas as pd
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_betweenness_two_form(ray_session):
+    """Forced past the driver gate, the per-source Ray-task fan-out
+    over shared plasma edge blocks returns exactly the driver fold's
+    top-k table (Fraction arithmetic is order-independent)."""
+    from rendler_ray.pipelines.queries import betweenness_seed_sample
+
+    drv = _as_df(betweenness_seed_sample(SF))
+    dist = _as_df(betweenness_seed_sample(SF, driver_max=0))
+    assert drv.reset_index(drop=True).equals(dist.reset_index(drop=True))
+
+
+def test_bridges_articulation_two_form(ray_session):
+    """Forced past the driver gate, per-component Tarjan sharding
+    (CC labels → label join → one DFS task per component) returns the
+    SAME bridge/cut SETS as the whole-graph driver fold."""
+    from rendler_ray.pipelines.queries import (
+        articulation_points_graph, bridges_crawl_graph)
+
+    drv_b = _as_df(bridges_crawl_graph(SF))
+    dist_b = _as_df(bridges_crawl_graph(SF, driver_max=0))
+    assert set(map(tuple, drv_b[["a", "b"]].to_numpy())) == \
+        set(map(tuple, dist_b[["a", "b"]].to_numpy()))
+    assert len(dist_b) == len(drv_b)  # no dup emits across components
+
+    drv_c = _as_df(articulation_points_graph(SF))
+    dist_c = _as_df(articulation_points_graph(SF, driver_max=0))
+    assert set(drv_c["node"]) == set(dist_c["node"])
+    assert len(dist_c) == len(drv_c)
+
+
+def test_diameter_two_form(ray_session):
+    """Forced past the driver gate, the distributed double sweep
+    (BFS rounds ×2 + bounded argmax aggregates) returns the driver
+    fold's exact (ecc_seed, far_node, diameter_lb) row."""
+    from rendler_ray.pipelines.queries import graph_diameter_bound
+
+    drv = _as_df(graph_diameter_bound(SF))
+    dist = _as_df(graph_diameter_bound(SF, driver_max=0))
+    assert drv.reset_index(drop=True).equals(dist.reset_index(drop=True))
