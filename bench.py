@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     "sssp_bounded_graph",          # r4k: weighted BFS-round family
     "kendall_tau_docs",            # r4k: rank-correlation hist fold
     "winsorize_order_values",      # r4k: bisection order statistics
+    # r5 (VERDICT r4 #6): the graph heavies, tracked round-over-round
+    "mst_crawl_graph",             # r4n: distributed Borůvka forest
+    "ktruss_crawl_graph",          # r4o: k-truss support peeling
+    "scc_crawl_graph",             # r4f: SCC trim + label rounds
+    "bowtie_crawl_graph",          # r4f: Broder bow-tie decomposition
+    "label_prop_crawl",            # r4b: label-propagation communities
 ]
 
 
@@ -190,10 +196,15 @@ def main() -> None:
     if "--ops-only" in sys.argv:
         from rendler_ray.pipelines.queries import QUERIES
 
+        docs_dir = os.environ.get("RENDLER_OPS_DOCS_DIR", "")
         times: dict[str, float] = {}
         for name in OPS_SCALING_SUBSET:
+            # map passes read the larger docs-only replication (r5):
+            # at x10 they finish in ~0.5 s, so the 2-vs-8 ratio measured
+            # per-query fixed overhead, not the engine (VERDICT r4 #7)
+            d = docs_dir if (docs_dir and name in OPS_DOCS_HEAVY) else SF_DIR
             t0 = time.time()
-            _consume(QUERIES[name](SF_DIR))
+            _consume(QUERIES[name](d))
             times[name] = round(time.time() - t0, 3)
         print(json.dumps({"wall_s": round(sum(times.values()), 3),
                           "queries": times, "num_cpus": NUM_CPUS}))
@@ -276,10 +287,19 @@ OPS_SCALING_SUBSET = [
     "pack_training_sequences",
 ]
 
+# the sub-second stateless map passes: measured at ×10 they sit on a
+# ~0.5 s per-query fixed-cost floor (VERDICT r4 #7), so --scaling-ops
+# runs them over a ×50 documents-only replication where vectorized
+# compute dominates and the ratio measures the engine again
+OPS_DOCS_HEAVY = {"quality_scores", "classifier_score_docs"}
+
 OPS_SCALE_FACTOR = 10
+OPS_DOCS_FACTOR = 50
 
 
-def _scaled_ops_dir(factor: int = OPS_SCALE_FACTOR) -> str:
+def _scaled_ops_dir(factor: int = OPS_SCALE_FACTOR,
+                    tables: dict | None = None,
+                    tag: str = "ops") -> str:
     """Deterministic ×factor replication of the sf0.1 tables the ops
     subset reads (documents, events, lineitem), id-shifted per replica
     so group/key cardinalities scale with the data. Cached; derived
@@ -287,13 +307,14 @@ def _scaled_ops_dir(factor: int = OPS_SCALE_FACTOR) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/rendler_ray_bench/opsx{factor}"
+    out_dir = f"/tmp/rendler_ray_bench/{tag}x{factor}"
     marker = os.path.join(out_dir, "_built")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    shift_cols = {"documents": ["doc_id"], "events": ["user_id"],
-                  "lineitem": []}
+    shift_cols = tables if tables is not None else {
+        "documents": ["doc_id"], "events": ["user_id"],
+        "lineitem": []}
     for table, cols in shift_cols.items():
         t = pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"))
         reps = []
@@ -319,13 +340,17 @@ def scaling_ops() -> None:
     Ray processes, symmetric best-of-2 both legs;
     efficiency = (t_lo/t_hi)/4."""
     ops_dir = _scaled_ops_dir()
+    docs_dir = _scaled_ops_dir(OPS_DOCS_FACTOR,
+                               tables={"documents": ["doc_id"]},
+                               tag="opsdocs")
     lo, hi = 2, 8
     out = {}
     for n in (lo, hi):
         best = None
         for _ in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                       GRAFT_SF_DIR=ops_dir)
+                       GRAFT_SF_DIR=ops_dir,
+                       RENDLER_OPS_DOCS_DIR=docs_dir)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--ops-only"],
                 env=env, capture_output=True, text=True, timeout=3600)
@@ -344,20 +369,31 @@ def scaling_ops() -> None:
         q: round((out[lo]["queries"][q] / out[hi]["queries"][q])
                  / (hi / lo), 3)
         for q in out[lo]["queries"] if out[hi]["queries"].get(q)}
+    # q1 is the documented single-box IO floor (a local parquet read
+    # doesn't scale with cpus; on a real cluster reads parallelize
+    # across nodes' disks) — report the suite both with and without it
+    io_floor = {"q1_lineitem_agg"}
+    lo_c = sum(v for q, v in out[lo]["queries"].items()
+               if q not in io_floor)
+    hi_c = sum(v for q, v in out[hi]["queries"].items()
+               if q not in io_floor)
+    eff_compute = round((lo_c / hi_c) / (hi / lo), 3) if hi_c else None
     print(json.dumps({
         "metric": f"operator-suite scaling, {lo} vs {hi} cpus (N vs 4N)",
-        "sf": f"{SF_DIR} x{OPS_SCALE_FACTOR} (id-shifted replication)",
+        "sf": (f"{SF_DIR} x{OPS_SCALE_FACTOR} (id-shifted replication; "
+               f"map passes x{OPS_DOCS_FACTOR} docs)"),
         "runs": out,
         "speedup": round(tlo / thi, 3) if thi else None,
         "scaling_efficiency": eff,
+        "scaling_efficiency_excl_io_floor": eff_compute,
         "per_query_efficiency": per_q,
         "unit": "sec",
         "note": ("distributed-shape subset over replicated input; "
                  "size-gated ops excluded (their driver folds would "
-                 "measure the gate, not the engine); per-op numbers "
-                 "separate compute-bound shapes from the single-box "
-                 "IO floor (parquet reads don't scale with local "
-                 "cpus) and sub-second fixed-cost floors"),
+                 "measure the gate, not the engine); map passes run at "
+                 "x50 docs so vectorized compute dominates their ~0.5 s "
+                 "per-query fixed costs; q1 is the single-box IO floor "
+                 "(parquet reads don't scale with local cpus)"),
     }))
 
 
