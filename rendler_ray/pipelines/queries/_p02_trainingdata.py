@@ -1,20 +1,38 @@
 # ==================================================== training-data ops
 
 
+_DEDUP_DRIVER_MAX = 1 << 18  # (fingerprint, doc_id) rows; 40 B/row
+
+
 def dedup_exact_docs(sf_dir: str):
     """Exact dedup: content hash → keep the smallest doc_id per
-    distinct text (D1-shape at rest). The group count here is the
-    CORPUS cardinality, so the exchange runs on
+    distinct text (D1-shape at rest). Hashing is distributed; the
+    40-byte (fingerprint, doc_id) residue folds on the driver via
+    Arrow's C++ group_by under a row gate (r5 profile at sf0.1/×10:
+    driver 0.3 s vs sorted-agg 0.7-0.8 s vs native 0.6-2.2 s — the
+    residue is 100-5000× smaller than the text it summarizes).
+    Past the gate the exchange runs on
     ``functions/groupagg.py::sorted_group_agg`` (sort + per-block
     Arrow combine, bounded straddle fixup) — Ray's native aggregate
-    pays ~35 µs of Python per group, which at dedup cardinalities is
-    the dominant cost at any cluster size."""
+    pays ~35 µs of Python per group, which at dedup cardinalities
+    (groups ≈ corpus) dominates at any cluster size: measured 2.2 s
+    native vs 0.7 s sorted on the 200k-row leg at 2 cpus."""
+    import pyarrow.parquet as pq
+
     from rendler_ray.functions.groupagg import sorted_group_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(F_text.md5_fingerprint_batch,
                             batch_format="pyarrow").select_columns(
         ["fingerprint", "doc_id"])
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    if n_rows <= _DEDUP_DRIVER_MAX:
+        t = pa.concat_tables(hashed.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow"))
+        return (t.group_by("fingerprint")
+                .aggregate([("doc_id", "min")])
+                .rename_columns(["fingerprint", "doc_id"]))
     return sorted_group_agg(hashed, "fingerprint",
                             [("doc_id", "min", "doc_id")])
 

@@ -192,3 +192,20 @@ def test_diameter_two_form(ray_session):
     drv = _as_df(graph_diameter_bound(SF))
     dist = _as_df(graph_diameter_bound(SF, driver_max=0))
     assert drv.reset_index(drop=True).equals(dist.reset_index(drop=True))
+
+
+def test_dedup_exact_two_form(ray_session, monkeypatch):
+    """dedup_exact_docs' driver Arrow fold (below the row gate) and
+    the sorted_group_agg distributed form (forced past it) return the
+    identical (fingerprint, min doc_id) table."""
+    import pandas as pd
+
+    import rendler_ray.pipelines.queries as Q
+
+    drv = _as_df(Q.dedup_exact_docs(SF))
+    monkeypatch.setattr(Q, "_DEDUP_DRIVER_MAX", -1)
+    dist = _as_df(Q.dedup_exact_docs(SF))
+    key = ["fingerprint", "doc_id"]
+    a = drv[key].sort_values(key).reset_index(drop=True)
+    b = dist[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
