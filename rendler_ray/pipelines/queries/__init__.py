@@ -13,6 +13,8 @@ files (each <3k lines) for maintainability:
 - ``_p08_audits_stats``        audits (k-anon, Benford), sweeps, divisions
 - ``_p09_graph_search_ts``     Kendall/percentiles, PIT join, wildcard, MST
 - ``_p10_timeseries_er``       KMV algebra, ANOVA, seasonal, ER blocking
+- ``_p11_round5``              round-5 families (part margins, privacy,
+                               partition quality, mixing, CKA, …)
 - ``_registry``                the QUERIES / ORACLES dicts + driver window
 
 The parts are assembled into ONE shared module namespace (this
@@ -48,6 +50,7 @@ _PARTS = [
     "_p08_audits_stats",
     "_p09_graph_search_ts",
     "_p10_timeseries_er",
+    "_p11_round5",
     "_registry",
 ]
 

@@ -1,0 +1,209 @@
+# ==================================================== round-5 op families
+# (final-round additions: part-table coverage, privacy, graph-partition
+# quality, LLM mixing, embedding-representation analysis, lakehouse
+# time travel, summarization eval)
+
+
+def part_brand_margins(sf_dir: str):
+    """Fact-to-dimension profitability rollup over the PART table
+    (the one driver table no other entry read): lineitem ⨝ part on
+    partkey, margin = discounted revenue − retail cost, grouped by
+    brand. The dimension side (200…20k rows) broadcasts ONCE via
+    ``ray.put`` — a numpy searchsorted lookup inside each batch — so
+    the fact table never shuffles; the per-batch combine leaves ≤
+    |brands| rows per block for the final ≤25-group aggregate. All
+    money is per-ROW half-away-from-zero cents before any sum (the
+    established exact-integer convention)."""
+    part = pa.concat_tables(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    retail_cents = _round_half_away(
+        part["p_retailprice"].to_numpy().astype(np.float64)
+        * 100.0)[order].astype(np.int64)
+    dim_ref = ray.put((keys, brands, retail_cents))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys_, brands_, retail_ = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy()
+        idx = np.searchsorted(keys_, pk)
+        idx = np.clip(idx, 0, len(keys_) - 1)
+        hit = keys_[idx] == pk
+        idx, pk = idx[hit], pk[hit]
+        ext = t["l_extendedprice"].to_numpy()[hit].astype(np.float64)
+        disc = t["l_discount"].to_numpy()[hit].astype(np.float64)
+        qty = t["l_quantity"].to_numpy()[hit].astype(np.int64)
+        rev = _round_half_away((ext * (1.0 - disc)) * 100.0).astype(
+            np.int64)
+        cost = retail_[idx] * qty
+        df = pd.DataFrame({"p_brand": brands_[idx], "rev": rev,
+                           "cost": cost})
+        g = df.groupby("p_brand", sort=False).agg(
+            n_items=("rev", "size"), revenue_cents=("rev", "sum"),
+            retail_cost_cents=("cost", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("retail_cost_cents",
+                          alias_name="retail_cost_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "margin_cents", pc.subtract(t["revenue_cents"],
+                                        t["retail_cost_cents"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PART_BRAND_MARGINS_SQL = """
+SELECT p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS retail_cost_cents,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT))
+            - sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS margin_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def l_diversity_orders(sf_dir: str):
+    """Privacy audit beside k_anonymity_audit: l-diversity of the
+    sensitive attribute (custkey) within each quasi-identifier group
+    (order priority × order month). Two bounded aggregates: a
+    per-batch drop-duplicates combine feeds ONE (prio, month, cust)
+    distinct groupby, whose output (≤ groups × |custkeys| rows, each
+    carrying its multiplicity) collapses to the ≤60-row QI table —
+    the sensitive-value sets themselves never reach the driver."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderdate", "o_custkey"])
+
+    def triple(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "month": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+            "o_custkey": t["o_custkey"]})
+        return out.group_by(
+            ["o_orderpriority", "month", "o_custkey"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["o_orderpriority", "month", "o_custkey", "cnt"])
+
+    per_sensitive = (orders.map_batches(triple, batch_format="pyarrow")
+                     .groupby(["o_orderpriority", "month", "o_custkey"])
+                     .aggregate(Sum("cnt", alias_name="cnt")))
+    return (per_sensitive.groupby(["o_orderpriority", "month"])
+            .aggregate(Sum("cnt", alias_name="n_rows"),
+                       Count(alias_name="l_distinct")))
+
+
+L_DIVERSITY_SQL = """
+SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS month,
+       count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS l_distinct
+FROM orders
+GROUP BY o_orderpriority, month(o_orderdate)
+"""
+
+
+def partition_modularity_graph(sf_dir: str):
+    """Newman modularity of the HASH partitioner (community = node
+    % 16) over the shared orders-derived graph — the metric that
+    scores a distribution key's community quality before committing a
+    graph layout to it. One pass over the distinct edge list emits
+    per-batch ≤16-row partials (intra-community edge counts, degree
+    sums, edge totals); the ≤16-group fold computes each community's
+    exact-integer modularity term  (4·m·e_c − D_c²)·10⁶ // 4·m²
+    (floor division, HUGEINT-safe in the SQL mirror). No adjacency
+    structure is ever built."""
+    edges = _orders_graph_edges(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ca, cb = a % 16, b % 16
+        rows = {}
+        intra = np.bincount(ca[ca == cb], minlength=16)
+        dega = np.bincount(ca, minlength=16)
+        degb = np.bincount(cb, minlength=16)
+        nedge = np.bincount(ca, minlength=16)
+        rows = pa.table({
+            "community": pa.array(np.arange(16), pa.int64()),
+            "e_in": pa.array(intra, pa.int64()),
+            "deg_sum": pa.array(dega + degb, pa.int64()),
+            "n_edges": pa.array(nedge, pa.int64())})
+        return rows
+
+    agg = (edges.map_batches(partial, batch_format="pyarrow")
+           .groupby("community")
+           .aggregate(Sum("e_in", alias_name="e_in"),
+                      Sum("deg_sum", alias_name="deg_sum"),
+                      Sum("n_edges", alias_name="n_edges")))
+    t = pa.concat_tables(agg.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    m = int(pc.sum(t["n_edges"]).as_py() or 0)
+    comm = t["community"].to_numpy()
+    e_in = t["e_in"].to_numpy()
+    deg = t["deg_sum"].to_numpy()
+    keep = deg > 0
+    den = 4 * m * m
+    q_terms = [
+        int(1_000_000 * (4 * m * int(e) - int(d) * int(d))) // den
+        for e, d in zip(e_in[keep], deg[keep])]
+    order = np.argsort(comm[keep])
+    out = pa.table({
+        "community": pa.array(comm[keep][order], pa.int64()),
+        "e_in": pa.array(e_in[keep][order], pa.int64()),
+        "deg_sum": pa.array(deg[keep][order], pa.int64()),
+        "q_term_e6": pa.array(np.asarray(q_terms)[order], pa.int64())})
+    return out
+
+
+PARTITION_MODULARITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey != o_orderkey % 1500 + 1
+), m AS (SELECT count(*) AS m FROM e),
+deg AS (
+  SELECT v % 16 AS community, count(*) AS deg_sum
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v % 16
+), ein AS (
+  SELECT a % 16 AS community, count(*) AS e_in
+  FROM e WHERE a % 16 = b % 16 GROUP BY a % 16
+), q AS (
+  SELECT deg.community AS community,
+         COALESCE(ein.e_in, 0) AS e_in,
+         deg.deg_sum AS deg_sum,
+         1000000 * (4 * CAST(m.m AS HUGEINT) * COALESCE(ein.e_in, 0)
+                    - CAST(deg.deg_sum AS HUGEINT) * deg.deg_sum)
+           AS num,
+         4 * CAST(m.m AS HUGEINT) * m.m AS den
+  FROM deg LEFT JOIN ein ON deg.community = ein.community, m
+)
+SELECT CAST(community AS BIGINT) AS community,
+       CAST(e_in AS BIGINT) AS e_in,
+       CAST(deg_sum AS BIGINT) AS deg_sum,
+       CAST(CASE WHEN num >= 0 THEN num // den
+                 ELSE -(((-num) + den - 1) // den) END
+            AS BIGINT) AS q_term_e6
+FROM q
+ORDER BY community
+"""

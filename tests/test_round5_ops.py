@@ -209,3 +209,92 @@ def test_dedup_exact_two_form(ray_session, monkeypatch):
     a = drv[key].sort_values(key).reset_index(drop=True)
     b = dist[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_part_brand_margins_brute(ray_session):
+    """Broadcast-join rollup equals a pandas merge + groupby recompute
+    with the identical per-row cents rounding."""
+    import pandas as pd
+
+    from rendler_ray.pipelines.queries import part_brand_margins
+
+    out = _as_df(part_brand_margins(SF)).sort_values(
+        "p_brand").reset_index(drop=True)
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    pt = pq.read_table(os.path.join(SF, "part.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    m["rev"] = rha((m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy())) * 100.0)
+    m["cost"] = (rha(m["p_retailprice"].to_numpy() * 100.0)
+                 * m["l_quantity"].to_numpy().astype(np.int64))
+    g = m.groupby("p_brand").agg(
+        n_items=("rev", "size"), revenue_cents=("rev", "sum"),
+        retail_cost_cents=("cost", "sum")).reset_index()
+    g["margin_cents"] = g["revenue_cents"] - g["retail_cost_cents"]
+    g = g.sort_values("p_brand").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["p_brand", "n_items", "revenue_cents",
+             "retail_cost_cents", "margin_cents"]].astype(
+            {"n_items": np.int64}),
+        g.astype({"n_items": np.int64}))
+
+
+def test_l_diversity_brute(ray_session):
+    """Per-QI-group row counts and distinct-sensitive counts equal a
+    pandas nunique recompute; every group satisfies l >= 1 and
+    l <= n_rows."""
+    from rendler_ray.pipelines.queries import l_diversity_orders
+
+    out = _as_df(l_diversity_orders(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    od["month"] = od["o_orderdate"].dt.month.astype(np.int64)
+    g = od.groupby(["o_orderpriority", "month"]).agg(
+        n_rows=("o_custkey", "size"),
+        l_distinct=("o_custkey", "nunique")).reset_index()
+    a = out.sort_values(["o_orderpriority", "month"]).reset_index(
+        drop=True)
+    b = g.sort_values(["o_orderpriority", "month"]).reset_index(
+        drop=True)
+    assert (a["n_rows"].to_numpy() == b["n_rows"].to_numpy()).all()
+    assert (a["l_distinct"].to_numpy()
+            == b["l_distinct"].to_numpy()).all()
+    assert (a["l_distinct"] <= a["n_rows"]).all()
+
+
+def test_partition_modularity_brute(ray_session):
+    """Exact-integer modularity terms equal a Fraction recompute of
+    Newman's definition over the brute-force edge set, and the summed
+    Q matches sum(e_c/m - (D_c/2m)^2) within the 16-term floor
+    quantization."""
+    from fractions import Fraction
+
+    from rendler_ray.pipelines.queries import partition_modularity_graph
+
+    out = _as_df(partition_modularity_graph(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    a = od["o_custkey"].to_numpy()
+    b = (od["o_orderkey"].to_numpy() % 1500) + 1
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    edges = {(x, y) for x, y in zip(lo, hi) if x != y}
+    m = len(edges)
+    e_in, deg = {}, {}
+    for (x, y) in edges:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+        if x % 16 == y % 16:
+            e_in[x % 16] = e_in.get(x % 16, 0) + 1
+    D = {}
+    for v, d in deg.items():
+        D[v % 16] = D.get(v % 16, 0) + d
+    for _, r in out.iterrows():
+        c = int(r["community"])
+        assert int(r["e_in"]) == e_in.get(c, 0)
+        assert int(r["deg_sum"]) == D[c]
+        q = Fraction(4 * m * e_in.get(c, 0) - D[c] * D[c], 4 * m * m)
+        import math
+        assert int(r["q_term_e6"]) == math.floor(q * 1_000_000)
+    assert set(out["community"]) == set(D)
