@@ -207,3 +207,166 @@ SELECT CAST(community AS BIGINT) AS community,
 FROM q
 ORDER BY community
 """
+
+
+def unimax_mix_docs(sf_dir: str):
+    """UniMax language mixing (Chung et al. '23): spend a global doc
+    budget (half the corpus) as UNIFORMLY across languages as their
+    sizes allow — integer water-fill over the per-language counts
+    (languages smaller than the fair share keep everything; the slack
+    redistributes to the rest), then deterministic md5-rank membership
+    per language (the temperature-mix convention, salt ``-ux1``).
+    The count table and the ≤|langs|-step water-fill are O(langs)
+    driver state; each batch pre-prunes to its local per-lang quota so
+    the groupby(lang) finisher never sees the corpus. The SQL oracle
+    replays the identical fill through a recursive CTE in (n, lang)
+    order."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    cnt = ds.groupby("lang").aggregate(Count(alias_name="n")).take_all()
+    rows = sorted((int(r["n"]), r["lang"]) for r in cnt)
+    budget = sum(n for n, _ in rows) // 2
+    quota, remaining, left = {}, budget, len(rows)
+    for n, lang in rows:
+        fair = remaining // left
+        take = min(n, fair)
+        quota[lang] = take
+        remaining -= take
+        left -= 1
+    qref = ray.put(quota)
+
+    def rank_filter(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(f"{i}-ux1".encode()).hexdigest())
+        df = df.assign(_h=h)
+        rk = df.groupby("lang", sort=False)["_h"].rank(method="first")
+        return df[rk <= df["lang"].map(qm)]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_filter(g)[["doc_id", "lang"]]
+
+    pruned = ds.map_batches(rank_filter, batch_format="pandas")
+    return pruned.groupby("lang").map_groups(finish,
+                                             batch_format="pandas")
+
+
+UNIMAX_MIX_SQL = """
+WITH RECURSIVE cnt AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n) // 2 AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS l FROM cnt
+), ord AS (
+  SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS rn FROM cnt
+), wf AS (
+  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS lang,
+         CAST(0 AS BIGINT) AS quota, tot.b AS remaining,
+         tot.l AS l_left
+  FROM tot
+  UNION ALL
+  SELECT o.rn, o.lang,
+         least(o.n, wf.remaining // wf.l_left) AS quota,
+         wf.remaining - least(o.n, wf.remaining // wf.l_left),
+         wf.l_left - 1
+  FROM wf JOIN ord o ON o.rn = wf.rn + 1
+), q AS (SELECT lang, quota FROM wf WHERE rn > 0)
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '-ux1')) AS rn
+  FROM documents d JOIN q USING (lang))
+WHERE rn <= quota
+"""
+
+
+def doremi_domain_weights(sf_dir: str):
+    """DoReMi-shaped domain reweighting (Xie et al. '23, one-proxy
+    simplification): three exponentiated-gradient steps over the
+    per-SOURCE proxy loss (1 − stopword fraction — the corpus's own
+    fluency signal), starting from uniform weights. Every update is
+    order-free and integer-exact between steps: the per-source loss
+    comes from two exact integer sums (one bounded groupby), each step
+    quantizes w·exp(η·loss) to an int64 BEFORE the normalizing sum
+    (the per-addend-fixed-point convention), and renormalization is
+    integer division — so the only floats are the per-source scalar
+    expression trees, mirrored verbatim in the unrolled 3-stage SQL
+    (numpy exp and DuckDB exp bit-agree — the logreg precedent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    per_src = (ds.map_batches(F_text.quality_batch,
+                              batch_format="pyarrow")
+               .select_columns(["source", "n_tokens", "n_stopwords"])
+               .groupby("source")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_tokens", alias_name="t"),
+                          Sum("n_stopwords", alias_name="s")))
+    rows = sorted(per_src.take_all(), key=lambda r: r["source"])
+    L = len(rows)
+    srcs = [r["source"] for r in rows]
+    n_docs = np.array([int(r["n_docs"]) for r in rows], np.int64)
+    t = np.array([int(r["t"]) for r in rows], np.int64)
+    s = np.array([int(r["s"]) for r in rows], np.int64)
+    assert (t > 0).all()
+    loss = 1.0 - (s.astype(np.float64) / t.astype(np.float64))
+    w = np.full(L, 1_000_000 // L, dtype=np.int64)
+    for _ in range(3):
+        u = _round_half_away(
+            w.astype(np.float64) * np.exp(0.5 * loss)).astype(np.int64)
+        z = int(u.sum())
+        w = np.array([int(ui) * 1_000_000 // z for ui in u], np.int64)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(n_docs, pa.int64()),
+        "loss_e6": pa.array(np.floor(1e6 * loss).astype(np.int64),
+                            pa.int64()),
+        "weight_e6": pa.array(w, pa.int64())})
+
+
+DOREMI_SQL = """
+WITH f AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS nt,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) AS ns
+  FROM documents
+), b AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS t, CAST(sum(ns) AS BIGINT) AS s
+  FROM f GROUP BY source
+), l AS (SELECT CAST(count(*) AS BIGINT) AS l FROM b),
+base AS (
+  SELECT source, n_docs,
+         1 - CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS loss
+  FROM b
+), s1 AS (
+  SELECT source, n_docs, loss,
+         CAST(round((1000000 // l.l) * exp(0.5 * loss)) AS BIGINT) AS u
+  FROM base, l
+), w1 AS (
+  SELECT source, n_docs, loss,
+         CAST((u * 1000000) // (SELECT sum(u) FROM s1) AS BIGINT) AS w
+  FROM s1
+), s2 AS (
+  SELECT source, n_docs, loss,
+         CAST(round(w * exp(0.5 * loss)) AS BIGINT) AS u
+  FROM w1
+), w2 AS (
+  SELECT source, n_docs, loss,
+         CAST((u * 1000000) // (SELECT sum(u) FROM s2) AS BIGINT) AS w
+  FROM s2
+), s3 AS (
+  SELECT source, n_docs, loss,
+         CAST(round(w * exp(0.5 * loss)) AS BIGINT) AS u
+  FROM w2
+), w3 AS (
+  SELECT source, n_docs, loss,
+         CAST((u * 1000000) // (SELECT sum(u) FROM s3) AS BIGINT) AS w
+  FROM s3
+)
+SELECT source, n_docs,
+       CAST(floor(1000000 * loss) AS BIGINT) AS loss_e6,
+       w AS weight_e6
+FROM w3
+"""

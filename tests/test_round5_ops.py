@@ -298,3 +298,69 @@ def test_partition_modularity_brute(ray_session):
         import math
         assert int(r["q_term_e6"]) == math.floor(q * 1_000_000)
     assert set(out["community"]) == set(D)
+
+
+def test_unimax_brute(ray_session):
+    """Water-fill quotas match a pure-python recompute; per-language
+    selections are exactly the md5-rank-top-quota sets; the spent
+    budget equals half the corpus."""
+    import hashlib
+
+    from rendler_ray.pipelines.queries import unimax_mix_docs
+
+    out = _as_df(unimax_mix_docs(SF))
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "lang"]).to_pandas()
+    counts = d.groupby("lang").size().sort_values(kind="stable")
+    rows = sorted((int(n), l) for l, n in counts.items())
+    budget = len(d) // 2
+    remaining, left, quota = budget, len(rows), {}
+    for n, lang in rows:
+        take = min(n, remaining // left)
+        quota[lang] = take
+        remaining -= take
+        left -= 1
+    got = out.groupby("lang").size().to_dict()
+    assert got == {k: v for k, v in quota.items() if v > 0}
+    assert len(out) == budget - remaining
+    assert len(out) == budget  # corpus is bigger than the budget here
+    for lang, grp in d.groupby("lang"):
+        ranked = sorted(
+            grp["doc_id"],
+            key=lambda i: hashlib.md5(f"{i}-ux1".encode()).hexdigest())
+        want = set(ranked[:quota[lang]])
+        assert set(out[out["lang"] == lang]["doc_id"]) == want
+
+
+def test_doremi_brute(ray_session):
+    """Weights replay exactly in scalar python; they sum to ~1e6 (the
+    integer-division remainder bound) and are monotone in the proxy
+    loss (the exponentiated-gradient property from a uniform init)."""
+    import math
+
+    from rendler_ray.pipelines.queries import doremi_domain_weights
+
+    out = _as_df(doremi_domain_weights(SF)).sort_values(
+        "source").reset_index(drop=True)
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["text", "source"]).to_pandas()
+    stop = {"the", "a", "of", "to", "and", "in", "is", "it"}
+    d["nt"] = d["text"].str.split(" ").map(len)
+    d["ns"] = d["text"].str.split(" ").map(
+        lambda ts: sum(1 for x in ts if x in stop))
+    g = d.groupby("source").agg(n=("nt", "size"), t=("nt", "sum"),
+                                s=("ns", "sum")).sort_index()
+    loss = [1.0 - (float(s) / float(t))
+            for s, t in zip(g["s"], g["t"])]
+    L = len(g)
+    w = [1_000_000 // L] * L
+    for _ in range(3):
+        u = [int(math.floor(abs(wi * math.exp(0.5 * li)) + 0.5))
+             for wi, li in zip(w, loss)]
+        z = sum(u)
+        w = [ui * 1_000_000 // z for ui in u]
+    assert list(out["weight_e6"]) == w
+    assert abs(sum(w) - 1_000_000) <= L
+    order = np.argsort(loss)
+    ws = np.asarray(w)[order]
+    assert (np.diff(ws) >= 0).all()
