@@ -370,3 +370,262 @@ SELECT source, n_docs,
        w AS weight_e6
 FROM w3
 """
+
+
+def embedding_cka_halves(sf_dir: str):
+    """Uncentered linear CKA between the two HALVES of the embedding
+    space (dims 1-32 vs 33-64) — the representation-similarity probe
+    (Kornblith ICML'19) a layer/dimension ablation runs before
+    truncating embeddings (Matryoshka-style). One shuffle-free stats
+    pass: each batch e6-fixes its vectors and emits three 32×32
+    integer cross-moment partials (XᵀY, XᵀX, YᵀY) as 1024 rows; a
+    1024-group aggregate folds them, and the driver computes the three
+    Frobenius sums as exact Python ints (c² overflows int64 — the
+    anova two-limb precedent). The ONLY float is the final mirrored
+    scalar tree 10⁶·Sxy/√(Sxx·Syy). Per-batch int64 partials are safe
+    while Σ|e6·x|·max|e6·y| < 2⁶³ per dim pair — asserted."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    ii, jj = np.meshgrid(np.arange(1, 33), np.arange(1, 33),
+                         indexing="ij")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        assert np.abs(v).max() < 4.0
+        e = _round_half_away(v * 1e6).astype(np.int64)
+        x, y = e[:, :32], e[:, 32:]
+        return pa.table({
+            "i": pa.array(ii.ravel(), pa.int64()),
+            "j": pa.array(jj.ravel(), pa.int64()),
+            "cxy": pa.array((x.T @ y).ravel(), pa.int64()),
+            "cxx": pa.array((x.T @ x).ravel(), pa.int64()),
+            "cyy": pa.array((y.T @ y).ravel(), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["i", "j"])
+           .aggregate(Sum("cxy", alias_name="cxy"),
+                      Sum("cxx", alias_name="cxx"),
+                      Sum("cyy", alias_name="cyy")))
+    t = pa.concat_tables(agg.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    sxy = sum(int(c) * int(c) for c in t["cxy"].to_pylist())
+    sxx = sum(int(c) * int(c) for c in t["cxx"].to_pylist())
+    syy = sum(int(c) * int(c) for c in t["cyy"].to_pylist())
+    cka_e6 = int(np.floor(
+        1000000 * (np.float64(sxy)
+                   / np.sqrt(np.float64(sxx) * np.float64(syy)))))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "cka_e6": pa.array([cka_e6], pa.int64())})
+
+
+EMBEDDING_CKA_SQL = """
+WITH x AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+), cm AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS c
+  FROM x a JOIN x b USING (vec_id)
+  WHERE NOT (a.i > 32 AND b.i <= 32)
+  GROUP BY a.i, b.i
+), s AS (
+  SELECT
+    sum(CASE WHEN i <= 32 AND j > 32 THEN c * c END) AS sxy,
+    sum(CASE WHEN i <= 32 AND j <= 32 THEN c * c END) AS sxx,
+    sum(CASE WHEN i > 32 AND j > 32 THEN c * c END) AS syy
+  FROM cm
+)
+SELECT (SELECT count(*) FROM embeddings) AS n,
+       CAST(floor(1000000 * (CAST(sxy AS DOUBLE)
+                             / sqrt(CAST(sxx AS DOUBLE)
+                                    * CAST(syy AS DOUBLE))))
+            AS BIGINT) AS cka_e6
+FROM s
+"""
+
+
+def docs_time_travel_read(sf_dir: str):
+    """Lakehouse TIME TRAVEL: versioned snapshots + read-as-of. v0 is
+    the base documents table; v1 applies the deterministic CDC batch
+    (the merge_upsert semantics). Each version's parquet files land in
+    their own directory and a manifest records version → file list
+    (the Iceberg/Delta snapshot-log shape); the read-as-of path opens
+    EXACTLY the manifest's files — never a directory listing — so a
+    later compaction/vacuum can't change what a pinned version reads.
+    The audit output (row count / checksum sums per version) is
+    computed from the READ-BACK files, so the oracle pins the on-disk
+    artifact, not the in-memory plan. Bounded per-batch partials +
+    driver fold; nothing but the ≤2·#blocks stat rows leaves the
+    cluster."""
+    import json
+
+    root = os.path.join(
+        "/tmp/rendler_ray_tt",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}")
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+    v1 = merge_upsert_docs(sf_dir)
+    manifest = {}
+    for ver, ds in ((0, base), (1, v1)):
+        vdir = os.path.join(root, f"v{ver}")
+        os.makedirs(vdir, exist_ok=True)
+        for f in os.listdir(vdir):
+            os.unlink(os.path.join(vdir, f))
+        ds.write_parquet(vdir)
+        manifest[ver] = sorted(
+            os.path.join(vdir, f) for f in os.listdir(vdir)
+            if f.endswith(".parquet"))
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({str(k): v for k, v in manifest.items()}, f)
+
+    with open(os.path.join(root, "manifest.json")) as f:
+        mf = json.load(f)
+
+    def stats(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "sum_n_chars": pa.array(
+                [int(pc.sum(t["n_chars"]).as_py() or 0)], pa.int64()),
+            "sum_doc_id": pa.array(
+                [int(pc.sum(t["doc_id"]).as_py() or 0)], pa.int64()),
+            "n_patched": pa.array(
+                [int((src == "patched").sum())], pa.int64())})
+
+    out_rows = []
+    for ver in sorted(mf):
+        ds = rd.read_parquet(mf[ver])
+        parts = pa.concat_tables(
+            ds.map_batches(stats, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        out_rows.append({
+            "version": int(ver),
+            "n_rows": int(pc.sum(parts["n_rows"]).as_py()),
+            "sum_n_chars": int(pc.sum(parts["sum_n_chars"]).as_py()),
+            "sum_doc_id": int(pc.sum(parts["sum_doc_id"]).as_py()),
+            "n_patched": int(pc.sum(parts["n_patched"]).as_py())})
+    return pa.Table.from_pylist(out_rows)
+
+
+TIME_TRAVEL_SQL = """
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, n_chars + 1000 AS n_chars,
+         'patched' AS source FROM documents WHERE doc_id % 97 = 3
+  UNION ALL
+  SELECT doc_id, 'D', 0, '' FROM documents WHERE doc_id % 97 = 7
+  UNION ALL
+  SELECT doc_id + 1000000000, 'I', n_chars, 'inserted'
+  FROM documents WHERE doc_id % 97 = 11
+), v1 AS (
+  SELECT d.doc_id,
+         CASE WHEN ch.op = 'U' THEN ch.n_chars ELSE d.n_chars END
+           AS n_chars,
+         CASE WHEN ch.op = 'U' THEN 'patched' ELSE d.source END
+           AS source
+  FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
+  WHERE ch.op IS NULL OR ch.op != 'D'
+  UNION ALL
+  SELECT doc_id, n_chars, source FROM ch WHERE op = 'I'
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(count(*) FILTER (source = 'patched') AS BIGINT)
+         AS n_patched
+FROM documents
+UNION ALL
+SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(count(*) FILTER (source = 'patched') AS BIGINT)
+FROM v1
+"""
+
+
+def rouge_l_adjacent_pairs(sf_dir: str):
+    """ROUGE-L between each document and its successor within the same
+    source (the summarization/paraphrase eval primitive, Lin '04) —
+    token-level LCS over the first 64 whitespace tokens. Pairing is
+    the sorted-neighborhood shape: one global sort + distributed
+    zip-with-index (``with_row_seq``) + ONE int-keyed successor join —
+    never a per-source group pull. The LCS DP is vectorized across the
+    PAIR axis: 64×64 scalar steps of numpy maximum over the whole
+    batch (token ids from an exact per-batch ``np.unique`` encode, so
+    no hash collisions), i.e. the loop is over token positions, not
+    rows. Output is exact-integer (lcs, truncated lengths, f_e6 =
+    2·lcs·10⁶ // (la+lb)); no SQL oracle exists for LCS — golden +
+    brute-force DP pytest."""
+    from rendler_ray.util import with_row_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    seq = with_row_seq(ds, ["source", "doc_id"], column="seq")
+
+    left = seq.map_batches(
+        lambda t: pa.table({
+            "k": pc.add(t["seq"], 1), "doc_a": t["doc_id"],
+            "text_a": t["text"], "source_a": t["source"]}),
+        batch_format="pyarrow")
+    right = seq.map_batches(
+        lambda t: pa.table({
+            "seq": t["seq"], "doc_b": t["doc_id"],
+            "text_b": t["text"], "source_b": t["source"]}),
+        batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner", num_partitions=8,
+                      on=("k",), right_on=("seq",))
+
+    def lcs_batch(t: pa.Table) -> pa.Table:
+        same = pc.equal(t["source_a"], t["source_b"])
+        t = t.filter(same)
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "len_a": pa.array([], pa.int64()),
+                "len_b": pa.array([], pa.int64()),
+                "lcs": pa.array([], pa.int64()),
+                "f_e6": pa.array([], pa.int64())})
+        ta = [x.split(" ")[:64]
+              for x in t["text_a"].to_numpy(zero_copy_only=False)]
+        tb = [x.split(" ")[:64]
+              for x in t["text_b"].to_numpy(zero_copy_only=False)]
+        P = len(ta)
+        la = np.array([len(x) for x in ta], np.int64)
+        lb = np.array([len(x) for x in tb], np.int64)
+        flat = np.array([w for xs in ta for w in xs]
+                        + [w for xs in tb for w in xs], dtype=object)
+        _, codes = np.unique(flat, return_inverse=True)
+        A = np.full((P, 64), -1, np.int64)
+        B = np.full((P, 64), -2, np.int64)
+        pos = 0
+        for r, xs in enumerate(ta):
+            A[r, :len(xs)] = codes[pos:pos + len(xs)]
+            pos += len(xs)
+        for r, xs in enumerate(tb):
+            B[r, :len(xs)] = codes[pos:pos + len(xs)]
+            pos += len(xs)
+        prev = np.zeros((P, 65), np.int64)
+        for i in range(1, 65):
+            cur = np.zeros((P, 65), np.int64)
+            ai = A[:, i - 1][:, None]  # (P,1)
+            eq = ai == B  # (P,64)
+            diag = np.where(eq, prev[:, :-1] + 1, 0)
+            up = prev[:, 1:]
+            best = np.maximum(diag, up)
+            # left-to-right running max completes dp[i][j] =
+            # max(best[j], dp[i][j-1]) — a cumulative maximum
+            cur[:, 1:] = np.maximum.accumulate(best, axis=1)
+            prev = cur
+        lcs = prev[:, 64]
+        f_e6 = (2 * lcs * 1_000_000) // (la + lb)
+        return pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "len_a": pa.array(la, pa.int64()),
+            "len_b": pa.array(lb, pa.int64()),
+            "lcs": pa.array(lcs, pa.int64()),
+            "f_e6": pa.array(f_e6, pa.int64())})
+
+    return pairs.map_batches(lcs_batch, batch_format="pyarrow")

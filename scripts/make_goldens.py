@@ -25,6 +25,7 @@ from rendler_ray.goldenhash import result_hash  # noqa: E402
 # inputs, seeded algorithms, fixed-point floats). lang_id_docs has a
 # real SQL oracle; nothing here is timing- or scheduling-dependent.
 GOLDEN_QUERIES = [
+    "rouge_l_adjacent_pairs",
     "approx_distinct_users",
     "approx_percentiles_events",
     "approx_percentiles_by_type",

@@ -364,3 +364,102 @@ def test_doremi_brute(ray_session):
     order = np.argsort(loss)
     ws = np.asarray(w)[order]
     assert (np.diff(ws) >= 0).all()
+
+
+def test_embedding_cka_brute(ray_session):
+    """CKA e6 equals an exact-int numpy recompute from the raw
+    embedding table (moments as Python ints, identical final float
+    tree); value is in (0, 1e6]."""
+    from rendler_ray.pipelines.queries import embedding_cka_halves
+
+    out = _as_df(embedding_cka_halves(SF))
+    v = np.asarray(pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["embedding"])["embedding"].to_pylist(),
+        dtype=np.float64)
+    e = (np.floor(np.abs(v * 1e6) + 0.5)
+         * np.sign(v * 1e6)).astype(np.int64)
+    x, y = e[:, :32].astype(object), e[:, 32:].astype(object)
+    cxy, cxx, cyy = x.T @ y, x.T @ x, y.T @ y
+    sxy = int((cxy * cxy).sum())
+    sxx = int((cxx * cxx).sum())
+    syy = int((cyy * cyy).sum())
+    want = int(np.floor(1000000 * (np.float64(sxy) / np.sqrt(
+        np.float64(sxx) * np.float64(syy)))))
+    assert int(out["cka_e6"][0]) == want
+    assert 0 < want <= 1_000_000
+    assert int(out["n"][0]) == len(v)
+
+
+def test_time_travel_brute(ray_session):
+    """v0 stats equal the raw table; v1 stats equal a pandas replay of
+    the CDC merge; the manifest lists exactly the files each version
+    read and survives re-reads."""
+    import json
+
+    from rendler_ray.pipelines.queries import docs_time_travel_read
+
+    out = _as_df(docs_time_travel_read(SF)).set_index("version")
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "n_chars", "source"]).to_pandas()
+    assert out.loc[0, "n_rows"] == len(d)
+    assert out.loc[0, "sum_n_chars"] == d["n_chars"].sum()
+    assert out.loc[0, "sum_doc_id"] == d["doc_id"].sum()
+    assert out.loc[0, "n_patched"] == 0
+
+    m = d["doc_id"] % 97
+    v1 = d[m != 7].copy()
+    upd = v1["doc_id"] % 97 == 3
+    v1.loc[upd, "n_chars"] += 1000
+    v1.loc[upd, "source"] = "patched"
+    ins = d[m == 11].copy()
+    ins["doc_id"] += 1_000_000_000
+    ins["source"] = "inserted"
+    import pandas as pd
+    v1 = pd.concat([v1, ins])
+    assert out.loc[1, "n_rows"] == len(v1)
+    assert out.loc[1, "sum_n_chars"] == v1["n_chars"].sum()
+    assert out.loc[1, "sum_doc_id"] == v1["doc_id"].sum()
+    assert out.loc[1, "n_patched"] == int(upd.sum())
+
+    root = os.path.join(
+        "/tmp/rendler_ray_tt", f"sf0.001_{os.getpid()}")
+    mf = json.load(open(os.path.join(root, "manifest.json")))
+    assert set(mf) == {"0", "1"}
+    for files in mf.values():
+        assert files and all(os.path.exists(f) for f in files)
+
+
+def test_rouge_l_brute(ray_session):
+    """Every adjacent pair's LCS equals the quadratic reference DP;
+    pairing is exactly consecutive (source, doc_id) order; f_e6 is the
+    exact integer harmonic mean."""
+    from rendler_ray.pipelines.queries import rouge_l_adjacent_pairs
+
+    out = _as_df(rouge_l_adjacent_pairs(SF)).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text", "source"]).to_pandas()
+    d = d.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    want_pairs = [
+        (int(d.loc[i, "doc_id"]), int(d.loc[i + 1, "doc_id"]))
+        for i in range(len(d) - 1)
+        if d.loc[i, "source"] == d.loc[i + 1, "source"]]
+    assert sorted(zip(out["doc_a"], out["doc_b"])) == sorted(want_pairs)
+
+    txt = d.set_index("doc_id")["text"]
+
+    def ref_lcs(a, b):
+        a, b = a.split(" ")[:64], b.split(" ")[:64]
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = max(dp[i - 1][j], dp[i][j - 1],
+                               dp[i - 1][j - 1] + (a[i - 1] == b[j - 1]))
+        return dp[len(a)][len(b)], len(a), len(b)
+
+    for _, r in out.iterrows():
+        want, la, lb = ref_lcs(txt[r["doc_a"]], txt[r["doc_b"]])
+        assert int(r["lcs"]) == want
+        assert int(r["len_a"]) == la and int(r["len_b"]) == lb
+        assert int(r["f_e6"]) == 2 * want * 1_000_000 // (la + lb)
