@@ -629,3 +629,182 @@ def rouge_l_adjacent_pairs(sf_dir: str):
             "f_e6": pa.array(f_e6, pa.int64())})
 
     return pairs.map_batches(lcs_batch, batch_format="pyarrow")
+
+
+def excess_fluency_select_docs(sf_dir: str, driver_max: int = 5_000_000):
+    """RHO-style excess-likelihood data selection (Mindermann '22
+    shape, n-gram proxy): score each document by how much MORE the
+    order-3 corpus LM likes it than the order-2 baseline —
+    excess = e6(s_tri/s_big) − e6(s_suf/s_uni) — and keep docs with
+    positive excess ("learnable structure beyond the cheap model").
+    All four count pools (trigram, prefix-bigram, suffix-bigram,
+    middle-unigram) are defined over the SAME trigram-position
+    instance table, so one explode pass feeds everything; gram strings
+    never leave the explode task (128-bit hash keys, the
+    trigram_fluency convention), per-doc pools are order-free integer
+    sums, and the two e6 fixings are the only floats (mirrored in
+    SQL). Below ``driver_max`` trigram instances the count+join fold
+    runs through Arrow's C++ kernels on the driver; above it the
+    identical semantics run as STAGED distributed groupby+join rounds
+    (≤2 shuffle stages per execution — the trigram deadlock lesson).
+    Two-form equality is pytest-asserted."""
+    import pandas.util as pdu
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_combine(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pd.Series(t["text"].to_numpy(zero_copy_only=False),
+                         dtype=object).str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.array(x, dtype=object) for x in toks])
+        lens_rep = np.repeat(lens, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_in_doc = np.arange(len(flat)) - starts
+        idx = np.flatnonzero(pos_in_doc < lens_rep - 2)
+        w1 = pd.Series(flat[idx], dtype=object)
+        w2 = pd.Series(flat[idx + 1], dtype=object)
+        w3 = pd.Series(flat[idx + 2], dtype=object)
+        big = (w1 + " " + w2).to_numpy(object)
+        tri = ((w1 + " " + w2) + " " + w3).to_numpy(object)
+        suf = (w2 + " " + w3).to_numpy(object)
+        uni = w2.to_numpy(object)
+
+        def h2(a, k1=None, k2="rendlertrigram2!"):
+            x1 = pdu.hash_array(a, categorize=False).view(np.int64)
+            x2 = pdu.hash_array(a, hash_key=k2,
+                                categorize=False).view(np.int64)
+            return x1, x2
+
+        t1, t2 = h2(tri)
+        b1, b2 = h2(big)
+        s1, s2 = h2(suf)
+        u1, u2 = h2(uni)
+        g = (pd.DataFrame({
+            "doc_id": np.repeat(ids, np.maximum(lens - 2, 0)),
+            "t1": t1, "t2": t2, "b1": b1, "b2": b2,
+            "s1": s1, "s2": s2, "u1": u1, "u2": u2})
+            .groupby(["doc_id", "t1", "t2", "b1", "b2",
+                      "s1", "s2", "u1", "u2"], sort=False).size()
+            .reset_index(name="n"))
+        return pa.table({c: pa.array(g[c].to_numpy(np.int64), pa.int64())
+                         for c in ("doc_id", "t1", "t2", "b1", "b2",
+                                   "s1", "s2", "u1", "u2", "n")})
+
+    inst = ds.map_batches(explode_combine, batch_format="pyarrow")
+
+    def _finish(per_doc: pa.Table) -> pa.Table:
+        def e6(num, den):
+            f = (per_doc[num].to_numpy(zero_copy_only=False)
+                 / per_doc[den].to_numpy(zero_copy_only=False))
+            return pc.cast(
+                pc.round(pc.multiply(pa.array(f, pa.float64()), 1e6),
+                         options=pc.RoundOptions(
+                             ndigits=0,
+                             round_mode="half_towards_infinity")),
+                pa.int64())
+
+        f3, f2 = e6("s_tri", "s_big"), e6("s_suf", "s_uni")
+        excess = pc.subtract(f3, f2)
+        return pa.table({"doc_id": per_doc["doc_id"],
+                         "n_tri": per_doc["n_tri"],
+                         "fluency3_e6": f3, "fluency2_e6": f2,
+                         "excess_e6": excess,
+                         "keep": pc.cast(pc.greater(excess, 0),
+                                         pa.int64())})
+
+    def tri_totals(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array(np.maximum(ntok - 2, 0),
+                                       pa.int64())})
+
+    tot = (ds.map_batches(tri_totals, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="tot"))["tot"] or 0)
+
+    POOLS = [(("t1", "t2"), "ct", "s_tri"), (("b1", "b2"), "cb", "s_big"),
+             (("s1", "s2"), "cs", "s_suf"), (("u1", "u2"), "cu", "s_uni")]
+
+    if tot <= driver_max:
+        ptbl = pa.concat_tables(
+            inst.iter_batches(batch_size=None, batch_format="pyarrow"))
+        j = ptbl
+        for keys, cname, _ in POOLS:
+            cnt = pa.TableGroupBy(ptbl, list(keys)).aggregate(
+                [("n", "sum")]).rename_columns(list(keys) + [cname])
+            j = j.join(cnt, keys=list(keys))
+        n = j["n"].to_numpy(zero_copy_only=False)
+        w = pa.table(
+            {"doc_id": j["doc_id"], "n": j["n"],
+             **{out: pa.array(
+                 n * j[cname].to_numpy(zero_copy_only=False), pa.int64())
+                for _, cname, out in POOLS}})
+        per_doc = pa.TableGroupBy(w, "doc_id").aggregate(
+            [("n", "sum")] + [(out, "sum") for _, _, out in POOLS])
+        per_doc = per_doc.rename_columns(
+            ["doc_id", "n_tri"] + [out for _, _, out in POOLS])
+        return _finish(per_doc)
+
+    # staged distributed form: each execution ≤ 2 shuffle stages
+    inst = inst.materialize()
+    joined = inst
+    for keys, cname, _ in POOLS:
+        cnt = inst.groupby(list(keys)).aggregate(
+            Sum("n", alias_name=cname)).materialize()
+        joined = joined.join(cnt, join_type="inner", num_partitions=8,
+                             on=tuple(keys)).materialize()
+
+    def weight(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": t["n"],
+             **{out: pa.array(
+                 n * t[cname].to_numpy(zero_copy_only=False), pa.int64())
+                for _, cname, out in POOLS}})
+
+    per_doc = (joined.map_batches(weight, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("n", alias_name="n_tri"),
+                          *[Sum(out, alias_name=out)
+                            for _, _, out in POOLS]))
+    return per_doc.map_batches(_finish, batch_format="pyarrow")
+
+
+EXCESS_FLUENCY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+tri AS (
+  SELECT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS tri,
+         a.token || ' ' || b.token AS big,
+         b.token || ' ' || c.token AS suf,
+         b.token AS uni
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2),
+tric AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri GROUP BY tri),
+bigc AS (SELECT big, CAST(count(*) AS BIGINT) AS cb FROM tri GROUP BY big),
+sufc AS (SELECT suf, CAST(count(*) AS BIGINT) AS cs FROM tri GROUP BY suf),
+unic AS (SELECT uni, CAST(count(*) AS BIGINT) AS cu FROM tri GROUP BY uni),
+doc AS (
+  SELECT t.doc_id, count(*) AS n_tri,
+         CAST(sum(ct) AS BIGINT) AS s_tri,
+         CAST(sum(cb) AS BIGINT) AS s_big,
+         CAST(sum(cs) AS BIGINT) AS s_suf,
+         CAST(sum(cu) AS BIGINT) AS s_uni
+  FROM tri t JOIN tric USING (tri) JOIN bigc USING (big)
+             JOIN sufc USING (suf) JOIN unic USING (uni)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tri,
+       CAST(round(s_tri / s_big * 1000000) AS BIGINT) AS fluency3_e6,
+       CAST(round(s_suf / s_uni * 1000000) AS BIGINT) AS fluency2_e6,
+       CAST(round(s_tri / s_big * 1000000) AS BIGINT)
+       - CAST(round(s_suf / s_uni * 1000000) AS BIGINT) AS excess_e6,
+       CAST(CAST(round(s_tri / s_big * 1000000) AS BIGINT)
+            - CAST(round(s_suf / s_uni * 1000000) AS BIGINT) > 0
+            AS BIGINT) AS keep
+FROM doc
+"""

@@ -463,3 +463,24 @@ def test_rouge_l_brute(ray_session):
         assert int(r["lcs"]) == want
         assert int(r["len_a"]) == la and int(r["len_b"]) == lb
         assert int(r["f_e6"]) == 2 * want * 1_000_000 // (la + lb)
+
+
+def test_excess_fluency_two_form(ray_session):
+    """Driver count+join fold and the staged distributed form return
+    identical per-doc excess tables; keep == (excess > 0) everywhere;
+    fluency3 matches trigram_fluency_docs' fluency on shared docs."""
+    import pandas as pd
+
+    from rendler_ray.pipelines.queries import (excess_fluency_select_docs,
+                                               trigram_fluency_docs)
+
+    drv = _as_df(excess_fluency_select_docs(SF)).sort_values(
+        "doc_id").reset_index(drop=True)
+    dist = _as_df(excess_fluency_select_docs(SF, driver_max=-1)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist[drv.columns])
+    assert ((drv["excess_e6"] > 0).astype(np.int64)
+            == drv["keep"]).all()
+    tf = _as_df(trigram_fluency_docs(SF)).set_index("doc_id")
+    j = drv.set_index("doc_id")
+    assert (j["fluency3_e6"] == tf.loc[j.index, "fluency_e6"]).all()
