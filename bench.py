@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "scc_crawl_graph",             # r4f: SCC trim + label rounds
     "bowtie_crawl_graph",          # r4f: Broder bow-tie decomposition
     "label_prop_crawl",            # r4b: label-propagation communities
+    "excess_fluency_select_docs",  # r5: 4-pool n-gram excess selection
+    "rouge_l_adjacent_pairs",      # r5: pair-axis-vectorized LCS eval
+    "embedding_cka_halves",        # r5: integer cross-moment CKA probe
+    "part_brand_margins",          # r5: broadcast fact-dim join rollup
 ]
 
 

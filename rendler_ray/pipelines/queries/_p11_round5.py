@@ -808,3 +808,60 @@ SELECT doc_id, n_tri,
             AS BIGINT) AS keep
 FROM doc
 """
+
+
+def vacuum_expired_snapshots(sf_dir: str, keep_latest: int = 1):
+    """Snapshot VACUUM — the retention half of the time-travel story:
+    keep the latest ``keep_latest`` versions' files, delete every file
+    referenced ONLY by expired versions, and rewrite the manifest so
+    pinned readers of retained versions are untouched (files shared
+    with a retained version survive — the Iceberg/Delta
+    expire-snapshots contract). Builds the same versioned layout as
+    :func:`docs_time_travel_read`, then audits by RE-READING through
+    the post-vacuum manifest: expired versions read 0 rows, retained
+    versions read exactly their pre-vacuum counts. Output is
+    parallelism-independent (row counts only; file counts/bytes vary
+    with write concurrency and are deliberately excluded)."""
+    import json
+
+    docs_time_travel_read(sf_dir)  # builds {root}/v0 v1 + manifest
+    root = os.path.join(
+        "/tmp/rendler_ray_tt",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}")
+    with open(os.path.join(root, "manifest.json")) as f:
+        mf = json.load(f)
+    versions = sorted(mf, key=int)
+    retained = set(versions[len(versions) - keep_latest:])
+    pre_rows = {}
+    for ver in versions:
+        n = 0
+        for fp in mf[ver]:
+            import pyarrow.parquet as pq
+            n += pq.ParquetFile(fp).metadata.num_rows
+        pre_rows[ver] = n
+    keep_files = {fp for v in retained for fp in mf[v]}
+    for ver in versions:
+        if ver in retained:
+            continue
+        for fp in mf[ver]:
+            if fp not in keep_files and os.path.exists(fp):
+                os.unlink(fp)
+    mf2 = {v: mf[v] for v in retained}
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump(mf2, f)
+
+    rows = []
+    for ver in versions:
+        if ver in mf2:
+            got = int(rd.read_parquet(mf2[ver]).count())
+        else:
+            # expired: every unshared file is gone; a pinned reader of
+            # this version now has 0 readable rows
+            got = 0
+            assert all(not os.path.exists(fp) for fp in mf[ver]
+                       if fp not in keep_files)
+        rows.append({"version": int(ver),
+                     "retained": int(ver in mf2),
+                     "n_rows_before": pre_rows[ver],
+                     "n_rows_after": got})
+    return pa.Table.from_pylist(rows)

@@ -26,6 +26,7 @@ from rendler_ray.goldenhash import result_hash  # noqa: E402
 # real SQL oracle; nothing here is timing- or scheduling-dependent.
 GOLDEN_QUERIES = [
     "rouge_l_adjacent_pairs",
+    "vacuum_expired_snapshots",
     "approx_distinct_users",
     "approx_percentiles_events",
     "approx_percentiles_by_type",

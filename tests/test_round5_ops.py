@@ -484,3 +484,25 @@ def test_excess_fluency_two_form(ray_session):
     tf = _as_df(trigram_fluency_docs(SF)).set_index("doc_id")
     j = drv.set_index("doc_id")
     assert (j["fluency3_e6"] == tf.loc[j.index, "fluency_e6"]).all()
+
+
+def test_vacuum_expired_snapshots(ray_session):
+    """After vacuum: the retained (latest) version reads its full
+    pre-vacuum row count through the rewritten manifest; the expired
+    version's unshared files are gone and it reads 0 rows; the
+    manifest no longer lists the expired version."""
+    import json
+
+    from rendler_ray.pipelines.queries import vacuum_expired_snapshots
+
+    out = _as_df(vacuum_expired_snapshots(SF)).set_index("version")
+    assert out.loc[0, "retained"] == 0
+    assert out.loc[1, "retained"] == 1
+    assert out.loc[0, "n_rows_after"] == 0
+    assert out.loc[1, "n_rows_after"] == out.loc[1, "n_rows_before"]
+    assert out.loc[0, "n_rows_before"] > 0
+    root = os.path.join("/tmp/rendler_ray_tt",
+                        f"sf0.001_{os.getpid()}")
+    mf = json.load(open(os.path.join(root, "manifest.json")))
+    assert set(mf) == {"1"}
+    assert all(os.path.exists(f) for f in mf["1"])
