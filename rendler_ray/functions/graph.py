@@ -1632,3 +1632,51 @@ def bridges_articulation(a: "np.ndarray", b: "np.ndarray"):
         if root_children >= 2:
             cuts.add(root)
     return sorted(bridges), sorted(cuts)
+
+
+def label_propagation_auto(edges_ds, iters: int = 5,
+                           num_partitions: int = 8,
+                           driver_max: int = 2_000_000):
+    """Size-gated front end for :func:`label_propagation_ds` (r5): at
+    ≤ ``driver_max`` distinct directed edges the synchronous rounds
+    fold on the driver as vectorized pandas passes (counts →
+    sort(n desc, label asc) → drop_duplicates per node — the identical
+    mode/tie rule), which removes 5 rounds × (hash join + groupby +
+    per-node ``map_groups``) of fixed costs at bench scale; above the
+    gate the unchanged distributed rounds run. Both forms are
+    deterministic and pytest-asserted equal on a forced-past-the-gate
+    run."""
+    n_edges = edges_ds.count()
+    if n_edges > driver_max:
+        return label_propagation_ds(edges_ds, iters=iters,
+                                    num_partitions=num_partitions)
+    t = pa.concat_tables(
+        edges_ds.select_columns(["src", "dst"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "label": pa.array([], pa.string())}))
+    src = np.asarray(t["src"].to_pylist(), dtype=object)
+    dst = np.asarray(t["dst"].to_pylist(), dtype=object)
+    e = pd.DataFrame({"src": np.concatenate([src, dst]),
+                      "dst": np.concatenate([dst, src])}) \
+        .drop_duplicates()
+    nodes = np.unique(e["src"].to_numpy())
+    lab = pd.Series(nodes, index=nodes, dtype=object)
+    for _ in range(iters):
+        cand = pd.DataFrame({
+            "dst": e["dst"].to_numpy(),
+            "label": lab.loc[e["src"]].to_numpy()})
+        counts = (cand.groupby(["dst", "label"], sort=False)
+                  .size().reset_index(name="n"))
+        counts = counts.sort_values(
+            ["dst", "n", "label"], ascending=[True, False, True],
+            kind="stable")
+        win = counts.drop_duplicates("dst")
+        lab = pd.Series(win["label"].to_numpy(),
+                        index=win["dst"].to_numpy(), dtype=object)
+    lab = lab.sort_index()
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(lab.index.to_numpy(), pa.string()),
+        "label": pa.array(lab.to_numpy(), pa.string())}))

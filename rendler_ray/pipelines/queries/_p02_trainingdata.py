@@ -1660,18 +1660,19 @@ def bpe_encode_docs(sf_dir: str):
 def label_prop_crawl(sf_dir: str):
     """Community detection over the crawl graph: 5 rounds of
     synchronous label propagation (functions/graph.py::
-    label_propagation_ds — deterministic sync variant, distributed
-    join + count + per-node mode per round). Communities are the
+    label_propagation_auto — deterministic sync variant; vectorized
+    driver rounds below a 2M-edge gate, distributed join + count +
+    per-node mode rounds above it, two-form pytested). Communities are the
     site/cluster granularity a corpus-mixing pass balances over —
     finer than connected components, coarser than pages. Rows-only
     (iterative), golden-pinned + driver-recompute pytest."""
-    from rendler_ray.functions.graph import label_propagation_ds
+    from rendler_ray.functions.graph import label_propagation_auto
     from rendler_ray.pipelines.crawl import CrawlConfig, crawl
     from rendler_ray.sources.synthweb import default_seeds
 
     res = crawl(CrawlConfig(docs_path=_synth_docs_for(sf_dir),
                             seeds=default_seeds(1), max_depth=4))
-    return label_propagation_ds(res.edges)
+    return label_propagation_auto(res.edges)
 
 
 def connected_components_crawl(sf_dir: str):

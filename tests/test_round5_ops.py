@@ -506,3 +506,23 @@ def test_vacuum_expired_snapshots(ray_session):
     mf = json.load(open(os.path.join(root, "manifest.json")))
     assert set(mf) == {"1"}
     assert all(os.path.exists(f) for f in mf["1"])
+
+
+def test_label_prop_two_form(ray_session):
+    """Forced past the edge gate, the distributed label-propagation
+    rounds return exactly the driver fold's (url, label) table."""
+    import pandas as pd
+
+    from rendler_ray.functions.graph import (label_propagation_auto,
+                                             label_propagation_ds)
+    from rendler_ray.pipelines.crawl import CrawlConfig, crawl
+    from rendler_ray.pipelines.queries import _synth_docs_for
+    from rendler_ray.sources.synthweb import default_seeds
+
+    res = crawl(CrawlConfig(docs_path=_synth_docs_for(SF),
+                            seeds=default_seeds(1), max_depth=3))
+    drv = _as_df(label_propagation_auto(res.edges)).sort_values(
+        "url").reset_index(drop=True)
+    dist = _as_df(label_propagation_ds(res.edges)).sort_values(
+        "url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
