@@ -865,3 +865,169 @@ def vacuum_expired_snapshots(sf_dir: str, keep_latest: int = 1):
                      "n_rows_before": pre_rows[ver],
                      "n_rows_after": got})
     return pa.Table.from_pylist(rows)
+
+
+def promo_revenue_share_monthly(sf_dir: str):
+    """TPC-H q14 shape over the part dimension: per ship-month, the
+    e6 share of discounted revenue coming from PROMO-type parts.
+    The (partkey → is_promo) map broadcasts once (``ray.put`` of two
+    sorted numpy arrays); each lineitem batch emits ≤|months| partial
+    rows (promo cents, total cents) and the final groupby folds
+    ≤|months| groups. The share is an exact integer quotient
+    (promo·10⁶ // total) — no float crosses the boundary."""
+    part = pa.concat_tables(
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    is_promo = (np.asarray(part["p_type"].to_pylist(), dtype=object)
+                == "PROMO")[order]
+    dim_ref = ray.put((keys, is_promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys_, promo_ = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy()
+        idx = np.searchsorted(keys_, pk)
+        idx = np.clip(idx, 0, len(keys_) - 1)
+        hit = keys_[idx] == pk
+        idx = idx[hit]
+        ship = t["l_shipdate"]
+        ym = pc.add(pc.multiply(pc.cast(pc.year(ship), pa.int64()), 100),
+                    pc.cast(pc.month(ship), pa.int64())).to_numpy(
+            zero_copy_only=False)[hit]
+        ext = t["l_extendedprice"].to_numpy()[hit].astype(np.float64)
+        disc = t["l_discount"].to_numpy()[hit].astype(np.float64)
+        rev = _round_half_away((ext * (1.0 - disc)) * 100.0).astype(
+            np.int64)
+        df = pd.DataFrame({"ym": ym, "rev": rev,
+                           "promo": np.where(promo_[idx], rev, 0)})
+        g = df.groupby("ym", sort=False).agg(
+            promo_cents=("promo", "sum"),
+            total_cents=("rev", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("ym")
+           .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                      Sum("total_cents", alias_name="total_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t["promo_cents"].to_numpy()
+        tot = t["total_cents"].to_numpy()
+        share = np.array([int(a) * 1_000_000 // int(b)
+                          for a, b in zip(p, tot)], np.int64)
+        return t.append_column("promo_share_e6",
+                               pa.array(share, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PROMO_SHARE_SQL = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         AS ym,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round((l_extendedprice
+                                      * (1 - l_discount)) * 100)
+                               AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round((l_extendedprice
+                                           * (1 - l_discount)) * 100)
+                                    AS BIGINT) ELSE 0 END) AS HUGEINT)
+            * 1000000
+            // CAST(sum(CAST(round((l_extendedprice
+                                    * (1 - l_discount)) * 100)
+                             AS BIGINT)) AS HUGEINT)
+            AS BIGINT) AS promo_share_e6
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate) * 100 + month(l_shipdate)
+"""
+
+
+def supplier_nation_flow(sf_dir: str):
+    """Trade-flow matrix (TPC-H q5/q7 shape): discounted revenue by
+    (supplier nation, customer nation). ONE genuine all-to-all — the
+    lineitem ⨝ orders hash join on orderkey; every dimension hop
+    (suppkey → nation, custkey → nation, nationkey → name) is a
+    broadcast numpy lookup inside the batch, and the final groupby
+    carries ≤ 25×25 keys. The at-scale shape for star joins: shuffle
+    the two facts once, broadcast everything else."""
+    cust = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    supp = pa.concat_tables(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    nat = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+
+    def lut(keys, vals):
+        o = np.argsort(keys)
+        return keys[o], vals[o]
+
+    ck, cv = lut(cust["c_custkey"].to_numpy(),
+                 cust["c_nationkey"].to_numpy())
+    sk, sv = lut(supp["s_suppkey"].to_numpy(),
+                 supp["s_nationkey"].to_numpy())
+    nk, nv = lut(nat["n_nationkey"].to_numpy(),
+                 np.asarray(nat["n_name"].to_pylist(), dtype=object))
+    ref = ray.put((ck, cv, sk, sv, nk, nv))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(od, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck_, cv_, sk_, sv_, nk_, nv_ = ray.get(ref)
+
+        def look(keys, vals, q):
+            i = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+            return vals[i], keys[i] == q
+
+        cnat, okc = look(ck_, cv_, t["o_custkey"].to_numpy())
+        snat, oks = look(sk_, sv_, t["l_suppkey"].to_numpy())
+        ok = okc & oks
+        ext = t["l_extendedprice"].to_numpy()[ok].astype(np.float64)
+        disc = t["l_discount"].to_numpy()[ok].astype(np.float64)
+        rev = _round_half_away((ext * (1.0 - disc)) * 100.0).astype(
+            np.int64)
+        sname, _ = look(nk_, nv_, snat[ok])
+        cname, _ = look(nk_, nv_, cnat[ok])
+        df = pd.DataFrame({"supp_nation": sname, "cust_nation": cname,
+                           "rev": rev})
+        g = df.groupby(["supp_nation", "cust_nation"],
+                       sort=False).agg(
+            n_items=("rev", "size"),
+            revenue_cents=("rev", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation"])
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+SUPPLIER_NATION_FLOW_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       count(*) AS n_items,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name
+"""

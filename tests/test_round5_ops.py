@@ -526,3 +526,76 @@ def test_label_prop_two_form(ray_session):
     dist = _as_df(label_propagation_ds(res.edges)).sort_values(
         "url").reset_index(drop=True)
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_promo_share_brute(ray_session):
+    """Promo shares equal a pandas merge recompute with identical
+    per-row cents; share is the exact integer quotient and lies in
+    [0, 1e6]; promo <= total per month."""
+    from rendler_ray.pipelines.queries import promo_revenue_share_monthly
+
+    out = _as_df(promo_revenue_share_monthly(SF)).sort_values(
+        "ym").reset_index(drop=True)
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    pt = pq.read_table(os.path.join(SF, "part.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    m["ym"] = (m["l_shipdate"].dt.year * 100
+               + m["l_shipdate"].dt.month).astype(np.int64)
+    m["rev"] = rha((m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy())) * 100.0)
+    m["promo"] = np.where(m["p_type"] == "PROMO", m["rev"], 0)
+    g = m.groupby("ym").agg(promo_cents=("promo", "sum"),
+                            total_cents=("rev", "sum")).reset_index()
+    g = g.sort_values("ym").reset_index(drop=True)
+    assert (out["ym"].to_numpy() == g["ym"].to_numpy()).all()
+    assert (out["promo_cents"].to_numpy()
+            == g["promo_cents"].to_numpy()).all()
+    assert (out["total_cents"].to_numpy()
+            == g["total_cents"].to_numpy()).all()
+    want_share = [int(a) * 1_000_000 // int(b)
+                  for a, b in zip(g["promo_cents"], g["total_cents"])]
+    assert list(out["promo_share_e6"]) == want_share
+    assert out["promo_share_e6"].between(0, 1_000_000).all()
+
+
+def test_supplier_nation_flow_brute(ray_session):
+    """The flow matrix equals a four-way pandas merge recompute; total
+    cells <= 25x25 and total revenue equals the unsegmented sum."""
+    from rendler_ray.pipelines.queries import supplier_nation_flow
+
+    out = _as_df(supplier_nation_flow(SF))
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    cu = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    su = pq.read_table(os.path.join(SF, "supplier.parquet")).to_pandas()
+    na = pq.read_table(os.path.join(SF, "nation.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(na.rename(columns={"n_name": "supp_nation"}),
+                left_on="s_nationkey", right_on="n_nationkey")
+         .merge(na.rename(columns={"n_name": "cust_nation",
+                                   "n_nationkey": "nk2"}),
+                left_on="c_nationkey", right_on="nk2"))
+    m["rev"] = rha((m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy())) * 100.0)
+    g = m.groupby(["supp_nation", "cust_nation"]).agg(
+        n_items=("rev", "size"),
+        revenue_cents=("rev", "sum")).reset_index()
+    key = ["supp_nation", "cust_nation"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = g.sort_values(key).reset_index(drop=True)
+    assert (a["n_items"].to_numpy().astype(np.int64)
+            == b["n_items"].to_numpy().astype(np.int64)).all()
+    assert (a["revenue_cents"].to_numpy()
+            == b["revenue_cents"].to_numpy()).all()
+    assert len(a) <= 625
+    assert a["revenue_cents"].sum() == m["rev"].sum()
