@@ -7,7 +7,7 @@ SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL where the op is SQL-expressible.
 
 Registry ORDER rotates each round (``_ROUND5_WINDOW`` in
-``rendler_ray/pipelines/queries.py``): the driver's correctness gate
+``rendler_ray/pipelines/queries/_registry.py``): the driver's correctness gate
 samples the first ~50 keys, so never-yet-sampled SQL-oracled entries
 are moved to the front every round until the whole registry has earned
 a driver-green CORRECTNESS row. Names and semantics never change —
