@@ -1031,3 +1031,128 @@ JOIN nation ns ON s_nationkey = ns.n_nationkey
 JOIN nation nc ON c_nationkey = nc.n_nationkey
 GROUP BY ns.n_name, nc.n_name
 """
+
+
+def eigenvector_centrality_graph(sf_dir: str,
+                                 driver_max: int = 2_000_000):
+    """Eigenvector centrality by THREE max-normalized power-iteration
+    rounds over the shared orders graph — completing the centrality
+    family (degree / closeness / betweenness / PageRank / HITS) with
+    the plain adjacency eigenvector. ENTIRELY integer: scores start at
+    10⁶, each round is a neighbor-sum followed by max-normalization
+    x·10⁶ // max(x) — integer floor division, so no float ever exists
+    and the SQL mirror (3 unrolled CTE rounds) is trivially
+    hash-exact. Below ``driver_max`` edges the rounds fold on the
+    driver (vectorized np.add.at); above it each round is ONE
+    broadcast-score map pass over the distributed edge list (per-batch
+    partial neighbor-sums) + a groupby(node).Sum + a Max aggregate for
+    the normalizer — the edge table never moves, and the O(V) score
+    map is the broadcast side (pagerank_auto's shape). Two-form
+    equality is pytest-asserted."""
+    edges = _orders_graph_edges(sf_dir)
+    n_edges = edges.count()
+
+    if n_edges <= driver_max:
+        t = pa.concat_tables(edges.iter_batches(batch_size=None,
+                                                batch_format="pyarrow"))
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        ai = np.array([idx[int(v)] for v in a], np.int64)
+        bi = np.array([idx[int(v)] for v in b], np.int64)
+        x = np.full(len(nodes), 1_000_000, dtype=object)
+        for _ in range(3):
+            raw = np.zeros(len(nodes), dtype=object)
+            np.add.at(raw, ai, x[bi])
+            np.add.at(raw, bi, x[ai])
+            mx = raw.max() if len(raw) else 1
+            x = np.array([int(r) * 1_000_000 // int(mx) for r in raw],
+                         dtype=object)
+        out_order = np.argsort(nodes)
+        return pa.table({
+            "node": pa.array(nodes[out_order], pa.int64()),
+            "score_e6": pa.array(
+                np.array([int(v) for v in x[out_order]], np.int64),
+                pa.int64())})
+
+    # distributed rounds: broadcast score map, partial sums per batch
+    edges = edges.materialize()
+    score_ref = None  # None == round-0 uniform 1e6 (no map needed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        if score_map_ref[0] is None:
+            xa = np.full(len(a), 1_000_000, np.int64)
+            xb = xa
+        else:
+            keys, vals = ray.get(score_map_ref[0])
+            ia = np.searchsorted(keys, a)
+            ib = np.searchsorted(keys, b)
+            xa = vals[np.clip(ia, 0, len(keys) - 1)]
+            xb = vals[np.clip(ib, 0, len(keys) - 1)]
+        df = pd.DataFrame({
+            "node": np.concatenate([a, b]),
+            "s": np.concatenate([xb, xa])})
+        g = df.groupby("node", sort=False)["s"].sum().reset_index()
+        return pa.table({"node": pa.array(g["node"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    score_map_ref = [score_ref]
+    raw = None
+    for _ in range(3):
+        raw = (edges.map_batches(partial, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("s", alias_name="raw"))
+               .materialize())
+        mx = int(raw.max("raw") or 1)
+
+        def norm(t: pa.Table, mx=mx) -> pa.Table:
+            r = t["raw"].to_numpy(zero_copy_only=False)
+            x = np.array([int(v) * 1_000_000 // mx for v in r],
+                         np.int64)
+            return pa.table({"node": t["node"],
+                             "x": pa.array(x, pa.int64())})
+
+        scored = raw.map_batches(norm, batch_format="pyarrow")             .materialize()
+        st = pa.concat_tables(scored.iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        keys = st["node"].to_numpy()
+        order = np.argsort(keys)
+        score_map_ref[0] = ray.put((keys[order],
+                                    st["x"].to_numpy()[order]))
+    keys, vals = ray.get(score_map_ref[0])
+    return pa.table({"node": pa.array(keys, pa.int64()),
+                     "score_e6": pa.array(vals, pa.int64())})
+
+
+EIGENVECTOR_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey != o_orderkey % 1500 + 1
+), sym AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), x0 AS (
+  SELECT DISTINCT u AS node, CAST(1000000 AS HUGEINT) AS x FROM sym
+), r1 AS (
+  SELECT s.u AS node, CAST(sum(x0.x) AS HUGEINT) AS raw
+  FROM sym s JOIN x0 ON s.v = x0.node GROUP BY s.u
+), x1 AS (
+  SELECT node, raw * 1000000 // (SELECT max(raw) FROM r1) AS x FROM r1
+), r2 AS (
+  SELECT s.u AS node, CAST(sum(x1.x) AS HUGEINT) AS raw
+  FROM sym s JOIN x1 ON s.v = x1.node GROUP BY s.u
+), x2 AS (
+  SELECT node, raw * 1000000 // (SELECT max(raw) FROM r2) AS x FROM r2
+), r3 AS (
+  SELECT s.u AS node, CAST(sum(x2.x) AS HUGEINT) AS raw
+  FROM sym s JOIN x2 ON s.v = x2.node GROUP BY s.u
+), x3 AS (
+  SELECT node, raw * 1000000 // (SELECT max(raw) FROM r3) AS x FROM r3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(x AS BIGINT) AS score_e6
+FROM x3
+"""

@@ -599,3 +599,21 @@ def test_supplier_nation_flow_brute(ray_session):
             == b["revenue_cents"].to_numpy()).all()
     assert len(a) <= 625
     assert a["revenue_cents"].sum() == m["rev"].sum()
+
+
+def test_eigenvector_two_form(ray_session):
+    """Forced past the edge gate, the broadcast-score distributed
+    rounds return exactly the driver fold's integer score table; the
+    max score is 1e6 and scores are positive on this connected-ish
+    graph."""
+    import pandas as pd
+
+    from rendler_ray.pipelines.queries import eigenvector_centrality_graph
+
+    drv = _as_df(eigenvector_centrality_graph(SF)).sort_values(
+        "node").reset_index(drop=True)
+    dist = _as_df(eigenvector_centrality_graph(SF, driver_max=-1)) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert drv["score_e6"].max() == 1_000_000
+    assert (drv["score_e6"] >= 0).all()
