@@ -1156,3 +1156,130 @@ WITH e AS (
 SELECT CAST(node AS BIGINT) AS node, CAST(x AS BIGINT) AS score_e6
 FROM x3
 """
+
+
+def dau_mau_stickiness(sf_dir: str):
+    """Monthly engagement stickiness (avg DAU / MAU — the product-
+    analytics staple): per calendar month, the exact mean of daily
+    distinct users over the month's ACTIVE days against the month's
+    distinct users, as the exact integer quotient
+    Σdau·10⁶ // (n_days·mau). Two bounded distinct aggregates (the
+    (day,user) and (month,user) exchanges carry one row per distinct
+    pair thanks to per-batch dedup combiners) and a ≤|months|-row
+    driver fold."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["ts"], pa.int64()), 86_400_000_000)), pa.int64())
+        out = pa.table({"day": days, "user_id": t["user_id"]})
+        return out.group_by(["day", "user_id"]).aggregate(
+            [([], "count_all")]).select(["day", "user_id"])
+
+    pairs = (ev.map_batches(day_pairs, batch_format="pyarrow")
+             .groupby(["day", "user_id"])
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["day", "user_id"]))
+    t = pa.concat_tables(
+        pairs.groupby("day").aggregate(Count(alias_name="dau"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    days = t["day"].to_numpy()
+    dau = t["dau"].to_numpy()
+    # month of the epoch-day, via pandas (mirrors SQL date arithmetic)
+    ts = pd.to_datetime(days * 86400, unit="s")
+    ym = (ts.year * 100 + ts.month).to_numpy(np.int64)
+
+    mau_t = pa.concat_tables(
+        ev.map_batches(
+            lambda t: pa.table({
+                "ym": pc.add(pc.multiply(pc.cast(pc.year(t["ts"]),
+                                                 pa.int64()), 100),
+                             pc.cast(pc.month(t["ts"]), pa.int64())),
+                "user_id": t["user_id"]})
+            .group_by(["ym", "user_id"]).aggregate(
+                [([], "count_all")]).select(["ym", "user_id"]),
+            batch_format="pyarrow")
+        .groupby(["ym", "user_id"]).aggregate(Count(alias_name="_n"))
+        .groupby("ym").aggregate(Count(alias_name="mau"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    mau = dict(zip(mau_t["ym"].to_pylist(), mau_t["mau"].to_pylist()))
+
+    rows = []
+    df = pd.DataFrame({"ym": ym, "dau": dau}).groupby("ym").agg(
+        sum_dau=("dau", "sum"), n_days=("dau", "size")).reset_index()
+    for _, r in df.iterrows():
+        m = int(mau[int(r["ym"])])
+        rows.append({
+            "ym": int(r["ym"]),
+            "n_days": int(r["n_days"]),
+            "sum_dau": int(r["sum_dau"]),
+            "mau": m,
+            "stickiness_e6": int(r["sum_dau"]) * 1_000_000
+            // (int(r["n_days"]) * m)})
+    rows.sort(key=lambda r: r["ym"])
+    return pa.Table.from_pylist(rows)
+
+
+DAU_MAU_SQL = """
+WITH d AS (
+  SELECT CAST(floor(CAST(epoch(ts) AS DOUBLE) / 86400) AS BIGINT)
+           AS day,
+         user_id
+  FROM events GROUP BY 1, 2
+), dau AS (
+  SELECT day, count(*) AS dau FROM d GROUP BY day
+), daum AS (
+  SELECT CAST(year(to_timestamp(day * 86400)) * 100
+              + month(to_timestamp(day * 86400)) AS BIGINT) AS ym,
+         dau
+  FROM dau
+), mau AS (
+  SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT daum.ym,
+       count(*) AS n_days,
+       CAST(sum(daum.dau) AS BIGINT) AS sum_dau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       CAST(CAST(sum(daum.dau) AS HUGEINT) * 1000000
+            // (count(*) * mau.mau) AS BIGINT) AS stickiness_e6
+FROM daum JOIN mau USING (ym)
+GROUP BY daum.ym, mau.mau
+"""
+
+
+def degree_distribution_graph(sf_dir: str):
+    """Degree distribution of the shared orders graph (the power-law
+    corpus-card stat next to crawl_depth_histogram): two bounded
+    aggregates — endpoints explode to (node, 1) partials, a
+    groupby(node) count gives degrees, a groupby(degree) count gives
+    the histogram (≤ max-degree rows)."""
+    edges = _orders_graph_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        out = pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+        return out.group_by("node").aggregate(
+            [([], "count_all")]).rename_columns(["node", "d"])
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="degree")))
+    return (deg.groupby("degree").aggregate(Count(alias_name="n_nodes")))
+
+
+DEGREE_DIST_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(o_custkey, o_orderkey % 1500 + 1)    AS a,
+    GREATEST(o_custkey, o_orderkey % 1500 + 1) AS b
+  FROM orders
+  WHERE o_custkey != o_orderkey % 1500 + 1
+), deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v
+)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+FROM deg GROUP BY degree
+"""

@@ -617,3 +617,53 @@ def test_eigenvector_two_form(ray_session):
     pd.testing.assert_frame_equal(drv, dist)
     assert drv["score_e6"].max() == 1_000_000
     assert (drv["score_e6"] >= 0).all()
+
+
+def test_dau_mau_brute(ray_session):
+    """Stickiness equals a pandas recompute (per-day/per-month
+    distincts, exact integer quotient); stickiness is within
+    (0, 1e6]."""
+    from rendler_ray.pipelines.queries import dau_mau_stickiness
+
+    out = _as_df(dau_mau_stickiness(SF))
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("int64") // 86_400_000_000)
+    ev["ym"] = (ev["ts"].dt.year * 100 + ev["ts"].dt.month)
+    dau = ev.groupby("day")["user_id"].nunique()
+    day_ym = ev.groupby("day")["ym"].first()
+    mau = ev.groupby("ym")["user_id"].nunique()
+    import pandas as pd
+    df = pd.DataFrame({"ym": day_ym, "dau": dau}).groupby("ym").agg(
+        sum_dau=("dau", "sum"), n_days=("dau", "size"))
+    for _, r in out.iterrows():
+        ymv = int(r["ym"])
+        assert int(r["n_days"]) == int(df.loc[ymv, "n_days"])
+        assert int(r["sum_dau"]) == int(df.loc[ymv, "sum_dau"])
+        assert int(r["mau"]) == int(mau.loc[ymv])
+        want = (int(df.loc[ymv, "sum_dau"]) * 1_000_000
+                // (int(df.loc[ymv, "n_days"]) * int(mau.loc[ymv])))
+        assert int(r["stickiness_e6"]) == want
+        assert 0 < int(r["stickiness_e6"]) <= 1_000_000
+
+
+def test_degree_distribution_brute(ray_session):
+    """Histogram equals a python recompute; sum(degree*n_nodes) equals
+    2m (handshake lemma)."""
+    from rendler_ray.pipelines.queries import degree_distribution_graph
+
+    out = _as_df(degree_distribution_graph(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    a = od["o_custkey"].to_numpy()
+    b = (od["o_orderkey"].to_numpy() % 1500) + 1
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    edges = {(x, y) for x, y in zip(lo, hi) if x != y}
+    deg = {}
+    for (x, y) in edges:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    from collections import Counter
+    hist = Counter(deg.values())
+    got = dict(zip(out["degree"].astype(int), out["n_nodes"].astype(int)))
+    assert got == dict(hist)
+    assert sum(d * n for d, n in got.items()) == 2 * len(edges)
