@@ -1283,3 +1283,137 @@ WITH e AS (
 SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
 FROM deg GROUP BY degree
 """
+
+
+def stylometry_burrows_delta(sf_dir: str, k: int = 16):
+    """Burrows' Delta authorship distance between SOURCES (Burrows
+    LLC'02) — the stylometry screen a provenance audit runs: over the
+    corpus's top-``k`` function words, the per-source-pair mean
+    |z-score| gap of relative token frequencies. The vocabulary cut is
+    the shared ``_token_freq_topk`` fold; per-(source, token) counts
+    and per-source token totals come from two bounded aggregates
+    (≤ sources×k and ≤ sources rows); the ≤25×16 matrix folds on the
+    driver. EXACTNESS: relative freqs are integer e6 quotients; each
+    token's cross-source moment radicand R = n·Q − S² is an exact int;
+    each pair addend ⌊10⁶·|f_a−f_b|·n/√R⌋ is ONE mirrored float tree
+    (the welch convention) fixed per-ADDEND before the integer sum, so
+    the pair table hash-matches the SQL mirror bit-for-bit. Tokens
+    with R = 0 (identical frequency everywhere) carry no signal and
+    are excluded on both sides."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    vocab = _token_freq_topk(ds, k)
+    vref = ray.put(np.asarray(vocab, dtype=object))
+
+    def partial(t: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)[parents]
+        in_voc = np.isin(flat, voc)
+        df = pd.DataFrame({"source": src[in_voc],
+                           "token": flat[in_voc]})
+        g = df.groupby(["source", "token"], sort=False).size() \
+            .reset_index(name="c")
+        tot = pd.DataFrame({"source": src}).groupby(
+            "source", sort=False).size().reset_index(name="n")
+        gt = pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "n": pa.array(np.zeros(len(g), np.int64))})
+        tt = pa.table({
+            "source": pa.array(tot["source"].tolist(), pa.string()),
+            "token": pa.array(["\x00total"] * len(tot), pa.string()),
+            "c": pa.array(np.zeros(len(tot), np.int64)),
+            "n": pa.array(tot["n"].to_numpy(np.int64))})
+        return pa.concat_tables([gt, tt])
+
+    agg = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+
+    srcs = sorted({s for s in agg["source"].to_pylist()})
+    tot = {}
+    counts = {}
+    for s, t, c, n in zip(agg["source"].to_pylist(),
+                          agg["token"].to_pylist(),
+                          agg["c"].to_pylist(), agg["n"].to_pylist()):
+        if t == "\x00total":
+            tot[s] = tot.get(s, 0) + int(n)
+        else:
+            counts[(s, t)] = counts.get((s, t), 0) + int(c)
+    f = {(s, t): counts.get((s, t), 0) * 1_000_000 // tot[s]
+         for s in srcs for t in vocab}
+    n_src = len(srcs)
+    rows = []
+    stats = {}
+    for t in vocab:
+        vals = [f[(s, t)] for s in srcs]
+        S = sum(vals)
+        Q = sum(v * v for v in vals)
+        stats[t] = n_src * Q - S * S
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            tot_e6, used = 0, 0
+            for t in vocab:
+                R = stats[t]
+                if R <= 0:
+                    continue
+                used += 1
+                tot_e6 += int(np.floor(
+                    1000000.0 * ((abs(f[(a, t)] - f[(b, t)]) * n_src)
+                                 / np.sqrt(np.float64(R)))))
+            rows.append({"source_a": a, "source_b": b,
+                         "k_used": used,
+                         "delta_e6": tot_e6 // used if used else 0})
+    return pa.Table.from_pylist(rows)
+
+
+BURROWS_DELTA_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tot AS (
+  SELECT source, count(*) AS n FROM tok GROUP BY source
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY token)
+  QUALIFY row_number() OVER (ORDER BY c DESC, token) <= 16
+), sv AS (
+  SELECT t.source, t.token, count(*) AS c
+  FROM tok t JOIN vocab USING (token) GROUP BY 1, 2
+), f AS (
+  SELECT s.source, v.token,
+         COALESCE(sv.c, 0) * 1000000 // tot.n AS f
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN sv ON sv.source = s.source AND sv.token = v.token
+  JOIN tot ON tot.source = s.source
+), st AS (
+  SELECT token, count(*) AS n,
+         CAST(sum(f) AS HUGEINT) AS s,
+         CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS q
+  FROM f GROUP BY token
+), r AS (
+  SELECT token, n, n * q - s * s AS rr FROM st
+), addends AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(floor(1000000 * ((abs(a.f - b.f) * r.n)
+                               / sqrt(CAST(r.rr AS DOUBLE))))
+              AS BIGINT) AS addend
+  FROM f a
+  JOIN f b ON a.token = b.token AND a.source < b.source
+  JOIN r ON r.token = a.token
+  WHERE r.rr > 0
+)
+SELECT source_a, source_b,
+       count(*) AS k_used,
+       CAST(CAST(sum(addend) AS HUGEINT) // count(*) AS BIGINT)
+         AS delta_e6
+FROM addends
+GROUP BY source_a, source_b
+"""

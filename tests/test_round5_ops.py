@@ -667,3 +667,52 @@ def test_degree_distribution_brute(ray_session):
     got = dict(zip(out["degree"].astype(int), out["n_nodes"].astype(int)))
     assert got == dict(hist)
     assert sum(d * n for d, n in got.items()) == 2 * len(edges)
+
+
+def test_burrows_delta_brute(ray_session):
+    """Delta table equals a scalar python recompute from raw token
+    counts (same vocab cut, same per-addend float tree); distances are
+    symmetric-complete over source pairs and non-negative."""
+    import math
+    from collections import Counter
+
+    from rendler_ray.pipelines.queries import stylometry_burrows_delta
+
+    out = _as_df(stylometry_burrows_delta(SF))
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["text", "source"]).to_pandas()
+    toks = d["text"].str.split(" ")
+    allc = Counter(t for xs in toks for t in xs)
+    vocab = [t for t, _ in sorted(allc.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:16]]
+    srcs = sorted(d["source"].unique())
+    f = {}
+    for s in srcs:
+        sub = toks[d["source"] == s]
+        c = Counter(t for xs in sub for t in xs)
+        tot = sum(c.values())
+        for t in vocab:
+            f[(s, t)] = c.get(t, 0) * 1_000_000 // tot
+    n = len(srcs)
+    R = {}
+    for t in vocab:
+        vals = [f[(s, t)] for s in srcs]
+        R[t] = n * sum(v * v for v in vals) - sum(vals) ** 2
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            tot_e6, used = 0, 0
+            for t in vocab:
+                if R[t] <= 0:
+                    continue
+                used += 1
+                tot_e6 += math.floor(
+                    1000000.0 * ((abs(f[(a, t)] - f[(b, t)]) * n)
+                                 / math.sqrt(R[t])))
+            want[(a, b)] = (used, tot_e6 // used if used else 0)
+    got = {(r["source_a"], r["source_b"]):
+           (int(r["k_used"]), int(r["delta_e6"]))
+           for _, r in out.iterrows()}
+    assert got == want
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    assert all(v[1] >= 0 for v in got.values())
