@@ -1417,3 +1417,125 @@ SELECT source_a, source_b,
 FROM addends
 GROUP BY source_a, source_b
 """
+
+
+def readability_scores_docs(sf_dir: str):
+    """Flesch-style readability per document — the text-quality signal
+    next to quality_scores/gopher filters: sentences = '.'-separated
+    non-empty segments (min 1), words = whitespace tokens, syllables =
+    vowel runs per word (the standard heuristic). The score is an
+    EXACT integer: f_e3 = 206835 − 1015·w//s − 84600·syll//w (each
+    term its own floor quotient, mirrored verbatim in SQL) — no float
+    anywhere. One stateless Arrow-kernel map pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        words = pc.list_value_length(
+            pc.split_pattern(txt, " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sents_raw = pc.split_pattern(txt, ".")
+        # non-empty sentence segments, floor 1
+        flat = pc.list_flatten(sents_raw)
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        par = pc.list_parent_indices(sents_raw).to_numpy(
+            zero_copy_only=False)
+        n = t.num_rows
+        sents = np.bincount(
+            par[nonempty.to_numpy(zero_copy_only=False)],
+            minlength=n).astype(np.int64)
+        sents = np.maximum(sents, 1)
+        syll = pc.count_substring_regex(
+            txt, "[aeiouAEIOU]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = np.maximum(words, 1)
+        f_e3 = (206835 - 1015 * w // sents - 84600 * syll // w)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(w, pa.int64()),
+            "n_sents": pa.array(sents, pa.int64()),
+            "n_syllables": pa.array(syll, pa.int64()),
+            "flesch_e3": pa.array(f_e3, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+READABILITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         greatest(len(string_split(text, ' ')), 1) AS w,
+         greatest(len(list_filter(string_split(text, '.'),
+                                  x -> trim(x) != '')), 1) AS s,
+         len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS syll
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sents, syll AS n_syllables,
+       CAST(206835 - 1015 * w // s - 84600 * syll // w AS BIGINT)
+         AS flesch_e3
+FROM f
+"""
+
+
+def clv_cohort_revenue(sf_dir: str):
+    """Customer-lifetime-value cohort matrix (the retention-revenue
+    triangle): cohort = a customer's FIRST order month, cell = exact
+    cents revenue at each months-since-first offset. Two bounded
+    passes over orders: a groupby(custkey).Min finds each customer's
+    cohort month (the only all-to-all, keyed on the customer
+    dimension), broadcast back as a sorted-array lookup; the matrix
+    fold is ≤ months² groups."""
+    od = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def with_month(t: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(t["o_orderdate"]),
+                                        pa.int64()), 12),
+                    pc.cast(pc.month(t["o_orderdate"]), pa.int64()))
+        return pa.table({"o_custkey": t["o_custkey"], "m": ym,
+                         "cents": _cents(t["o_totalprice"])})
+
+    rows = od.map_batches(with_month, batch_format="pyarrow")
+    first = rows.groupby("o_custkey").aggregate(
+        Min("m", alias_name="m0"))
+    ft = pa.concat_tables(first.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+    keys = ft["o_custkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], ft["m0"].to_numpy()[order]))
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        k, m0 = ray.get(ref)
+        c = t["o_custkey"].to_numpy()
+        i = np.clip(np.searchsorted(k, c), 0, len(k) - 1)
+        base = m0[i]
+        m = t["m"].to_numpy()
+        return pa.table({
+            "cohort_ym": pa.array(
+                (base - 1) // 12 * 100 + ((base - 1) % 12 + 1),
+                pa.int64()),
+            "months_since": pa.array(m - base, pa.int64()),
+            "cents": t["cents"]})
+
+    return (rows.map_batches(to_cell, batch_format="pyarrow")
+            .groupby(["cohort_ym", "months_since"])
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="revenue_cents")))
+
+
+CLV_COHORT_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey
+)
+SELECT CAST((m0 - 1) // 12 * 100 + ((m0 - 1) % 12 + 1) AS BIGINT)
+         AS cohort_ym,
+       CAST(m - m0 AS BIGINT) AS months_since,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+"""

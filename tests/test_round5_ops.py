@@ -716,3 +716,58 @@ def test_burrows_delta_brute(ray_session):
     assert got == want
     assert len(got) == len(srcs) * (len(srcs) - 1) // 2
     assert all(v[1] >= 0 for v in got.values())
+
+
+def test_readability_brute(ray_session):
+    """Flesch e3 scores equal a scalar python recompute (vowel-run
+    syllables, '.'-segment sentences, identical floor quotients)."""
+    import re
+
+    from rendler_ray.pipelines.queries import readability_scores_docs
+
+    out = _as_df(readability_scores_docs(SF)).set_index("doc_id")
+    d = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    for _, r in d.iterrows():
+        txt = r["text"]
+        w = max(len(txt.split(" ")), 1)
+        s = max(sum(1 for x in txt.split(".") if x.strip() != ""), 1)
+        syll = len(re.findall("[aeiouAEIOU]+", txt))
+        f = 206835 - 1015 * w // s - 84600 * syll // w
+        row = out.loc[r["doc_id"]]
+        assert (int(row["n_words"]), int(row["n_sents"]),
+                int(row["n_syllables"]), int(row["flesch_e3"])) == \
+            (w, s, syll, f)
+
+
+def test_clv_cohort_brute(ray_session):
+    """Cohort matrix equals a pandas recompute; every customer's
+    offset-0 cell exists and total revenue is conserved."""
+    from rendler_ray.pipelines.queries import clv_cohort_revenue
+
+    out = _as_df(clv_cohort_revenue(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    od["m"] = od["o_orderdate"].dt.year * 12 + od["o_orderdate"].dt.month
+    od["cents"] = rha(od["o_totalprice"].to_numpy() * 100.0)
+    od["m0"] = od.groupby("o_custkey")["m"].transform("min")
+    od["cohort_ym"] = ((od["m0"] - 1) // 12 * 100
+                       + ((od["m0"] - 1) % 12 + 1))
+    od["months_since"] = od["m"] - od["m0"]
+    g = od.groupby(["cohort_ym", "months_since"]).agg(
+        n_orders=("cents", "size"),
+        revenue_cents=("cents", "sum")).reset_index()
+    key = ["cohort_ym", "months_since"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = g.sort_values(key).reset_index(drop=True)
+    assert (a[key].to_numpy() == b[key].to_numpy()).all()
+    assert (a["n_orders"].to_numpy().astype(np.int64)
+            == b["n_orders"].to_numpy()).all()
+    assert (a["revenue_cents"].to_numpy()
+            == b["revenue_cents"].to_numpy()).all()
+    assert a["revenue_cents"].sum() == od["cents"].sum()
+    assert set(a[a["months_since"] == 0]["cohort_ym"]) == \
+        set(od["cohort_ym"].unique())
