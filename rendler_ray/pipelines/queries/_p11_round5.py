@@ -1539,3 +1539,82 @@ SELECT CAST((m0 - 1) // 12 * 100 + ((m0 - 1) % 12 + 1) AS BIGINT)
 FROM o JOIN first USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+def region_nation_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) order revenue — the OLAP
+    subtotal cube over the full geography dimension chain (region ⨝
+    nation ⨝ customer), with 'ALL' sentinels for the rollup levels.
+    The two dimension hops broadcast once (custkey → nation/region
+    names via sorted-array lookups); the fact pass emits ≤ |nations|
+    partials per batch and the ≤125-row leaf table plus its subtotals
+    fold on the driver."""
+    cust = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    nat = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    reg = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(),
+                    reg["r_name"].to_pylist()))
+    nk = nat["n_nationkey"].to_numpy()
+    order = np.argsort(nk)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)[order]
+    nreg = np.asarray([rmap[k] for k in nat["n_regionkey"].to_pylist()],
+                      dtype=object)[order]
+    ck = cust["c_custkey"].to_numpy()
+    corder = np.argsort(ck)
+    cnat = cust["c_nationkey"].to_numpy()[corder]
+    ref = ray.put((ck[corder], cnat, nk[order], nname, nreg))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck_, cnat_, nk_, nname_, nreg_ = ray.get(ref)
+        c = t["o_custkey"].to_numpy()
+        i = np.clip(np.searchsorted(ck_, c), 0, len(ck_) - 1)
+        ni = np.clip(np.searchsorted(nk_, cnat_[i]), 0, len(nk_) - 1)
+        cents = _cents(t["o_totalprice"]).to_numpy()
+        df = pd.DataFrame({"region": nreg_[ni], "nation": nname_[ni],
+                           "cents": cents})
+        g = df.groupby(["region", "nation"], sort=False).agg(
+            n_orders=("cents", "size"),
+            revenue_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    leaf = pa.concat_tables(
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby(["region", "nation"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    df = leaf.to_pandas()
+    sub = df.groupby("region", as_index=False).agg(
+        n_orders=("n_orders", "sum"),
+        revenue_cents=("revenue_cents", "sum"))
+    sub["nation"] = "ALL"
+    tot = pd.DataFrame({
+        "region": ["ALL"], "nation": ["ALL"],
+        "n_orders": [df["n_orders"].sum()],
+        "revenue_cents": [df["revenue_cents"].sum()]})
+    out = pd.concat([df, sub, tot], ignore_index=True)[
+        ["region", "nation", "n_orders", "revenue_cents"]]
+    out = out.astype({"n_orders": np.int64,
+                      "revenue_cents": np.int64})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+REGION_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""

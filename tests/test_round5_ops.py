@@ -771,3 +771,42 @@ def test_clv_cohort_brute(ray_session):
     assert a["revenue_cents"].sum() == od["cents"].sum()
     assert set(a[a["months_since"] == 0]["cohort_ym"]) == \
         set(od["cohort_ym"].unique())
+
+
+def test_region_rollup_brute(ray_session):
+    """Rollup cube equals a pandas recompute at every level; subtotal
+    conservation holds (nations sum to their region row, regions sum
+    to the grand total)."""
+    from rendler_ray.pipelines.queries import region_nation_rollup_revenue
+
+    out = _as_df(region_nation_rollup_revenue(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    cu = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    na = pq.read_table(os.path.join(SF, "nation.parquet")).to_pandas()
+    re_ = pq.read_table(os.path.join(SF, "region.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    m = (od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(re_, left_on="n_regionkey", right_on="r_regionkey"))
+    m["cents"] = rha(m["o_totalprice"].to_numpy() * 100.0)
+    leaf = m.groupby(["r_name", "n_name"]).agg(
+        n=("cents", "size"), rev=("cents", "sum"))
+    got_leaf = out[(out["region"] != "ALL") & (out["nation"] != "ALL")]
+    assert len(got_leaf) == len(leaf)
+    for (r, n), row in leaf.iterrows():
+        g = got_leaf[(got_leaf["region"] == r)
+                     & (got_leaf["nation"] == n)].iloc[0]
+        assert int(g["n_orders"]) == int(row["n"])
+        assert int(g["revenue_cents"]) == int(row["rev"])
+    subs = out[(out["nation"] == "ALL") & (out["region"] != "ALL")]
+    for _, srow in subs.iterrows():
+        r = srow["region"]
+        part = got_leaf[got_leaf["region"] == r]
+        assert int(srow["revenue_cents"]) == part["revenue_cents"].sum()
+        assert int(srow["n_orders"]) == part["n_orders"].sum()
+    tot = out[(out["region"] == "ALL")].iloc[0]
+    assert int(tot["revenue_cents"]) == got_leaf["revenue_cents"].sum()
+    assert int(tot["n_orders"]) == len(od)
