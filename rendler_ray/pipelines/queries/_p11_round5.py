@@ -1618,3 +1618,112 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 """
+
+
+def peak_hour_per_type(sf_dir: str):
+    """Per-event-type peak hour (tie → smallest hour) — the grouped
+    ARGMAX shape done with the packed-key native-Min trick (the
+    near_dup_keep_best convention): count per (type, hour) is a
+    bounded groupby (types × 24), then one ≤types-group Min over the
+    packed key (−count)·2⁶ | hour, so no window function and no
+    per-group finisher is needed."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64())})
+        return out.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hour", "n"])
+
+    counts = (ev.map_batches(hours, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        h = t["hour"].to_numpy()
+        key = (-n) * 64 + h
+        return pa.table({"event_type": t["event_type"],
+                         "key": pa.array(key, pa.int64())})
+
+    packed = counts.map_batches(pack, batch_format="pyarrow")
+    best = packed.groupby("event_type").aggregate(
+        Min("key", alias_name="key"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        # floor-division semantics recover the count for negative keys
+        n = -(k - ((k % 64))) // 64
+        return pa.table({
+            "event_type": t["event_type"],
+            "peak_hour": pa.array(k % 64, pa.int64()),
+            "n_events": pa.array(n.astype(np.int64), pa.int64())})
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
+PEAK_HOUR_SQL = """
+SELECT event_type,
+       CAST(hour AS BIGINT) AS peak_hour,
+       CAST(n AS BIGINT) AS n_events
+FROM (
+  SELECT event_type, hour(ts) AS hour, count(*) AS n
+  FROM events GROUP BY event_type, hour(ts))
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY n DESC, hour) = 1
+"""
+
+
+def repeat_buyer_segments(sf_dir: str):
+    """One-time vs repeat buyer segmentation — the retention
+    board-metric: customers bucketed by lifetime order count (1 /
+    2-5 / 6+), with per-segment customer counts, order counts and
+    exact cents revenue. One customer-keyed aggregate (count + sum)
+    then a ≤3-group fold; the order table never moves twice."""
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    per_cust = (od.map_batches(pre, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum("cents", alias_name="cents")))
+
+    def seg(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy()
+        segs = np.where(n == 1, "one_time",
+                        np.where(n <= 5, "repeat_2_5", "repeat_6_plus"))
+        df = pd.DataFrame({"segment": segs, "n": n,
+                           "cents": t["cents"].to_numpy()})
+        g = df.groupby("segment", sort=False).agg(
+            n_customers=("n", "size"), n_orders=("n", "sum"),
+            revenue_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (per_cust.map_batches(seg, batch_format="pyarrow")
+            .groupby("segment")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("n_orders", alias_name="n_orders"),
+                       Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+REPEAT_BUYER_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CASE WHEN n = 1 THEN 'one_time'
+            WHEN n <= 5 THEN 'repeat_2_5'
+            ELSE 'repeat_6_plus' END AS segment,
+       count(*) AS n_customers,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM per_cust
+GROUP BY 1
+"""

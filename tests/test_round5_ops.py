@@ -810,3 +810,50 @@ def test_region_rollup_brute(ray_session):
     tot = out[(out["region"] == "ALL")].iloc[0]
     assert int(tot["revenue_cents"]) == got_leaf["revenue_cents"].sum()
     assert int(tot["n_orders"]) == len(od)
+
+
+def test_peak_hour_brute(ray_session):
+    """Packed-key argmax equals a pandas recompute with the same
+    count-desc hour-asc tie rule; hours are in [0, 24)."""
+    from rendler_ray.pipelines.queries import peak_hour_per_type
+
+    out = _as_df(peak_hour_per_type(SF)).set_index("event_type")
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = ev["ts"].dt.hour
+    g = ev.groupby(["event_type", "hour"]).size().reset_index(name="n")
+    for et, grp in g.groupby("event_type"):
+        grp = grp.sort_values(["n", "hour"],
+                              ascending=[False, True])
+        assert int(out.loc[et, "peak_hour"]) == int(grp.iloc[0]["hour"])
+        assert int(out.loc[et, "n_events"]) == int(grp.iloc[0]["n"])
+    assert out["peak_hour"].between(0, 23).all()
+
+
+def test_repeat_buyer_brute(ray_session):
+    """Segment table equals a pandas recompute; customers and orders
+    are conserved across segments."""
+    from rendler_ray.pipelines.queries import repeat_buyer_segments
+
+    out = _as_df(repeat_buyer_segments(SF)).set_index("segment")
+    od = pq.read_table(os.path.join(SF, "orders.parquet"),
+                       columns=["o_custkey", "o_totalprice"]).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    od["cents"] = rha(od["o_totalprice"].to_numpy() * 100.0)
+    pc_ = od.groupby("o_custkey").agg(n=("cents", "size"),
+                                      cents=("cents", "sum"))
+    pc_["segment"] = np.where(
+        pc_["n"] == 1, "one_time",
+        np.where(pc_["n"] <= 5, "repeat_2_5", "repeat_6_plus"))
+    g = pc_.groupby("segment").agg(n_customers=("n", "size"),
+                                   n_orders=("n", "sum"),
+                                   cents=("cents", "sum"))
+    for seg, row in g.iterrows():
+        assert int(out.loc[seg, "n_customers"]) == int(row["n_customers"])
+        assert int(out.loc[seg, "n_orders"]) == int(row["n_orders"])
+        assert int(out.loc[seg, "revenue_cents"]) == int(row["cents"])
+    assert out["n_customers"].sum() == len(pc_)
+    assert out["n_orders"].sum() == len(od)
