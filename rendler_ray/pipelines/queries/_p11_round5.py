@@ -1727,3 +1727,116 @@ SELECT CASE WHEN n = 1 THEN 'one_time'
 FROM per_cust
 GROUP BY 1
 """
+
+
+def embedding_angle_histogram(sf_dir: str):
+    """Distribution of pairwise cosine similarities over the
+    (vec_id, vec_id+1) chain — the cheap isotropy/collapse diagnostic
+    an embedding pipeline tracks (a healthy space concentrates near 0;
+    collapse piles up near 1). Pairing is one int-keyed successor join
+    (never all-pairs); per-pair scores use the established
+    e6-rounded ``list_cosine_similarity`` convention, bucketed at 0.1
+    width into a ≤21-row histogram."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # Ray's hash join rejects list-typed payload columns — ship the
+    # vectors through the exchange as packed float32 bytes instead
+    def packv(t: pa.Table, key_shift: int, kname: str,
+              vname: str) -> pa.Table:
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        return pa.table({
+            kname: pc.add(t["vec_id"], key_shift),
+            vname: pa.array([r.tobytes() for r in v],
+                            pa.large_binary())})
+
+    left = ds.map_batches(lambda t: packv(t, 1, "k", "va"),
+                          batch_format="pyarrow")
+    right = ds.map_batches(lambda t: packv(t, 0, "vec_id", "vb"),
+                           batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner", num_partitions=8,
+                      on=("k",), right_on=("vec_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        a = np.stack([np.frombuffer(x, np.float32)
+                      for x in t["va"].to_pylist()]).astype(np.float64)
+        b = np.stack([np.frombuffer(x, np.float32)
+                      for x in t["vb"].to_pylist()]).astype(np.float64)
+        num = (a * b).sum(1)
+        den = np.sqrt((a * a).sum(1)) * np.sqrt((b * b).sum(1))
+        s = _round_half_away(1e6 * (num / den))
+        bucket = np.floor_divide(s, 100_000)
+        out = pa.table({"bucket": pa.array(bucket, pa.int64())})
+        return out.group_by("bucket").aggregate(
+            [([], "count_all")]).rename_columns(["bucket", "n_pairs"])
+
+    return (pairs.map_batches(score, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n_pairs",
+                                             alias_name="n_pairs")))
+
+
+ANGLE_HIST_SQL = """
+SELECT CAST(floor(CAST(round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+             / 100000) AS BIGINT) AS bucket,
+       count(*) AS n_pairs
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+GROUP BY 1
+"""
+
+
+def orders_backlog_aging(sf_dir: str):
+    """Open-order backlog aging — the ops/ELT freshness report: orders
+    not yet finished ('O'/'P'), bucketed by age in days relative to
+    the corpus's max order date (the as-of watermark), with counts and
+    exact cents value per (status, age bucket). The watermark is one
+    Max aggregate folded to a scalar; the bucket pass is stateless."""
+    od = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_totalprice"])
+    asof = od.max("o_orderdate")
+
+    def buckets(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["o_orderstatus"], "F")
+        t = t.filter(keep)
+        age_days = pc.cast(pc.floor(pc.divide(pc.cast(
+            pc.subtract(pa.scalar(asof), t["o_orderdate"]),
+            pa.int64()), 86_400_000_000.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = np.where(age_days <= 30, "0_30",
+                     np.where(age_days <= 90, "31_90",
+                              np.where(age_days <= 365, "91_365",
+                                       "365_plus")))
+        df = pd.DataFrame({
+            "o_orderstatus": np.asarray(
+                t["o_orderstatus"].to_pylist(), dtype=object),
+            "age_bucket": b,
+            "cents": _cents(t["o_totalprice"]).to_numpy()})
+        g = df.groupby(["o_orderstatus", "age_bucket"],
+                       sort=False).agg(
+            n_orders=("cents", "size"),
+            value_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (od.map_batches(buckets, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "age_bucket"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
+BACKLOG_AGING_SQL = """
+WITH wm AS (SELECT max(o_orderdate) AS d FROM orders)
+SELECT o_orderstatus,
+       CASE WHEN datediff('day', o_orderdate, wm.d) <= 30
+              THEN '0_30'
+            WHEN datediff('day', o_orderdate, wm.d) <= 90
+              THEN '31_90'
+            WHEN datediff('day', o_orderdate, wm.d) <= 365
+              THEN '91_365'
+            ELSE '365_plus' END AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM orders, wm
+WHERE o_orderstatus != 'F'
+GROUP BY 1, 2
+"""

@@ -857,3 +857,56 @@ def test_repeat_buyer_brute(ray_session):
         assert int(out.loc[seg, "revenue_cents"]) == int(row["cents"])
     assert out["n_customers"].sum() == len(pc_)
     assert out["n_orders"].sum() == len(od)
+
+
+def test_angle_histogram_brute(ray_session):
+    """Bucket histogram equals a numpy recompute over all successor
+    pairs; buckets lie in [-10, 10] and pair count is conserved."""
+    from rendler_ray.pipelines.queries import embedding_angle_histogram
+
+    out = _as_df(embedding_angle_histogram(SF))
+    v = np.asarray(pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).sort_by("vec_id")
+        ["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    a, b = v[:-1], v[1:]
+    num = (a * b).sum(1)
+    den = np.sqrt((a * a).sum(1)) * np.sqrt((b * b).sum(1))
+    x = 1e6 * (num / den)
+    s = (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+    from collections import Counter
+    want = Counter(np.floor_divide(s, 100_000).tolist())
+    got = dict(zip(out["bucket"].astype(int), out["n_pairs"].astype(int)))
+    assert got == dict(want)
+    assert sum(got.values()) == len(v) - 1
+    assert all(-10 <= k <= 10 for k in got)
+
+
+def test_backlog_aging_brute(ray_session):
+    """Aging buckets equal a pandas recompute against the max-date
+    watermark; finished orders are excluded; value conserved."""
+    from rendler_ray.pipelines.queries import orders_backlog_aging
+
+    out = _as_df(orders_backlog_aging(SF))
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    wm = od["o_orderdate"].max()
+    open_ = od[od["o_orderstatus"] != "F"].copy()
+    age = (wm - open_["o_orderdate"]).dt.days
+    open_["age_bucket"] = np.where(
+        age <= 30, "0_30", np.where(age <= 90, "31_90",
+                                    np.where(age <= 365, "91_365",
+                                             "365_plus")))
+    open_["cents"] = rha(open_["o_totalprice"].to_numpy() * 100.0)
+    g = open_.groupby(["o_orderstatus", "age_bucket"]).agg(
+        n_orders=("cents", "size"), value_cents=("cents", "sum"))
+    for (st, bk), row in g.iterrows():
+        m = out[(out["o_orderstatus"] == st)
+                & (out["age_bucket"] == bk)].iloc[0]
+        assert int(m["n_orders"]) == int(row["n_orders"])
+        assert int(m["value_cents"]) == int(row["value_cents"])
+    assert len(out) == len(g)
+    assert out["value_cents"].sum() == open_["cents"].sum()
