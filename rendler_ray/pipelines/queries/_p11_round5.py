@@ -1840,3 +1840,144 @@ FROM orders, wm
 WHERE o_orderstatus != 'F'
 GROUP BY 1, 2
 """
+
+
+def weekday_seasonality_index(sf_dir: str):
+    """Day-of-week seasonality index per event type — the calendar-
+    effect report: idx_e6 = (events of type t on dow d, scaled by the
+    corpus's dow-day counts) as the EXACT integer
+    n_td · n_days · 10⁶ // (D_d · n_t), where D_d is how many distinct
+    calendar dates of that weekday the corpus spans (so a corpus that
+    starts mid-week doesn't bias the index). Three bounded aggregates:
+    (type, dow) counts, distinct dates per dow, per-type totals."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t["ts"], pa.int64()), 86_400_000_000.0)), pa.int64())
+        # pyarrow day_of_week is Monday=0; DuckDB dayofweek is
+        # Sunday=0 — shift to the SQL convention
+        dow = pc.cast(
+            pc.add(pc.day_of_week(t["ts"]), 1), pa.int64())
+        dow = pc.if_else(pc.equal(dow, 7), pa.scalar(0, pa.int64()),
+                         dow)
+        return pa.table({"event_type": t["event_type"], "dow": dow,
+                         "day": day})
+
+    rows = ev.map_batches(parts, batch_format="pyarrow")
+    td = pa.concat_tables(
+        rows.groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="n_td"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    dd = pa.concat_tables(
+        rows.map_batches(
+            lambda t: t.select(["dow", "day"]).group_by(
+                ["dow", "day"]).aggregate([([], "count_all")])
+            .select(["dow", "day"]), batch_format="pyarrow")
+        .groupby(["dow", "day"]).aggregate(Count(alias_name="_n"))
+        .groupby("dow").aggregate(Count(alias_name="d_days"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    d_days = dict(zip(dd["dow"].to_pylist(), dd["d_days"].to_pylist()))
+    n_days = sum(d_days.values())
+    tot = {}
+    for et, n in zip(td["event_type"].to_pylist(),
+                     td["n_td"].to_pylist()):
+        tot[et] = tot.get(et, 0) + int(n)
+    out = []
+    for et, dow, n in zip(td["event_type"].to_pylist(),
+                          td["dow"].to_pylist(),
+                          td["n_td"].to_pylist()):
+        out.append({
+            "event_type": et, "dow": int(dow), "n_events": int(n),
+            "idx_e6": int(n) * n_days * 1_000_000
+            // (int(d_days[dow]) * tot[et])})
+    out.sort(key=lambda r: (r["event_type"], r["dow"]))
+    return pa.Table.from_pylist(out)
+
+
+WEEKDAY_SEASONALITY_SQL = """
+WITH r AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+         CAST(floor(CAST(epoch(ts) AS DOUBLE) / 86400) AS BIGINT)
+           AS day
+  FROM events
+), td AS (
+  SELECT event_type, dow, count(*) AS n_td
+  FROM r GROUP BY event_type, dow
+), dd AS (
+  SELECT dow, count(DISTINCT day) AS d_days FROM r GROUP BY dow
+), nd AS (SELECT CAST(sum(d_days) AS BIGINT) AS n_days FROM dd),
+tt AS (SELECT event_type, count(*) AS n_t FROM r GROUP BY event_type)
+SELECT td.event_type, CAST(td.dow AS BIGINT) AS dow,
+       CAST(td.n_td AS BIGINT) AS n_events,
+       CAST(CAST(td.n_td AS HUGEINT) * nd.n_days * 1000000
+            // (dd.d_days * tt.n_t) AS BIGINT) AS idx_e6
+FROM td JOIN dd USING (dow) JOIN tt USING (event_type), nd
+"""
+
+
+def nation_revenue_hhi(sf_dir: str):
+    """Herfindahl–Hirschman revenue-concentration index per customer
+    nation — the market-structure audit: HHI_e6 = Σ_c cents_c² · 10⁶
+    // (Σ_c cents_c)², exact Python-int rationals (cents² · 10⁶
+    overflows int64 — HUGEINT in SQL). One customer-keyed aggregate
+    (bounded by the customer dimension), a broadcast nation hop, and a
+    ≤25-group ``map_groups`` finisher whose group size is the nation's
+    customer count."""
+    cust = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], cust["c_nationkey"].to_numpy()[order]))
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    per_cust = (od.map_batches(pre, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="cents")))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k, nat = ray.get(ref)
+        i = np.clip(np.searchsorted(k, t["o_custkey"].to_numpy()),
+                    0, len(k) - 1)
+        return pa.table({
+            "nationkey": pa.array(nat[i].astype(np.int64), pa.int64()),
+            "cents": t["cents"]})
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        c = [int(x) for x in g["cents"]]
+        tot = sum(c)
+        return pd.DataFrame({
+            "nationkey": [int(g["nationkey"].iloc[0])],
+            "n_customers": [len(c)],
+            "revenue_cents": [tot],
+            "hhi_e6": [sum(x * x for x in c) * 1_000_000
+                       // (tot * tot)]})
+
+    return (per_cust.map_batches(tag, batch_format="pyarrow")
+            .groupby("nationkey").map_groups(hhi,
+                                             batch_format="pandas"))
+
+
+NATION_HHI_SQL = """
+WITH per_cust AS (
+  SELECT c_nationkey AS nationkey, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+            // (CAST(sum(cents) AS HUGEINT) * sum(cents))
+            AS BIGINT) AS hhi_e6
+FROM per_cust
+GROUP BY nationkey
+"""

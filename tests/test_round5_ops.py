@@ -910,3 +910,57 @@ def test_backlog_aging_brute(ray_session):
         assert int(m["value_cents"]) == int(row["value_cents"])
     assert len(out) == len(g)
     assert out["value_cents"].sum() == open_["cents"].sum()
+
+
+def test_weekday_seasonality_brute(ray_session):
+    """Indices equal a pandas recompute with the Sunday=0 convention;
+    the day-count-weighted mean index per type is ~1e6 (exact up to
+    floor quantization)."""
+    from rendler_ray.pipelines.queries import weekday_seasonality_index
+
+    out = _as_df(weekday_seasonality_index(SF))
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["dow"] = (ev["ts"].dt.dayofweek + 1) % 7  # pandas Mon=0
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    d_days = ev.groupby("dow")["day"].nunique()
+    n_days = int(d_days.sum())
+    tot = ev.groupby("event_type").size()
+    g = ev.groupby(["event_type", "dow"]).size().reset_index(name="n")
+    for _, r in out.iterrows():
+        row = g[(g["event_type"] == r["event_type"])
+                & (g["dow"] == r["dow"])].iloc[0]
+        assert int(r["n_events"]) == int(row["n"])
+        want = (int(row["n"]) * n_days * 1_000_000
+                // (int(d_days[r["dow"]]) * int(tot[r["event_type"]])))
+        assert int(r["idx_e6"]) == want
+    # weighted-mean sanity: sum over dows of n_td == n_t per type
+    s = out.groupby("event_type")["n_events"].sum()
+    for et, v in s.items():
+        assert int(v) == int(tot[et])
+
+
+def test_nation_hhi_brute(ray_session):
+    """HHI equals an exact Python-int recompute; values lie in
+    (1e6/n_customers, 1e6]."""
+    from rendler_ray.pipelines.queries import nation_revenue_hhi
+
+    out = _as_df(nation_revenue_hhi(SF)).set_index("nationkey")
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    cu = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+
+    def rha(x):
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+    od["cents"] = rha(od["o_totalprice"].to_numpy() * 100.0)
+    m = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    pc_ = m.groupby(["c_nationkey", "o_custkey"])["cents"].sum()
+    for nk, grp in pc_.groupby(level=0):
+        c = [int(x) for x in grp]
+        tot = sum(c)
+        want = sum(x * x for x in c) * 1_000_000 // (tot * tot)
+        assert int(out.loc[nk, "hhi_e6"]) == want
+        assert int(out.loc[nk, "n_customers"]) == len(c)
+        assert int(out.loc[nk, "revenue_cents"]) == tot
+        assert want <= 1_000_000
+        assert want * len(c) >= 1_000_000 - len(c)
